@@ -1,0 +1,247 @@
+"""LSB-first bit vector over numpy uint64 words.
+
+Semantics follow the reference's succinct::bit_vector_builder (bit *i* of
+the stream is bit ``i % 64`` of word ``i // 64``), but every hot path is
+vectorized numpy: scattered bit sets, fixed-width field scatter/gather,
+bulk unary (select-1) decoding via ``np.unpackbits``.  Scalar helpers
+exist only for tiny per-list headers (gamma/delta codes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_ONE = _U64(1)
+
+
+class BitWriter:
+    """Append-only / random-set bit buffer (succinct bit_vector_builder)."""
+
+    __slots__ = ("words", "size")
+
+    def __init__(self, nbits_hint: int = 0):
+        self.words = np.zeros(max(1, (nbits_hint + 63) >> 6), dtype=_U64)
+        self.size = 0
+
+    # -- capacity ---------------------------------------------------------
+    def _ensure(self, nbits: int) -> None:
+        need = (nbits + 63) >> 6
+        if need > len(self.words):
+            new = np.zeros(max(need, 2 * len(self.words)), dtype=_U64)
+            new[: len(self.words)] = self.words
+            self.words = new
+
+    def zero_extend(self, n: int) -> None:
+        self._ensure(self.size + n)
+        self.size += n
+
+    # -- scalar ops (headers only) ---------------------------------------
+    def append_bits(self, value: int, width: int) -> None:
+        off = self.size
+        self.zero_extend(width)
+        if width:
+            self.set_bits(off, value, width)
+
+    def set_bit(self, pos: int) -> None:
+        self.words[pos >> 6] |= _ONE << _U64(pos & 63)
+
+    def set_bits(self, offset: int, value: int, width: int) -> None:
+        if width == 0:
+            return
+        value = int(value)
+        assert value >> width == 0
+        w, b = offset >> 6, offset & 63
+        self.words[w] |= _U64((value << b) & 0xFFFFFFFFFFFFFFFF)
+        if b + width > 64:
+            self.words[w + 1] |= _U64(value >> (64 - b))
+
+    # -- vectorized ops ---------------------------------------------------
+    def set_ones(self, positions: np.ndarray) -> None:
+        """Set many scattered bits (positions must be < size)."""
+        positions = positions.astype(np.int64, copy=False)
+        np.bitwise_or.at(
+            self.words, positions >> 6, _ONE << (positions & 63).astype(_U64)
+        )
+
+    def set_fields(self, offsets: np.ndarray, values: np.ndarray, width: int) -> None:
+        """Scatter equal-width (<=58 bit) fields at arbitrary bit offsets."""
+        if width == 0 or len(offsets) == 0:
+            return
+        assert width <= 58
+        offsets = offsets.astype(np.int64, copy=False)
+        values = values.astype(_U64, copy=False)
+        w = offsets >> 6
+        b = (offsets & 63).astype(_U64)
+        np.bitwise_or.at(self.words, w, values << b)
+        # spill into next word where the field crosses a word boundary
+        shift = _U64(64) - b
+        spill = b + _U64(width) > _U64(64)
+        if spill.any():
+            np.bitwise_or.at(self.words, w[spill] + 1, values[spill] >> shift[spill])
+
+    def append_writer(self, other: "BitWriter") -> None:
+        """Bit-aligned concatenation of another writer's stream."""
+        self.append_words(other.words, other.size)
+
+    def append_words(self, words: np.ndarray, nbits: int) -> None:
+        if nbits == 0:
+            return
+        off = self.size
+        self.zero_extend(nbits)
+        nw = (nbits + 63) >> 6
+        src = words[:nw]
+        r = off & 63
+        w0 = off >> 6
+        if w0 + 1 + nw > len(self.words):  # room for the cross-word spill
+            self._ensure((w0 + 1 + nw) << 6)
+        if r == 0:
+            self.words[w0 : w0 + nw] |= src
+        else:
+            rs = _U64(r)
+            ls = _U64(64 - r)
+            self.words[w0 : w0 + nw] |= src << rs
+            self.words[w0 + 1 : w0 + 1 + nw] |= src >> ls
+
+    # -- export -----------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        nbytes = (self.size + 7) >> 3
+        return self.words.tobytes()[:nbytes]
+
+
+def words_from_bytes(data: bytes | np.ndarray) -> np.ndarray:
+    """uint8/bytes -> uint64 word array (little-endian, zero padded)."""
+    buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
+    pad = (-len(buf)) % 8
+    if pad:
+        buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
+    return buf.view(_U64)
+
+
+def unpack_bit_range(words: np.ndarray, start: int, count: int) -> np.ndarray:
+    """Bits [start, start+count) of the stream as a uint8 0/1 array."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint8)
+    first_byte = start >> 3
+    last_byte = (start + count + 7) >> 3
+    b = words.view(np.uint8)[first_byte:last_byte]
+    bits = np.unpackbits(b, bitorder="little")
+    lo = start - (first_byte << 3)
+    return bits[lo : lo + count]
+
+
+def select_ones(words: np.ndarray, start: int, count: int) -> np.ndarray:
+    """Positions (relative to `start`) of set bits in [start, start+count)."""
+    return np.flatnonzero(unpack_bit_range(words, start, count))
+
+
+def read_fields(words: np.ndarray, offsets: np.ndarray, width: int) -> np.ndarray:
+    """Gather equal-width (<=57 bit) fields at arbitrary bit offsets.
+
+    Reads an 8-byte window starting at each field's byte, shifts out the
+    in-byte bit offset and masks — the vectorized analogue of the
+    reference's ``bv.get_word56`` (hence width <= 57).
+    """
+    if width == 0:
+        return np.zeros(len(offsets), dtype=_U64)
+    assert width <= 57
+    offsets = offsets.astype(np.int64, copy=False)
+    bytes_view = words.view(np.uint8)
+    byte_off = offsets >> 3
+    # gather 8 bytes per field; pad the tail so the last gather is in range
+    need = int(byte_off.max()) + 8 if len(byte_off) else 0
+    if need > len(bytes_view):
+        bytes_view = np.concatenate(
+            [bytes_view, np.zeros(need - len(bytes_view), dtype=np.uint8)]
+        )
+    idx = byte_off[:, None] + np.arange(8, dtype=np.int64)[None, :]
+    gathered = bytes_view[idx].view(_U64).reshape(-1)
+    shift = (offsets & 7).astype(_U64)
+    mask = _U64((1 << width) - 1)
+    return (gathered >> shift) & mask
+
+
+def read_bits(words: np.ndarray, offset: int, width: int) -> int:
+    """Scalar field read (width <= 57)."""
+    if width == 0:
+        return 0
+    return int(read_fields(words, np.array([offset]), width)[0])
+
+
+def pack_fields(values: np.ndarray, width: int) -> "BitWriter":
+    """Dense pack of equal-width fields into a fresh writer."""
+    bw = BitWriter(len(values) * width)
+    bw.zero_extend(len(values) * width)
+    if width:
+        bw.set_fields(
+            np.arange(len(values), dtype=np.int64) * width, values, width
+        )
+    return bw
+
+
+class BitReader:
+    """Sequential scalar reader for small headers (gamma/delta codes)."""
+
+    __slots__ = ("words", "pos")
+
+    def __init__(self, words: np.ndarray, pos: int = 0):
+        self.words = words
+        self.pos = pos
+
+    def take(self, width: int) -> int:
+        v = read_bits(self.words, self.pos, width)
+        self.pos += width
+        return v
+
+    def skip_zeros(self) -> int:
+        """Count and consume zeros up to and including the next 1 bit."""
+        n = 0
+        w, b = self.pos >> 6, self.pos & 63
+        while True:
+            word = int(self.words[w]) >> b
+            if word:
+                tz = (word & -word).bit_length() - 1
+                n += tz
+                self.pos += tz + 1
+                return n
+            n += 64 - b
+            self.pos += 64 - b
+            w += 1
+            b = 0
+
+
+# --- gamma / delta codes (integer_codes.hpp) ----------------------------
+
+def write_gamma(bw: BitWriter, n: int) -> None:
+    nn = n + 1
+    l = nn.bit_length() - 1
+    hb = 1 << l
+    bw.append_bits(hb, l + 1)
+    bw.append_bits(nn ^ hb, l)
+
+
+def write_gamma_nonzero(bw: BitWriter, n: int) -> None:
+    assert n > 0
+    write_gamma(bw, n - 1)
+
+
+def read_gamma(br: BitReader) -> int:
+    l = br.skip_zeros()
+    return (br.take(l) | (1 << l)) - 1
+
+
+def read_gamma_nonzero(br: BitReader) -> int:
+    return read_gamma(br) + 1
+
+
+def write_delta(bw: BitWriter, n: int) -> None:
+    nn = n + 1
+    l = nn.bit_length() - 1
+    hb = 1 << l
+    write_gamma(bw, l)
+    bw.append_bits(nn ^ hb, l)
+
+
+def read_delta(br: BitReader) -> int:
+    l = read_gamma(br)
+    return (br.take(l) | (1 << l)) - 1

@@ -1,0 +1,130 @@
+"""Compact Elias-Fano sequences — exact layout of the reference.
+
+Bit layout per sequence (compact_elias_fano.hpp:14-61):
+``[pointers0][pointers1][higher_bits][lower_bits]`` where
+
+* ``lower_bits l = msb(universe / n)`` when ``universe > n`` else 0,
+* element *i* with value *v* sets high bit at ``(v >> l) + i + 1``
+  (one sentinel zero on each side of the unary stream),
+* ``pointers1[k-1]`` = high-bit position of element ``k << ef_log_sampling1``,
+* ``pointers0[k-1]`` = position of the ``(k << ef_log_sampling0)``-th zero.
+
+Encode and decode are bulk-vectorized numpy (scatter of ones / fixed-width
+fields; ``np.unpackbits`` + ``flatnonzero`` to invert the unary stream).
+The stored skip pointers keep byte-for-byte layout parity with the
+reference; the Python runtime skips via ``searchsorted`` over the decoded
+array instead of chasing pointers bit by bit (see enums.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS, ceil_log2, floor_log2
+from .bits import BitWriter, read_fields, select_ones
+
+
+class EFOffsets:
+    """Mirror of compact_elias_fano::offsets (compact_elias_fano.hpp:14-61)."""
+
+    __slots__ = (
+        "universe", "n", "log_sampling0", "log_sampling1", "lower_bits",
+        "mask", "higher_bits_length", "pointer_size", "pointers0",
+        "pointers1", "pointers0_offset", "pointers1_offset",
+        "higher_bits_offset", "lower_bits_offset", "end",
+    )
+
+    def __init__(self, base_offset: int, universe: int, n: int,
+                 params: GlobalParameters = PARAMS):
+        assert n > 0
+        self.universe = universe
+        self.n = n
+        self.log_sampling0 = params.ef_log_sampling0
+        self.log_sampling1 = params.ef_log_sampling1
+        self.lower_bits = floor_log2(universe // n) if universe > n else 0
+        self.mask = (1 << self.lower_bits) - 1
+        # pad with a zero on both sides as sentinels
+        self.higher_bits_length = n + (universe >> self.lower_bits) + 2
+        self.pointer_size = ceil_log2(self.higher_bits_length)
+        self.pointers0 = (self.higher_bits_length - n) >> self.log_sampling0
+        self.pointers1 = n >> self.log_sampling1
+        self.pointers0_offset = base_offset
+        self.pointers1_offset = self.pointers0_offset + self.pointers0 * self.pointer_size
+        self.higher_bits_offset = self.pointers1_offset + self.pointers1 * self.pointer_size
+        self.lower_bits_offset = self.higher_bits_offset + self.higher_bits_length
+        self.end = self.lower_bits_offset + n * self.lower_bits
+
+
+def ef_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    return EFOffsets(0, universe, n, params).end
+
+
+def ef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+             params: GlobalParameters = PARAMS) -> None:
+    """Append the EF encoding of `values` (sorted, < universe) to `bw`."""
+    base = bw.size
+    of = EFOffsets(base, universe, n, params)
+    bw.zero_extend(of.end - base)
+
+    values = np.asarray(values, dtype=np.int64)
+    assert len(values) == n
+    if n > 1 and (np.diff(values) < 0).any():
+        raise ValueError("Sequence is not sorted")
+    if values[-1] >= universe:
+        raise ValueError("Value out of universe")
+
+    idx = np.arange(n, dtype=np.int64)
+    high = (values >> of.lower_bits) + idx + 1
+
+    # higher bits (unary stream with sentinel zeros at both ends)
+    bw.set_ones(of.higher_bits_offset + high)
+
+    # lower bits
+    if of.lower_bits:
+        bw.set_fields(
+            of.lower_bits_offset + idx * of.lower_bits,
+            values & of.mask,
+            of.lower_bits,
+        )
+
+    if of.pointer_size:
+        # pointers1[k-1] = high position of element k << log_sampling1, k>=1, i<n
+        s1 = of.log_sampling1
+        ks = np.arange(1, ((n - 1) >> s1) + 1, dtype=np.int64)
+        if len(ks):
+            bw.set_fields(
+                of.pointers1_offset + (ks - 1) * of.pointer_size,
+                high[ks << s1],
+                of.pointer_size,
+            )
+
+        # pointers0[k-1] = position of the (k << log_sampling0)-th zero
+        s0 = of.log_sampling0
+        total_zeros = of.higher_bits_length - n
+        ms = np.arange(1, of.pointers0 + 1, dtype=np.int64)
+        ms = ms[(ms << s0) < total_zeros]
+        if len(ms):
+            z = ms << s0
+            # zeros strictly before one i: high[i] - i; r = #ones before z-th zero
+            r = np.searchsorted(high - idx, z, side="right")
+            bw.set_fields(
+                of.pointers0_offset + (ms - 1) * of.pointer_size,
+                z + r,
+                of.pointer_size,
+            )
+
+
+def ef_decode(words: np.ndarray, offset: int, universe: int, n: int,
+              params: GlobalParameters = PARAMS) -> np.ndarray:
+    """Bulk-decode an EF sequence into an int64 array of n values."""
+    of = EFOffsets(offset, universe, n, params)
+    high = select_ones(words, of.higher_bits_offset, of.higher_bits_length)
+    assert len(high) == n, (len(high), n)
+    idx = np.arange(n, dtype=np.int64)
+    values = (high - idx - 1) << of.lower_bits
+    if of.lower_bits:
+        lows = read_fields(
+            words, of.lower_bits_offset + idx * of.lower_bits, of.lower_bits
+        )
+        values |= lows.astype(np.int64)
+    return values

@@ -1,0 +1,59 @@
+"""Enumerator contract over decoded sequences.
+
+The reference exposes every codec through an enumerator with
+``move(pos) / next() / next_geq(lb) / prev_value() / size()`` returning
+``(position, value)`` pairs, with the *universe* as exhaustion sentinel
+(compact_elias_fano.hpp:138-417).  We keep the contract exactly —
+including ``next_geq`` landing on the first of a run of equal values and
+the sentinel semantics — but back it with a bulk-decoded numpy array:
+random access is O(1) and ``next_geq`` is a ``searchsorted``, which is
+the right constant-factor tradeoff in Python (SURVEY.md §7.4-7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ArrayEnumerator:
+    """Reference-contract enumerator over a decoded sorted array."""
+
+    __slots__ = ("values", "universe", "n", "position", "value")
+
+    def __init__(self, values: np.ndarray, universe: int):
+        self.values = values
+        self.universe = int(universe)
+        self.n = len(values)
+        # reference ctor state: position == size, value == universe
+        self.position = self.n
+        self.value = self.universe
+
+    def size(self) -> int:
+        return self.n
+
+    def _at(self, pos: int):
+        self.position = pos
+        self.value = int(self.values[pos]) if pos < self.n else self.universe
+        return (self.position, self.value)
+
+    def move(self, position: int):
+        assert position <= self.n
+        return self._at(position)
+
+    def next(self):
+        assert self.position < self.n or self.position == self.n
+        return self._at(min(self.position + 1, self.n))
+
+    def next_geq(self, lower_bound: int):
+        pos = int(np.searchsorted(self.values, lower_bound, side="left"))
+        return self._at(pos)
+
+    def prev_value(self) -> int:
+        if self.position == 0:
+            return 0
+        return int(self.values[min(self.position, self.n) - 1])
+
+    def copy(self) -> "ArrayEnumerator":
+        e = ArrayEnumerator(self.values, self.universe)
+        e.position, e.value = self.position, self.value
+        return e

@@ -1,0 +1,265 @@
+"""Partitioned Elias-Fano sequences (PEF) + the optimal-partition DP.
+
+Exact reference layouts:
+
+* ``partitioned_sequence`` (partitioned_sequence.hpp:22-120): per list
+  ``gamma(#partitions)`` then either the single-partition fast path
+  (``base`` in ceil_log2(universe) bits, delta-coded relative upper
+  bound — 0 meaning "tight") or
+  ``gamma(endpoint_bits) [sizes-EF] [upper-bounds-EF] [fixed-width
+  endpoints] [partition payloads]`` where the sizes-EF cleverly stores
+  ``partitions-1`` boundaries with universe ``n`` (the EF exhaustion
+  sentinel doubles as the final boundary).
+* ``optimal_partition`` (optimal_partition.hpp:13-122): O(n log(1/eps1)/eps2)
+  approximate DP with sliding cost windows at geometric thresholds.
+* ``uniform_partitioned_sequence`` (uniform_partitioned_sequence.hpp):
+  fixed 2^log_partition_size partitions, same outer layout minus the
+  sizes-EF.
+
+Partition payloads use ``indexed_sequence`` (best-of EF / ranked
+bitvector / all-ones), matching the reference's ``opt`` / ``uniform``
+index types.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import BuildConfig, CONFIG, GlobalParameters, PARAMS, ceil_log2, floor_log2
+from .bits import (
+    BitReader, BitWriter, read_fields, write_delta, write_gamma,
+    write_gamma_nonzero, read_delta, read_gamma, read_gamma_nonzero,
+)
+from .ef import ef_bitsize, ef_decode, ef_write
+from .sequences import indexed_bitsize, indexed_decode, indexed_write
+
+
+# --- fast closed-form costs for the DP (must agree with sequences.py) ----
+
+def _cost_fns(params: GlobalParameters):
+    s0, s1 = params.ef_log_sampling0, params.ef_log_sampling1
+    rs, rs1 = params.rb_log_rank1_sampling, params.rb_log_sampling1
+
+    def ef_cost(u: int, n: int) -> int:
+        l = floor_log2(u // n) if u > n else 0
+        hbl = n + (u >> l) + 2
+        ps = ceil_log2(hbl)
+        return (((hbl - n) >> s0) + (n >> s1)) * ps + hbl + n * l
+
+    def rb_cost(u: int, n: int) -> int:
+        return ((u >> rs) * ceil_log2(n + 1)
+                + (n >> rs1) * ceil_log2(u)
+                + u)
+
+    def indexed_cost(u: int, n: int) -> int:
+        if u == n:
+            return 0
+        return min(ef_cost(u, n), rb_cost(u, n)) + 1  # + type bit
+
+    return indexed_cost
+
+
+# --- optimal_partition DP (optimal_partition.hpp:13-122) -----------------
+
+def optimal_partition(values: np.ndarray, universe: int,
+                      cost_fun, eps1: float, eps2: float):
+    """Return (partition_endpoints, cost_opt); endpoints exclusive, last == n."""
+    size = len(values)
+    vals = values  # int64 array
+    single_block_cost = cost_fun(universe, size)
+    min_cost = np.full(size + 1, single_block_cost, dtype=np.int64)
+    min_cost[0] = 0
+
+    cost_lb = cost_fun(1, 1)
+    cost_bound = cost_lb
+    bounds = []
+    while eps1 == 0 or cost_bound < cost_lb / eps1:
+        bounds.append(cost_bound)
+        if cost_bound >= single_block_cost:
+            break
+        cost_bound = cost_bound * (1 + eps2)
+
+    # window state per bound: [start, end]; min_p/max_p derived from vals
+    starts = [0] * len(bounds)
+    ends = [0] * len(bounds)
+
+    path = np.zeros(size + 1, dtype=np.int64)
+    v0 = int(vals[0])
+    for i in range(size):
+        last_end = i + 1
+        mc_i = int(min_cost[i])
+        min_p = v0 if i == 0 else int(vals[i - 1]) + 1
+        for w in range(len(bounds)):
+            assert starts[w] == i
+            end = ends[w]
+            if end < last_end:
+                end = last_end
+            while True:
+                window_cost = cost_fun(int(vals[end - 1]) - min_p + 1, end - i)
+                if mc_i + window_cost < min_cost[end]:
+                    min_cost[end] = mc_i + window_cost
+                    path[end] = i
+                last_end = end
+                if end == size or window_cost >= bounds[w]:
+                    break
+                end += 1
+            ends[w] = end
+            starts[w] = i + 1
+
+    partition = []
+    curr = size
+    while curr != 0:
+        partition.append(curr)
+        curr = int(path[curr])
+    partition.reverse()
+    return partition, int(min_cost[size])
+
+
+def uniform_partition(n: int, log_partition_size: int):
+    psize = 1 << log_partition_size
+    return list(range(psize, n, psize)) + [n]
+
+
+# --- partitioned_sequence write/decode ----------------------------------
+
+def _write_with_partition(bw: BitWriter, values: np.ndarray, universe: int,
+                          n: int, partition: list[int],
+                          params: GlobalParameters, write_sizes: bool) -> None:
+    partitions = len(partition)
+    assert partitions > 0 and partition[-1] == n and partition[0] != 0
+    write_gamma_nonzero(bw, partitions)
+
+    values = np.asarray(values, dtype=np.int64)
+    if partitions == 1:
+        cur_base = int(values[0])
+        rel = values - cur_base
+        universe_bits = ceil_log2(universe)
+        bw.append_bits(cur_base, universe_bits)
+        if n > 1:
+            if cur_base + int(rel[-1]) + 1 == universe:
+                write_delta(bw, 0)  # tight universe
+            else:
+                write_delta(bw, int(rel[-1]))
+        indexed_write(bw, rel, int(rel[-1]) + 1, n, params)
+        return
+
+    bv_sequences = BitWriter()
+    endpoints = []
+    upper_bounds = [int(values[0])]
+    cur_base = int(values[0])
+    cur_i = 0
+    for p in range(partitions):
+        hi = partition[p]
+        part = values[cur_i:hi] - cur_base
+        upper_bound = int(values[hi - 1])
+        indexed_write(bv_sequences, part, int(part[-1]) + 1, hi - cur_i, params)
+        endpoints.append(bv_sequences.size)
+        upper_bounds.append(upper_bound)
+        cur_base = upper_bound + 1
+        cur_i = hi
+
+    endpoint_bits = ceil_log2(bv_sequences.size + 1)
+    write_gamma(bw, endpoint_bits)
+
+    if write_sizes:
+        bv_sizes = BitWriter()
+        ef_write(bv_sizes, np.asarray(partition[:-1], dtype=np.int64),
+                 n, partitions - 1, params)
+        bw.append_writer(bv_sizes)
+
+    bv_ub = BitWriter()
+    ef_write(bv_ub, np.asarray(upper_bounds, dtype=np.int64),
+             universe, partitions + 1, params)
+    bw.append_writer(bv_ub)
+
+    for p in range(partitions - 1):
+        bw.append_bits(endpoints[p], endpoint_bits)
+
+    bw.append_writer(bv_sequences)
+
+
+def pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+              params: GlobalParameters = PARAMS,
+              config: BuildConfig = CONFIG) -> None:
+    assert n > 0
+    cost_fun_base = _cost_fns(params)
+    fix = config.fix_cost
+    values = np.asarray(values, dtype=np.int64)
+    partition, _ = optimal_partition(
+        values, universe, lambda u, m: cost_fun_base(u, m) + fix,
+        config.eps1, config.eps2)
+    _write_with_partition(bw, values, universe, n, partition, params, True)
+
+
+def uniform_pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+                      params: GlobalParameters = PARAMS) -> None:
+    assert n > 0
+    partition = uniform_partition(n, params.log_partition_size)
+    _write_with_partition(bw, values, universe, n, partition, params, False)
+
+
+def _pef_decode_impl(words: np.ndarray, offset: int, universe: int, n: int,
+                     params: GlobalParameters, has_sizes: bool) -> np.ndarray:
+    it = BitReader(words, offset)
+    partitions = read_gamma_nonzero(it)
+    if partitions == 1:
+        universe_bits = ceil_log2(universe)
+        cur_base = it.take(universe_bits)
+        ubound = 0
+        if n > 1:
+            delta = read_delta(it)
+            ubound = delta if delta else (universe - cur_base - 1)
+        rel = indexed_decode(words, it.pos, ubound + 1, n, params)
+        return rel + cur_base
+
+    endpoint_bits = read_gamma(it)
+    if has_sizes:
+        bnd = ef_decode(words, it.pos, n, partitions - 1, params).tolist() + [n]
+        it.pos += ef_bitsize(n, partitions - 1, params)
+    else:
+        bnd = uniform_partition(n, params.log_partition_size)
+        assert len(bnd) == partitions
+    return _decode_tail(words, it.pos, universe, n, partitions, params,
+                        bnd, endpoint_bits)
+
+
+def _decode_tail(words: np.ndarray, offset: int, universe: int, n: int,
+                 partitions: int, params: GlobalParameters,
+                 boundaries: list[int], endpoint_bits: int) -> np.ndarray:
+    cur_offset = offset
+    ub = ef_decode(words, cur_offset, universe, partitions + 1, params)
+    cur_offset += ef_bitsize(universe, partitions + 1, params)
+    endpoints_offset = cur_offset
+    cur_offset += endpoint_bits * (partitions - 1)
+    sequences_offset = cur_offset
+
+    if endpoint_bits and partitions > 1:
+        eps = read_fields(
+            words,
+            endpoints_offset + np.arange(partitions - 1, dtype=np.int64) * endpoint_bits,
+            endpoint_bits,
+        ).astype(np.int64)
+    else:
+        eps = np.zeros(max(0, partitions - 1), dtype=np.int64)
+
+    out = np.empty(n, dtype=np.int64)
+    begin = 0
+    for p in range(partitions):
+        end = boundaries[p]
+        cur_base = int(ub[p]) + (1 if p else 0)
+        cur_ub = int(ub[p + 1])
+        off = sequences_offset + (int(eps[p - 1]) if p else 0)
+        rel = indexed_decode(words, off, cur_ub - cur_base + 1, end - begin, params)
+        out[begin:end] = rel + cur_base
+        begin = end
+    return out
+
+
+def pef_decode(words: np.ndarray, offset: int, universe: int, n: int,
+               params: GlobalParameters = PARAMS) -> np.ndarray:
+    return _pef_decode_impl(words, offset, universe, n, params, True)
+
+
+def uniform_pef_decode(words: np.ndarray, offset: int, universe: int, n: int,
+                       params: GlobalParameters = PARAMS) -> np.ndarray:
+    return _pef_decode_impl(words, offset, universe, n, params, False)

@@ -1,0 +1,247 @@
+"""The reference's sequence-codec family, exact layouts, vectorized.
+
+* ``compact_ranked_bitvector`` — plain bitvector + rank/select samples
+  (compact_ranked_bitvector.hpp:12-120)
+* ``all_ones_sequence`` — zero bits when universe == n (all_ones_sequence.hpp)
+* ``indexed_sequence`` — per-sequence best-of {EF, ranked bitvector,
+  all-ones} with a 1-bit type tag, all-ones implicit (indexed_sequence.hpp)
+* ``strict_elias_fano`` — strictly-increasing via v[i]-i in universe
+  u-n+1 (strict_elias_fano.hpp:10-83)
+* ``strict_sequence`` — best-of dispatch with strict params
+  (strict_sequence.hpp:24-30: zero-skip sampling disabled)
+* ``positive_sequence`` — positive ints stored as prefix sums over a
+  strict sequence; decode by adjacent difference (positive_sequence.hpp)
+
+Every ``write`` appends to a BitWriter; every ``decode`` returns the
+original values as an int64 array.  Cost formulas are kept identical to
+the reference so that type dispatch (and hence the encoded layout)
+matches bit for bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS, ceil_log2
+from .bits import BitWriter, read_bits, select_ones
+from .ef import EFOffsets, ef_bitsize, ef_decode, ef_write
+
+UNLIMITED = (1 << 64) - 1  # uint64_t(-1) cost of an inapplicable codec
+
+
+# --- compact_ranked_bitvector -------------------------------------------
+
+class RBOffsets:
+    __slots__ = (
+        "universe", "n", "log_rank1_sampling", "log_sampling1",
+        "rank1_sample_size", "pointer_size", "rank1_samples", "pointers1",
+        "rank1_samples_offset", "pointers1_offset", "bits_offset", "end",
+    )
+
+    def __init__(self, base_offset: int, universe: int, n: int,
+                 params: GlobalParameters = PARAMS):
+        self.universe = universe
+        self.n = n
+        self.log_rank1_sampling = params.rb_log_rank1_sampling
+        self.log_sampling1 = params.rb_log_sampling1
+        self.rank1_sample_size = ceil_log2(n + 1)
+        self.pointer_size = ceil_log2(universe)
+        self.rank1_samples = universe >> self.log_rank1_sampling
+        self.pointers1 = n >> self.log_sampling1
+        self.rank1_samples_offset = base_offset
+        self.pointers1_offset = self.rank1_samples_offset + self.rank1_samples * self.rank1_sample_size
+        self.bits_offset = self.pointers1_offset + self.pointers1 * self.pointer_size
+        self.end = self.bits_offset + universe
+
+
+def rb_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    return RBOffsets(0, universe, n, params).end
+
+
+def rb_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+             params: GlobalParameters = PARAMS) -> None:
+    base = bw.size
+    of = RBOffsets(base, universe, n, params)
+    bw.zero_extend(of.end - base)
+
+    values = np.asarray(values, dtype=np.int64)
+    assert len(values) == n
+    if n > 1:
+        d = np.diff(values)
+        if (d == 0).any():
+            raise ValueError("Duplicate element")
+        if (d < 0).any():
+            raise ValueError("Sequence is not sorted")
+
+    bw.set_ones(of.bits_offset + values)
+
+    if of.pointer_size:
+        s1 = of.log_sampling1
+        ks = np.arange(1, ((n - 1) >> s1) + 1, dtype=np.int64)
+        if len(ks):
+            bw.set_fields(
+                of.pointers1_offset + (ks - 1) * of.pointer_size,
+                values[ks << s1],
+                of.pointer_size,
+            )
+
+    if of.rank1_sample_size:
+        s = of.log_rank1_sampling
+        ms = np.arange(1, of.rank1_samples + 1, dtype=np.int64)
+        ms = ms[(ms << s) < universe]
+        if len(ms):
+            ranks = np.searchsorted(values, ms << s, side="left")
+            bw.set_fields(
+                of.rank1_samples_offset + (ms - 1) * of.rank1_sample_size,
+                ranks,
+                of.rank1_sample_size,
+            )
+
+
+def rb_decode(words: np.ndarray, offset: int, universe: int, n: int,
+              params: GlobalParameters = PARAMS) -> np.ndarray:
+    of = RBOffsets(offset, universe, n, params)
+    vals = select_ones(words, of.bits_offset, of.universe)
+    assert len(vals) == n
+    return vals.astype(np.int64)
+
+
+# --- all_ones_sequence ---------------------------------------------------
+
+def ao_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    return 0 if universe == n else UNLIMITED
+
+
+def ao_decode(universe: int, n: int) -> np.ndarray:
+    return np.arange(n, dtype=np.int64)
+
+
+# --- indexed_sequence (best-of dispatch, 1 type bit) ---------------------
+
+TYPE_EF = 0
+TYPE_RB = 1
+TYPE_AO = 2
+TYPE_BITS = 1  # all_ones is implicit (indexed_sequence.hpp:23)
+
+
+def _best_type(universe: int, n: int, params: GlobalParameters,
+               ef_size, rb_size):
+    best_cost = ao_bitsize(universe, n, params)
+    best_type = TYPE_AO
+    if best_cost:
+        ef_cost = ef_size(universe, n, params) + TYPE_BITS
+        if ef_cost < best_cost:
+            best_cost, best_type = ef_cost, TYPE_EF
+        rb_cost = rb_size(universe, n, params) + TYPE_BITS
+        if rb_cost < best_cost:
+            best_cost, best_type = rb_cost, TYPE_RB
+    return best_type, best_cost
+
+
+def indexed_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    return _best_type(universe, n, params, ef_bitsize, rb_bitsize)[1]
+
+
+def indexed_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+                  params: GlobalParameters = PARAMS) -> None:
+    best_type, _ = _best_type(universe, n, params, ef_bitsize, rb_bitsize)
+    if best_type != TYPE_AO:
+        bw.append_bits(best_type, TYPE_BITS)
+    if best_type == TYPE_EF:
+        ef_write(bw, values, universe, n, params)
+    elif best_type == TYPE_RB:
+        rb_write(bw, values, universe, n, params)
+    # TYPE_AO writes nothing
+
+
+def indexed_decode(words: np.ndarray, offset: int, universe: int, n: int,
+                   params: GlobalParameters = PARAMS) -> np.ndarray:
+    if ao_bitsize(universe, n, params) == 0:
+        return ao_decode(universe, n)
+    t = read_bits(words, offset, TYPE_BITS)
+    if t == TYPE_EF:
+        return ef_decode(words, offset + TYPE_BITS, universe, n, params)
+    return rb_decode(words, offset + TYPE_BITS, universe, n, params)
+
+
+# --- strict_elias_fano ---------------------------------------------------
+
+def sef_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    assert universe >= n
+    return ef_bitsize(universe - n + 1, n, params)
+
+
+def sef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+              params: GlobalParameters = PARAMS) -> None:
+    values = np.asarray(values, dtype=np.int64)
+    ef_write(bw, values - np.arange(n, dtype=np.int64), universe - n + 1, n, params)
+
+
+def sef_decode(words: np.ndarray, offset: int, universe: int, n: int,
+               params: GlobalParameters = PARAMS) -> np.ndarray:
+    return ef_decode(words, offset, universe - n + 1, n, params) + np.arange(n, dtype=np.int64)
+
+
+# --- strict_sequence (dispatch with strict params) -----------------------
+
+def strict_bitsize(universe: int, n: int, params: GlobalParameters = PARAMS) -> int:
+    sparams = params.strict()
+    best = ao_bitsize(universe, n, params)
+    ef_cost = sef_bitsize(universe, n, sparams) + TYPE_BITS
+    if ef_cost < best:
+        best = ef_cost
+    rb_cost = rb_bitsize(universe, n, sparams) + TYPE_BITS
+    if rb_cost < best:
+        best = rb_cost
+    return best
+
+
+def strict_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+                 params: GlobalParameters = PARAMS) -> None:
+    sparams = params.strict()
+    best_cost = ao_bitsize(universe, n, params)
+    best_type = TYPE_AO
+    if best_cost:
+        ef_cost = sef_bitsize(universe, n, sparams) + TYPE_BITS
+        if ef_cost < best_cost:
+            best_cost, best_type = ef_cost, TYPE_EF
+        rb_cost = rb_bitsize(universe, n, sparams) + TYPE_BITS
+        if rb_cost < best_cost:
+            best_cost, best_type = rb_cost, TYPE_RB
+        bw.append_bits(best_type, TYPE_BITS)
+    if best_type == TYPE_EF:
+        sef_write(bw, values, universe, n, sparams)
+    elif best_type == TYPE_RB:
+        rb_write(bw, values, universe, n, sparams)
+
+
+def strict_decode(words: np.ndarray, offset: int, universe: int, n: int,
+                  params: GlobalParameters = PARAMS) -> np.ndarray:
+    sparams = params.strict()
+    if ao_bitsize(universe, n, params) == 0:
+        return ao_decode(universe, n)
+    t = read_bits(words, offset, TYPE_BITS)
+    if t == TYPE_EF:
+        return sef_decode(words, offset + TYPE_BITS, universe, n, sparams)
+    return rb_decode(words, offset + TYPE_BITS, universe, n, sparams)
+
+
+# --- positive_sequence (prefix sums over strict_sequence) ---------------
+
+def positive_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
+                   params: GlobalParameters = PARAMS) -> None:
+    """`values` are positive ints; stored as their prefix sums
+    (positive_sequence.hpp:15-31). `universe` must be >= sum(values)."""
+    assert n > 0
+    cumulative = np.cumsum(np.asarray(values, dtype=np.int64))
+    assert (values > 0).all() if isinstance(values, np.ndarray) else True
+    strict_write(bw, cumulative, universe, n, params)
+
+
+def positive_decode(words: np.ndarray, offset: int, universe: int, n: int,
+                    params: GlobalParameters = PARAMS) -> np.ndarray:
+    cumulative = strict_decode(words, offset, universe, n, params)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = cumulative[0]
+    np.subtract(cumulative[1:], cumulative[:-1], out=out[1:])
+    return out

@@ -1,0 +1,53 @@
+"""Global codec parameters and build configuration.
+
+Mirrors the semantics of the reference's ``global_parameters``
+(/root/reference/global_parameters.hpp:6-12) and ``configuration``
+(/root/reference/configuration.hpp:29-34), re-expressed as plain
+dataclasses (no env-var singletons; config flows through the pipeline
+explicitly so Ray tasks serialize it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class GlobalParameters:
+    # skip-pointer sampling rates of the Elias-Fano / ranked-bitvector
+    # layouts (global_parameters.hpp:6-12)
+    ef_log_sampling0: int = 9
+    ef_log_sampling1: int = 8
+    rb_log_rank1_sampling: int = 9
+    rb_log_sampling1: int = 8
+    log_partition_size: int = 7
+
+    def strict(self) -> "GlobalParameters":
+        """Params for strictly-increasing sequences: zero-skips are never
+        needed so their sampling is disabled (strict_sequence.hpp:24-30)."""
+        return replace(self, ef_log_sampling0=63, rb_log_rank1_sampling=63)
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    # optimal_partition knobs (configuration.hpp:29-31)
+    eps1: float = 0.03
+    eps2: float = 0.3
+    fix_cost: int = 64
+    log_partition_size: int = 7
+    heuristic_greedy: bool = False
+
+
+PARAMS = GlobalParameters()
+CONFIG = BuildConfig()
+
+
+def ceil_log2(x: int) -> int:
+    """ceil(log2(x)) with ceil_log2(1) == 0 (util.hpp:30-33)."""
+    assert x > 0
+    return (x - 1).bit_length() if x > 1 else 0
+
+
+def floor_log2(x: int) -> int:
+    assert x > 0
+    return x.bit_length() - 1

@@ -1,0 +1,113 @@
+"""Port of the reference's generic sequence contract harness
+(test/test_generic_sequence.hpp:7-163): seeded random sequences, full
+move/next/prev_value enumeration, power-of-two skips, and next_geq
+successor probes (including first-of-run semantics and probes beyond
+the universe)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_sequence(universe: int, n: int, strict: bool = True,
+                    seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    u = universe - n if strict else universe
+    seq = np.sort(rng.randint(0, max(1, u), size=n).astype(np.int64))
+    if strict:
+        seq += np.arange(n, dtype=np.int64)
+    return seq
+
+
+def check_move_next(make_enum, seq: np.ndarray):
+    r = make_enum()
+    assert r.size() == len(seq)
+    if len(seq) == 0:
+        assert r.move(0)[0] == 0
+        return
+
+    # random access + prev_value
+    for i in range(len(seq)):
+        pos, val = r.move(i)
+        assert pos == i and val == seq[i], (i, pos, val, seq[i])
+        if i:
+            assert r.prev_value() == seq[i - 1]
+        else:
+            assert r.prev_value() == 0
+    r.move(len(seq))
+    assert r.prev_value() == seq[-1]
+
+    # sequential enumeration
+    pos, val = r.move(0)
+    for i in range(len(seq)):
+        assert val == seq[i], (i, val, seq[i])
+        if i:
+            assert r.prev_value() == seq[i - 1]
+        else:
+            assert r.prev_value() == 0
+        pos, val = r.next()
+    assert pos == r.size()
+    assert r.prev_value() == seq[-1]
+
+    # power-of-two skips
+    for i in range(len(seq)):
+        skip = 1
+        while skip < len(seq) - i:
+            rr = make_enum()
+            rr.move(i)
+            pos, val = rr.move(i + skip)
+            assert pos == i + skip and val == seq[i + skip]
+            skip <<= 1
+
+
+def check_next_geq(make_enum, seq: np.ndarray, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    r = make_enum()
+    assert r.size() == len(seq)
+    if len(seq) == 0:
+        assert r.next_geq(1)[0] == 0
+        return
+
+    # successor probes between consecutive distinct values
+    last = 0
+    for i in range(len(seq)):
+        if seq[i] == last:
+            continue
+        rr = make_enum()
+        for t in range(10):
+            if i == 0:
+                p = last + 1
+            elif i == 1:
+                p = int(seq[i])
+            else:
+                p = last + 1 + int(rng.randint(0, seq[i] - last))
+            pos, val = rr.next_geq(p)
+            assert pos == i, (p, pos, i)
+            assert val == seq[i]
+            if pos:
+                assert rr.prev_value() == seq[pos - 1]
+            else:
+                assert rr.prev_value() == 0
+        last = int(seq[i])
+
+    pos, val = r.next_geq(int(seq[-1]) + 1)
+    assert pos == r.size()
+    assert r.prev_value() == seq[-1]
+
+    # beyond the universe
+    pos, val = r.next_geq(2 * int(seq[-1]) + 1)
+    assert pos == r.size()
+
+    # skips: next_geq to a later value lands on first-of-run
+    for i in range(len(seq)):
+        skip = 1
+        while skip < len(seq) - i:
+            exp_pos = i + skip
+            while exp_pos > 0 and seq[exp_pos - 1] == seq[i + skip]:
+                exp_pos -= 1
+            rr = make_enum()
+            rr.move(i)
+            pos, val = rr.next_geq(int(seq[i + skip]))
+            assert pos == exp_pos, (i, skip, pos, exp_pos)
+            assert val == seq[i + skip]
+            skip <<= 1

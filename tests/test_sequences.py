@@ -1,0 +1,198 @@
+"""Codec round-trip + enumerator contract tests, mirroring the
+reference's per-codec suites (test_compact_elias_fano.cpp,
+test_compact_ranked_bitvector.cpp, test_strict_elias_fano.cpp,
+test_indexed_sequence.cpp, test_partitioned_sequence.cpp,
+test_uniform_partitioned_sequence.cpp, test_positive_sequence.cpp)."""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs.bits import BitWriter, words_from_bytes
+from rayfts.codecs import ef, sequences as sq, partitioned as pf
+from rayfts.codecs.enums import ArrayEnumerator
+from rayfts.params import PARAMS
+
+from harness import check_move_next, check_next_geq, random_sequence
+
+
+def roundtrip(write, decode, seq, universe, prefix_bits=0):
+    """Encode at a nonzero offset (to exercise offset math), decode back."""
+    bw = BitWriter()
+    if prefix_bits:
+        bw.append_bits((1 << prefix_bits) - 1, prefix_bits)
+    write(bw, seq, universe, len(seq), PARAMS)
+    words = words_from_bytes(bw.to_bytes())
+    return decode(words, prefix_bits, universe, len(seq), PARAMS)
+
+
+CASES = [
+    (10000, 1000, True),   # avg gap 10
+    (10000, 9000, True),   # dense
+    (300, 300, True),      # all-ones run
+    (10000, 1, True),      # singleton
+    (100000, 50, True),    # sparse short
+    (1 << 24, 5000, True), # large universe
+]
+
+
+@pytest.mark.parametrize("universe,n,strict", CASES)
+@pytest.mark.parametrize("prefix", [0, 13])
+def test_ef_roundtrip(universe, n, strict, prefix):
+    seq = random_sequence(universe, n, strict)
+    got = roundtrip(ef.ef_write, ef.ef_decode, seq, universe, prefix)
+    np.testing.assert_array_equal(got, seq)
+
+
+@pytest.mark.parametrize("universe,n", [(10000, 1000), (10000, 9000), (1 << 20, 3000)])
+def test_ef_enumerator_contract(universe, n):
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(ef.ef_write, ef.ef_decode, seq, universe)
+    make = lambda: ArrayEnumerator(got, universe)
+    check_move_next(make, seq)
+    check_next_geq(make, seq)
+
+
+def test_ef_singletons():
+    # reference corner cases: singleton {0} and {1} (test_compact_elias_fano.cpp:34-40)
+    for v in (0, 1):
+        seq = np.array([v], dtype=np.int64)
+        got = roundtrip(ef.ef_write, ef.ef_decode, seq, 2)
+        np.testing.assert_array_equal(got, seq)
+
+
+def test_ef_rejects_unsorted():
+    bw = BitWriter()
+    with pytest.raises(ValueError):
+        ef.ef_write(bw, np.array([5, 3, 7]), 10, 3, PARAMS)
+
+
+@pytest.mark.parametrize("universe,n,strict", CASES)
+def test_rb_roundtrip(universe, n, strict):
+    seq = random_sequence(universe, n, True)  # rb requires distinct
+    got = roundtrip(sq.rb_write, sq.rb_decode, seq, universe, 7)
+    np.testing.assert_array_equal(got, seq)
+
+
+def test_rb_rejects_duplicates():
+    bw = BitWriter()
+    with pytest.raises(ValueError):
+        sq.rb_write(bw, np.array([3, 3, 7]), 10, 3, PARAMS)
+
+
+@pytest.mark.parametrize("universe,n", [(10000, 1000), (10000, 9500), (300, 300),
+                                        (100000, 100), (10000, 1)])
+def test_indexed_roundtrip_and_contract(universe, n):
+    seq = random_sequence(universe, n, True)
+    # exact-size invariant: encoded bits == bitsize()
+    bw = BitWriter()
+    sq.indexed_write(bw, seq, universe, n, PARAMS)
+    assert bw.size == sq.indexed_bitsize(universe, n, PARAMS)
+    got = roundtrip(sq.indexed_write, sq.indexed_decode, seq, universe, 3)
+    np.testing.assert_array_equal(got, seq)
+    make = lambda: ArrayEnumerator(got, universe)
+    check_move_next(make, seq)
+    check_next_geq(make, seq)
+
+
+@pytest.mark.parametrize("universe,n", [(10000, 1000), (10000, 9999), (500, 500)])
+def test_strict_ef_roundtrip(universe, n):
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(sq.sef_write, sq.sef_decode, seq, universe, 5)
+    np.testing.assert_array_equal(got, seq)
+
+
+@pytest.mark.parametrize("universe,n", [(10000, 1000), (700, 700)])
+def test_strict_sequence_roundtrip(universe, n):
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(sq.strict_write, sq.strict_decode, seq, universe, 5)
+    np.testing.assert_array_equal(got, seq)
+
+
+@pytest.mark.parametrize("n,maxv", [(1000, 256), (100, 1), (5000, 10)])
+def test_positive_sequence_roundtrip(n, maxv):
+    # freqs-like: positive values, universe = sum + 1 (freq_index.hpp:79-81)
+    rng = np.random.RandomState(42)
+    vals = rng.randint(1, maxv + 1, size=n).astype(np.int64)
+    universe = int(vals.sum()) + 1
+    got = roundtrip(sq.positive_write, sq.positive_decode, vals, universe, 9)
+    np.testing.assert_array_equal(got, vals)
+
+
+PART_CASES = [
+    (10000, 1000), (10000, 9000), (20000, 1), (100000, 200),
+    (1 << 22, 10000), (128, 128), (1000, 130),
+]
+
+
+@pytest.mark.parametrize("universe,n", PART_CASES)
+@pytest.mark.parametrize("prefix", [0, 11])
+def test_pef_roundtrip(universe, n, prefix):
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(
+        lambda bw, s, u, m, p: pf.pef_write(bw, s, u, m, p),
+        pf.pef_decode, seq, universe, prefix)
+    np.testing.assert_array_equal(got, seq)
+
+
+@pytest.mark.parametrize("universe,n", PART_CASES)
+def test_uniform_pef_roundtrip(universe, n):
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(
+        lambda bw, s, u, m, p: pf.uniform_pef_write(bw, s, u, m, p),
+        pf.uniform_pef_decode, seq, universe, 4)
+    np.testing.assert_array_equal(got, seq)
+
+
+def test_pef_enumerator_contract():
+    universe, n = 100000, 5000
+    seq = random_sequence(universe, n, True)
+    got = roundtrip(
+        lambda bw, s, u, m, p: pf.pef_write(bw, s, u, m, p),
+        pf.pef_decode, seq, universe)
+    make = lambda: ArrayEnumerator(got, universe)
+    check_move_next(make, seq)
+    check_next_geq(make, seq)
+
+
+def test_optimal_partition_whitebox():
+    """White-box partition checks in the spirit of
+    test_partitioned_sequence.cpp:13-42: endpoints well-formed and the
+    chosen partition's cost equals the DP cost."""
+    universe, n = 100000, 3000
+    seq = random_sequence(universe, n, True)
+    cost_ind = pf._cost_fns(PARAMS)
+    fun = lambda u, m: cost_ind(u, m) + 64
+    partition, cost_opt = pf.optimal_partition(seq, universe, fun, 0.03, 0.3)
+    assert partition[0] != 0 and partition[-1] == n
+    assert all(a < b for a, b in zip(partition, partition[1:]))
+    # recompute cost of chosen partition
+    total, base, lo = 0, int(seq[0]), 0
+    for hi in partition:
+        total += fun(int(seq[hi - 1]) - base + 1, hi - lo)
+        base = int(seq[hi - 1]) + 1
+        lo = hi
+    # cost_opt is an upper bound: the DP seeds min_cost with the
+    # single-block cost at the FULL universe (optimal_partition.hpp:76-78)
+    # while actual encoding uses the tight window universe
+    assert total <= cost_opt
+    assert cost_opt <= fun(universe, n)
+    # a gap-structured sequence must actually get partitioned
+    clustered = np.concatenate([
+        np.arange(500, dtype=np.int64),
+        np.arange(50000, 50500, dtype=np.int64),
+    ])
+    p2, _ = pf.optimal_partition(clustered, 60000, fun, 0.03, 0.3)
+    assert len(p2) >= 2
+
+
+def test_gamma_delta_roundtrip():
+    from rayfts.codecs import bits as B
+    bw = BitWriter()
+    vals = [0, 1, 2, 5, 127, 128, 1 << 20]
+    for v in vals:
+        B.write_gamma(bw, v)
+        B.write_delta(bw, v)
+    br = B.BitReader(words_from_bytes(bw.to_bytes()))
+    for v in vals:
+        assert B.read_gamma(br) == v
+        assert B.read_delta(br) == v
