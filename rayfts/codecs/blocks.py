@@ -1,0 +1,199 @@
+"""Byte-aligned 128-integer block codecs + the block posting list.
+
+Container layout is the reference's exactly (block_posting_list.hpp:13-53):
+``vbyte(n) | u32 block_maxs[blocks] | u32 block_endpoints[blocks-1] |
+per-block payloads`` with docs stored as gaps ``doc - last - 1`` (known
+sum => no sum header) and freqs stored as ``freq - 1`` (unknown sum =>
+vbyte sum header for interpolative).
+
+Codecs:
+
+* ``interpolative`` — exact reference semantics (block_codecs.hpp:101-148):
+  prefix-sum the block then interpolative-code the first n-1 values
+  against the (possibly vbyte-prefixed) sum.
+* ``packed`` — our substitute for OptPFD/QMX/varint-G8IU (those are
+  SSE-specific C codecs; SURVEY.md §2.8 allows a correct substitute with
+  the deviation documented): 1 header byte = bit width w, then n fields
+  of w bits LSB-first.  Fully vectorized encode/decode; ~frame-of-
+  reference compression without exception patching.
+* ``vbyte`` — TightVariableByte per value, the varint-G8IU stand-in.
+
+All decoders are numpy-vectorized per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import vbyte as vb
+from .bits import BitWriter, pack_fields, read_fields, words_from_bytes
+from .interpolative import read_interpolative, write_interpolative
+
+BLOCK_SIZE = 128
+SUM_UNKNOWN = None
+
+
+class InterpolativeBlock:
+    name = "interpolative"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        n = len(values)
+        assert 0 < n <= BLOCK_SIZE
+        prefix = np.cumsum(values.astype(np.int64))
+        if sum_of_values is None:
+            sum_of_values = int(prefix[-1])
+            out += vb.encode_single(sum_of_values)
+        bw = BitWriter()
+        write_interpolative(bw, prefix[: n - 1], 0, int(sum_of_values))
+        out += bw.to_bytes()
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        if sum_of_values is None:
+            sum_of_values, pos = vb.decode_single(data, pos)
+        out = np.empty(n, dtype=np.int64)
+        out[n - 1] = sum_of_values
+        if n > 1:
+            # cap the slice: centered-minimal codes are <= 33 bits/value
+            take = min(len(data) - pos, ((n * 34) >> 3) + 16)
+            words = words_from_bytes(np.ascontiguousarray(data[pos : pos + take]))
+            vals, endbit = read_interpolative(words, 0, n - 1, 0, int(sum_of_values))
+            out[: n - 1] = vals
+            out[1:] = out[1:] - out[:-1]
+            pos += (endbit + 7) >> 3
+        return out.astype(np.uint32), pos
+
+
+class PackedBlock:
+    name = "packed"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        n = len(values)
+        assert 0 < n <= BLOCK_SIZE
+        values = np.asarray(values, dtype=np.uint64)
+        w = int(values.max()).bit_length() if n else 0
+        out.append(w)
+        if w:
+            bw = pack_fields(values, w)
+            out += bw.to_bytes()
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        w = int(data[pos])
+        pos += 1
+        if w == 0:
+            return np.zeros(n, dtype=np.uint32), pos
+        nbytes = (n * w + 7) >> 3
+        words = words_from_bytes(np.ascontiguousarray(data[pos : pos + nbytes]))
+        vals = read_fields(words, np.arange(n, dtype=np.int64) * w, w)
+        return vals.astype(np.uint32), pos + nbytes
+
+
+class VByteBlock:
+    name = "vbyte"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        assert 0 < len(values) <= BLOCK_SIZE
+        out += vb.encode(values).tobytes()
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        return vb.decode(data, pos, n)
+
+
+BLOCK_CODECS = {c.name: c for c in (InterpolativeBlock, PackedBlock, VByteBlock)}
+
+
+# --- block posting list (block_posting_list.hpp:13-53) -------------------
+
+def write_block_posting_list(docs: np.ndarray, freqs: np.ndarray,
+                             codec=PackedBlock) -> bytes:
+    n = len(docs)
+    assert n > 0 and len(freqs) == n
+    out = bytearray()
+    out += vb.encode_single(n)
+
+    blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    begin_block_maxs = len(out)
+    begin_block_endpoints = begin_block_maxs + 4 * blocks
+    begin_blocks = begin_block_endpoints + 4 * (blocks - 1)
+    out += bytes(begin_blocks - begin_block_maxs)
+
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    last_doc = -1
+    block_base = 0
+    maxs = np.empty(blocks, dtype=np.uint32)
+    endpoints = np.empty(max(0, blocks - 1), dtype=np.uint32)
+    for b in range(blocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        cur = hi - lo
+        dblk = docs[lo:hi]
+        gaps = np.empty(cur, dtype=np.uint64)
+        gaps[0] = dblk[0] - last_doc - 1
+        gaps[1:] = np.diff(dblk) - 1
+        last_doc = int(dblk[-1])
+        maxs[b] = last_doc
+        codec.encode(gaps, last_doc - block_base - (cur - 1), out)
+        codec.encode((freqs[lo:hi] - 1).astype(np.uint64), SUM_UNKNOWN, out)
+        if b != blocks - 1:
+            endpoints[b] = len(out) - begin_blocks
+        block_base = last_doc + 1
+
+    buf = np.frombuffer(out, dtype=np.uint8).copy()
+    buf[begin_block_maxs:begin_block_endpoints] = maxs.view(np.uint8)
+    if blocks > 1:
+        buf[begin_block_endpoints:begin_blocks] = endpoints.view(np.uint8)
+    return buf.tobytes()
+
+
+class BlockPostingListReader:
+    """Lazy per-block access (the BMW skip path needs block_maxs and
+    selective decode without touching skipped payloads,
+    block_posting_list.hpp:84-146)."""
+
+    __slots__ = ("data", "codec", "n", "blocks", "block_maxs",
+                 "_endpoints", "_begin_blocks")
+
+    def __init__(self, data: bytes | np.ndarray, codec=PackedBlock):
+        self.data = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+        self.codec = codec
+        self.n, pos = vb.decode_single(self.data, 0)
+        self.blocks = (self.n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        mb = pos
+        eb = mb + 4 * self.blocks
+        self._begin_blocks = eb + 4 * (self.blocks - 1)
+        self.block_maxs = np.ascontiguousarray(self.data[mb:eb]).view(np.uint32)
+        self._endpoints = np.ascontiguousarray(self.data[eb:self._begin_blocks]).view(np.uint32)
+
+    def block_bounds(self, b: int) -> tuple[int, int]:
+        lo = b * BLOCK_SIZE
+        return lo, min(lo + BLOCK_SIZE, self.n)
+
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (docids, freqs) of block b."""
+        lo, hi = self.block_bounds(b)
+        cur = hi - lo
+        pos = self._begin_blocks + (int(self._endpoints[b - 1]) if b else 0)
+        block_base = int(self.block_maxs[b - 1]) + 1 if b else 0
+        block_max = int(self.block_maxs[b])
+        gaps, pos = self.codec.decode(self.data, pos,
+                                      block_max - block_base - (cur - 1), cur)
+        docs = block_base + np.cumsum(gaps.astype(np.int64) + 1) - 1
+        fgaps, _ = self.codec.decode(self.data, pos, SUM_UNKNOWN, cur)
+        freqs = fgaps.astype(np.int64) + 1
+        return docs, freqs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        ds, fs = [], []
+        for b in range(self.blocks):
+            d, f = self.decode_block(b)
+            ds.append(d)
+            fs.append(f)
+        return np.concatenate(ds), np.concatenate(fs)

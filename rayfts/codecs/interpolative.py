@@ -1,0 +1,148 @@
+"""Binary interpolative coding (interpolative_coding.hpp:10-157).
+
+Stream semantics are LSB-first (the reference's 32-bit word writer and
+our uint64 BitWriter produce identical byte streams).  ``write_int``
+uses the centered-minimal binary code: b = floor(log2(u)),
+m = 2^(b+1) - u; values < m take b bits, the rest take b+1 bits with the
+low bit written last — equivalent to a single (b+1)-wide LSB-first field
+``(v >> 1) | ((v & 1) << b)``.
+
+Encode is vectorized: the recursion tree is laid out breadth-first
+(bounds are data-dependent but level-independent), each node's bit width
+is computed top-down, bit offsets come from a prefix sum over the
+*depth-first* emission order, and all fields are scattered in one numpy
+pass.  Decode is data-dependent in bit position, so it walks the tree
+iteratively (scalar per node) — interpolative is the correctness /
+small-block codec; the fast path codec is `packed` (see blocks.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bits import BitWriter, read_bits
+
+
+def _msb(x: np.ndarray) -> np.ndarray:
+    # floor(log2(x)) for x >= 1, vectorized
+    return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
+
+
+def write_interpolative(bw: BitWriter, values: np.ndarray,
+                        low: int, high: int) -> None:
+    """Append the interpolative code of `values` (sorted, in [low, high])."""
+    n = len(values)
+    if n == 0:
+        return
+    values = np.asarray(values, dtype=np.int64)
+
+    # node arrays: (lo_idx, hi_idx) index range [lo, hi), bounds (low, high)
+    # emission order is DFS pre-order: node, left subtree, right subtree.
+    # We build all nodes level by level, recording for each its DFS rank
+    # interval so offsets can be prefix-summed afterwards.
+    nodes_lo = [np.array([0], dtype=np.int64)]
+    nodes_hi = [np.array([n], dtype=np.int64)]
+    nodes_low = [np.array([low], dtype=np.int64)]
+    nodes_high = [np.array([high], dtype=np.int64)]
+
+    all_vals = []
+    all_widths = []
+    all_dfs = []  # DFS rank of each node
+
+    # DFS rank of a node = number of nodes emitted before it. For a node
+    # covering [lo, hi), the nodes before it in DFS are exactly the
+    # ancestors' left-subtree elements: rank = (#elements strictly before
+    # lo that are in the node's ancestor path) ... simpler invariant:
+    # pre-order emission of this tree emits the MIDPOINT of [lo,hi) first,
+    # then recurses left then right; the k-th emitted node overall is a
+    # permutation of element indices. The DFS rank of node [lo,hi) equals
+    # (number of elements outside [lo,hi) already emitted) which equals
+    # lo - (number of un-emitted ancestors' midpoints < lo) ... we instead
+    # carry the rank explicitly down the tree: rank(child_left) = rank+1,
+    # rank(child_right) = rank + 1 + size(left subtree).
+    nodes_rank = [np.array([0], dtype=np.int64)]
+
+    lvl = 0
+    while len(nodes_lo[lvl]):
+        lo, hi = nodes_lo[lvl], nodes_hi[lvl]
+        lw, hg = nodes_low[lvl], nodes_high[lvl]
+        rank = nodes_rank[lvl]
+        sz = hi - lo
+        h = sz // 2
+        mid = lo + h
+        val = values[mid] - lw
+        u = hg - lw + 1
+        b = _msb(u)
+        m = (np.int64(1) << (b + 1)) - u
+        wide = val >= m
+        width = b + wide.astype(np.int64)
+        vv = val + np.where(wide, m, 0)
+        enc = np.where(wide, (vv >> 1) | ((vv & 1) << b), vv)
+
+        all_vals.append(enc)
+        all_widths.append(width)
+        all_dfs.append(rank)
+
+        # children
+        l_lo, l_hi = lo, mid
+        r_lo, r_hi = mid + 1, hi
+        l_sel = l_hi > l_lo
+        r_sel = r_hi > r_lo
+        l_rank = rank + 1
+        r_rank = rank + 1 + (mid - lo)
+        nodes_lo.append(np.concatenate([l_lo[l_sel], r_lo[r_sel]]))
+        nodes_hi.append(np.concatenate([l_hi[l_sel], r_hi[r_sel]]))
+        nodes_low.append(np.concatenate([lw[l_sel], (values[mid])[r_sel]]))
+        nodes_high.append(np.concatenate([(values[mid])[l_sel], hg[r_sel]]))
+        nodes_rank.append(np.concatenate([l_rank[l_sel], r_rank[r_sel]]))
+        lvl += 1
+
+    vals = np.concatenate(all_vals)
+    widths = np.concatenate(all_widths)
+    dfs = np.concatenate(all_dfs)
+
+    # bit offsets in DFS order
+    order = np.argsort(dfs, kind="stable")
+    w_sorted = widths[order]
+    offs_sorted = np.concatenate([[0], np.cumsum(w_sorted)[:-1]])
+    total = int(w_sorted.sum())
+
+    base = bw.size
+    bw.zero_extend(total)
+    offs = np.empty(len(order), dtype=np.int64)
+    offs[order] = offs_sorted
+    # scatter, grouped by width (widths vary per node)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        sel = widths == w
+        bw.set_fields(base + offs[sel], vals[sel], int(w))
+
+
+def read_interpolative(words: np.ndarray, bitpos: int, n: int,
+                       low: int, high: int) -> tuple[np.ndarray, int]:
+    """Decode n values; returns (values, end_bitpos)."""
+    out = np.empty(n, dtype=np.int64)
+    pos = bitpos
+    # iterative DFS with explicit stack
+    stack = [(0, n, low, high)]
+    while stack:
+        lo, hi, lw, hg = stack.pop()
+        sz = hi - lo
+        if sz <= 0:
+            continue
+        h = sz // 2
+        u = hg - lw + 1
+        b = u.bit_length() - 1
+        m = (1 << (b + 1)) - u
+        v = read_bits(words, pos, b)
+        pos += b
+        if v >= m:
+            v = (v << 1) + read_bits(words, pos, 1) - m
+            pos += 1
+        val = lw + v
+        out[lo + h] = val
+        # DFS order: left first -> push right then left
+        stack.append((lo + h + 1, hi, val, hg))
+        stack.append((lo, lo + h, lw, val))
+    return out, pos

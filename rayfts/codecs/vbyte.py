@@ -1,0 +1,66 @@
+"""TightVariableByte: 7-bit chunks, stop bit set on the LAST byte of
+each value (block_codecs.hpp:17-99).  Encode and decode are vectorized
+over numpy byte arrays (no per-value Python loop)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def encode(values: np.ndarray) -> np.ndarray:
+    """uint32 values -> uint8 vbyte stream."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    # bytes per value: 1..5
+    nbytes = np.ones(n, dtype=np.int64)
+    for k, bound in enumerate((1 << 7, 1 << 14, 1 << 21, 1 << 28)):
+        nbytes += values >= bound
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # byte j of value i (j < nbytes[i]) = (v >> 7j) & 0x7f, stop bit on last
+    for j in range(5):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        pos = starts[sel] + j
+        chunk = ((values[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        last = (nbytes[sel] == j + 1)
+        chunk = chunk | (last.astype(np.uint8) << 7)
+        out[pos] = chunk
+    return out
+
+
+def encode_single(value: int) -> bytes:
+    return encode(np.array([value], dtype=np.uint64)).tobytes()
+
+
+def decode(data: np.ndarray, pos: int, n: int) -> tuple[np.ndarray, int]:
+    """Decode n values from uint8 array `data` starting at byte `pos`.
+
+    Returns (values:uint32 ndarray, next_pos)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32), pos
+    # find the n-th terminator (stop bit) after pos
+    window = data[pos : pos + 5 * n]
+    terms = np.flatnonzero(window & 0x80)[:n]
+    assert len(terms) == n, "truncated vbyte stream"
+    ends = terms + 1
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    lengths = ends - starts
+    vals = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        sel = lengths > j
+        chunk = window[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)
+        vals[sel] |= chunk << np.uint64(7 * j)
+    return vals.astype(np.uint32), pos + int(ends[-1])
+
+
+def decode_single(data: np.ndarray, pos: int) -> tuple[int, int]:
+    v, p = decode(data, pos, 1)
+    return int(v[0]), p

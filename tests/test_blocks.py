@@ -1,0 +1,81 @@
+"""Block codec + block posting list tests, mirroring
+test_block_codecs.cpp:9-46 (sizes {1,16,127,128} x magnitudes 2^1..2^24
+x known/unknown sum) and test_block_posting_list.cpp:12-108."""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs import vbyte as vb
+from rayfts.codecs.blocks import (
+    BLOCK_CODECS, BlockPostingListReader, write_block_posting_list,
+)
+from rayfts.codecs.bits import BitWriter, words_from_bytes
+from rayfts.codecs.interpolative import read_interpolative, write_interpolative
+
+
+def test_vbyte_roundtrip():
+    rng = np.random.RandomState(12345)
+    vals = np.concatenate([
+        rng.randint(0, 1 << k, size=50, dtype=np.uint64)
+        for k in (7, 14, 21, 28, 32)
+    ])
+    enc = vb.encode(vals)
+    got, pos = vb.decode(enc, 0, len(vals))
+    np.testing.assert_array_equal(got, vals.astype(np.uint32))
+    assert pos == len(enc)
+
+
+def test_interpolative_roundtrip():
+    rng = np.random.RandomState(42)
+    for n in (1, 2, 16, 127, 128, 400):
+        seq = np.sort(rng.randint(0, 10000, size=n)).astype(np.int64)
+        lo, hi = 0, int(seq[-1]) + 5
+        bw = BitWriter()
+        write_interpolative(bw, seq, lo, hi)
+        words = words_from_bytes(bw.to_bytes())
+        got, endbit = read_interpolative(words, 0, n, lo, hi)
+        np.testing.assert_array_equal(got, seq)
+        assert endbit == bw.size
+
+
+@pytest.mark.parametrize("codec_name", list(BLOCK_CODECS))
+@pytest.mark.parametrize("n", [1, 16, 127, 128])
+@pytest.mark.parametrize("mag", [1, 8, 16, 24])
+@pytest.mark.parametrize("known_sum", [True, False])
+def test_block_codec_roundtrip(codec_name, n, mag, known_sum):
+    codec = BLOCK_CODECS[codec_name]
+    rng = np.random.RandomState(12345)
+    vals = rng.randint(0, 1 << mag, size=n).astype(np.uint64)
+    sum_of_values = int(vals.sum()) if known_sum else None
+    out = bytearray()
+    codec.encode(vals, sum_of_values, out)
+    got, pos = codec.decode(np.frombuffer(bytes(out), dtype=np.uint8), 0,
+                            sum_of_values, n)
+    np.testing.assert_array_equal(got.astype(np.uint64), vals)
+    assert pos == len(out)
+
+
+@pytest.mark.parametrize("codec_name", list(BLOCK_CODECS))
+@pytest.mark.parametrize("n", [1, 100, 128, 129, 1000, 10000])
+def test_block_posting_list_roundtrip(codec_name, n):
+    codec = BLOCK_CODECS[codec_name]
+    rng = np.random.RandomState(42)
+    universe = max(n * 3, 10)
+    docs = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.int64)
+    freqs = rng.randint(1, 256, size=n).astype(np.int64)
+    data = write_block_posting_list(docs, freqs, codec)
+    r = BlockPostingListReader(data, codec)
+    assert r.n == n
+    gd, gf = r.decode_all()
+    np.testing.assert_array_equal(gd, docs)
+    np.testing.assert_array_equal(gf, freqs)
+    # block_maxs = last docid per block (skip metadata for next_geq)
+    for b in range(r.blocks):
+        lo, hi = r.block_bounds(b)
+        assert r.block_maxs[b] == docs[hi - 1]
+    # selective decode of a middle block only
+    if r.blocks > 2:
+        d, f = r.decode_block(r.blocks // 2)
+        lo, hi = r.block_bounds(r.blocks // 2)
+        np.testing.assert_array_equal(d, docs[lo:hi])
+        np.testing.assert_array_equal(f, freqs[lo:hi])
