@@ -31,32 +31,49 @@ from .bits import (
     write_gamma_nonzero, read_delta, read_gamma, read_gamma_nonzero,
 )
 from .ef import ef_bitsize, ef_decode, ef_write
-from .sequences import indexed_bitsize, indexed_decode, indexed_write
+from .sequences import (
+    indexed_bitsize, indexed_decode, indexed_write,
+    strict_bitsize, strict_decode, strict_write,
+)
+
+# partition payload codecs: 'indexed' for docs (opt/uniform index types),
+# 'strict' for cumulated freqs (index_types.hpp:24-31)
+BASES = {
+    "indexed": (indexed_bitsize, indexed_write, indexed_decode),
+    "strict": (strict_bitsize, strict_write, strict_decode),
+}
 
 
 # --- fast closed-form costs for the DP (must agree with sequences.py) ----
 
-def _cost_fns(params: GlobalParameters):
-    s0, s1 = params.ef_log_sampling0, params.ef_log_sampling1
-    rs, rs1 = params.rb_log_rank1_sampling, params.rb_log_sampling1
+def _cost_fns(params: GlobalParameters, base: str = "indexed"):
+    def make(p: GlobalParameters, strict_shift: bool):
+        s0, s1 = p.ef_log_sampling0, p.ef_log_sampling1
+        rs, rs1 = p.rb_log_rank1_sampling, p.rb_log_sampling1
 
-    def ef_cost(u: int, n: int) -> int:
-        l = floor_log2(u // n) if u > n else 0
-        hbl = n + (u >> l) + 2
-        ps = ceil_log2(hbl)
-        return (((hbl - n) >> s0) + (n >> s1)) * ps + hbl + n * l
+        def ef_cost(u: int, n: int) -> int:
+            if strict_shift:
+                u = u - n + 1  # strict EF maps to EF over u-n+1
+            l = floor_log2(u // n) if u > n else 0
+            hbl = n + (u >> l) + 2
+            ps = ceil_log2(hbl)
+            return (((hbl - n) >> s0) + (n >> s1)) * ps + hbl + n * l
 
-    def rb_cost(u: int, n: int) -> int:
-        return ((u >> rs) * ceil_log2(n + 1)
-                + (n >> rs1) * ceil_log2(u)
-                + u)
+        def rb_cost(u: int, n: int) -> int:
+            return ((u >> rs) * ceil_log2(n + 1)
+                    + (n >> rs1) * ceil_log2(u)
+                    + u)
 
-    def indexed_cost(u: int, n: int) -> int:
-        if u == n:
-            return 0
-        return min(ef_cost(u, n), rb_cost(u, n)) + 1  # + type bit
+        def cost(u: int, n: int) -> int:
+            if u == n:
+                return 0
+            return min(ef_cost(u, n), rb_cost(u, n)) + 1  # + type bit
 
-    return indexed_cost
+        return cost
+
+    if base == "strict":
+        return make(params.strict(), True)
+    return make(params, False)
 
 
 # --- optimal_partition DP (optimal_partition.hpp:13-122) -----------------
@@ -124,7 +141,9 @@ def uniform_partition(n: int, log_partition_size: int):
 
 def _write_with_partition(bw: BitWriter, values: np.ndarray, universe: int,
                           n: int, partition: list[int],
-                          params: GlobalParameters, write_sizes: bool) -> None:
+                          params: GlobalParameters, write_sizes: bool,
+                          base: str = "indexed") -> None:
+    _, base_write, _ = BASES[base]
     partitions = len(partition)
     assert partitions > 0 and partition[-1] == n and partition[0] != 0
     write_gamma_nonzero(bw, partitions)
@@ -140,7 +159,7 @@ def _write_with_partition(bw: BitWriter, values: np.ndarray, universe: int,
                 write_delta(bw, 0)  # tight universe
             else:
                 write_delta(bw, int(rel[-1]))
-        indexed_write(bw, rel, int(rel[-1]) + 1, n, params)
+        base_write(bw, rel, int(rel[-1]) + 1, n, params)
         return
 
     bv_sequences = BitWriter()
@@ -152,7 +171,7 @@ def _write_with_partition(bw: BitWriter, values: np.ndarray, universe: int,
         hi = partition[p]
         part = values[cur_i:hi] - cur_base
         upper_bound = int(values[hi - 1])
-        indexed_write(bv_sequences, part, int(part[-1]) + 1, hi - cur_i, params)
+        base_write(bv_sequences, part, int(part[-1]) + 1, hi - cur_i, params)
         endpoints.append(bv_sequences.size)
         upper_bounds.append(upper_bound)
         cur_base = upper_bound + 1
@@ -180,26 +199,29 @@ def _write_with_partition(bw: BitWriter, values: np.ndarray, universe: int,
 
 def pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
               params: GlobalParameters = PARAMS,
-              config: BuildConfig = CONFIG) -> None:
+              config: BuildConfig = CONFIG, base: str = "indexed") -> None:
     assert n > 0
-    cost_fun_base = _cost_fns(params)
+    cost_fun_base = _cost_fns(params, base)
     fix = config.fix_cost
     values = np.asarray(values, dtype=np.int64)
     partition, _ = optimal_partition(
         values, universe, lambda u, m: cost_fun_base(u, m) + fix,
         config.eps1, config.eps2)
-    _write_with_partition(bw, values, universe, n, partition, params, True)
+    _write_with_partition(bw, values, universe, n, partition, params, True, base)
 
 
 def uniform_pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
-                      params: GlobalParameters = PARAMS) -> None:
+                      params: GlobalParameters = PARAMS,
+                      base: str = "indexed") -> None:
     assert n > 0
     partition = uniform_partition(n, params.log_partition_size)
-    _write_with_partition(bw, values, universe, n, partition, params, False)
+    _write_with_partition(bw, values, universe, n, partition, params, False, base)
 
 
 def _pef_decode_impl(words: np.ndarray, offset: int, universe: int, n: int,
-                     params: GlobalParameters, has_sizes: bool) -> np.ndarray:
+                     params: GlobalParameters, has_sizes: bool,
+                     base: str = "indexed") -> np.ndarray:
+    _, _, base_decode = BASES[base]
     it = BitReader(words, offset)
     partitions = read_gamma_nonzero(it)
     if partitions == 1:
@@ -209,7 +231,7 @@ def _pef_decode_impl(words: np.ndarray, offset: int, universe: int, n: int,
         if n > 1:
             delta = read_delta(it)
             ubound = delta if delta else (universe - cur_base - 1)
-        rel = indexed_decode(words, it.pos, ubound + 1, n, params)
+        rel = base_decode(words, it.pos, ubound + 1, n, params)
         return rel + cur_base
 
     endpoint_bits = read_gamma(it)
@@ -220,12 +242,14 @@ def _pef_decode_impl(words: np.ndarray, offset: int, universe: int, n: int,
         bnd = uniform_partition(n, params.log_partition_size)
         assert len(bnd) == partitions
     return _decode_tail(words, it.pos, universe, n, partitions, params,
-                        bnd, endpoint_bits)
+                        bnd, endpoint_bits, base)
 
 
 def _decode_tail(words: np.ndarray, offset: int, universe: int, n: int,
                  partitions: int, params: GlobalParameters,
-                 boundaries: list[int], endpoint_bits: int) -> np.ndarray:
+                 boundaries: list[int], endpoint_bits: int,
+                 base: str = "indexed") -> np.ndarray:
+    _, _, base_decode = BASES[base]
     cur_offset = offset
     ub = ef_decode(words, cur_offset, universe, partitions + 1, params)
     cur_offset += ef_bitsize(universe, partitions + 1, params)
@@ -249,17 +273,19 @@ def _decode_tail(words: np.ndarray, offset: int, universe: int, n: int,
         cur_base = int(ub[p]) + (1 if p else 0)
         cur_ub = int(ub[p + 1])
         off = sequences_offset + (int(eps[p - 1]) if p else 0)
-        rel = indexed_decode(words, off, cur_ub - cur_base + 1, end - begin, params)
+        rel = base_decode(words, off, cur_ub - cur_base + 1, end - begin, params)
         out[begin:end] = rel + cur_base
         begin = end
     return out
 
 
 def pef_decode(words: np.ndarray, offset: int, universe: int, n: int,
-               params: GlobalParameters = PARAMS) -> np.ndarray:
-    return _pef_decode_impl(words, offset, universe, n, params, True)
+               params: GlobalParameters = PARAMS,
+               base: str = "indexed") -> np.ndarray:
+    return _pef_decode_impl(words, offset, universe, n, params, True, base)
 
 
 def uniform_pef_decode(words: np.ndarray, offset: int, universe: int, n: int,
-                       params: GlobalParameters = PARAMS) -> np.ndarray:
-    return _pef_decode_impl(words, offset, universe, n, params, False)
+                       params: GlobalParameters = PARAMS,
+                       base: str = "indexed") -> np.ndarray:
+    return _pef_decode_impl(words, offset, universe, n, params, False, base)

@@ -1,0 +1,138 @@
+"""Posting-list encoders for all index types, as self-contained byte
+strings.
+
+The freq-index family follows freq_index.hpp:68-97 per list:
+``docs_bytes = gamma(occurrences) | n in ceil_log2(occ+1) bits (occ>1) |
+DocsSequence(docs, universe=num_docs)`` and
+``freqs_bytes = FreqsSequence(freqs as positive seq, universe=occ+1)``.
+The reference concatenates lists into two bitvector collections with EF
+endpoints (bitvector_collection.hpp:29-39); we store each list's bytes in
+an Arrow ``binary`` column of the shard parquet — the parquet offsets
+play the endpoint role, the manifest plays the directory role.
+
+The block family delegates to blocks.py (single interleaved byte
+stream per list, block_posting_list.hpp:13-53).
+
+Index types mirror index_types.hpp:18-42:
+  ef, single, uniform, opt           (bit-level, separate docs/freqs)
+  block_interpolative, block_packed, block_vbyte    (byte-level blocks)
+(`block_packed` / `block_vbyte` substitute OptPFD / varint-G8IU / QMX —
+SSE-specific vendored C codecs — with vectorized numpy equivalents;
+deviation documented in SURVEY.md §2.8.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS, ceil_log2
+from .bits import BitReader, BitWriter, read_gamma_nonzero, words_from_bytes, write_gamma_nonzero
+from .blocks import (
+    BLOCK_CODECS, BlockPostingListReader, InterpolativeBlock, PackedBlock,
+    VByteBlock, write_block_posting_list,
+)
+from .ef import ef_decode, ef_write
+from .partitioned import pef_decode, pef_write, uniform_pef_decode, uniform_pef_write
+from .sequences import (
+    indexed_decode, indexed_write, positive_decode, positive_write,
+    sef_decode, sef_write, strict_decode,
+)
+from . import sequences as sq
+
+
+# --- freqs as positive sequences over each strict-family base ------------
+
+def _positive_over(strict_write_fn, strict_decode_fn):
+    def write(bw, freqs, universe, n, params):
+        cumulative = np.cumsum(np.asarray(freqs, dtype=np.int64))
+        strict_write_fn(bw, cumulative, universe, n, params)
+
+    def decode(words, offset, universe, n, params):
+        cumulative = strict_decode_fn(words, offset, universe, n, params)
+        out = np.empty(n, dtype=np.int64)
+        out[0] = cumulative[0]
+        np.subtract(cumulative[1:], cumulative[:-1], out=out[1:])
+        return out
+
+    return write, decode
+
+
+_pos_sef_w, _pos_sef_d = _positive_over(
+    lambda bw, v, u, n, p: sef_write(bw, v, u, n, p.strict()),
+    lambda w, o, u, n, p: sef_decode(w, o, u, n, p.strict()),
+)
+_pos_strict_w, _pos_strict_d = _positive_over(sq.strict_write, sq.strict_decode)
+_pos_pef_w, _pos_pef_d = _positive_over(
+    lambda bw, v, u, n, p: pef_write(bw, v, u, n, p, base="strict"),
+    lambda w, o, u, n, p: pef_decode(w, o, u, n, p, base="strict"),
+)
+_pos_upef_w, _pos_upef_d = _positive_over(
+    lambda bw, v, u, n, p: uniform_pef_write(bw, v, u, n, p, base="strict"),
+    lambda w, o, u, n, p: uniform_pef_decode(w, o, u, n, p, base="strict"),
+)
+
+# index type -> (docs_write, docs_decode, freqs_write, freqs_decode)
+# (index_types.hpp:18-31)
+FREQ_INDEX_TYPES = {
+    "ef": (ef_write, ef_decode, _pos_sef_w, _pos_sef_d),
+    "single": (indexed_write, indexed_decode, _pos_strict_w, _pos_strict_d),
+    "uniform": (uniform_pef_write, uniform_pef_decode, _pos_upef_w, _pos_upef_d),
+    "opt": (pef_write, pef_decode, _pos_pef_w, _pos_pef_d),
+}
+
+BLOCK_INDEX_TYPES = {
+    "block_interpolative": InterpolativeBlock,
+    "block_packed": PackedBlock,
+    "block_vbyte": VByteBlock,
+}
+
+INDEX_TYPES = list(FREQ_INDEX_TYPES) + list(BLOCK_INDEX_TYPES)
+
+
+def encode_posting_list(index_type: str, docs: np.ndarray, freqs: np.ndarray,
+                        num_docs: int,
+                        params: GlobalParameters = PARAMS) -> tuple[bytes, bytes]:
+    """Encode one posting list; returns (docs_bytes, freqs_bytes).
+
+    Block-family lists interleave docs+freqs in docs_bytes (freqs_bytes
+    empty), matching block_posting_list's single stream."""
+    n = len(docs)
+    assert n > 0
+    if index_type in BLOCK_INDEX_TYPES:
+        codec = BLOCK_INDEX_TYPES[index_type]
+        return write_block_posting_list(docs, freqs, codec), b""
+
+    docs_w, _, freqs_w, _ = FREQ_INDEX_TYPES[index_type]
+    occurrences = int(np.asarray(freqs, dtype=np.int64).sum())
+
+    # header (freq_index.hpp:71-74)
+    bw = BitWriter()
+    write_gamma_nonzero(bw, occurrences)
+    if occurrences > 1:
+        bw.append_bits(n, ceil_log2(occurrences + 1))
+    docs_w(bw, np.asarray(docs, dtype=np.int64), num_docs, n, params)
+    docs_bytes = bw.to_bytes()
+
+    fw = BitWriter()
+    freqs_w(fw, np.asarray(freqs, dtype=np.int64), occurrences + 1, n, params)
+    return docs_bytes, fw.to_bytes()
+
+
+def decode_posting_list(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
+                        num_docs: int,
+                        params: GlobalParameters = PARAMS
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting list; returns (docs:int64, freqs:int64)."""
+    if index_type in BLOCK_INDEX_TYPES:
+        codec = BLOCK_INDEX_TYPES[index_type]
+        return BlockPostingListReader(docs_bytes, codec).decode_all()
+
+    _, docs_d, _, freqs_d = FREQ_INDEX_TYPES[index_type]
+    words = words_from_bytes(docs_bytes)
+    it = BitReader(words)
+    occurrences = read_gamma_nonzero(it)
+    n = 1 if occurrences == 1 else it.take(ceil_log2(occurrences + 1))
+    docs = docs_d(words, it.pos, num_docs, n, params)
+    fwords = words_from_bytes(freqs_bytes)
+    freqs = freqs_d(fwords, 0, occurrences + 1, n, params)
+    return docs, freqs

@@ -1,0 +1,38 @@
+"""Posting-list round-trips for every index type, mirroring
+test_freq_index.cpp:17-84 (30 random lists, every posting compared)."""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs.posting import INDEX_TYPES, decode_posting_list, encode_posting_list
+
+
+@pytest.mark.parametrize("index_type", INDEX_TYPES)
+def test_posting_list_roundtrip(index_type):
+    rng = np.random.RandomState(42)
+    num_docs = 20000
+    for case in range(30):
+        n = int(rng.randint(1, 2000))
+        docs = np.sort(rng.choice(num_docs, size=n, replace=False)).astype(np.int64)
+        freqs = rng.randint(1, 256, size=n).astype(np.int64)
+        db, fb = encode_posting_list(index_type, docs, freqs, num_docs)
+        gd, gf = decode_posting_list(index_type, db, fb, num_docs)
+        np.testing.assert_array_equal(gd, docs)
+        np.testing.assert_array_equal(gf, freqs)
+
+
+@pytest.mark.parametrize("index_type", INDEX_TYPES)
+def test_posting_list_edge_cases(index_type):
+    num_docs = 50
+    cases = [
+        (np.array([0]), np.array([1])),                      # singleton, freq 1
+        (np.array([49]), np.array([7])),                     # singleton, freq > 1
+        (np.arange(50), np.ones(50, dtype=np.int64)),        # all docs (all-ones run)
+        (np.array([0, 1, 2, 47, 48, 49]), np.array([1, 1, 3, 1, 2, 1])),
+    ]
+    for docs, freqs in cases:
+        db, fb = encode_posting_list(index_type, docs.astype(np.int64),
+                                     freqs.astype(np.int64), num_docs)
+        gd, gf = decode_posting_list(index_type, db, fb, num_docs)
+        np.testing.assert_array_equal(gd, docs)
+        np.testing.assert_array_equal(gf, freqs)
