@@ -1,0 +1,45 @@
+"""BM25 with the reference's exact constants and float32 arithmetic
+(bm25.hpp:7-25): k1=1.2, b=0.5 (non-standard!), idf clamped at 1e-6,
+query weight carries a (1+k1) factor.  All ranked operators must match
+our float32 ``ranked_or`` oracle exactly (test_ranked_queries.cpp:42-75
+allows 0.1% relative; we target exact equality by fixing summation
+order to ascending-term order, SURVEY.md §7.4-1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+K1 = np.float32(1.2)
+B = np.float32(0.5)
+EPSILON_SCORE = np.float32(1.0e-6)
+ONE = np.float32(1.0)
+HALF = np.float32(0.5)
+
+
+def doc_term_weight(freqs, norm_lens) -> np.ndarray:
+    """Vectorized float32 doc-side weight: f / (f + k1*(1 - b + b*norm))."""
+    f = np.asarray(freqs).astype(np.float32)
+    nl = np.asarray(norm_lens).astype(np.float32)
+    return f / (f + K1 * (ONE - B + B * nl))
+
+
+def query_term_weight(query_freq: int, df: int, num_docs: int) -> np.float32:
+    """Scalar float32 query-side weight (bm25.hpp:17-24)."""
+    f = np.float32(query_freq)
+    fdf = np.float32(df)
+    idf = np.log((np.float32(num_docs) - fdf + HALF) / (fdf + HALF),
+                 dtype=np.float32)
+    return f * np.maximum(EPSILON_SCORE, idf) * (ONE + K1)
+
+
+def doc_term_weight_f64(freqs, norm_lens) -> np.ndarray:
+    """float64 variant used only for the DuckDB oracle comparison
+    (DuckDB computes in double; see __ray_entry__.oracle_sql)."""
+    f = np.asarray(freqs, dtype=np.float64)
+    nl = np.asarray(norm_lens, dtype=np.float64)
+    return f / (f + 1.2 * (1.0 - 0.5 + 0.5 * nl))
+
+
+def query_term_weight_f64(query_freq: int, df: int, num_docs: int) -> float:
+    idf = np.log((float(num_docs) - df + 0.5) / (df + 0.5))
+    return float(query_freq) * max(1.0e-6, idf) * 2.2

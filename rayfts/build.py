@@ -1,0 +1,495 @@
+"""Ray-Data-native inverted-index build pipeline.
+
+Reproduces the reference's ``create_freq_index`` + ``create_wand_data``
+lifecycle (create_freq_index.cpp:61-108, create_wand_data.cpp:20-29) as a
+streaming Dataset pipeline (SURVEY.md §7):
+
+  stage 1  docs:    read corpus parquet -> sha256 -> dense docID
+           assignment by global (repo,path,commit) rank (range-bucketed
+           shuffle; no driver-side sort) -> ``<index>/docs/`` checkpoint
+  stage 2  tokens:  stateless zero-copy tokenize map_batches ->
+           ``<index>/tokens/`` checkpoint
+  stage 3  lengths: per-batch distinct -> tiny groupby -> lengths.parquet,
+           avg_len (the ``.sizes`` + norm_lens analogue, wand_data.hpp:23-32)
+  stage 4  df:      pre-aggregated term document frequencies -> salt plan
+           for stop-word-like hot terms + term-range shard boundaries
+  stage 5  shards:  tokens -> groupby(term, salt).map_groups (docID-sorted
+           partial lists; salt is docID-RANGE based so merge = concat in
+           salt order, provably order-preserving) -> groupby(term-range
+           bucket) encoder stage: assign term_ids (global term rank),
+           merge salted partials, encode (PEF / interpolative / block
+           codecs), compute per-term max BM25 weight and per-128-block
+           max docid + max score (BMW metadata; wand_data.hpp:34-49 has
+           the per-term max, per-block max score is the north-star
+           extension) -> one parquet shard per term-range, written
+           atomically with a ``.done.json`` manifest (resume = skip)
+  stage 6  meta.json with lineage + metrics
+
+Parallel-prepare/ordered-commit of the reference's semiasync_queue
+(semiasync_queue.hpp:59-87) is replaced by keying: every row carries its
+term_id, shards are contiguous term-id ranges, so no serialization point
+exists (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from . import bm25
+from .codecs.posting import encode_posting_list
+from .tokenizer import sha256_batch, tokenize_batch
+
+BLOCK = 128  # BMW metadata granularity (block_posting_list block size)
+
+
+def _named(callable_obj, name: str):
+    """map_groups wants a __name__; wrap callable instances."""
+    def fn(group):
+        return callable_obj(group)
+    fn.__name__ = name
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# range bucketing (the one deterministic-global-rank primitive we need)
+# ---------------------------------------------------------------------------
+
+def _sample_boundaries(keys_ds: rd.Dataset, col: str, num_buckets: int,
+                       mod: int = 101) -> list:
+    """Approximate range-partition boundaries from a deterministic
+    hash-sample of the key column.  Boundaries only steer partitioning;
+    ranks are exact regardless of boundary quality."""
+    def sample(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pandas()
+        if len(vals) == 0:
+            return t.select([col])
+        h = vals.astype(str).map(lambda s: zlib.crc32(s.encode())).to_numpy()
+        return pa.table({col: pa.array(vals[h % mod == 0])})
+
+    sampled = keys_ds.map_batches(sample, batch_format="pyarrow").take_all()
+    vals = sorted(r[col] for r in sampled)
+    if not vals or num_buckets <= 1:
+        return []
+    qs = [vals[int(len(vals) * i / num_buckets)] for i in range(1, num_buckets)]
+    # dedupe boundaries (heavy skew can repeat quantiles)
+    out = []
+    for q in qs:
+        if not out or q > out[-1]:
+            out.append(q)
+    return out
+
+
+def _bucket_of(values: pd.Series, boundaries: list) -> np.ndarray:
+    if not boundaries:
+        return np.zeros(len(values), dtype=np.int64)
+    return np.searchsorted(np.array(boundaries, dtype=object), values.to_numpy(),
+                           side="right").astype(np.int64)
+
+
+def _bucket_offsets(ds_with_bucket: rd.Dataset, num_buckets: int) -> np.ndarray:
+    """Row count per bucket -> exclusive prefix offsets (driver-side; one
+    small row per (bucket, batch))."""
+    def counts(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t.column("bucket").to_numpy(), return_counts=True)
+        return pa.table({"bucket": b, "cnt": c})
+
+    partial = ds_with_bucket.map_batches(counts, batch_format="pyarrow")
+    rows = partial.groupby("bucket").sum("cnt").take_all()
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    for r in rows:
+        totals[int(r["bucket"])] = int(r["sum(cnt)"])
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+    return offsets
+
+
+# ---------------------------------------------------------------------------
+# stage 1: docs checkpoint with dense docIDs
+# ---------------------------------------------------------------------------
+
+def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
+                text_col: str) -> int:
+    """Returns num_docs. Skipped (with lineage check) if already built."""
+    docs_dir = os.path.join(index_dir, "docs")
+    marker = os.path.join(index_dir, "docs.done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["num_docs"]
+
+    keys_ds = rd.read_parquet(source_path, columns=key_cols)
+    num_docs = keys_ds.count()
+    num_buckets = max(1, min(256, num_docs // 65536 + 1))
+
+    def add_sortkey(t: pa.Table) -> pa.Table:
+        # \x01 separator: sorts below every printable char, so the concat
+        # order equals the column-tuple order (pandas drops \x00 in str
+        # concat — C-string semantics — hence not \x00); assumes keys
+        # contain no control characters
+        df = t.to_pandas()
+        sk = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            sk = sk + "\x01" + df[c].astype(str)
+        return t.append_column("sortkey", pa.array(sk, type=pa.string()))
+
+    boundaries = _sample_boundaries(
+        keys_ds.map_batches(add_sortkey, batch_format="pyarrow"),
+        "sortkey", num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = add_sortkey(t)
+        b = _bucket_of(t.column("sortkey").to_pandas(), boundaries)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    keyed = keys_ds.map_batches(add_bucket, batch_format="pyarrow")
+    offsets = _bucket_offsets(keyed, len(boundaries) + 1)
+    offsets_ref = ray.put(offsets)
+
+    full = rd.read_parquet(source_path).map_batches(
+        add_bucket, batch_format="pyarrow")
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return group.drop(columns=["sortkey", "bucket"])
+        offs = ray.get(offsets_ref)
+        group = group.sort_values("sortkey", kind="mergesort")
+        base = int(offs[int(group["bucket"].iloc[0])])
+        group = group.drop(columns=["sortkey", "bucket"])
+        group.insert(0, "doc_id", base + np.arange(len(group), dtype=np.int64))
+        return group
+
+    out = (
+        full.groupby("bucket")
+        .map_groups(assign, batch_format="pandas")
+        .map_batches(lambda t: sha256_batch(t, text_col), batch_format="pyarrow")
+    )
+    tmp = docs_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    out.write_parquet(tmp)
+    os.replace(tmp, docs_dir)
+    with open(marker, "w") as f:
+        json.dump({"num_docs": num_docs, "input": source_path,
+                   "key_cols": key_cols}, f)
+    return num_docs
+
+
+# ---------------------------------------------------------------------------
+# stage 2: tokens checkpoint
+# ---------------------------------------------------------------------------
+
+def _stage_tokens(index_dir: str, text_col: str) -> None:
+    tokens_dir = os.path.join(index_dir, "tokens")
+    marker = os.path.join(index_dir, "tokens.done.json")
+    if os.path.exists(marker):
+        return
+    docs = rd.read_parquet(os.path.join(index_dir, "docs"),
+                           columns=["doc_id", text_col])
+    tokens = docs.map_batches(
+        lambda t: tokenize_batch(t, text_col=text_col),
+        batch_format="pyarrow")
+    tmp = tokens_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    tokens.write_parquet(tmp)
+    os.replace(tmp, tokens_dir)
+    with open(marker, "w") as f:
+        json.dump({"text_col": text_col}, f)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: lengths + avg
+# ---------------------------------------------------------------------------
+
+def _stage_lengths(index_dir: str, num_docs: int) -> tuple[np.ndarray, float]:
+    path = os.path.join(index_dir, "lengths.parquet")
+    if not os.path.exists(path):
+        tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                                 columns=["doc_id", "doc_len"])
+
+        def distinct(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().drop_duplicates("doc_id")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (tokens.map_batches(distinct, batch_format="pyarrow")
+               .groupby("doc_id").max("doc_len"))
+        pdf = agg.to_pandas().rename(columns={"max(doc_len)": "length"})
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    pdf = pq.read_table(path).to_pandas()
+    lengths = np.zeros(num_docs, dtype=np.int64)
+    lengths[pdf["doc_id"].to_numpy()] = pdf["length"].to_numpy()
+    # reference avg includes zero-length docs (wand_data.hpp:23-29)
+    avg_len = float(lengths.sum()) / num_docs if num_docs else 1.0
+    return lengths, avg_len
+
+
+# ---------------------------------------------------------------------------
+# stage 4: term dfs -> salt plan + shard boundaries
+# ---------------------------------------------------------------------------
+
+def _stage_dfs(index_dir: str) -> pd.DataFrame:
+    path = os.path.join(index_dir, "dfs.parquet")
+    if not os.path.exists(path):
+        tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                                 columns=["term"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            terms, counts = np.unique(
+                t.column("term").to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({"term": terms, "cnt": counts})
+
+        agg = (tokens.map_batches(partial, batch_format="pyarrow")
+               .groupby("term").sum("cnt"))
+        pdf = agg.to_pandas().rename(columns={"sum(cnt)": "df"})
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return pq.read_table(path).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# stage 5: posting construction + encode + shard write
+# ---------------------------------------------------------------------------
+
+class _ShardEncoder:
+    """Per-term-range encoder (the reference's freq_index::builder /
+    block builder as a grouped stage, freq_index.hpp:18-104). Receives
+    one term-range bucket: merges salted partials, assigns term_ids,
+    encodes, computes WAND/BMW metadata, writes the shard atomically."""
+
+    def __init__(self, index_dir: str, index_type: str, num_docs: int,
+                 offsets_ref, norm_lens_ref):
+        self.index_dir = index_dir
+        self.index_type = index_type
+        self.num_docs = num_docs
+        self.offsets_ref = offsets_ref
+        self.norm_lens_ref = norm_lens_ref
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64)})
+        shard = int(group["bucket"].iloc[0])
+        offs = ray.get(self.offsets_ref)
+        norm_lens = ray.get(self.norm_lens_ref)
+        shard_path = os.path.join(self.index_dir, "shards",
+                                  f"shard_{shard:05d}.parquet")
+        done_path = shard_path + ".done.json"
+        if os.path.exists(done_path) and os.path.exists(shard_path):
+            with open(done_path) as f:
+                meta = json.load(f)
+            return pd.DataFrame([{"shard": shard, **{k: meta[k] for k in
+                                  ("num_terms", "term_id_lo", "postings",
+                                   "bytes")}}])
+
+        group = group.sort_values(["term", "salt"], kind="mergesort")
+        terms = group["term"].to_numpy()
+        uniq_terms, starts = np.unique(terms, return_index=True)
+        order = np.argsort(starts)
+        uniq_terms = uniq_terms[order]  # lexicographic == starts order here
+        starts = starts[order]
+        bounds = np.append(starts, len(group))
+
+        base = int(offs[shard])
+        rows = {k: [] for k in (
+            "term_id", "term", "n", "occurrences", "max_weight",
+            "docs_bytes", "freqs_bytes", "block_max_docs", "block_max_scores")}
+        total_postings = 0
+        doc_lists = group["doc_ids"].to_numpy()
+        freq_lists = group["freqs"].to_numpy()
+        for t in range(len(uniq_terms)):
+            lo, hi = bounds[t], bounds[t + 1]
+            # salt is docID-range based: concat in salt order is docID-sorted
+            docs = np.concatenate([np.asarray(d, dtype=np.int64)
+                                   for d in doc_lists[lo:hi]])
+            freqs = np.concatenate([np.asarray(f, dtype=np.int64)
+                                    for f in freq_lists[lo:hi]])
+            assert (np.diff(docs) > 0).all(), "salted merge broke docID order"
+            db, fb = encode_posting_list(self.index_type, docs, freqs,
+                                         self.num_docs)
+            w = bm25.doc_term_weight(freqs, norm_lens[docs])
+            nblocks = (len(docs) + BLOCK - 1) // BLOCK
+            block_starts = np.arange(nblocks, dtype=np.int64) * BLOCK
+            bmax_d = docs[np.minimum(block_starts + BLOCK - 1, len(docs) - 1)]
+            bmax_s = np.maximum.reduceat(w, block_starts)
+            rows["term_id"].append(base + t)
+            rows["term"].append(uniq_terms[t])
+            rows["n"].append(len(docs))
+            rows["occurrences"].append(int(freqs.sum()))
+            rows["max_weight"].append(np.float32(w.max()))
+            rows["docs_bytes"].append(db)
+            rows["freqs_bytes"].append(fb)
+            rows["block_max_docs"].append(bmax_d)
+            rows["block_max_scores"].append(bmax_s)
+            total_postings += len(docs)
+
+        table = pa.table({
+            "term_id": pa.array(rows["term_id"], type=pa.int64()),
+            "term": pa.array([str(x) for x in rows["term"]], type=pa.string()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "occurrences": pa.array(rows["occurrences"], type=pa.int64()),
+            "max_weight": pa.array(np.array(rows["max_weight"], dtype=np.float32)),
+            "docs_bytes": pa.array(rows["docs_bytes"], type=pa.binary()),
+            "freqs_bytes": pa.array(rows["freqs_bytes"], type=pa.binary()),
+            "block_max_docs": pa.array([x.tolist() for x in rows["block_max_docs"]],
+                                       type=pa.list_(pa.int64())),
+            "block_max_scores": pa.array([x.tolist() for x in rows["block_max_scores"]],
+                                         type=pa.list_(pa.float32())),
+        })
+        os.makedirs(os.path.dirname(shard_path), exist_ok=True)
+        tmp = shard_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, shard_path)
+        meta = {
+            "shard": shard,
+            "num_terms": len(uniq_terms),
+            "term_id_lo": base,
+            "postings": total_postings,
+            "bytes": int(table.nbytes),
+            "index_type": self.index_type,
+        }
+        with open(done_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(done_path + ".tmp", done_path)
+        return pd.DataFrame([{"shard": shard, "num_terms": len(uniq_terms),
+                              "term_id_lo": base,
+                              "postings": total_postings,
+                              "bytes": int(table.nbytes)}])
+
+
+def _stage_shards(index_dir: str, index_type: str, num_docs: int,
+                  dfs: pd.DataFrame, norm_lens: np.ndarray,
+                  salt_threshold: int, num_shards: int | None) -> list[dict]:
+    dfs_sorted = dfs.sort_values("term", kind="mergesort").reset_index(drop=True)
+    num_terms = len(dfs_sorted)
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_shards = max(1, min(num_terms, 4 * cpus))
+
+    # term-range shard boundaries: equal-term-count split of the sorted lexicon
+    cut = [num_terms * i // num_shards for i in range(1, num_shards)]
+    boundaries = [str(dfs_sorted["term"].iloc[c]) for c in cut]
+    bnd = []
+    for q in boundaries:
+        if not bnd or q > bnd[-1]:
+            bnd.append(q)
+    num_shards = len(bnd) + 1
+    # exact term-rank offsets per shard
+    buckets_of_terms = np.searchsorted(np.array(bnd, dtype=object),
+                                       dfs_sorted["term"].to_numpy(), side="right")
+    counts = np.bincount(buckets_of_terms, minlength=num_shards)
+    offsets = np.zeros(num_shards, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    # salt plan: split terms with df > threshold into ceil(df/threshold) parts
+    hot = dfs_sorted[dfs_sorted["df"] > salt_threshold]
+    salt_map = {t: int(-(-d // salt_threshold))
+                for t, d in zip(hot["term"], hot["df"])}
+    salt_ref = ray.put(salt_map)
+    bnd_arr = np.array(bnd, dtype=object)
+
+    def add_salt_bucket(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        doc_ids = t.column("doc_id").to_numpy()
+        smap = ray.get(salt_ref)
+        salts = np.zeros(len(terms), dtype=np.int64)
+        if smap:
+            s = pd.Series(terms).map(smap).fillna(0).to_numpy(dtype=np.int64)
+            hot = s > 0
+            if hot.any():
+                salts[hot] = (doc_ids[hot] * s[hot]) // max(1, num_docs)
+        bucket = (np.searchsorted(bnd_arr, terms, side="right")
+                  if len(bnd_arr) else np.zeros(len(terms), dtype=np.int64))
+        return (t.append_column("salt", pa.array(salts, type=pa.int64()))
+                 .append_column("bucket", pa.array(bucket, type=pa.int64())))
+
+    tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                             columns=["term", "doc_id", "tf"])
+
+    def partial_list(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=str),
+                "salt": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64),
+                "doc_ids": pd.Series([], dtype=object),
+                "freqs": pd.Series([], dtype=object)})
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame([{
+            "term": g["term"].iloc[0],
+            "salt": int(g["salt"].iloc[0]),
+            "bucket": int(g["bucket"].iloc[0]),
+            "doc_ids": g["doc_id"].to_numpy(dtype=np.int64),
+            "freqs": g["tf"].to_numpy(dtype=np.int64),
+        }])
+
+    offsets_ref = ray.put(offsets)
+    norm_ref = ray.put((norm_lens).astype(np.float32))
+
+    manifest = (
+        tokens.map_batches(add_salt_bucket, batch_format="pyarrow")
+        .groupby(["term", "salt"])
+        .map_groups(partial_list, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(_ShardEncoder(index_dir, index_type, num_docs,
+                                         offsets_ref, norm_ref),
+                           "encode_shard"),
+                    batch_format="pandas")
+    ).take_all()
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def build_index(source_path: str, index_dir: str, *,
+                index_type: str = "opt",
+                key_cols: list[str] | None = None,
+                text_col: str = "content",
+                salt_threshold: int = 1 << 17,
+                num_shards: int | None = None) -> dict:
+    """End-to-end build; resumable per stage and per shard. Returns meta."""
+    os.makedirs(index_dir, exist_ok=True)
+    key_cols = key_cols or ["repo", "path", "commit"]
+
+    num_docs = _stage_docs(source_path, index_dir, key_cols, text_col)
+    _stage_tokens(index_dir, text_col)
+    lengths, avg_len = _stage_lengths(index_dir, num_docs)
+    dfs = _stage_dfs(index_dir)
+    norm_lens = lengths / np.float32(avg_len) if avg_len else lengths.astype(np.float32)
+    manifest = _stage_shards(index_dir, index_type, num_docs, dfs,
+                             norm_lens.astype(np.float32),
+                             salt_threshold, num_shards)
+
+    meta = {
+        "num_docs": num_docs,
+        "avg_len": avg_len,
+        "num_terms": int(sum(m["num_terms"] for m in manifest)),
+        "total_postings": int(sum(m["postings"] for m in manifest)),
+        "index_type": index_type,
+        "shards": sorted(
+            ({"shard": int(m["shard"]), "num_terms": int(m["num_terms"]),
+              "term_id_lo": int(m["term_id_lo"]),
+              "postings": int(m["postings"])} for m in manifest),
+            key=lambda m: m["shard"]),
+        "lineage": {"input": source_path, "key_cols": key_cols,
+                    "text_col": text_col, "salt_threshold": salt_threshold},
+    }
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    return meta

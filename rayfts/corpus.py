@@ -1,0 +1,92 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Schema matches BASELINE.json input_hint exactly:
+``repo:string, path:string, commit:string, lang:string, content:string``.
+Identifiers are drawn from a ~5k-symbol Zipf-distributed vocabulary so
+term document-frequencies are heavy-tailed (stop-word-like hot terms
+exercise the salt-split path).  Generation is seeded and single-pass
+vectorized; no wall-clock or ordering nondeterminism.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_EXTS = ["py", "c", "h", "rs", "js"]
+_LANGS = {"py": "python", "c": "c", "h": "c", "rs": "rust", "js": "javascript"}
+_KEYWORDS = ["def", "return", "if", "else", "for", "while", "fn", "let",
+             "var", "function", "import", "class", "struct", "int", "void"]
+_STEMS = ["get", "set", "run", "read", "write", "parse", "init", "load",
+          "next", "index", "count", "hash", "node", "list", "data", "util",
+          "key", "value", "item", "block", "file", "path", "name", "temp"]
+_PUNCT = ["(", ")", " = ", " + ", ", ", ": ", ";\n", " {\n", "}\n", ".", "\n    "]
+
+VOCAB_SIZE = 5000
+
+
+def _vocab(rng: np.random.RandomState) -> np.ndarray:
+    words = list(_KEYWORDS)
+    i = 0
+    while len(words) < VOCAB_SIZE:
+        a = _STEMS[i % len(_STEMS)]
+        b = _STEMS[(i // len(_STEMS)) % len(_STEMS)]
+        words.append(f"{a}_{b}{i % 97}")
+        i += 1
+    return np.array(words[:VOCAB_SIZE])
+
+
+def generate_corpus(num_docs: int, seed: int = 42,
+                    min_tokens: int = 10, max_tokens: int = 2000) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    vocab = _vocab(rng)
+
+    # Zipf-ish rank weights over the vocabulary
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+
+    lengths = rng.randint(min_tokens, max_tokens + 1, size=num_docs)
+    total = int(lengths.sum())
+    draws = rng.choice(VOCAB_SIZE, size=total, p=probs)
+    puncts = rng.randint(0, len(_PUNCT), size=total)
+
+    tok_strs = vocab[draws]
+    punct_arr = np.array(_PUNCT)[puncts]
+
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    contents = []
+    for i in range(num_docs):
+        lo, hi = offsets[i], offsets[i + 1]
+        pieces = np.empty(2 * (hi - lo), dtype=object)
+        pieces[0::2] = tok_strs[lo:hi]
+        pieces[1::2] = punct_arr[lo:hi]
+        contents.append("".join(pieces))
+
+    idx = np.arange(num_docs)
+    exts = [_EXTS[int(x)] for x in idx % len(_EXTS)]
+    commits = ["%040x" % int(x) for x in
+               rng.randint(0, 1 << 62, size=num_docs).astype(object)]
+    table = pa.table({
+        "repo": pa.array([f"org{i % 7}/repo{i % 23}" for i in idx]),
+        "path": pa.array([f"src/mod{i % 13}/file{i}.{e}" for i, e in zip(idx, exts)]),
+        "commit": pa.array(commits),
+        "lang": pa.array([_LANGS[e] for e in exts]),
+        "content": pa.array(contents),
+    })
+    return table
+
+
+def corpus_parquet(num_docs: int, seed: int = 42,
+                   cache_dir: str = "/tmp/rayfts_corpus") -> str:
+    """Generate (or reuse) the corpus parquet file; returns its path."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"corpus_n{num_docs}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_corpus(num_docs, seed), tmp)
+        os.replace(tmp, path)
+    return path

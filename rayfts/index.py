@@ -1,0 +1,117 @@
+"""Inverted-index reader: shard-backed, lazily decoded posting lists.
+
+The on-disk layout (written by build.py) replaces the reference's single
+mmapped file + EF endpoint directory (block_freq_index.hpp:58-63,
+bitvector_collection.hpp:29-39) with term-range parquet shards plus a
+manifest: term_id -> (shard, row) is a subtraction (shards are
+contiguous term-id ranges), the parquet column offsets play the
+endpoint role.  Decoded lists are cached per process; query actors load
+shards lazily in ``__init__``-held state (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .codecs.posting import decode_posting_list
+
+
+@dataclass
+class PostingList:
+    term: str
+    term_id: int
+    docs: np.ndarray          # int64, strictly ascending
+    freqs: np.ndarray         # int64, >= 1
+    max_weight: np.float32    # max BM25 doc-term weight (wand_data.hpp:34-49)
+    block_max_docs: np.ndarray    # int64, last docid per 128-block
+    block_max_scores: np.ndarray  # float32, max score per 128-block (BMW)
+
+    @property
+    def n(self) -> int:
+        return len(self.docs)
+
+
+class InvertedIndex:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.num_docs = int(self.meta["num_docs"])
+        self.avg_len = float(self.meta["avg_len"])
+        self.index_type = self.meta["index_type"]
+
+        lp = pq.read_table(os.path.join(index_dir, "lengths.parquet"))
+        lengths = np.zeros(self.num_docs, dtype=np.int64)
+        lengths[lp.column("doc_id").to_numpy()] = lp.column("length").to_numpy()
+        self.lengths = lengths
+        self.norm_lens = (lengths / np.float32(self.avg_len)).astype(np.float32) \
+            if self.avg_len else lengths.astype(np.float32)
+
+        # lexicon: term -> (shard, row); loaded from shard metadata columns
+        self._term_to_loc: dict[str, tuple[int, int]] = {}
+        self._tid_to_loc: dict[int, tuple[int, int]] = {}
+        self._shard_paths: dict[int, str] = {}
+        shards_dir = os.path.join(index_dir, "shards")
+        for m in self.meta["shards"]:
+            s = int(m["shard"])
+            path = os.path.join(shards_dir, f"shard_{s:05d}.parquet")
+            self._shard_paths[s] = path
+            t = pq.read_table(path, columns=["term", "term_id"])
+            terms = t.column("term").to_pylist()
+            tids = t.column("term_id").to_numpy()
+            for row, (term, tid) in enumerate(zip(terms, tids)):
+                self._term_to_loc[term] = (s, row)
+                self._tid_to_loc[int(tid)] = (s, row)
+
+        self.num_terms = len(self._term_to_loc)
+        self._shard_cache: dict[int, object] = {}
+        self._list_cache: dict[tuple[int, int], PostingList] = {}
+
+    def _shard(self, s: int):
+        tbl = self._shard_cache.get(s)
+        if tbl is None:
+            tbl = pq.read_table(self._shard_paths[s])
+            self._shard_cache[s] = tbl
+        return tbl
+
+    def _load(self, loc: tuple[int, int]) -> PostingList:
+        pl = self._list_cache.get(loc)
+        if pl is not None:
+            return pl
+        s, row = loc
+        tbl = self._shard(s)
+        docs_bytes = tbl.column("docs_bytes")[row].as_py()
+        freqs_bytes = tbl.column("freqs_bytes")[row].as_py()
+        docs, freqs = decode_posting_list(
+            self.index_type, docs_bytes, freqs_bytes, self.num_docs)
+        pl = PostingList(
+            term=tbl.column("term")[row].as_py(),
+            term_id=int(tbl.column("term_id")[row].as_py()),
+            docs=np.asarray(docs, dtype=np.int64),
+            freqs=np.asarray(freqs, dtype=np.int64),
+            max_weight=np.float32(tbl.column("max_weight")[row].as_py()),
+            block_max_docs=np.asarray(tbl.column("block_max_docs")[row].as_py(),
+                                      dtype=np.int64),
+            block_max_scores=np.asarray(tbl.column("block_max_scores")[row].as_py(),
+                                        dtype=np.float32),
+        )
+        self._list_cache[loc] = pl
+        return pl
+
+    def get(self, term: str) -> PostingList | None:
+        loc = self._term_to_loc.get(term)
+        return self._load(loc) if loc is not None else None
+
+    def get_by_id(self, term_id: int) -> PostingList | None:
+        loc = self._tid_to_loc.get(int(term_id))
+        return self._load(loc) if loc is not None else None
+
+    def term_id(self, term: str) -> int | None:
+        loc = self._term_to_loc.get(term)
+        if loc is None:
+            return None
+        return self._load(loc).term_id

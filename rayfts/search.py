@@ -1,0 +1,436 @@
+"""Query operators: AND / OR / ranked_AND / ranked_OR / WAND / MaxScore /
+Block-Max-WAND, all document-at-a-time with k=10 defaults.
+
+Two implementations per ranked operator:
+
+* ``*_exact`` — faithful ports of the reference control flow
+  (queries.hpp:35-591) over the enumerator contract, including the
+  pivot/bubble WAND loop, the essential/non-essential MaxScore split,
+  and our Block-Max-WAND extension (per-128-block max scores; the
+  reference v1 has only per-term maxima, wand_data.hpp:34-49 — BMW is
+  the north-star addition).  These are the conformance targets.
+* fast paths — term-at-a-time vectorized numpy with float32 accumulation
+  in ascending-term order, which makes them *bit-identical* to the
+  reference's DAAT sums (each doc's score accumulates its terms in
+  query_freqs order == ascending term order, queries.hpp:445-458).
+
+Top-k keeps (score, docid) with eviction key (score asc, docid desc) so
+the retained set is exactly "best k by (score desc, docid asc)" — the
+documented tie-break the scores-only reference heap leaves unspecified
+(queries.hpp:152-197, SURVEY.md §7.4-2).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from . import bm25
+from .codecs.enums import ArrayEnumerator
+from .index import InvertedIndex, PostingList
+
+K_DEFAULT = 10
+F32 = np.float32
+
+
+# ---------------------------------------------------------------------------
+# query plumbing (queries.hpp:29-33, 136-150)
+# ---------------------------------------------------------------------------
+
+def query_freqs(terms: list) -> list[tuple]:
+    """Sorted (term, multiplicity) pairs — duplicates fold into the
+    query-side weight (queries.hpp:136-150)."""
+    out = []
+    for t in sorted(terms):
+        if out and out[-1][0] == t:
+            out[-1] = (t, out[-1][1] + 1)
+        else:
+            out.append((t, 1))
+    return out
+
+
+def _lists(index: InvertedIndex, terms: list) -> list[tuple[PostingList, F32]]:
+    """(posting list, q_weight) per distinct term, ascending term order;
+    unknown terms contribute empty lists (the reference never sees them:
+    its queries are dense term-ids)."""
+    out = []
+    for term, mult in query_freqs(terms):
+        pl = index.get(term) if isinstance(term, str) else index.get_by_id(term)
+        if pl is None:
+            continue
+        qw = bm25.query_term_weight(mult, pl.n, index.num_docs)
+        out.append((pl, qw))
+    return out
+
+
+class TopK:
+    """(score, docid) heap; min-key = (score, -docid) so eviction keeps
+    the lowest docid among equal minimal scores."""
+
+    __slots__ = ("k", "heap")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[F32, int]] = []
+
+    def would_enter(self, score) -> bool:
+        return len(self.heap) < self.k or score > self.heap[0][0]
+
+    def threshold(self):
+        return self.heap[0][0] if len(self.heap) >= self.k else F32(-np.inf)
+
+    def insert(self, score, docid: int) -> bool:
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, (score, -docid))
+            return True
+        if score > self.heap[0][0]:
+            heapq.heapreplace(self.heap, (score, -docid))
+            return True
+        return False
+
+    def finalize(self) -> list[tuple[F32, int]]:
+        return sorted(((s, -d) for s, d in self.heap),
+                      key=lambda x: (-x[0], x[1]))
+
+
+def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
+    """Top-k by (score desc, docid asc) from parallel arrays."""
+    if len(scores) == 0:
+        return []
+    if len(scores) > k:
+        part = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
+        scores, docs = scores[part], docs[part]
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(F32(scores[i]), int(docs[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# boolean operators (queries.hpp:35-131) — vectorized set algebra
+# ---------------------------------------------------------------------------
+
+def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
+    """Matching docids (ascending). Reference returns the count; we keep
+    the docs for oracle comparison."""
+    pls = _lists(index, terms)
+    if not pls or len(pls) < len(query_freqs(terms)):
+        return np.empty(0, dtype=np.int64)  # an unknown term empties the AND
+    pls.sort(key=lambda x: x[0].n)
+    cur = pls[0][0].docs
+    for pl, _ in pls[1:]:
+        cur = cur[np.isin(cur, pl.docs, assume_unique=True)]
+        if len(cur) == 0:
+            break
+    return cur
+
+
+def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
+    pls = _lists(index, terms)
+    if not pls:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+
+
+# ---------------------------------------------------------------------------
+# ranked operators — fast term-at-a-time paths
+# ---------------------------------------------------------------------------
+
+def _union_scores(index: InvertedIndex, pls) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, float32 scores) over the union, accumulation in
+    ascending-term order (bit-identical to the reference DAAT sum)."""
+    union = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    acc = np.zeros(len(union), dtype=np.float32)
+    for pl, qw in pls:  # _lists yields ascending term order
+        idx = np.searchsorted(union, pl.docs)
+        w = bm25.doc_term_weight(pl.freqs, index.norm_lens[pl.docs])
+        acc[idx] += qw * w
+    return union, acc
+
+
+def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    pls = _lists(index, terms)
+    if not pls:
+        return []
+    union, acc = _union_scores(index, pls)
+    return _finalize_fast(acc, union, k)
+
+
+def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    pls = _lists(index, terms)
+    if not pls or len(pls) < len(query_freqs(terms)):
+        return []
+    inter = pls[0][0].docs
+    for pl, _ in pls[1:]:
+        inter = inter[np.isin(inter, pl.docs, assume_unique=True)]
+    if len(inter) == 0:
+        return []
+    acc = np.zeros(len(inter), dtype=np.float32)
+    for pl, qw in pls:  # ascending term order accumulation
+        pos = np.searchsorted(pl.docs, inter)
+        w = bm25.doc_term_weight(pl.freqs[pos], index.norm_lens[inter])
+        acc += (qw * w).astype(np.float32)
+    return _finalize_fast(acc, inter, k)
+
+
+# ---------------------------------------------------------------------------
+# exact reference-control-flow ports (conformance targets)
+# ---------------------------------------------------------------------------
+
+def _enum(pl: PostingList, num_docs: int) -> ArrayEnumerator:
+    e = ArrayEnumerator(pl.docs, num_docs)
+    e.move(0)
+    return e
+
+
+def ranked_or_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    """Direct port of ranked_or_query (queries.hpp:404-476) — the oracle."""
+    pls = _lists(index, terms)
+    if not pls:
+        return []
+    num_docs = index.num_docs
+    enums = [(_enum(pl, num_docs), pl, qw) for pl, qw in pls]
+    topk = TopK(k)
+    cur_doc = min(e.value for e, _, _ in enums)
+    while cur_doc < num_docs:
+        score = F32(0.0)
+        norm_len = index.norm_lens[cur_doc]
+        next_doc = num_docs
+        for e, pl, qw in enums:
+            if e.value == cur_doc:
+                f = pl.freqs[e.position]
+                score = score + qw * bm25.doc_term_weight(f, norm_len)
+                e.next()
+            if e.value < next_doc:
+                next_doc = e.value
+        topk.insert(score, cur_doc)
+        cur_doc = next_doc
+    return topk.finalize()
+
+
+def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    """Port of ranked_and_query (queries.hpp:322-401): leapfrog AND with
+    scoring in ascending-list-length order."""
+    pls = _lists(index, terms)
+    if not pls or len(pls) < len(query_freqs(terms)):
+        return []
+    num_docs = index.num_docs
+    enums = [[_enum(pl, num_docs), pl, qw] for pl, qw in pls]
+    enums.sort(key=lambda x: x[1].n)
+    topk = TopK(k)
+    candidate = enums[0][0].value
+    i = 1
+    while candidate < num_docs:
+        while i < len(enums):
+            enums[i][0].next_geq(candidate)
+            if enums[i][0].value != candidate:
+                candidate = enums[i][0].value
+                i = 0
+                break
+            i += 1
+        if i == len(enums):
+            norm_len = index.norm_lens[candidate]
+            score = F32(0.0)
+            for e, pl, qw in enums:
+                score = score + qw * bm25.doc_term_weight(
+                    pl.freqs[e.position], norm_len)
+            topk.insert(score, candidate)
+            enums[0][0].next()
+            candidate = enums[0][0].value
+            i = 1
+    return topk.finalize()
+
+
+def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    """Port of wand_query (queries.hpp:200-319): docid-sorted enums,
+    pivot from prefix sums of max_weight, advance + bubble."""
+    pls = _lists(index, terms)
+    if not pls:
+        return []
+    num_docs = index.num_docs
+    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+             for pl, qw in pls]
+    topk = TopK(k)
+    ordered = sorted(enums, key=lambda x: x[0].value)
+    while True:
+        # find pivot
+        upper_bound = F32(0.0)
+        found_pivot = False
+        pivot = 0
+        for pivot in range(len(ordered)):
+            if ordered[pivot][0].value == num_docs:
+                break
+            upper_bound = upper_bound + ordered[pivot][3]
+            if topk.would_enter(upper_bound):
+                found_pivot = True
+                break
+        if not found_pivot:
+            break
+        pivot_id = ordered[pivot][0].value
+        if pivot_id == ordered[0][0].value:
+            score = F32(0.0)
+            norm_len = index.norm_lens[pivot_id]
+            for ent in ordered:
+                e, pl, qw, _ = ent
+                if e.value != pivot_id:
+                    break
+                score = score + qw * bm25.doc_term_weight(
+                    pl.freqs[e.position], norm_len)
+                e.next()
+            topk.insert(score, pivot_id)
+            ordered.sort(key=lambda x: x[0].value)
+        else:
+            next_list = pivot
+            while ordered[next_list][0].value == pivot_id:
+                next_list -= 1
+            ordered[next_list][0].next_geq(pivot_id)
+            for i in range(next_list + 1, len(ordered)):
+                if ordered[i][0].value < ordered[i - 1][0].value:
+                    ordered[i], ordered[i - 1] = ordered[i - 1], ordered[i]
+                else:
+                    break
+    return topk.finalize()
+
+
+def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    """Port of maxscore_query (queries.hpp:478-591)."""
+    pls = _lists(index, terms)
+    if not pls:
+        return []
+    num_docs = index.num_docs
+    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+             for pl, qw in pls]
+    ordered = sorted(enums, key=lambda x: x[3])  # increasing maxscore
+    upper_bounds = np.zeros(len(ordered), dtype=np.float32)
+    upper_bounds[0] = ordered[0][3]
+    for i in range(1, len(ordered)):
+        upper_bounds[i] = upper_bounds[i - 1] + ordered[i][3]
+
+    topk = TopK(k)
+    non_essential = 0
+    cur_doc = min(e[0].value for e in enums)
+    while non_essential < len(ordered) and cur_doc < num_docs:
+        score = F32(0.0)
+        norm_len = index.norm_lens[cur_doc]
+        next_doc = num_docs
+        for i in range(non_essential, len(ordered)):
+            e, pl, qw, _ = ordered[i]
+            if e.value == cur_doc:
+                score = score + qw * bm25.doc_term_weight(
+                    pl.freqs[e.position], norm_len)
+                e.next()
+            if e.value < next_doc:
+                next_doc = e.value
+        for i in range(non_essential - 1, -1, -1):
+            if not topk.would_enter(score + upper_bounds[i]):
+                break
+            e, pl, qw, _ = ordered[i]
+            e.next_geq(cur_doc)
+            if e.value == cur_doc:
+                score = score + qw * bm25.doc_term_weight(
+                    pl.freqs[e.position], norm_len)
+        if topk.insert(score, cur_doc):
+            while (non_essential < len(ordered)
+                   and not topk.would_enter(upper_bounds[non_essential])):
+                non_essential += 1
+        cur_doc = next_doc
+    return topk.finalize()
+
+
+def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+    """Block-Max WAND (Ding & Suel, SIGIR'11) over the per-128-block max
+    scores stored at encode time — the north-star extension (reference v1
+    skips blocks by max *docid* only, block_posting_list.hpp:124-146).
+    Must return exactly the ranked_or top-k."""
+    pls = _lists(index, terms)
+    if not pls:
+        return []
+    num_docs = index.num_docs
+    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+             for pl, qw in pls]
+    topk = TopK(k)
+    ordered = sorted(enums, key=lambda x: x[0].value)
+
+    def block_ub(ent, docid: int) -> F32:
+        """q_weight * max score of the block that would contain docid."""
+        pl = ent[1]
+        b = int(np.searchsorted(pl.block_max_docs, docid, side="left"))
+        if b >= len(pl.block_max_docs):
+            return F32(0.0)
+        return F32(ent[2] * pl.block_max_scores[b])
+
+    while True:
+        upper_bound = F32(0.0)
+        found_pivot = False
+        pivot = 0
+        for pivot in range(len(ordered)):
+            if ordered[pivot][0].value == num_docs:
+                break
+            upper_bound = upper_bound + ordered[pivot][3]
+            if topk.would_enter(upper_bound):
+                found_pivot = True
+                break
+        if not found_pivot:
+            break
+        pivot_id = ordered[pivot][0].value
+
+        # block-max refinement: tighter bound from current blocks
+        block_bound = F32(0.0)
+        for i in range(pivot + 1):
+            if ordered[i][0].value == num_docs:
+                continue
+            block_bound = block_bound + block_ub(ordered[i], pivot_id)
+        if not topk.would_enter(block_bound):
+            # skip: jump past the smallest current block boundary
+            next_cand = num_docs
+            for i in range(pivot + 1):
+                pl = ordered[i][1]
+                b = int(np.searchsorted(pl.block_max_docs, pivot_id, "left"))
+                if b < len(pl.block_max_docs):
+                    next_cand = min(next_cand, int(pl.block_max_docs[b]) + 1)
+            if pivot + 1 < len(ordered):
+                nv = ordered[pivot + 1][0].value
+                if nv < next_cand:
+                    next_cand = nv
+            next_cand = max(next_cand, pivot_id + 1)
+            for i in range(pivot + 1):
+                if ordered[i][0].value < next_cand:
+                    ordered[i][0].next_geq(next_cand)
+            ordered.sort(key=lambda x: x[0].value)
+            continue
+
+        if pivot_id == ordered[0][0].value:
+            score = F32(0.0)
+            norm_len = index.norm_lens[pivot_id]
+            for ent in ordered:
+                e, pl, qw, _ = ent
+                if e.value != pivot_id:
+                    break
+                score = score + qw * bm25.doc_term_weight(
+                    pl.freqs[e.position], norm_len)
+                e.next()
+            topk.insert(score, pivot_id)
+            ordered.sort(key=lambda x: x[0].value)
+        else:
+            next_list = pivot
+            while ordered[next_list][0].value == pivot_id:
+                next_list -= 1
+            ordered[next_list][0].next_geq(pivot_id)
+            for i in range(next_list + 1, len(ordered)):
+                if ordered[i][0].value < ordered[i - 1][0].value:
+                    ordered[i], ordered[i - 1] = ordered[i - 1], ordered[i]
+                else:
+                    break
+    return topk.finalize()
+
+
+OPS = {
+    "and": and_query,
+    "or": or_query,
+    "ranked_and": ranked_and,
+    "ranked_or": ranked_or,
+    "wand": wand_exact,
+    "maxscore": maxscore_exact,
+    "block_max_wand": block_max_wand_exact,
+    "ranked_and_exact": ranked_and_exact,
+    "ranked_or_exact": ranked_or_exact,
+}

@@ -1,0 +1,66 @@
+"""Deterministic source-code tokenizer (stateless map_batches stage).
+
+The reference has NO tokenizer — its corpus is already term-id encoded
+(README.md:163-166); the north star adds "tokenize source-code content".
+Token grammar: identifiers ``[A-Za-z_][A-Za-z0-9_]*`` or digit runs
+``[0-9]+``, lowercased — chosen to be exactly expressible in the DuckDB
+oracle as ``regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*|[0-9]+')``
+so the driver can SQL-check every downstream operator.
+
+Emits one row per (doc, term): ``term, doc_id, tf, doc_len`` where
+``doc_len`` is the total token count of the doc (the ``.sizes`` analogue,
+create_wand_data.cpp:24-27).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+TOKEN_SQL_RE = "[a-z_][a-z0-9_]*|[0-9]+"  # keep in sync with TOKEN_RE
+
+
+def tokenize_text(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def tokenize_batch(batch: pa.Table, text_col: str = "content",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Arrow batch of documents -> exploded (term, doc_id, tf, doc_len)."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+
+    terms: list[str] = []
+    doc_ids: list[int] = []
+    tfs: list[int] = []
+    lens: list[int] = []
+    for did, text in zip(ids, texts):
+        toks = tokenize_text(text or "")
+        counts = Counter(toks)
+        n = len(counts)
+        terms.extend(counts.keys())
+        tfs.extend(counts.values())
+        doc_ids.extend([int(did)] * n)
+        lens.extend([len(toks)] * n)
+
+    return pa.table({
+        "term": pa.array(terms, type=pa.string()),
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "tf": pa.array(tfs, type=pa.int64()),
+        "doc_len": pa.array(lens, type=pa.int64()),
+    })
+
+
+def sha256_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
+    """Append the per-row ingestion invariant column sha256(content)
+    (north_rule: content sha256 equality vs the input Parquet)."""
+    digests = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("sha256", pa.array(digests, type=pa.string()))

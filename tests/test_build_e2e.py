@@ -1,0 +1,232 @@
+"""End-to-end: build over a tiny synthetic code corpus with Ray Data,
+then verify every query operator against a brute-force NumPy BM25
+oracle (the test_ranked_queries.cpp analogue: wand/maxscore/BMW top-10
+vs ranked_or, 0.1% relative — we additionally require the fast
+ranked_or to be bit-identical to the exact port), the sha256 ingestion
+invariant, salted-merge correctness, and shard-level resume."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts import bm25
+from rayfts.corpus import corpus_parquet
+from rayfts.tokenizer import tokenize_text
+
+NUM_DOCS = 200
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+
+    src = corpus_parquet(NUM_DOCS, seed=7)
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    # tiny salt threshold so hot terms actually get salted at 200 docs
+    meta = build_index(src, index_dir, index_type="opt",
+                       salt_threshold=64, num_shards=5)
+    return src, index_dir, meta
+
+
+class Oracle:
+    """Brute-force float32 BM25 over the tokenized corpus."""
+
+    def __init__(self, src):
+        tbl = pq.read_table(src)
+        rows = sorted(
+            zip(tbl.column("repo").to_pylist(), tbl.column("path").to_pylist(),
+                tbl.column("commit").to_pylist(), tbl.column("content").to_pylist()),
+            key=lambda r: (r[0], r[1], r[2]))
+        self.contents = [r[3] for r in rows]
+        self.num_docs = len(rows)
+        self.tf = []  # per doc: {term: tf}
+        self.lengths = np.zeros(self.num_docs, dtype=np.int64)
+        from collections import Counter
+        df = Counter()
+        for i, c in enumerate(self.contents):
+            toks = tokenize_text(c)
+            self.lengths[i] = len(toks)
+            cnt = Counter(toks)
+            self.tf.append(cnt)
+            df.update(cnt.keys())
+        self.df = dict(df)
+        avg = self.lengths.sum() / self.num_docs
+        self.norm_lens = (self.lengths / np.float32(avg)).astype(np.float32)
+
+    def postings(self, term):
+        docs = np.array([i for i in range(self.num_docs) if term in self.tf[i]],
+                        dtype=np.int64)
+        freqs = np.array([self.tf[i][term] for i in docs], dtype=np.int64)
+        return docs, freqs
+
+    def ranked_or(self, terms, k=K):
+        from rayfts.search import query_freqs
+        acc = np.zeros(self.num_docs, dtype=np.float32)
+        touched = np.zeros(self.num_docs, dtype=bool)
+        for term, mult in query_freqs(terms):
+            if term not in self.df:
+                continue
+            docs, freqs = self.postings(term)
+            qw = bm25.query_term_weight(mult, len(docs), self.num_docs)
+            acc[docs] += qw * bm25.doc_term_weight(freqs, self.norm_lens[docs])
+            touched[docs] = True
+        cand = np.flatnonzero(touched)
+        if len(cand) == 0:
+            return []
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
+        return [(np.float32(scores[i]), int(cand[i])) for i in order]
+
+
+@pytest.fixture(scope="module")
+def oracle(built_index):
+    return Oracle(built_index[0])
+
+
+def _queries(oracle):
+    rng = np.random.RandomState(42)
+    vocab = sorted(oracle.df)
+    dfs = np.array([oracle.df[t] for t in vocab], dtype=np.float64)
+    probs = dfs / dfs.sum()
+    queries = []
+    for qi in range(60):
+        nt = int(rng.randint(1, 6))
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=nt, p=probs)]
+        if qi % 20 == 5:
+            terms.append(terms[0])       # duplicate term
+        if qi % 20 == 7:
+            terms.append("zz_unknown_term")
+        queries.append(terms)
+    return queries
+
+
+def test_meta_counts(built_index, oracle):
+    _, index_dir, meta = built_index
+    assert meta["num_docs"] == oracle.num_docs
+    assert meta["num_terms"] == len(oracle.df)
+    assert meta["total_postings"] == sum(len(t) for t in oracle.tf)
+
+
+def test_sha256_invariant(built_index):
+    """Per-row sha256(content) in docs/ equals recomputation from the
+    input parquet (north_rule ingestion invariant)."""
+    src, index_dir, _ = built_index
+    docs = pq.read_table(os.path.join(index_dir, "docs"),
+                         columns=["repo", "path", "commit", "sha256"])
+    got = {(r, p, c): s for r, p, c, s in
+           zip(*(docs.column(c).to_pylist()
+                 for c in ("repo", "path", "commit", "sha256")))}
+    src_tbl = pq.read_table(src)
+    for r, p, c, content in zip(*(src_tbl.column(c).to_pylist()
+                                  for c in ("repo", "path", "commit", "content"))):
+        assert got[(r, p, c)] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_docid_assignment_is_global_sort_rank(built_index):
+    src, index_dir, _ = built_index
+    docs = pq.read_table(os.path.join(index_dir, "docs"),
+                         columns=["doc_id", "repo", "path", "commit"]).to_pandas()
+    docs = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    np.testing.assert_array_equal(docs["doc_id"].to_numpy(),
+                                  np.arange(len(docs)))
+
+
+def test_postings_match_oracle(built_index, oracle):
+    """Every posting list decodes to the oracle's (docid, tf) pairs —
+    including hot salted terms (merge correctness, SURVEY.md §4)."""
+    from rayfts.index import InvertedIndex
+    _, index_dir, meta = built_index
+    idx = InvertedIndex(index_dir)
+    hot = 0
+    for term in sorted(oracle.df):
+        pl = idx.get(term)
+        assert pl is not None, term
+        docs, freqs = oracle.postings(term)
+        np.testing.assert_array_equal(pl.docs, docs)
+        np.testing.assert_array_equal(pl.freqs, freqs)
+        if len(docs) > 64:
+            hot += 1
+        # wand metadata
+        w = bm25.doc_term_weight(freqs, idx.norm_lens[docs])
+        assert pl.max_weight == np.float32(w.max())
+    assert hot > 0, "corpus produced no salted terms; salt path untested"
+
+
+def test_term_ids_are_sorted_ranks(built_index, oracle):
+    from rayfts.index import InvertedIndex
+    idx = InvertedIndex(built_index[1])
+    vocab = sorted(oracle.df)
+    for rank, term in enumerate(vocab):
+        assert idx.term_id(term) == rank
+
+
+def test_query_ops_vs_oracle(built_index, oracle):
+    from rayfts.index import InvertedIndex
+    from rayfts import search as S
+    idx = InvertedIndex(built_index[1])
+    queries = _queries(oracle)
+    for terms in queries:
+        expected = oracle.ranked_or(terms, K)
+        # fast ranked_or: bit-identical to oracle
+        got = S.ranked_or(idx, terms, K)
+        assert [(float(s), d) for s, d in got] == \
+               [(float(s), d) for s, d in expected], terms
+        # exact port: bit-identical too (same ascending-term accumulation)
+        got_e = S.ranked_or_exact(idx, terms, K)
+        assert [(float(s), d) for s, d in got_e] == \
+               [(float(s), d) for s, d in expected], terms
+
+        # skip-based ops: same docids, scores within the reference's 0.1%
+        for op in ("wand", "maxscore", "block_max_wand"):
+            res = S.OPS[op](idx, terms, K)
+            assert [d for _, d in res] == [d for _, d in expected], (op, terms)
+            np.testing.assert_allclose(
+                [float(s) for s, _ in res],
+                [float(s) for s, _ in expected], rtol=1e-3)
+
+        # boolean ops vs brute force
+        known = [t for t in set(terms) if t in oracle.df]
+        if known and len(known) == len(set(terms)):
+            inter = set(range(oracle.num_docs))
+            for t in set(terms):
+                inter &= {i for i in range(oracle.num_docs) if t in oracle.tf[i]}
+            np.testing.assert_array_equal(S.and_query(idx, terms),
+                                          sorted(inter))
+        union = set()
+        for t in known:
+            union |= {i for i in range(oracle.num_docs) if t in oracle.tf[i]}
+        np.testing.assert_array_equal(S.or_query(idx, terms), sorted(union))
+
+        # ranked_and consistency: docids = AND set ranked by same scores
+        got_ra = S.ranked_and(idx, terms, K)
+        got_rae = S.ranked_and_exact(idx, terms, K)
+        assert [d for _, d in got_ra] == [d for _, d in got_rae]
+        np.testing.assert_allclose([float(s) for s, _ in got_ra],
+                                   [float(s) for s, _ in got_rae], rtol=1e-3)
+
+
+def test_resume_skips_done_shards(built_index, ray_session):
+    """Manifest-driven resume (north_rule): deleting one shard and
+    re-running rebuilds only that shard."""
+    from rayfts.build import build_index
+    src, index_dir, meta = built_index
+    shards_dir = os.path.join(index_dir, "shards")
+    victim = sorted(os.listdir(shards_dir))[0]
+    assert victim.endswith(".parquet")
+    os.remove(os.path.join(shards_dir, victim))
+    os.remove(os.path.join(shards_dir, victim + ".done.json"))
+    mtimes = {f: os.path.getmtime(os.path.join(shards_dir, f))
+              for f in os.listdir(shards_dir) if f.endswith(".parquet")}
+    meta2 = build_index(src, index_dir, index_type="opt",
+                        salt_threshold=64, num_shards=5)
+    assert meta2["num_terms"] == meta["num_terms"]
+    assert os.path.exists(os.path.join(shards_dir, victim))
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(shards_dir, f)) == mt, \
+            f"finished shard {f} was rewritten on resume"
