@@ -1,44 +1,566 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayfts engine (see README.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2; each callable takes an ``sf_dir`` and runs the Ray-Data
+pipeline over that directory's parquet tables (``documents`` is the
+corpus, ``embeddings`` the vector table).  ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ranked/ANN entries compute in float64 (the engine's reference-semantics
+float32 path is validated separately in pytest against the ds2i-style
+float32 oracle) and quantize scores to ``floor(score*1e4+0.5)`` BIGINT in
+both engines so value-hashes compare exactly; ranking is by (quantized
+score DESC, doc_id ASC) in both.
+
+Ray is initialised by the driver; nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from rayfts.tokenizer import TOKEN_SQL_RE
+
+# ---------------------------------------------------------------------------
+# fixed query workload (embedded verbatim in the SQL oracles)
+# ---------------------------------------------------------------------------
+
+QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["join", "hash"]),
+    (1, ["filter", "scan", "batch"]),
+    (2, ["data", "table"]),
+    (3, ["window", "stream", "merge"]),
+    (4, ["sort", "shuffle"]),
+    (5, ["customer", "order", "line"]),
+    (6, ["vector", "column", "agg"]),
+    (7, ["spark", "slow", "big", "query"]),
+    (8, ["key", "value"]),
+    (9, ["group", "part", "small"]),
+    (10, ["fast", "the", "row"]),
+    (11, ["compression", "join"]),          # first term may be unknown
+    (12, ["stream"]),
+    (13, ["table", "scan", "hash", "merge", "filter"]),
+    (14, ["qqqq_unknown_term", "data"]),    # unknown term
+]
+
+K = 10
+_INDEX_CACHE: dict[str, object] = {}
+_IDX_ROOT = "/tmp/rayfts_driver"
+
+
+def _index_for(sf_dir: str, index_type: str = "opt"):
+    """Build (resumable, cached) the inverted index over `documents`."""
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:{index_type}".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_IDX_ROOT, tag)
+    key = f"{index_dir}"
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            build_index(src, index_dir, index_type=index_type,
+                        key_cols=["doc_id"], text_col="text",
+                        salt_threshold=1 << 17, num_shards=8)
+        idx = InvertedIndex(index_dir)
+        # internal docid -> source doc_id map (identity when the source
+        # ids are already dense ranks, but never assumed)
+        dm = pq.read_table(os.path.join(index_dir, "docs"),
+                           columns=["doc_id", "src_doc_id"])
+        src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+        src_ids[dm.column("doc_id").to_numpy()] = dm.column("src_doc_id").to_numpy()
+        idx.src_doc_ids = src_ids
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _docs_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _quantize(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# entry()
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents with the
+    full Ray pipeline, serve the fixed BM25 top-10 workload."""
+    return _topk_table("/root/testdata/sf0.001", "ranked_or")
 
+
+# ---------------------------------------------------------------------------
+# ranked / boolean query entries
+# ---------------------------------------------------------------------------
+
+def _topk_table(sf_dir: str, op: str) -> pd.DataFrame:
+    from rayfts import search as S
+
+    idx = _index_for(sf_dir)
+    fn = {"ranked_or": S.ranked_or, "ranked_and": S.ranked_and,
+          "wand": S.wand_exact, "maxscore": S.maxscore_exact,
+          "block_max_wand": S.block_max_wand_exact}[op]
+    rows = []
+    for qid, terms in QUERIES:
+        res = fn(idx, terms, k=K, prec=S.P64)
+        # res is already ranked by (raw f64 score desc, docid asc) — the
+        # same ordering the oracle's row_number uses
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
+
+
+def _bool_and(sf_dir: str) -> pd.DataFrame:
+    from rayfts import search as S
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        for d in S.and_query(idx, terms):
+            rows.append({"query_id": qid, "doc_id": int(idx.src_doc_ids[d])})
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def _bool_or(sf_dir: str) -> pd.DataFrame:
+    from rayfts import search as S
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        n = len(S.or_query(idx, terms))
+        rows.append({"query_id": qid, "n_matches": n})
+    return pd.DataFrame(rows, columns=["query_id", "n_matches"])
+
+
+# ---------------------------------------------------------------------------
+# index-structure entries
+# ---------------------------------------------------------------------------
+
+def _postings_table(sf_dir: str, index_type: str = "opt") -> pd.DataFrame:
+    """Decode every posting list back out of the compressed index —
+    proves the full encode->shard->decode loop equals the SQL term/doc
+    table (verify_collection.hpp:9-54 analogue)."""
+    idx = _index_for(sf_dir, index_type)
+    rows_t, rows_d, rows_f = [], [], []
+    for term in sorted(idx._term_to_loc):
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
+def _postings_table_block(sf_dir: str) -> pd.DataFrame:
+    return _postings_table(sf_dir, "block_packed")
+
+
+def _doc_lengths(sf_dir: str) -> pd.DataFrame:
+    idx = _index_for(sf_dir)
+    mask = idx.lengths > 0
+    return pd.DataFrame({
+        "doc_id": idx.src_doc_ids[mask],
+        "length": idx.lengths[mask],
+    })
+
+
+def _term_dfs(sf_dir: str) -> pd.DataFrame:
+    idx = _index_for(sf_dir)
+    terms = sorted(idx._term_to_loc)
+    return pd.DataFrame({
+        "term": terms,
+        "df": [idx.get(t).n for t in terms],
+    })
+
+
+def _lexicon(sf_dir: str) -> pd.DataFrame:
+    idx = _index_for(sf_dir)
+    terms = sorted(idx._term_to_loc)
+    return pd.DataFrame({
+        "term": terms,
+        "term_id": [idx.term_id(t) for t in terms],
+    })
+
+
+def _tokenize(sf_dir: str) -> pd.DataFrame:
+    """The raw tokenizer output (pre-index) over the live Ray pipeline."""
+    from rayfts.tokenizer import tokenize_batch
+    toks = (_docs_ds(sf_dir)
+            .map_batches(lambda t: tokenize_batch(t, text_col="text",
+                                                  id_col="doc_id"),
+                         batch_format="pyarrow")
+            .to_pandas())
+    return toks[["term", "doc_id", "tf"]]
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN / text-analysis entries
+# ---------------------------------------------------------------------------
+
+def _dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.dedup import exact_duplicates
+    out = exact_duplicates(_docs_ds(sf_dir)).to_pandas()
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.dedup import ngram_jaccard_pairs
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    return ngram_jaccard_pairs(docs, tau=0.2, k=3)
+
+
+def _minhash_dups(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.dedup import minhash_candidate_pairs, verify_jaccard
+    cand = minhash_candidate_pairs(_docs_ds(sf_dir)).to_pandas()
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    return verify_jaccard(cand, texts, tau=0.5)
+
+
+def _simhash(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.dedup import simhash_fingerprints
+    return simhash_fingerprints(_docs_ds(sf_dir)).to_pandas()
+
+
+def _ann_topk(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.ann import brute_cosine_topk
+    qs = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = qs.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qv = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    return brute_cosine_topk(_emb_ds(sf_dir), qv, k=K)
+
+
+def _ann_lsh(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.ann import lsh_cosine_topk
+    qdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qv = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    return lsh_cosine_topk(_emb_ds(sf_dir), qv, k=K)
+
+
+def _embedding_dups(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    ids = emb["vec_id"].to_numpy()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    full_ref = _ray.put((ids, mn))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, all_m = _ray.get(full_ref)
+        bids = t.column("vec_id").to_numpy()
+        bm = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (bm / bn) @ all_m.T
+        a_out, b_out, c_out = [], [], []
+        for i, a in enumerate(bids):
+            sel = (sims[i] >= 0.35) & (all_ids > a)
+            for b, c in zip(all_ids[sel], sims[i][sel]):
+                a_out.append(int(a)); b_out.append(int(b)); c_out.append(c)
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "cos": pa.array(c_out, type=pa.float64())})
+
+    out = _emb_ds(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "cos_q": pd.Series([], dtype=np.int64)})
+    out["cos_q"] = _quantize(out["cos"])
+    return (out[["a", "b", "cos_q"]].sort_values(["a", "b"])
+            .reset_index(drop=True))
+
+
+def _quality(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.textstats import quality_batch
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: quality_batch(t), batch_format="pyarrow")
+            .to_pandas())
+
+
+def _langid(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.textstats import langid_batch
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: langid_batch(t), batch_format="pyarrow")
+            .to_pandas())
+
+
+def _fingerprints(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.textstats import fingerprint_batch
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: fingerprint_batch(t), batch_format="pyarrow")
+            .to_pandas())
+
+
+def _byte_stats(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.multimodal import to_binary_payloads
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: to_binary_payloads(t), batch_format="pyarrow")
+            .select_columns(["doc_id", "n_bytes"])
+            .to_pandas())
+
+
+def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.multimodal import decode_pipeline
+    decoded, _ = decode_pipeline(_docs_ds(sf_dir))
+    return decoded.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # tokenize / structure
+        "tokenize": _tokenize,
+        "postings": _postings_table,
+        "postings_block": _postings_table_block,
+        "doc_lengths": _doc_lengths,
+        "term_dfs": _term_dfs,
+        "lexicon": _lexicon,
+        # query engine
+        "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
+        "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
+        "wand_topk": lambda sf: _topk_table(sf, "wand"),
+        "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
+        "block_max_wand_topk": lambda sf: _topk_table(sf, "block_max_wand"),
+        "bool_and": _bool_and,
+        "bool_or": _bool_or,
+        # dedup
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_dups": _minhash_dups,
+        "simhash_fingerprints": _simhash,
+        "embedding_dup_pairs": _embedding_dups,
+        # similarity search
+        "ann_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh,
+        # text analysis / multimodal
+        "text_quality": _quality,
+        "lang_id": _langid,
+        "doc_fingerprints": _fingerprints,
+        "byte_stats": _byte_stats,
+        "multimodal_decode": _multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _q_values() -> str:
+    rows = []
+    for qid, terms in QUERIES:
+        for t in sorted(set(terms)):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _q_counts() -> str:
+    return ", ".join(f"({qid}, {len(set(terms))})" for qid, terms in QUERIES)
+
+
+_TOK = f"""
+tokens AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_SQL_RE}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS nd,
+         (SELECT sum(length) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avg_len),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+
+def _bm25_scores_sql() -> str:
+    return f"""
+WITH q(query_id, term) AS (VALUES {_q_values()}),
+{_TOK.strip()},
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+              * 2.2
+              * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len))
+            ) AS score,
+         count(*) AS n_terms_hit
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dfs ON dfs.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)
+"""
+
+
+def _topk_sql(and_mode: bool) -> str:
+    and_filter = """
+  JOIN qn ON qn.query_id = scores.query_id
+  WHERE scores.n_terms_hit = qn.n_terms
+""" if and_mode else ""
+    qn_cte = f", qn(query_id, n_terms) AS (VALUES {_q_counts()})" if and_mode else ""
+    return f"""
+{_bm25_scores_sql()}{qn_cte},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores{and_filter}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["tokenize"] = f"""
+WITH {_TOK.strip()}
+SELECT term, doc_id, tf FROM tf"""
+
+    postings_sql = f"""
+WITH {_TOK.strip()}
+SELECT term, doc_id, tf FROM tf"""
+    sqls["postings"] = postings_sql
+    sqls["postings_block"] = postings_sql
+
+    sqls["doc_lengths"] = f"""
+WITH {_TOK.strip()}
+SELECT doc_id, length FROM dl"""
+
+    sqls["term_dfs"] = f"""
+WITH {_TOK.strip()}
+SELECT term, df FROM dfs"""
+
+    sqls["lexicon"] = f"""
+WITH {_TOK.strip()}
+SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id FROM dfs"""
+
+    sqls["bm25_topk"] = _topk_sql(False)
+    sqls["wand_topk"] = _topk_sql(False)
+    sqls["maxscore_topk"] = _topk_sql(False)
+    sqls["block_max_wand_topk"] = _topk_sql(False)
+    sqls["ranked_and_topk"] = _topk_sql(True)
+
+    sqls["bool_and"] = f"""
+WITH q(query_id, term) AS (VALUES {_q_values()}),
+qn(query_id, n_terms) AS (VALUES {_q_counts()}),
+{_TOK.strip()}
+SELECT q.query_id, tf.doc_id
+FROM q JOIN tf ON tf.term = q.term
+GROUP BY q.query_id, tf.doc_id
+HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)"""
+
+    sqls["bool_or"] = f"""
+WITH q(query_id, term) AS (VALUES {_q_values()}),
+{_TOK.strip()},
+m AS (SELECT q.query_id, tf.doc_id FROM q JOIN tf ON tf.term = q.term
+      GROUP BY 1, 2)
+SELECT qq.query_id, count(m.doc_id)::BIGINT AS n_matches
+FROM (SELECT DISTINCT query_id FROM q) qq
+LEFT JOIN m ON m.query_id = qq.query_id
+GROUP BY 1"""
+
+    sqls["dedup_exact"] = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keeper,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1"""
+
+    sqls["ngram_jaccard_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0)
+SELECT a, b, CAST(floor(inter / uni * 10000 + 0.5) AS BIGINT) AS jaccard_q
+FROM pairs WHERE inter / uni >= 0.2"""
+
+    sqls["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(floor(list_cosine_similarity(q.embedding, e.embedding)
+                    * 10000 + 0.5) AS BIGINT) AS cos_q
+  FROM q CROSS JOIN embeddings e),
+topk AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, rank, vec_id, cos_q FROM topk WHERE rank <= {K}"""
+
+    sqls["embedding_dup_pairs"] = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(list_cosine_similarity(a.embedding, b.embedding)
+                  * 10000 + 0.5) AS BIGINT) AS cos_q
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
+
+    stop_list = ", ".join(f"'{s}'" for s in
+                          ("the", "a", "and", "of", "to", "in", "is",
+                           "for", "on", "with"))
+    sqls["text_quality"] = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '[A-Za-z0-9_]+') AS words
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         len(list_filter(words, x -> lower(x) IN ({stop_list})))::BIGINT
+           AS n_stop,
+         length(text)::BIGINT AS n_chars_py
+  FROM w)
+SELECT doc_id, n_words, n_stop, n_chars_py,
+       CAST(floor(CASE WHEN n_words > 0
+                       THEN n_stop::DOUBLE / n_words ELSE 0 END
+                  * 10000 + 0.5) AS BIGINT) AS stop_ratio_q
+FROM base"""
+
+    sqls["byte_stats"] = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"""
+
+    # minhash_dups / simhash_fingerprints / ann_lsh_topk / lang_id /
+    # doc_fingerprints / multimodal_decode: deliberately no SQL oracle
+    # (sketch/model ops) -> driver records the weaker rows-only check.
+    return sqls

@@ -41,5 +41,6 @@ def doc_term_weight_f64(freqs, norm_lens) -> np.ndarray:
 
 
 def query_term_weight_f64(query_freq: int, df: int, num_docs: int) -> float:
-    idf = np.log((float(num_docs) - df + 0.5) / (df + 0.5))
+    import math  # glibc log — DuckDB's ln() resolves to the same libm
+    idf = math.log((float(num_docs) - df + 0.5) / (df + 0.5))
     return float(query_freq) * max(1.0e-6, idf) * 2.2

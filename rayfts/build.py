@@ -126,9 +126,27 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         with open(marker) as f:
             return json.load(f)["num_docs"]
 
-    keys_ds = rd.read_parquet(source_path, columns=key_cols)
+    def _rename(t: pa.Table) -> pa.Table:
+        # the internal dense docID owns the name "doc_id"; a source column
+        # of that name becomes src_doc_id (mapped back at query time)
+        if "doc_id" in t.column_names:
+            t = t.rename_columns(
+                ["src_doc_id" if c == "doc_id" else c for c in t.column_names])
+        return t
+
+    key_cols = ["src_doc_id" if c == "doc_id" else c for c in key_cols]
+    keys_ds = rd.read_parquet(
+        source_path,
+        columns=[("doc_id" if c == "src_doc_id" else c) for c in key_cols],
+    ).map_batches(_rename, batch_format="pyarrow")
     num_docs = keys_ds.count()
     num_buckets = max(1, min(256, num_docs // 65536 + 1))
+
+    def _keystr(col: pd.Series) -> pd.Series:
+        # zero-pad integers so string order == numeric order
+        if col.dtype.kind in "iu":
+            return col.map(lambda v: "%020d" % v)
+        return col.astype(str)
 
     def add_sortkey(t: pa.Table) -> pa.Table:
         # \x01 separator: sorts below every printable char, so the concat
@@ -136,9 +154,9 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         # concat — C-string semantics — hence not \x00); assumes keys
         # contain no control characters
         df = t.to_pandas()
-        sk = df[key_cols[0]].astype(str)
+        sk = _keystr(df[key_cols[0]])
         for c in key_cols[1:]:
-            sk = sk + "\x01" + df[c].astype(str)
+            sk = sk + "\x01" + _keystr(df[c])
         return t.append_column("sortkey", pa.array(sk, type=pa.string()))
 
     boundaries = _sample_boundaries(
@@ -154,8 +172,9 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     offsets = _bucket_offsets(keyed, len(boundaries) + 1)
     offsets_ref = ray.put(offsets)
 
-    full = rd.read_parquet(source_path).map_batches(
-        add_bucket, batch_format="pyarrow")
+    full = (rd.read_parquet(source_path)
+            .map_batches(_rename, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow"))
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:

@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (ray.put once, zero-copy get in every task) with
+  per-batch partial top-k (combiner) -> tiny driver merge.
+* LSH-bucketed variant (scale path): seeded random-hyperplane signatures
+  shuffle candidates into buckets; exact rerank inside the bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> pd.DataFrame:
+    """-> (query_id, rank, vec_id, cos_q) with cos_q = floor(cos*1e4+.5).
+    Rank by (rounded cosine desc, vec_id asc) — deterministic and
+    reproducible by the DuckDB oracle in float64."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = t.column(id_col).to_numpy()
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        sims = _normalize(m) @ q.T  # (batch, nq)
+        rows_q, rows_id, rows_s = [], [], []
+        top = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            part = np.argpartition(-s, top - 1)[:top] if len(s) > top else np.arange(len(s))
+            rows_q.extend([qi] * len(part))
+            rows_id.extend(ids[part].tolist())
+            rows_s.extend(s[part].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            id_col: pa.array(rows_id, type=pa.int64()),
+            "cos": pa.array(rows_s, type=pa.float64()),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts["cos_q"] = np.floor(parts["cos"] * 10000 + 0.5).astype(np.int64)
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos_q", id_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g[["query_id", "rank", id_col, "cos_q"]])
+    return (pd.concat(out, ignore_index=True) if out
+            else pd.DataFrame(columns=["query_id", "rank", id_col, "cos_q"]))
+
+
+class LSHSignatures:
+    """Stateful stage: hyperplanes drawn once per actor (seeded)."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 11,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(num_planes, dim))
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = np.array(t.column(self.vec_col).to_pylist(), dtype=np.float64)
+        bits = (m @ self.planes.T) > 0
+        sig = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "bucket": pa.array(sig.astype(np.int64)),
+            self.vec_col: t.column(self.vec_col),
+        })
+
+
+def lsh_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                    num_planes: int = 12, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate: only vectors sharing the query's LSH bucket are
+    scored; exact rerank inside the bucket (recall < 1 by design)."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dim = qn.shape[1]
+    hasher = LSHSignatures(dim, num_planes)
+    qbits = (qn @ hasher.planes.T) > 0
+    qsig = (qbits * (1 << np.arange(num_planes))).sum(axis=1)
+    q_ref = ray.put((qn, qsig))
+
+    sigs = emb_ds.map_batches(
+        LSHSignatures,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
+                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q, qs = ray.get(q_ref)
+        ids = t.column(id_col).to_numpy()
+        buckets = t.column("bucket").to_numpy()
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        mn = _normalize(m)
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(len(q)):
+            sel = buckets == qs[qi]
+            if not sel.any():
+                continue
+            s = mn[sel] @ q[qi]
+            rows_q.extend([qi] * int(sel.sum()))
+            rows_id.extend(ids[sel].tolist())
+            rows_s.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            id_col: pa.array(rows_id, type=pa.int64()),
+            "cos": pa.array(rows_s, type=pa.float64()),
+        })
+
+    parts = sigs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "cos_q"])
+    parts["cos_q"] = np.floor(parts["cos"] * 10000 + 0.5).astype(np.int64)
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos_q", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g[["query_id", "rank", id_col, "cos_q"]])
+    return pd.concat(out, ignore_index=True)

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are Ray-Data-native: vectorized map_batches for
+per-document sketches, groupby shuffles keyed by hash/band for the
+candidate generation, exact verification on the (small) candidate set.
+
+* exact:    content-hash groupby, keep min docid per hash
+* MinHash+LSH: shingle -> minhash signature -> banded buckets ->
+  candidate pairs -> exact Jaccard verify
+* SimHash:  64-bit fingerprints, banded candidate pairs by Hamming radius
+* n-gram Jaccard: exact brute-force pair scan (test-scale oracle; the
+  scale path is the MinHash entry)
+* embedding near-dup: cosine over the embeddings table
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+
+# splitmix64-ish mixers for the minhash permutation family (seeded, public)
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_shingles(text: str, k: int = 3) -> np.ndarray:
+    toks = _WORD.findall((text or "").lower())
+    if len(toks) < k:
+        toks = toks + ["_"] * (k - len(toks))
+    sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    return np.array([zlib.crc32(s.encode()) for s in sorted(sh)],
+                    dtype=np.uint64)
+
+
+def exact_duplicates(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset(text_hash, keeper, n_dups); keeper = min docid."""
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode()).hexdigest()
+              for x in t.column(text_col).to_pylist()]
+        return pa.table({
+            "text_hash": pa.array(hs),
+            id_col: t.column(id_col),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "text_hash": g["text_hash"].iloc[0],
+            "keeper": int(g[id_col].min()),
+            "n_dups": len(g),
+        }])
+
+    return (docs_ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("text_hash").map_groups(keep_first, batch_format="pandas"))
+
+
+class MinHasher:
+    """Stateful stage: permutation coefficients built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.k = shingle_k
+        self.text_col, self.id_col = text_col, id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _token_shingles(text, self.k)
+        # (a*x + b) mod p, min over shingles, per permutation
+        v = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
+        return v.min(axis=0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_pylist()
+        sigs = [self.signature(x) for x in t.column(self.text_col).to_pylist()]
+        return pa.table({
+            self.id_col: pa.array(ids, type=pa.int64()),
+            "sig": pa.array([s.tolist() for s in sigs],
+                            type=pa.list_(pa.uint64())),
+        })
+
+
+def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
+                            text_col: str = "text", id_col: str = "doc_id"):
+    """LSH banding: -> Dataset(a, b) candidate pairs (a < b)."""
+    rows_per_band = num_perm // bands
+
+    sigs = docs_ds.map_batches(
+        MinHasher, fn_constructor_kwargs={
+            "num_perm": num_perm, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=4)
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        sig = np.array(t.column("sig").to_pylist(), dtype=np.uint64)
+        out_band, out_hash, out_id = [], [], []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            hs = [hash(tuple(row)) & 0x7FFFFFFFFFFFFFFF for row in chunk]
+            out_band.extend([b] * len(ids))
+            out_hash.extend(hs)
+            out_id.extend(ids.tolist())
+        return pa.table({
+            "band": pa.array(out_band, type=pa.int64()),
+            "bucket": pa.array(out_hash, type=pa.int64()),
+            id_col: pa.array(out_id, type=pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        out = [(ids[i], ids[j]) for i in range(len(ids))
+               for j in range(i + 1, len(ids))]
+        return pd.DataFrame(out, columns=["a", "b"])
+
+    cand = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+            .groupby(["band", "bucket"])
+            .map_groups(pairs, batch_format="pandas"))
+    return cand
+
+
+def verify_jaccard(pairs_df: pd.DataFrame, texts: dict, tau: float,
+                   k: int = 3) -> pd.DataFrame:
+    """Exact Jaccard over token k-shingles for candidate pairs.
+    `texts` maps docid -> text for candidates only (at cluster scale this
+    is a partitioned join of the pair list against the corpus)."""
+    seen = set()
+    rows = []
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        key = (int(a), int(b))
+        if key in seen:
+            continue
+        seen.add(key)
+        sa = set(_token_shingles(texts[a], k).tolist())
+        sb = set(_token_shingles(texts[b], k).tolist())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 1.0
+        if j >= tau:
+            rows.append({"a": key[0], "b": key[1],
+                         "jaccard_q": int(np.floor(j * 10000 + 0.5))})
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard_q"]).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """64-bit SimHash over token crc32 hashes (stateful actor stage)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.bit_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def fingerprint(self, text: str) -> int:
+        toks = _WORD.findall((text or "").lower())
+        if not toks:
+            return 0
+        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+        # extend 32-bit crc to 64 via multiply mix
+        hs = hs * np.uint64(0x9E3779B97F4A7C15)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int((self.bit_weights[v > 0]).sum())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "simhash": pa.array(
+                [self.fingerprint(x) for x in t.column(self.text_col).to_pylist()],
+                type=pa.uint64()),
+        })
+
+
+def simhash_fingerprints(docs_ds, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    return docs_ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col,
+                                          "id_col": id_col},
+        batch_format="pyarrow", concurrency=4)
+
+
+def ngram_jaccard_pairs(docs_df: pd.DataFrame, tau: float, k: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Exact all-pairs token-shingle Jaccard (test-scale oracle; the
+    driver SQL-checks this one; MinHash is the scale path)."""
+    def shingle_strs(text: str) -> set:
+        toks = _WORD.findall((text or "").lower())
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    ids = docs_df[id_col].to_numpy()
+    # string shingles (not crc) so the DuckDB oracle can reproduce exactly
+    sets = [shingle_strs(t) for t in docs_df[text_col].tolist()]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            if not inter:
+                continue
+            union = len(sets[i]) + len(sets[j]) - inter
+            jac = inter / union
+            if jac >= tau:
+                a, b = int(ids[i]), int(ids[j])
+                if a > b:
+                    a, b = b, a
+                rows.append({"a": a, "b": b,
+                             "jaccard_q": int(np.floor(jac * 10000 + 0.5))})
+    return (pd.DataFrame(rows, columns=["a", "b", "jaccard_q"])
+            .sort_values(["a", "b"]).reset_index(drop=True))

@@ -1,0 +1,103 @@
+"""Text analysis stages: quality scoring, language-ID heuristic,
+token counting, document fingerprinting.  All stateless vectorized
+map_batches (regexes compiled at module import = once per worker)."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WORD_RE = re.compile(r"[A-Za-z0-9_]+")       # ASCII \w+, matches RE2 '[A-Za-z0-9_]+'
+TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+LANG_MARKERS = {
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "sich", "wird"},
+    "es": {"el", "la", "los", "las", "y", "es", "no", "con", "un", "una",
+           "de", "que", "en", "por", "para", "se", "del"},
+    "en": {"the", "a", "an", "and", "is", "not", "with", "of", "to", "in",
+           "for", "on", "that", "this", "are", "it"},
+}
+_CJK = re.compile(r"[一-鿿]")
+
+
+def quality_batch(t: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-doc quality features; every formula is reproducible in SQL:
+    n_words = len(regexp_extract_all(text,'[A-Za-z0-9_]+')),
+    n_stop over lowered tokens, ratios as rounded bigints."""
+    ids, n_words, n_stop, n_chars = [], [], [], []
+    for did, text in zip(t.column(id_col).to_pylist(),
+                         t.column(text_col).to_pylist()):
+        text = text or ""
+        words = WORD_RE.findall(text)
+        low = [w.lower() for w in words]
+        ids.append(int(did))
+        n_words.append(len(words))
+        n_stop.append(sum(w in STOPWORDS for w in low))
+        n_chars.append(len(text))
+    n_words_a = np.array(n_words, dtype=np.int64)
+    n_stop_a = np.array(n_stop, dtype=np.int64)
+    stop_q = np.floor(np.where(n_words_a > 0,
+                               n_stop_a / np.maximum(n_words_a, 1), 0.0)
+                      * 10000 + 0.5).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "n_words": pa.array(n_words_a),
+        "n_stop": pa.array(n_stop_a),
+        "n_chars_py": pa.array(np.array(n_chars, dtype=np.int64)),
+        "stop_ratio_q": pa.array(stop_q),
+    })
+
+
+def langid_batch(t: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Marker-word / CJK-char heuristic language ID (rows-only check;
+    accuracy is asserted against the `lang` column in pytest)."""
+    ids, preds = [], []
+    for did, text in zip(t.column(id_col).to_pylist(),
+                         t.column(text_col).to_pylist()):
+        text = text or ""
+        ids.append(int(did))
+        if _CJK.search(text):
+            preds.append("zh")
+            continue
+        toks = [w.lower() for w in WORD_RE.findall(text)]
+        scores = {lang: sum(tk in marks for tk in toks)
+                  for lang, marks in LANG_MARKERS.items()}
+        preds.append(max(sorted(scores), key=lambda l: scores[l]))
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "pred_lang": pa.array(preds, type=pa.string()),
+    })
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 8) -> pa.Table:
+    """Winnowing-style fingerprint: min rolling-crc over token windows
+    (deterministic; rows-only check)."""
+    ids, fps = [], []
+    for did, text in zip(t.column(id_col).to_pylist(),
+                         t.column(text_col).to_pylist()):
+        toks = TOKEN_RE.findall((text or "").lower())
+        ids.append(int(did))
+        if not toks:
+            fps.append(0)
+            continue
+        hs = np.array([zlib.crc32(x.encode()) for x in toks], dtype=np.uint64)
+        if len(hs) < window:
+            fps.append(int(hs.min()))
+            continue
+        # rolling window min (vectorized via stride trick)
+        sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+        fps.append(int(sw.min(axis=1).min()))
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        "fingerprint": pa.array(fps, type=pa.uint64()),
+    })

@@ -34,6 +34,30 @@ K_DEFAULT = 10
 F32 = np.float32
 
 
+class _Prec:
+    """Precision profile: float32 = reference semantics (bm25.hpp),
+    float64 = the DuckDB-oracle-comparable mode (driver gate)."""
+
+    def __init__(self, dtw, qtw, dtype, bound_slack):
+        self.dtw, self.qtw, self.dtype = dtw, qtw, dtype
+        self.bound_slack = dtype(bound_slack)
+
+    def zero(self):
+        return self.dtype(0.0)
+
+    def bound(self, x):
+        """Upper bounds (term/block maxima) are stored as float32 of
+        float32-computed weights: exact in f32 mode, but in f64 mode the
+        stored value can round BELOW the true f64 weight — inflate so
+        pruning stays conservative."""
+        return self.dtype(x) * self.bound_slack
+
+
+P32 = _Prec(bm25.doc_term_weight, bm25.query_term_weight, np.float32, 1.0)
+P64 = _Prec(bm25.doc_term_weight_f64, bm25.query_term_weight_f64, np.float64,
+            1.0 + 1e-5)
+
+
 # ---------------------------------------------------------------------------
 # query plumbing (queries.hpp:29-33, 136-150)
 # ---------------------------------------------------------------------------
@@ -50,7 +74,8 @@ def query_freqs(terms: list) -> list[tuple]:
     return out
 
 
-def _lists(index: InvertedIndex, terms: list) -> list[tuple[PostingList, F32]]:
+def _lists(index: InvertedIndex, terms: list, prec: _Prec = P32
+           ) -> list[tuple[PostingList, F32]]:
     """(posting list, q_weight) per distinct term, ascending term order;
     unknown terms contribute empty lists (the reference never sees them:
     its queries are dense term-ids)."""
@@ -59,8 +84,8 @@ def _lists(index: InvertedIndex, terms: list) -> list[tuple[PostingList, F32]]:
         pl = index.get(term) if isinstance(term, str) else index.get_by_id(term)
         if pl is None:
             continue
-        qw = bm25.query_term_weight(mult, pl.n, index.num_docs)
-        out.append((pl, qw))
+        qw = prec.qtw(mult, pl.n, index.num_docs)
+        out.append((pl, prec.dtype(qw)))
     return out
 
 
@@ -102,7 +127,7 @@ def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
         part = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
         scores, docs = scores[part], docs[part]
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
-    return [(F32(scores[i]), int(docs[i])) for i in order]
+    return [(scores[i], int(docs[i])) for i in order]  # keep native dtype
 
 
 # ---------------------------------------------------------------------------
@@ -135,28 +160,41 @@ def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
 # ranked operators — fast term-at-a-time paths
 # ---------------------------------------------------------------------------
 
-def _union_scores(index: InvertedIndex, pls) -> tuple[np.ndarray, np.ndarray]:
-    """(docids, float32 scores) over the union, accumulation in
-    ascending-term order (bit-identical to the reference DAAT sum)."""
+def _union_scores(index: InvertedIndex, pls, prec: _Prec = P32
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, scores) over the union, accumulation in ascending-term
+    order (bit-identical to the reference DAAT sum)."""
     union = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
-    acc = np.zeros(len(union), dtype=np.float32)
+    acc = np.zeros(len(union), dtype=prec.dtype)
     for pl, qw in pls:  # _lists yields ascending term order
         idx = np.searchsorted(union, pl.docs)
-        w = bm25.doc_term_weight(pl.freqs, index.norm_lens[pl.docs])
-        acc[idx] += qw * w
+        w = prec.dtw(pl.freqs, _norms(index, prec)[pl.docs])
+        acc[idx] += (qw * w).astype(prec.dtype)
     return union, acc
 
 
-def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
-    pls = _lists(index, terms)
+def _norms(index: InvertedIndex, prec: _Prec) -> np.ndarray:
+    if prec is P32:
+        return index.norm_lens
+    nl = getattr(index, "_norm_lens64", None)
+    if nl is None:
+        nl = index.lengths / np.float64(index.avg_len or 1.0)
+        index._norm_lens64 = nl
+    return nl
+
+
+def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+              prec: _Prec = P32):
+    pls = _lists(index, terms, prec)
     if not pls:
         return []
-    union, acc = _union_scores(index, pls)
+    union, acc = _union_scores(index, pls, prec)
     return _finalize_fast(acc, union, k)
 
 
-def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
-    pls = _lists(index, terms)
+def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+               prec: _Prec = P32):
+    pls = _lists(index, terms, prec)
     if not pls or len(pls) < len(query_freqs(terms)):
         return []
     inter = pls[0][0].docs
@@ -164,11 +202,11 @@ def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
         inter = inter[np.isin(inter, pl.docs, assume_unique=True)]
     if len(inter) == 0:
         return []
-    acc = np.zeros(len(inter), dtype=np.float32)
+    acc = np.zeros(len(inter), dtype=prec.dtype)
     for pl, qw in pls:  # ascending term order accumulation
         pos = np.searchsorted(pl.docs, inter)
-        w = bm25.doc_term_weight(pl.freqs[pos], index.norm_lens[inter])
-        acc += (qw * w).astype(np.float32)
+        w = prec.dtw(pl.freqs[pos], _norms(index, prec)[inter])
+        acc += (qw * w).astype(prec.dtype)
     return _finalize_fast(acc, inter, k)
 
 
@@ -182,23 +220,25 @@ def _enum(pl: PostingList, num_docs: int) -> ArrayEnumerator:
     return e
 
 
-def ranked_or_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+def ranked_or_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+                    prec: _Prec = P32):
     """Direct port of ranked_or_query (queries.hpp:404-476) — the oracle."""
-    pls = _lists(index, terms)
+    pls = _lists(index, terms, prec)
     if not pls:
         return []
     num_docs = index.num_docs
+    norms = _norms(index, prec)
     enums = [(_enum(pl, num_docs), pl, qw) for pl, qw in pls]
     topk = TopK(k)
     cur_doc = min(e.value for e, _, _ in enums)
     while cur_doc < num_docs:
-        score = F32(0.0)
-        norm_len = index.norm_lens[cur_doc]
+        score = prec.zero()
+        norm_len = norms[cur_doc]
         next_doc = num_docs
         for e, pl, qw in enums:
             if e.value == cur_doc:
                 f = pl.freqs[e.position]
-                score = score + qw * bm25.doc_term_weight(f, norm_len)
+                score = score + qw * prec.dtw(f, norm_len)
                 e.next()
             if e.value < next_doc:
                 next_doc = e.value
@@ -207,13 +247,15 @@ def ranked_or_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
     return topk.finalize()
 
 
-def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+                     prec: _Prec = P32):
     """Port of ranked_and_query (queries.hpp:322-401): leapfrog AND with
     scoring in ascending-list-length order."""
-    pls = _lists(index, terms)
+    pls = _lists(index, terms, prec)
     if not pls or len(pls) < len(query_freqs(terms)):
         return []
     num_docs = index.num_docs
+    norms = _norms(index, prec)
     enums = [[_enum(pl, num_docs), pl, qw] for pl, qw in pls]
     enums.sort(key=lambda x: x[1].n)
     topk = TopK(k)
@@ -228,10 +270,10 @@ def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
                 break
             i += 1
         if i == len(enums):
-            norm_len = index.norm_lens[candidate]
-            score = F32(0.0)
+            norm_len = norms[candidate]
+            score = prec.zero()
             for e, pl, qw in enums:
-                score = score + qw * bm25.doc_term_weight(
+                score = score + qw * prec.dtw(
                     pl.freqs[e.position], norm_len)
             topk.insert(score, candidate)
             enums[0][0].next()
@@ -240,20 +282,22 @@ def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
     return topk.finalize()
 
 
-def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+               prec: _Prec = P32):
     """Port of wand_query (queries.hpp:200-319): docid-sorted enums,
     pivot from prefix sums of max_weight, advance + bubble."""
-    pls = _lists(index, terms)
+    pls = _lists(index, terms, prec)
     if not pls:
         return []
     num_docs = index.num_docs
-    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+    norms = _norms(index, prec)
+    enums = [[_enum(pl, num_docs), pl, qw, prec.bound(qw * pl.max_weight)]
              for pl, qw in pls]
     topk = TopK(k)
     ordered = sorted(enums, key=lambda x: x[0].value)
     while True:
         # find pivot
-        upper_bound = F32(0.0)
+        upper_bound = prec.zero()
         found_pivot = False
         pivot = 0
         for pivot in range(len(ordered)):
@@ -267,13 +311,13 @@ def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
             break
         pivot_id = ordered[pivot][0].value
         if pivot_id == ordered[0][0].value:
-            score = F32(0.0)
-            norm_len = index.norm_lens[pivot_id]
+            score = prec.zero()
+            norm_len = norms[pivot_id]
             for ent in ordered:
                 e, pl, qw, _ = ent
                 if e.value != pivot_id:
                     break
-                score = score + qw * bm25.doc_term_weight(
+                score = score + qw * prec.dtw(
                     pl.freqs[e.position], norm_len)
                 e.next()
             topk.insert(score, pivot_id)
@@ -291,16 +335,18 @@ def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
     return topk.finalize()
 
 
-def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+                   prec: _Prec = P32):
     """Port of maxscore_query (queries.hpp:478-591)."""
-    pls = _lists(index, terms)
+    pls = _lists(index, terms, prec)
     if not pls:
         return []
     num_docs = index.num_docs
-    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+    norms = _norms(index, prec)
+    enums = [[_enum(pl, num_docs), pl, qw, prec.bound(qw * pl.max_weight)]
              for pl, qw in pls]
     ordered = sorted(enums, key=lambda x: x[3])  # increasing maxscore
-    upper_bounds = np.zeros(len(ordered), dtype=np.float32)
+    upper_bounds = np.zeros(len(ordered), dtype=prec.dtype)
     upper_bounds[0] = ordered[0][3]
     for i in range(1, len(ordered)):
         upper_bounds[i] = upper_bounds[i - 1] + ordered[i][3]
@@ -309,13 +355,13 @@ def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
     non_essential = 0
     cur_doc = min(e[0].value for e in enums)
     while non_essential < len(ordered) and cur_doc < num_docs:
-        score = F32(0.0)
-        norm_len = index.norm_lens[cur_doc]
+        score = prec.zero()
+        norm_len = norms[cur_doc]
         next_doc = num_docs
         for i in range(non_essential, len(ordered)):
             e, pl, qw, _ = ordered[i]
             if e.value == cur_doc:
-                score = score + qw * bm25.doc_term_weight(
+                score = score + qw * prec.dtw(
                     pl.freqs[e.position], norm_len)
                 e.next()
             if e.value < next_doc:
@@ -326,7 +372,7 @@ def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
             e, pl, qw, _ = ordered[i]
             e.next_geq(cur_doc)
             if e.value == cur_doc:
-                score = score + qw * bm25.doc_term_weight(
+                score = score + qw * prec.dtw(
                     pl.freqs[e.position], norm_len)
         if topk.insert(score, cur_doc):
             while (non_essential < len(ordered)
@@ -336,16 +382,18 @@ def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
     return topk.finalize()
 
 
-def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
+def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+                         prec: _Prec = P32):
     """Block-Max WAND (Ding & Suel, SIGIR'11) over the per-128-block max
     scores stored at encode time — the north-star extension (reference v1
     skips blocks by max *docid* only, block_posting_list.hpp:124-146).
     Must return exactly the ranked_or top-k."""
-    pls = _lists(index, terms)
+    pls = _lists(index, terms, prec)
     if not pls:
         return []
     num_docs = index.num_docs
-    enums = [[_enum(pl, num_docs), pl, qw, F32(qw * pl.max_weight)]
+    norms = _norms(index, prec)
+    enums = [[_enum(pl, num_docs), pl, qw, prec.bound(qw * pl.max_weight)]
              for pl, qw in pls]
     topk = TopK(k)
     ordered = sorted(enums, key=lambda x: x[0].value)
@@ -355,11 +403,11 @@ def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
         pl = ent[1]
         b = int(np.searchsorted(pl.block_max_docs, docid, side="left"))
         if b >= len(pl.block_max_docs):
-            return F32(0.0)
-        return F32(ent[2] * pl.block_max_scores[b])
+            return prec.zero()
+        return prec.bound(ent[2] * pl.block_max_scores[b])
 
     while True:
-        upper_bound = F32(0.0)
+        upper_bound = prec.zero()
         found_pivot = False
         pivot = 0
         for pivot in range(len(ordered)):
@@ -372,9 +420,15 @@ def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
         if not found_pivot:
             break
         pivot_id = ordered[pivot][0].value
+        # extend the pivot over lists aligned at pivot_id (Ding & Suel):
+        # they contribute to pivot_id's real score, so the block bound
+        # must include them or the skip is unsound
+        while (pivot + 1 < len(ordered)
+               and ordered[pivot + 1][0].value == pivot_id):
+            pivot += 1
 
         # block-max refinement: tighter bound from current blocks
-        block_bound = F32(0.0)
+        block_bound = prec.zero()
         for i in range(pivot + 1):
             if ordered[i][0].value == num_docs:
                 continue
@@ -399,13 +453,13 @@ def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT):
             continue
 
         if pivot_id == ordered[0][0].value:
-            score = F32(0.0)
-            norm_len = index.norm_lens[pivot_id]
+            score = prec.zero()
+            norm_len = norms[pivot_id]
             for ent in ordered:
                 e, pl, qw, _ = ent
                 if e.value != pivot_id:
                     break
-                score = score + qw * bm25.doc_term_weight(
+                score = score + qw * prec.dtw(
                     pl.freqs[e.position], norm_len)
                 e.next()
             topk.insert(score, pivot_id)
