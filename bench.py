@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Benchmark harness for the rayfts engine (driver contract).
+
+Headline pipeline (the BASELINE.md targets):
+  1. index BUILD over the input-hint-shaped synthetic source-code corpus
+     (repo, path, commit, lang, content), sized by the scale factor of
+     ``$GRAFT_SF_DIR`` -> docs/sec throughput
+  2. BM25 top-10 query latency over a deterministic 500-query workload
+     (reference timing protocol, queries.cpp:25-60: one untimed warm-up
+     run + 2 timed runs; p50/p99 reported)
+  3. distributed query throughput via the actor-pool QueryStage
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the build twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+NUM_QUERIES = 500
+K = 10
+# ops timed with the full warmup+2-run protocol (exact conformance kernels)
+LATENCY_OPS = ["ranked_or", "wand", "maxscore", "block_max_wand"]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9]*\.?[0-9]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def _corpus_docs(sf: float) -> int:
+    # sf0.1 -> 20k docs (~20M postings: reference test-collection scale,
+    # test_collection.sizes = 10k docs / 17.7M postings)
+    return max(200, int(round(200_000 * sf)))
+
+
+def _gen_queries(index, n_queries: int = NUM_QUERIES, seed: int = 42):
+    """Deterministic Zipf-weighted query workload from the built lexicon
+    (FIXTURES.md §4: 1-6 terms, ~5% duplicate terms, ~2% unknown)."""
+    import pyarrow.parquet as pq
+
+    terms, weights = [], []
+    for s, path in sorted(index._shard_paths.items()):
+        t = pq.read_table(path, columns=["term", "n"])
+        terms.extend(t.column("term").to_pylist())
+        weights.extend(t.column("n").to_pylist())
+    terms = np.asarray(terms, dtype=object)
+    w = np.asarray(weights, dtype=np.float64)
+    p = w / w.sum()
+    rng = np.random.RandomState(seed)
+    queries = []
+    for qid in range(n_queries):
+        nt = int(rng.randint(1, 7))
+        qterms = list(terms[rng.choice(len(terms), size=nt, p=p)])
+        r = rng.rand()
+        if r < 0.05 and len(qterms) > 1:
+            qterms[-1] = qterms[0]          # duplicate term
+        elif r < 0.07:
+            qterms.append("zz_unknown_term_zz")
+        queries.append((qid, qterms))
+    return queries
+
+
+def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from rayfts import search
+    from rayfts.build import build_index
+    from rayfts.corpus import corpus_parquet
+    from rayfts.engine import run_queries
+    from rayfts.index import InvertedIndex
+
+    sf = _sf_of(sf_dir)
+    n_docs = _corpus_docs(sf)
+    src = corpus_parquet(n_docs)
+
+    stage_secs: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # ---- build (fresh dir: remove any previous shards so nothing resumes)
+    index_dir = f"/tmp/rayfts_bench/idx_n{n_docs}_c{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    meta = build_index(src, index_dir, index_type="opt")
+    build_s = time.perf_counter() - t0
+    stage_secs["build"] = round(build_s, 3)
+    extra["num_docs"] = meta["num_docs"]
+    extra["total_postings"] = meta["total_postings"]
+    extra["num_terms"] = meta["num_terms"]
+    extra["build_docs_per_sec"] = round(meta["num_docs"] / build_s, 2)
+    extra["build_postings_per_sec"] = round(meta["total_postings"] / build_s, 1)
+
+    if not build_only:
+        index = InvertedIndex(index_dir)
+        queries = _gen_queries(index)
+
+        # ---- driver-side latency protocol: 1 warm-up + 2 timed runs
+        lat = {}
+        for op in LATENCY_OPS:
+            kernel = {
+                "ranked_or": search.ranked_or_exact,
+                "wand": search.wand_exact,
+                "maxscore": search.maxscore_exact,
+                "block_max_wand": search.block_max_wand_exact,
+            }[op]
+            for _, terms in queries:          # untimed warm-up run
+                kernel(index, terms, K)
+            per_q = []
+            t0 = time.perf_counter()
+            for _ in range(2):                # 2 timed runs
+                for _, terms in queries:
+                    tq = time.perf_counter()
+                    kernel(index, terms, K)
+                    per_q.append(time.perf_counter() - tq)
+            stage_secs[op] = round(time.perf_counter() - t0, 3)
+            pq_ms = np.asarray(per_q) * 1e3
+            lat[op] = {"p50_ms": round(float(np.percentile(pq_ms, 50)), 3),
+                       "p99_ms": round(float(np.percentile(pq_ms, 99)), 3),
+                       "avg_ms": round(float(pq_ms.mean()), 3)}
+        extra["latency"] = lat
+
+        # ---- distributed query throughput (actor-pool stage)
+        conc = max(2, num_cpus // 2)
+        t0 = time.perf_counter()
+        n_rows = run_queries(index_dir, queries, op="block_max_wand", k=K,
+                             concurrency=conc).count()
+        pool_s = time.perf_counter() - t0
+        stage_secs["query_pool"] = round(pool_s, 3)
+        extra["query_pool_qps"] = round(len(queries) / pool_s, 1)
+        extra["query_pool_rows"] = int(n_rows)
+
+    result = {
+        "metric": "rayfts build+query wall sec (synthetic source-code corpus)",
+        "value": round(sum(stage_secs.values()), 3),
+        "unit": "sec",
+        "queries": stage_secs,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same build at 8 and 32 CPUs in fresh processes; efficiency =
+    (tp_32/tp_8) / (32/8)."""
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
+             "--cpus", str(cpus), "--build-only"],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["build_docs_per_sec"]
+    tp32 = results[32]["build_docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (build docs/sec, 8 vs 32 CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {"build_cpus8": results[8]["queries"]["build"],
+                    "build_cpus32": results[32]["queries"]["build"]},
+        "sf": results[32]["sf"],
+        "num_cpus": 32,
+        "throughput_docs_per_sec": {"cpus8": tp8, "cpus32": tp32},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.sf_dir):
+        print(f"error: --sf-dir {args.sf_dir!r} does not exist", file=sys.stderr)
+        sys.exit(2)
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir)
+    else:
+        result = run_single(args.sf_dir, args.cpus, build_only=args.build_only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -313,7 +313,10 @@ class _ShardEncoder:
                                   ("num_terms", "term_id_lo", "postings",
                                    "bytes")}}])
 
-        group = group.sort_values(["term", "salt"], kind="mergesort")
+        # salt is docID-range based and per-batch partials are docID-range
+        # runs, so (salt, first_doc) order makes concatenation docID-sorted
+        group = group.sort_values(["term", "salt", "first_doc"],
+                                  kind="mergesort")
         terms = group["term"].to_numpy()
         uniq_terms, starts = np.unique(terms, return_index=True)
         order = np.argsort(starts)
@@ -335,6 +338,11 @@ class _ShardEncoder:
                                    for d in doc_lists[lo:hi]])
             freqs = np.concatenate([np.asarray(f, dtype=np.int64)
                                     for f in freq_lists[lo:hi]])
+            if len(docs) > 1 and not (docs[1:] > docs[:-1]).all():
+                # partials interleaved (e.g. input batches not doc-range
+                # contiguous): stable merge by docID
+                mo = np.argsort(docs, kind="stable")
+                docs, freqs = docs[mo], freqs[mo]
             assert (np.diff(docs) > 0).all(), "salted merge broke docID order"
             db, fb = encode_posting_list(self.index_type, docs, freqs,
                                          self.num_docs)
@@ -419,48 +427,61 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
     salt_ref = ray.put(salt_map)
     bnd_arr = np.array(bnd, dtype=object)
 
-    def add_salt_bucket(t: pa.Table) -> pa.Table:
+    def combine_partials(t: pa.Table) -> pa.Table:
+        """Vectorized per-batch combiner (the map-side combine before the
+        one shuffle): token rows -> per-(term, salt) docID-sorted partial
+        posting lists.  This is what keeps the groupby("bucket") exchange
+        small — lists, not token rows, cross the wire — and what bounds a
+        hot term's shuffle unit (salt = docID-range split)."""
         terms = t.column("term").to_numpy(zero_copy_only=False)
         doc_ids = t.column("doc_id").to_numpy()
+        tfs = t.column("tf").to_numpy()
+        if len(terms) == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "salt": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.int64()),
+                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                "freqs": pa.array([], type=pa.list_(pa.int64()))})
         smap = ray.get(salt_ref)
         salts = np.zeros(len(terms), dtype=np.int64)
         if smap:
             s = pd.Series(terms).map(smap).fillna(0).to_numpy(dtype=np.int64)
-            hot = s > 0
-            if hot.any():
-                salts[hot] = (doc_ids[hot] * s[hot]) // max(1, num_docs)
-        bucket = (np.searchsorted(bnd_arr, terms, side="right")
-                  if len(bnd_arr) else np.zeros(len(terms), dtype=np.int64))
-        return (t.append_column("salt", pa.array(salts, type=pa.int64()))
-                 .append_column("bucket", pa.array(bucket, type=pa.int64())))
+            hot_rows = s > 0
+            if hot_rows.any():
+                salts[hot_rows] = (doc_ids[hot_rows] * s[hot_rows]) // max(1, num_docs)
+        order = np.lexsort((doc_ids, salts, terms))
+        terms, salts, doc_ids, tfs = (terms[order], salts[order],
+                                      doc_ids[order], tfs[order])
+        new = np.empty(len(terms), dtype=bool)
+        new[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=new[1:])
+        np.logical_or(new[1:], salts[1:] != salts[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, len(terms)).astype(np.int32)
+        g_terms = terms[starts]
+        bucket = (np.searchsorted(bnd_arr, g_terms, side="right")
+                  if len(bnd_arr) else np.zeros(len(starts), dtype=np.int64))
+        return pa.table({
+            "term": pa.array(g_terms, type=pa.string()),
+            "salt": pa.array(salts[starts], type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
+            "doc_ids": pa.ListArray.from_arrays(
+                offsets, pa.array(doc_ids, type=pa.int64())),
+            "freqs": pa.ListArray.from_arrays(
+                offsets, pa.array(tfs, type=pa.int64())),
+        })
 
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                              columns=["term", "doc_id", "tf"])
-
-    def partial_list(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "term": pd.Series([], dtype=str),
-                "salt": pd.Series([], dtype=np.int64),
-                "bucket": pd.Series([], dtype=np.int64),
-                "doc_ids": pd.Series([], dtype=object),
-                "freqs": pd.Series([], dtype=object)})
-        g = g.sort_values("doc_id", kind="mergesort")
-        return pd.DataFrame([{
-            "term": g["term"].iloc[0],
-            "salt": int(g["salt"].iloc[0]),
-            "bucket": int(g["bucket"].iloc[0]),
-            "doc_ids": g["doc_id"].to_numpy(dtype=np.int64),
-            "freqs": g["tf"].to_numpy(dtype=np.int64),
-        }])
 
     offsets_ref = ray.put(offsets)
     norm_ref = ray.put((norm_lens).astype(np.float32))
 
     manifest = (
-        tokens.map_batches(add_salt_bucket, batch_format="pyarrow")
-        .groupby(["term", "salt"])
-        .map_groups(partial_list, batch_format="pandas")
+        tokens.map_batches(combine_partials, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_named(_ShardEncoder(index_dir, index_type, num_docs,
                                          offsets_ref, norm_ref),

@@ -1,0 +1,108 @@
+/* Native kernel for the optimal-partition DP (optimal_partition.hpp:13-122
+ * semantics; cost model = indexed_sequence best-of EF / ranked-bitvector /
+ * all-ones, matching rayfts/codecs/partitioned.py:_cost_fns exactly).
+ *
+ * Compiled lazily by rayfts/codecs/nativelib.py with the system C compiler;
+ * the pure-Python DP in partitioned.py is the fallback and the semantic
+ * reference — outputs must be bit-identical.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef int64_t i64;
+
+static inline int floor_log2_u(i64 x) {
+    /* x > 0 */
+    int r = 63 - __builtin_clzll((unsigned long long)x);
+    return r;
+}
+
+static inline int ceil_log2_u(i64 x) {
+    /* ceil(log2(x)), ceil_log2(1) == 0 (util.hpp:30-33) */
+    if (x <= 1) return 0;
+    return 64 - __builtin_clzll((unsigned long long)(x - 1));
+}
+
+typedef struct {
+    int s0;           /* ef_log_sampling0 (after strict() adjustment) */
+    int s1;           /* ef_log_sampling1 */
+    int rs;           /* rb_log_rank1_sampling (after strict() adjustment) */
+    int rs1;          /* rb_log_sampling1 */
+    int strict_shift; /* 1 for the strict/positive ("strict") base */
+    i64 fix_cost;
+} cost_params;
+
+static inline i64 ef_cost(const cost_params *cp, i64 u, i64 n) {
+    if (cp->strict_shift) u = u - n + 1;
+    int l = (u > n) ? floor_log2_u(u / n) : 0;
+    i64 hbl = n + (u >> l) + 2;
+    i64 ps = ceil_log2_u(hbl);
+    return (((hbl - n) >> cp->s0) + (n >> cp->s1)) * ps + hbl + n * l;
+}
+
+static inline i64 rb_cost(const cost_params *cp, i64 u, i64 n) {
+    return (u >> cp->rs) * (i64)ceil_log2_u(n + 1)
+         + (n >> cp->rs1) * (i64)ceil_log2_u(u)
+         + u;
+}
+
+static inline i64 cost(const cost_params *cp, i64 u, i64 n) {
+    if (u == n) return cp->fix_cost; /* all-ones: 0 bits + fix */
+    i64 e = ef_cost(cp, u, n);
+    i64 r = rb_cost(cp, u, n);
+    return ((e < r) ? e : r) + 1 + cp->fix_cost;
+}
+
+/* Mirrors partitioned.py:optimal_partition.  vals: strictly-increasing
+ * int64 values; path_out: size+1 entries; returns min_cost[size].
+ * eps arithmetic is done in double exactly as the Python version. */
+i64 optimal_partition_dp(const i64 *vals, i64 size, i64 universe,
+                         double eps1, double eps2,
+                         int s0, int s1, int rs, int rs1,
+                         int strict_shift, i64 fix_cost,
+                         i64 *path_out, i64 *min_cost_buf) {
+    cost_params cp = {s0, s1, rs, rs1, strict_shift, fix_cost};
+    i64 single_block_cost = cost(&cp, universe, size);
+    i64 *min_cost = min_cost_buf;
+    for (i64 j = 0; j <= size; j++) min_cost[j] = single_block_cost;
+    min_cost[0] = 0;
+
+    i64 cost_lb = cost(&cp, 1, 1);
+    double bounds[128];
+    int nb = 0;
+    double cost_bound = (double)cost_lb;
+    while (eps1 == 0.0 || cost_bound < (double)cost_lb / eps1) {
+        bounds[nb++] = cost_bound;
+        if (cost_bound >= (double)single_block_cost) break;
+        cost_bound = cost_bound * (1.0 + eps2);
+        if (nb >= 127) break;
+    }
+
+    i64 ends[128];
+    for (int w = 0; w < nb; w++) ends[w] = 0;
+
+    memset(path_out, 0, (size_t)(size + 1) * sizeof(i64));
+    i64 v0 = vals[0];
+    for (i64 i = 0; i < size; i++) {
+        i64 last_end = i + 1;
+        i64 mc_i = min_cost[i];
+        i64 min_p = (i == 0) ? v0 : vals[i - 1] + 1;
+        for (int w = 0; w < nb; w++) {
+            i64 end = ends[w];
+            if (end < last_end) end = last_end;
+            for (;;) {
+                i64 wc = cost(&cp, vals[end - 1] - min_p + 1, end - i);
+                if (mc_i + wc < min_cost[end]) {
+                    min_cost[end] = mc_i + wc;
+                    path_out[end] = i;
+                }
+                last_end = end;
+                if (end == size || (double)wc >= bounds[w]) break;
+                end++;
+            }
+            ends[w] = end;
+        }
+    }
+    return min_cost[size];
+}

@@ -1,0 +1,94 @@
+"""Lazy ctypes build/load of the native optimal-partition DP kernel.
+
+The C source (native.c) is compiled once per machine with the system C
+compiler into a content-addressed shared object under ``/tmp`` (atomic
+rename, so concurrent Ray workers race benignly).  Anything failing —
+no compiler, sandboxed exec, load error — degrades silently to the
+pure-Python DP in :mod:`rayfts.codecs.partitioned`, which is the
+semantic reference; the native path must produce bit-identical output
+(cross-checked in tests/test_sequences.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native.c")
+_lib = None
+_tried = False
+
+
+def _build_and_load():
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"rayfts_native_{tag}.so")
+    if not os.path.exists(so_path):
+        tmp = f"{so_path}.{os.getpid()}.tmp"
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    capture_output=True, timeout=120)
+                if r.returncode == 0:
+                    os.replace(tmp, so_path)
+                    break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(so_path)
+    fn = lib.optimal_partition_dp
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    return fn
+
+
+def native_dp():
+    """The compiled DP entry point, or None if unavailable."""
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        try:
+            _lib = _build_and_load()
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def optimal_partition_native(values: np.ndarray, universe: int,
+                             eps1: float, eps2: float,
+                             s0: int, s1: int, rs: int, rs1: int,
+                             strict_shift: bool, fix_cost: int):
+    """Run the native DP; returns (partition, cost) or None if no lib."""
+    fn = native_dp()
+    if fn is None:
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    size = len(vals)
+    path = np.zeros(size + 1, dtype=np.int64)
+    scratch = np.empty(size + 1, dtype=np.int64)
+    c = fn(vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           size, universe, eps1, eps2, s0, s1, rs, rs1,
+           1 if strict_shift else 0, fix_cost,
+           path.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+           scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    partition = []
+    curr = size
+    while curr != 0:
+        partition.append(curr)
+        curr = int(path[curr])
+    partition.reverse()
+    return partition, int(c)

@@ -201,12 +201,25 @@ def pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
               params: GlobalParameters = PARAMS,
               config: BuildConfig = CONFIG, base: str = "indexed") -> None:
     assert n > 0
-    cost_fun_base = _cost_fns(params, base)
-    fix = config.fix_cost
     values = np.asarray(values, dtype=np.int64)
-    partition, _ = optimal_partition(
-        values, universe, lambda u, m: cost_fun_base(u, m) + fix,
-        config.eps1, config.eps2)
+    partition = None
+    # fast path: native DP specialized to the standard indexed/strict cost
+    # model (bit-identical to the Python DP below; see nativelib.py)
+    from .nativelib import optimal_partition_native
+    p = params.strict() if base == "strict" else params
+    res = optimal_partition_native(
+        values, universe, config.eps1, config.eps2,
+        p.ef_log_sampling0, p.ef_log_sampling1,
+        p.rb_log_rank1_sampling, p.rb_log_sampling1,
+        base == "strict", config.fix_cost)
+    if res is not None:
+        partition = res[0]
+    else:
+        cost_fun_base = _cost_fns(params, base)
+        fix = config.fix_cost
+        partition, _ = optimal_partition(
+            values, universe, lambda u, m: cost_fun_base(u, m) + fix,
+            config.eps1, config.eps2)
     _write_with_partition(bw, values, universe, n, partition, params, True, base)
 
 

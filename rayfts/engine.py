@@ -1,0 +1,113 @@
+"""Distributed query execution: a stateful actor-pool `map_batches` stage
+over a query Dataset (SURVEY.md §3.3).
+
+Mirrors the reference's multi-threaded query driver
+(profile_queries.cpp:21-40: queries striped across hardware threads, each
+thread owning its enumerators and top-k heap) in Ray Data terms: actors
+load the index shards + wand sidecar once in ``__init__`` and stream
+query batches through ``__call__``, emitting
+``(query_id, rank, doc_id, score)`` rows.
+
+The per-query kernels are the conformance-exact ports in
+:mod:`rayfts.search` (queries.hpp:35-591 semantics; block_max_wand is the
+north-star extension).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from . import search
+from .index import InvertedIndex
+
+#: op name (queries.cpp:97-121 colon-split names) -> exact kernel
+RANKED_OPS = {
+    "ranked_or": search.ranked_or_exact,
+    "ranked_and": search.ranked_and_exact,
+    "wand": search.wand_exact,
+    "maxscore": search.maxscore_exact,
+    "block_max_wand": search.block_max_wand_exact,
+}
+BOOL_OPS = {
+    "and": search.and_query,
+    "or": search.or_query,
+}
+#: fast vectorized term-at-a-time variants (same results, used when
+#: conformance-exact control flow is not required)
+FAST_OPS = {
+    "ranked_or": search.ranked_or,
+    "ranked_and": search.ranked_and,
+}
+
+
+class QueryStage:
+    """Callable class for ``map_batches(QueryStage, concurrency=N, ...)``.
+
+    The index is loaded once per actor (lexicon + wand sidecar; posting
+    lists decode lazily and stay in the actor's list cache), never per
+    batch.
+    """
+
+    def __init__(self, index_dir: str, op: str = "block_max_wand",
+                 k: int = 10, exact: bool = True):
+        self.index = InvertedIndex(index_dir)
+        self.op_name = op
+        self.k = k
+        if op in BOOL_OPS:
+            self.kernel = BOOL_OPS[op]
+            self.ranked = False
+        else:
+            table = RANKED_OPS if exact else {**RANKED_OPS, **FAST_OPS}
+            self.kernel = table[op]
+            self.ranked = True
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, terms in zip(batch["query_id"], batch["terms"]):
+            terms = list(terms)
+            if self.ranked:
+                for rank, (score, docid) in enumerate(
+                        self.kernel(self.index, terms, self.k)):
+                    qids.append(qid)
+                    ranks.append(rank)
+                    docs.append(docid)
+                    scores.append(score)
+            else:
+                for docid in self.kernel(self.index, terms):
+                    qids.append(qid)
+                    ranks.append(0)
+                    docs.append(docid)
+                    scores.append(np.float32(0))
+        return pd.DataFrame({
+            "query_id": np.asarray(qids, dtype=np.int64),
+            "rank": np.asarray(ranks, dtype=np.int64),
+            "doc_id": np.asarray(docs, dtype=np.int64),
+            "score": np.asarray(scores, dtype=np.float32),
+        })
+
+
+def queries_dataset(queries: list[tuple[int, list[str]]],
+                    parallelism: int = 8) -> rd.Dataset:
+    """Small driver-side query list -> Dataset of (query_id, terms)."""
+    rows = [{"query_id": int(q), "terms": list(t)} for q, t in queries]
+    return rd.from_items(rows).repartition(min(parallelism, max(1, len(rows))))
+
+
+def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
+                op: str = "block_max_wand", k: int = 10,
+                concurrency: int = 4, batch_size: int = 16,
+                exact: bool = True) -> rd.Dataset:
+    """Distributed top-k over the query workload; returns the result
+    Dataset of ``(query_id, rank, doc_id, score)``."""
+    ds = queries_dataset(queries, parallelism=concurrency * 2)
+    return ds.map_batches(
+        QueryStage,
+        fn_constructor_kwargs={"index_dir": index_dir, "op": op, "k": k,
+                               "exact": exact},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pandas",
+    )
