@@ -113,6 +113,14 @@ def _bucket_offsets(ds_with_bucket: rd.Dataset, num_buckets: int) -> np.ndarray:
     return offsets
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet footers — no data scan."""
+    if os.path.isdir(path):
+        return sum(_parquet_num_rows(os.path.join(path, f))
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # stage 1: docs checkpoint with dense docIDs
 # ---------------------------------------------------------------------------
@@ -139,8 +147,12 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         source_path,
         columns=[("doc_id" if c == "src_doc_id" else c) for c in key_cols],
     ).map_batches(_rename, batch_format="pyarrow")
-    num_docs = keys_ds.count()
-    num_buckets = max(1, min(256, num_docs // 65536 + 1))
+    num_docs = _parquet_num_rows(source_path)
+    # enough buckets that the assign/sha256 stage (and every downstream
+    # read of <index>/docs, which inherits this file count) parallelizes
+    # across the cluster; ~64k docs per bucket at large scale
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_buckets = max(1, min(num_docs, max(num_docs // 65536 + 1, 2 * cpus)))
 
     def _keystr(col: pd.Series) -> pd.Series:
         # zero-pad integers so string order == numeric order
@@ -170,27 +182,81 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
 
     keyed = keys_ds.map_batches(add_bucket, batch_format="pyarrow")
     offsets = _bucket_offsets(keyed, len(boundaries) + 1)
-    offsets_ref = ray.put(offsets)
 
-    full = (rd.read_parquet(source_path)
-            .map_batches(_rename, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow"))
+    # keys-only shuffle: per-bucket sorted key files (the docID map).
+    # The CONTENT never shuffles — at corpus scale that's the difference
+    # between moving ~100 TB through the object store and moving only the
+    # key column (<0.1%).  doc_id = bucket offset + rank of sortkey within
+    # its bucket; requires (repo, path, commit) uniqueness, asserted here.
+    map_dir = os.path.join(index_dir, "docidmap")
+    os.makedirs(map_dir, exist_ok=True)
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_keys(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
-            return group.drop(columns=["sortkey", "bucket"])
-        offs = ray.get(offsets_ref)
-        group = group.sort_values("sortkey", kind="mergesort")
-        base = int(offs[int(group["bucket"].iloc[0])])
-        group = group.drop(columns=["sortkey", "bucket"])
-        group.insert(0, "doc_id", base + np.arange(len(group), dtype=np.int64))
-        return group
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        b = int(group["bucket"].iloc[0])
+        sk = np.sort(group["sortkey"].to_numpy())
+        if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
+            dup = sk[1:][sk[1:] == sk[:-1]][0]
+            raise ValueError(
+                f"duplicate document key {dup!r}: docID assignment "
+                f"requires unique {key_cols}")
+        path = os.path.join(map_dir, f"map_{b:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"sortkey": pa.array(sk, type=pa.string())}),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame([{"bucket": b, "n": len(sk)}])
 
-    out = (
-        full.groupby("bucket")
-        .map_groups(assign, batch_format="pandas")
-        .map_batches(lambda t: sha256_batch(t, text_col), batch_format="pyarrow")
-    )
+    keyed.groupby("bucket").map_groups(
+        bucket_keys, batch_format="pandas").take_all()
+
+    # content pass: pure map (stateful actor pool caches bucket key
+    # arrays; source rows are usually key-clustered so each batch touches
+    # few buckets)
+    class _DocIdAssigner:
+        def __init__(self, map_dir: str, boundaries: list,
+                     offsets: np.ndarray, text_col: str):
+            self.map_dir = map_dir
+            self.boundaries = boundaries
+            self.offsets = offsets
+            self.text_col = text_col
+            self._maps: dict[int, np.ndarray] = {}
+
+        def _map_for(self, b: int) -> np.ndarray:
+            m = self._maps.get(b)
+            if m is None:
+                m = pq.read_table(
+                    os.path.join(self.map_dir, f"map_{b:05d}.parquet")
+                ).column("sortkey").to_numpy(zero_copy_only=False)
+                self._maps[b] = m
+            return m
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = add_sortkey(t)
+            sk = t.column("sortkey").to_pandas()
+            buckets = _bucket_of(sk, self.boundaries)
+            sk = sk.to_numpy()
+            doc_ids = np.empty(len(sk), dtype=np.int64)
+            for b in np.unique(buckets):
+                sel = buckets == b
+                keys = self._map_for(int(b))
+                pos = np.searchsorted(keys, sk[sel])
+                doc_ids[sel] = self.offsets[int(b)] + pos
+            t = t.drop_columns(["sortkey"])
+            t = t.add_column(0, "doc_id", pa.array(doc_ids, type=pa.int64()))
+            return sha256_batch(t, self.text_col)
+
+    out = (rd.read_parquet(source_path)
+           .map_batches(_rename, batch_format="pyarrow")
+           .map_batches(
+               _DocIdAssigner,
+               fn_constructor_kwargs={
+                   "map_dir": map_dir, "boundaries": boundaries,
+                   "offsets": offsets, "text_col": text_col},
+               concurrency=(1, max(2, cpus)),
+               batch_format="pyarrow"))
     tmp = docs_dir + ".tmp"
     if os.path.exists(tmp):
         import shutil

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -35,24 +34,37 @@ def tokenize_batch(batch: pa.Table, text_col: str = "content",
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
 
-    terms: list[str] = []
-    doc_ids: list[int] = []
-    tfs: list[int] = []
-    lens: list[int] = []
-    for did, text in zip(ids, texts):
-        toks = tokenize_text(text or "")
-        counts = Counter(toks)
-        n = len(counts)
-        terms.extend(counts.keys())
-        tfs.extend(counts.values())
-        doc_ids.extend([int(did)] * n)
-        lens.extend([len(toks)] * n)
+    # one flat token stream for the whole batch, then a single vectorized
+    # (doc, term) group-count — no per-doc Counter objects
+    all_toks: list[str] = []
+    doc_of: list[np.ndarray] = []
+    doc_lens = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = TOKEN_RE.findall((text or "").lower())
+        doc_lens[i] = len(toks)
+        all_toks.extend(toks)
+    tok_arr = np.asarray(all_toks, dtype=object)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doc_lens)
+
+    if len(tok_arr):
+        # factorize terms, then count unique (doc, term_code) pairs
+        uniq, codes = np.unique(tok_arr, return_inverse=True)
+        pair = doc_idx * len(uniq) + codes
+        pair_u, tf = np.unique(pair, return_counts=True)
+        out_doc = ids[pair_u // len(uniq)].astype(np.int64)
+        out_term = uniq[pair_u % len(uniq)]
+        out_len = doc_lens[pair_u // len(uniq)]
+    else:
+        out_doc = np.empty(0, dtype=np.int64)
+        out_term = np.empty(0, dtype=object)
+        tf = np.empty(0, dtype=np.int64)
+        out_len = np.empty(0, dtype=np.int64)
 
     return pa.table({
-        "term": pa.array(terms, type=pa.string()),
-        "doc_id": pa.array(doc_ids, type=pa.int64()),
-        "tf": pa.array(tfs, type=pa.int64()),
-        "doc_len": pa.array(lens, type=pa.int64()),
+        "term": pa.array(out_term, type=pa.string()),
+        "doc_id": pa.array(out_doc, type=pa.int64()),
+        "tf": pa.array(tf, type=pa.int64()),
+        "doc_len": pa.array(out_len, type=pa.int64()),
     })
 
 
