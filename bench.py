@@ -117,13 +117,15 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
         queries = _gen_queries(index)
 
         # ---- driver-side latency protocol: 1 warm-up + 2 timed runs
+        # (serving kernels: native C DAAT, result-identical to the exact
+        # Python conformance ports — enforced in tests)
         lat = {}
         for op in LATENCY_OPS:
             kernel = {
-                "ranked_or": search.ranked_or_exact,
-                "wand": search.wand_exact,
-                "maxscore": search.maxscore_exact,
-                "block_max_wand": search.block_max_wand_exact,
+                "ranked_or": search.ranked_or_fast,
+                "wand": search.wand_fast,
+                "maxscore": search.maxscore_fast,
+                "block_max_wand": search.block_max_wand_fast,
             }[op]
             for _, terms in queries:          # untimed warm-up run
                 kernel(index, terms, K)

@@ -1,0 +1,149 @@
+"""CLI entry points — the create_freq_index / create_wand_data / queries
+drivers re-expressed as one `ray job submit`-able module.
+
+    # build (create_freq_index + create_wand_data in one pipeline)
+    ray job submit --working-dir . -- \
+        python -m rayfts.cli build --input corpus.parquet --output /idx \
+        --index-type opt
+
+    # verify (the --check pass, verify_collection.hpp:9-54)
+    python -m rayfts.cli verify --index /idx
+
+    # queries (ops colon-separated as in queries.cpp:97-121)
+    python -m rayfts.cli query --index /idx --ops wand:maxscore:block_max_wand \
+        --queries queries.tsv -k 10
+
+queries.tsv: one query per line, whitespace-separated terms (the
+reference's stdin format, queries.hpp:15-27, with terms instead of
+term-ids — our lexicon maps them).
+
+This module OWNS the Ray session (guarded init; library code never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"
+                                        if os.environ.get("RAY_JOB_ID")
+                                        else "local"), **kwargs)
+
+
+def cmd_build(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .build import build_index
+    t0 = time.perf_counter()
+    meta = build_index(args.input, args.output, index_type=args.index_type,
+                       key_cols=args.key_cols.split(",") if args.key_cols else None,
+                       text_col=args.text_col,
+                       salt_threshold=args.salt_threshold,
+                       num_shards=args.num_shards)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "event": "build_done", "construction_time": round(dt, 3),
+        "num_docs": meta["num_docs"], "num_terms": meta["num_terms"],
+        "total_postings": meta["total_postings"],
+        "docs_per_sec": round(meta["num_docs"] / dt, 2),
+        "index_type": meta["index_type"],
+    }))
+    if args.check:
+        from .verify import verify_index
+        res = verify_index(args.output)
+        print(json.dumps({"event": "verify_done", **{
+            "terms_checked": res["terms_checked"],
+            "mismatches": len(res["mismatches"])}}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .verify import verify_index
+    res = verify_index(args.index, sample_terms=args.sample_terms)
+    print(json.dumps({"event": "verify_done",
+                      "terms_checked": res["terms_checked"],
+                      "mismatches": len(res["mismatches"])}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .engine import BOOL_OPS, RANKED_OPS, run_queries
+
+    with (open(args.queries) if args.queries != "-" else sys.stdin) as f:
+        queries = [(i, line.split()) for i, line in
+                   enumerate(l.strip() for l in f) if line]
+
+    for op in args.ops.split(":"):
+        if op not in RANKED_OPS and op not in BOOL_OPS:
+            print(f"unknown op {op!r}; known: "
+                  f"{':'.join([*BOOL_OPS, *RANKED_OPS])}", file=sys.stderr)
+            return 2
+        t0 = time.perf_counter()
+        ds = run_queries(args.index, queries, op=op, k=args.k,
+                         concurrency=args.concurrency)
+        if args.output:
+            out = os.path.join(args.output, op)
+            ds.write_parquet(out)
+            n = None
+        else:
+            n = ds.count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"event": "query_done", "op": op,
+                          "queries": len(queries), "k": args.k,
+                          "rows": n, "wall_sec": round(dt, 3),
+                          "qps": round(len(queries) / dt, 1)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    ap = argparse.ArgumentParser(prog="rayfts")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", parents=[common])
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--index-type", default="opt")
+    b.add_argument("--key-cols", default=None,
+                   help="comma-separated; default repo,path,commit")
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--salt-threshold", type=int, default=1 << 17)
+    b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--check", action="store_true",
+                   help="verify the index after building (--check parity)")
+    b.set_defaults(fn=cmd_build)
+
+    v = sub.add_parser("verify", parents=[common])
+    v.add_argument("--index", required=True)
+    v.add_argument("--sample-terms", type=int, default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    q = sub.add_parser("query", parents=[common])
+    q.add_argument("--index", required=True)
+    q.add_argument("--ops", default="block_max_wand")
+    q.add_argument("--queries", default="-")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--concurrency", type=int, default=4)
+    q.add_argument("--output", default=None,
+                   help="write (query_id, rank, doc_id, score) parquet here")
+    q.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -106,3 +106,328 @@ i64 optimal_partition_dp(const i64 *vals, i64 size, i64 universe,
     }
     return min_cost[size];
 }
+
+/* ======================================================================
+ * Native DAAT top-k query kernels (wand / maxscore / block-max-wand /
+ * ranked_or / ranked_and), float32-exact mirrors of the Python ports in
+ * rayfts/search.py (themselves ports of queries.hpp:200-591).  Compile
+ * with -ffp-contract=off so float arithmetic matches numpy float32
+ * op-for-op.  Python remains the semantic reference; parity is enforced
+ * in tests.
+ * ====================================================================== */
+
+#define BM25_K1 1.2f
+#define BM25_B  0.5f
+
+static inline float dtw_f32(float f, float nl) {
+    /* f / (f + k1*((1-b) + b*nl)) with numpy's evaluation order */
+    return f / (f + BM25_K1 * ((1.0f - BM25_B) + BM25_B * nl));
+}
+
+/* ---- top-k heap: min-key (score asc, docid desc), matching TopK ---- */
+
+typedef struct { float score; i64 doc; } hent;
+
+static inline int hless(hent a, hent b) {
+    if (a.score != b.score) return a.score < b.score;
+    return a.doc > b.doc; /* (score, -doc) tuple order */
+}
+
+typedef struct { hent *h; int n; int k; } topk_t;
+
+static inline float topk_threshold(const topk_t *t) {
+    return (t->n >= t->k) ? t->h[0].score : -__builtin_inff();
+}
+
+static inline int topk_would_enter(const topk_t *t, float s) {
+    return t->n < t->k || s > t->h[0].score;
+}
+
+static void heap_sift_down(hent *h, int n, int i) {
+    for (;;) {
+        int l = 2 * i + 1, r = 2 * i + 2, m = i;
+        if (l < n && hless(h[l], h[m])) m = l;
+        if (r < n && hless(h[r], h[m])) m = r;
+        if (m == i) break;
+        hent tmp = h[i]; h[i] = h[m]; h[m] = tmp;
+        i = m;
+    }
+}
+
+static int topk_insert(topk_t *t, float s, i64 doc) {
+    if (t->n < t->k) {
+        int i = t->n++;
+        t->h[i].score = s; t->h[i].doc = doc;
+        while (i > 0) {
+            int p = (i - 1) / 2;
+            if (hless(t->h[i], t->h[p])) {
+                hent tmp = t->h[i]; t->h[i] = t->h[p]; t->h[p] = tmp;
+                i = p;
+            } else break;
+        }
+        return 1;
+    }
+    if (s > t->h[0].score) {
+        t->h[0].score = s; t->h[0].doc = doc;
+        heap_sift_down(t->h, t->n, 0);
+        return 1;
+    }
+    return 0;
+}
+
+/* ---- enumerator over a decoded docs array ---- */
+
+typedef struct {
+    const i64 *docs; const i64 *freqs; i64 n;
+    i64 pos; i64 value; /* value == num_docs when exhausted */
+    float qw; float bound; /* qw * max_weight (f32) */
+    const i64 *bmax_docs; const float *bmax_scores; i64 nblocks;
+} plenum;
+
+static inline void enum_at(plenum *e, i64 pos, i64 num_docs) {
+    e->pos = pos;
+    e->value = (pos < e->n) ? e->docs[pos] : num_docs;
+}
+
+static inline void enum_next(plenum *e, i64 num_docs) {
+    i64 p = e->pos + 1;
+    if (p > e->n) p = e->n;
+    enum_at(e, p, num_docs);
+}
+
+static inline i64 lower_bound_i64(const i64 *a, i64 n, i64 key) {
+    i64 lo = 0, hi = n;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (a[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+static inline void enum_next_geq(plenum *e, i64 lb, i64 num_docs) {
+    enum_at(e, lower_bound_i64(e->docs, e->n, lb), num_docs);
+}
+
+static void sort_by_value(plenum **ord, int L) {
+    /* insertion sort: L is tiny (#query terms) */
+    for (int i = 1; i < L; i++) {
+        plenum *x = ord[i];
+        int j = i - 1;
+        while (j >= 0 && ord[j]->value > x->value) { ord[j + 1] = ord[j]; j--; }
+        ord[j + 1] = x;
+    }
+}
+
+#define MAX_LISTS 64
+
+static int finalize(topk_t *t, float *out_scores, i64 *out_docs) {
+    /* sort retained set by (score desc, doc asc) */
+    int n = t->n;
+    for (int i = 1; i < n; i++) {
+        hent x = t->h[i];
+        int j = i - 1;
+        while (j >= 0 && (t->h[j].score < x.score ||
+                          (t->h[j].score == x.score && t->h[j].doc > x.doc))) {
+            t->h[j + 1] = t->h[j]; j--;
+        }
+        t->h[j + 1] = x;
+    }
+    for (int i = 0; i < n; i++) {
+        out_scores[i] = t->h[i].score;
+        out_docs[i] = t->h[i].doc;
+    }
+    return n;
+}
+
+/* op: 0=ranked_or, 1=ranked_and, 2=wand, 3=maxscore, 4=block_max_wand */
+int topk_query(int op, int L,
+               const i64 **docs, const i64 **freqs, const i64 *ns,
+               const float *qws, const float *bounds,
+               const i64 **bmax_docs, const float **bmax_scores,
+               const i64 *nblocks,
+               const float *norms, i64 num_docs, int k,
+               float *out_scores, i64 *out_docs) {
+    if (L <= 0 || L > MAX_LISTS || k <= 0 || k > 1024) return -1;
+    plenum en[MAX_LISTS];
+    plenum *ord[MAX_LISTS];
+    hent heap[1024];
+    topk_t t = {heap, 0, k};
+    for (int i = 0; i < L; i++) {
+        en[i].docs = docs[i]; en[i].freqs = freqs[i]; en[i].n = ns[i];
+        en[i].qw = qws[i]; en[i].bound = bounds[i];
+        en[i].bmax_docs = bmax_docs ? bmax_docs[i] : 0;
+        en[i].bmax_scores = bmax_scores ? bmax_scores[i] : 0;
+        en[i].nblocks = nblocks ? nblocks[i] : 0;
+        enum_at(&en[i], 0, num_docs);
+        ord[i] = &en[i];
+    }
+
+    if (op == 0) { /* ranked_or_exact: lists stay in ascending-term order */
+        i64 cur = num_docs;
+        for (int i = 0; i < L; i++) if (en[i].value < cur) cur = en[i].value;
+        while (cur < num_docs) {
+            float score = 0.0f;
+            float nl = norms[cur];
+            i64 next = num_docs;
+            for (int i = 0; i < L; i++) {
+                if (en[i].value == cur) {
+                    score = score + en[i].qw *
+                        dtw_f32((float)en[i].freqs[en[i].pos], nl);
+                    enum_next(&en[i], num_docs);
+                }
+                if (en[i].value < next) next = en[i].value;
+            }
+            topk_insert(&t, score, cur);
+            cur = next;
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    if (op == 1) { /* ranked_and_exact: sort by length, leapfrog */
+        /* insertion sort by n ascending (stable) */
+        for (int i = 1; i < L; i++) {
+            plenum *x = ord[i]; int j = i - 1;
+            while (j >= 0 && ord[j]->n > x->n) { ord[j + 1] = ord[j]; j--; }
+            ord[j + 1] = x;
+        }
+        i64 candidate = ord[0]->value;
+        while (candidate < num_docs) {
+            int i = 1;
+            for (; i < L; i++) {
+                enum_next_geq(ord[i], candidate, num_docs);
+                if (ord[i]->value != candidate) {
+                    candidate = ord[i]->value;
+                    enum_next_geq(ord[0], candidate, num_docs);
+                    candidate = ord[0]->value;
+                    break;
+                }
+            }
+            if (i == L) {
+                float score = 0.0f;
+                float nl = norms[candidate];
+                for (int j = 0; j < L; j++)
+                    score = score + ord[j]->qw *
+                        dtw_f32((float)ord[j]->freqs[ord[j]->pos], nl);
+                topk_insert(&t, score, candidate);
+                enum_next(ord[0], num_docs);
+                candidate = ord[0]->value;
+            }
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    if (op == 3) { /* maxscore_exact */
+        /* sort by bound ascending (stable) */
+        for (int i = 1; i < L; i++) {
+            plenum *x = ord[i]; int j = i - 1;
+            while (j >= 0 && ord[j]->bound > x->bound) { ord[j+1] = ord[j]; j--; }
+            ord[j + 1] = x;
+        }
+        float ub[MAX_LISTS];
+        ub[0] = ord[0]->bound;
+        for (int i = 1; i < L; i++) ub[i] = ub[i - 1] + ord[i]->bound;
+        int non_essential = 0;
+        i64 cur = num_docs;
+        for (int i = 0; i < L; i++) if (en[i].value < cur) cur = en[i].value;
+        while (non_essential < L && cur < num_docs) {
+            float score = 0.0f;
+            float nl = norms[cur];
+            i64 next = num_docs;
+            for (int i = non_essential; i < L; i++) {
+                if (ord[i]->value == cur) {
+                    score = score + ord[i]->qw *
+                        dtw_f32((float)ord[i]->freqs[ord[i]->pos], nl);
+                    enum_next(ord[i], num_docs);
+                }
+                if (ord[i]->value < next) next = ord[i]->value;
+            }
+            for (int i = non_essential - 1; i >= 0; i--) {
+                if (!topk_would_enter(&t, score + ub[i])) break;
+                enum_next_geq(ord[i], cur, num_docs);
+                if (ord[i]->value == cur)
+                    score = score + ord[i]->qw *
+                        dtw_f32((float)ord[i]->freqs[ord[i]->pos], nl);
+            }
+            if (topk_insert(&t, score, cur)) {
+                while (non_essential < L &&
+                       !topk_would_enter(&t, ub[non_essential]))
+                    non_essential++;
+            }
+            cur = next;
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    /* op 2 (wand) and op 4 (block_max_wand) share the pivot loop */
+    sort_by_value(ord, L);
+    for (;;) {
+        float upper_bound = 0.0f;
+        int found_pivot = 0;
+        int pivot = 0;
+        for (pivot = 0; pivot < L; pivot++) {
+            if (ord[pivot]->value == num_docs) break;
+            upper_bound = upper_bound + ord[pivot]->bound;
+            if (topk_would_enter(&t, upper_bound)) { found_pivot = 1; break; }
+        }
+        if (!found_pivot) break;
+        if (pivot == L) pivot = L - 1; /* unreachable guard */
+        i64 pivot_id = ord[pivot]->value;
+
+        if (op == 4) {
+            /* extend pivot over lists aligned at pivot_id */
+            while (pivot + 1 < L && ord[pivot + 1]->value == pivot_id) pivot++;
+            /* block-max refinement */
+            float block_bound = 0.0f;
+            for (int i = 0; i <= pivot; i++) {
+                if (ord[i]->value == num_docs) continue;
+                i64 b = lower_bound_i64(ord[i]->bmax_docs, ord[i]->nblocks,
+                                        pivot_id);
+                if (b < ord[i]->nblocks)
+                    block_bound = block_bound +
+                        ord[i]->qw * ord[i]->bmax_scores[b];
+            }
+            if (!topk_would_enter(&t, block_bound)) {
+                i64 next_cand = num_docs;
+                for (int i = 0; i <= pivot; i++) {
+                    i64 b = lower_bound_i64(ord[i]->bmax_docs,
+                                            ord[i]->nblocks, pivot_id);
+                    if (b < ord[i]->nblocks) {
+                        i64 c = ord[i]->bmax_docs[b] + 1;
+                        if (c < next_cand) next_cand = c;
+                    }
+                }
+                if (pivot + 1 < L && ord[pivot + 1]->value < next_cand)
+                    next_cand = ord[pivot + 1]->value;
+                if (next_cand < pivot_id + 1) next_cand = pivot_id + 1;
+                for (int i = 0; i <= pivot; i++)
+                    if (ord[i]->value < next_cand)
+                        enum_next_geq(ord[i], next_cand, num_docs);
+                sort_by_value(ord, L);
+                continue;
+            }
+        }
+
+        if (pivot_id == ord[0]->value) {
+            float score = 0.0f;
+            float nl = norms[pivot_id];
+            for (int i = 0; i < L; i++) {
+                if (ord[i]->value != pivot_id) break;
+                score = score + ord[i]->qw *
+                    dtw_f32((float)ord[i]->freqs[ord[i]->pos], nl);
+                enum_next(ord[i], num_docs);
+            }
+            topk_insert(&t, score, pivot_id);
+            sort_by_value(ord, L);
+        } else {
+            int next_list = pivot;
+            while (ord[next_list]->value == pivot_id) next_list--;
+            enum_next_geq(ord[next_list], pivot_id, num_docs);
+            for (int i = next_list + 1; i < L; i++) {
+                if (ord[i]->value < ord[i - 1]->value) {
+                    plenum *tmp = ord[i]; ord[i] = ord[i - 1]; ord[i - 1] = tmp;
+                } else break;
+            }
+        }
+    }
+    return finalize(&t, out_scores, out_docs);
+}

@@ -34,7 +34,8 @@ def _build_and_load():
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(
-                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
+                     "-o", tmp, _SRC],
                     capture_output=True, timeout=120)
                 if r.returncode == 0:
                     os.replace(tmp, so_path)
@@ -44,20 +45,33 @@ def _build_and_load():
         else:
             return None
     lib = ctypes.CDLL(so_path)
-    fn = lib.optimal_partition_dp
-    fn.restype = ctypes.c_int64
-    fn.argtypes = [
+    dp = lib.optimal_partition_dp
+    dp.restype = ctypes.c_int64
+    dp.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
-    return fn
+    topk = lib.topk_query
+    topk.restype = ctypes.c_int
+    topk.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,                     # docs**, freqs**
+        ctypes.POINTER(ctypes.c_int64),                       # ns
+        ctypes.POINTER(ctypes.c_float),                       # qws
+        ctypes.POINTER(ctypes.c_float),                       # bounds
+        ctypes.c_void_p, ctypes.c_void_p,                     # bmax_docs**, bmax_scores**
+        ctypes.POINTER(ctypes.c_int64),                       # nblocks
+        ctypes.POINTER(ctypes.c_float),                       # norms
+        ctypes.c_int64, ctypes.c_int,                         # num_docs, k
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+    ]
+    return {"dp": dp, "topk": topk}
 
 
-def native_dp():
-    """The compiled DP entry point, or None if unavailable."""
+def _lib_handle():
     global _lib, _tried
     if not _tried:
         _tried = True
@@ -66,6 +80,18 @@ def native_dp():
         except Exception:
             _lib = None
     return _lib
+
+
+def native_dp():
+    """The compiled DP entry point, or None if unavailable."""
+    lib = _lib_handle()
+    return lib["dp"] if lib else None
+
+
+def native_topk():
+    """The compiled top-k query kernel, or None if unavailable."""
+    lib = _lib_handle()
+    return lib["topk"] if lib else None
 
 
 def optimal_partition_native(values: np.ndarray, universe: int,

@@ -23,8 +23,18 @@ import ray.data as rd
 from . import search
 from .index import InvertedIndex
 
-#: op name (queries.cpp:97-121 colon-split names) -> exact kernel
+#: op name (queries.cpp:97-121 colon-split names) -> serving kernel
+#: (native C DAAT with Python-exact fallback; result-identical to the
+#: conformance ports, enforced by tests/test_native_kernels.py)
 RANKED_OPS = {
+    "ranked_or": search.ranked_or_fast,
+    "ranked_and": search.ranked_and_fast,
+    "wand": search.wand_fast,
+    "maxscore": search.maxscore_fast,
+    "block_max_wand": search.block_max_wand_fast,
+}
+#: conformance-exact Python ports of the reference control flow
+EXACT_OPS = {
     "ranked_or": search.ranked_or_exact,
     "ranked_and": search.ranked_and_exact,
     "wand": search.wand_exact,
@@ -34,12 +44,6 @@ RANKED_OPS = {
 BOOL_OPS = {
     "and": search.and_query,
     "or": search.or_query,
-}
-#: fast vectorized term-at-a-time variants (same results, used when
-#: conformance-exact control flow is not required)
-FAST_OPS = {
-    "ranked_or": search.ranked_or,
-    "ranked_and": search.ranked_and,
 }
 
 
@@ -52,7 +56,7 @@ class QueryStage:
     """
 
     def __init__(self, index_dir: str, op: str = "block_max_wand",
-                 k: int = 10, exact: bool = True):
+                 k: int = 10, exact: bool = False):
         self.index = InvertedIndex(index_dir)
         self.op_name = op
         self.k = k
@@ -60,8 +64,7 @@ class QueryStage:
             self.kernel = BOOL_OPS[op]
             self.ranked = False
         else:
-            table = RANKED_OPS if exact else {**RANKED_OPS, **FAST_OPS}
-            self.kernel = table[op]
+            self.kernel = (EXACT_OPS if exact else RANKED_OPS)[op]
             self.ranked = True
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -99,7 +102,7 @@ def queries_dataset(queries: list[tuple[int, list[str]]],
 def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
                 op: str = "block_max_wand", k: int = 10,
                 concurrency: int = 4, batch_size: int = 16,
-                exact: bool = True) -> rd.Dataset:
+                exact: bool = False) -> rd.Dataset:
     """Distributed top-k over the query workload; returns the result
     Dataset of ``(query_id, rank, doc_id, score)``."""
     ds = queries_dataset(queries, parallelism=concurrency * 2)
@@ -107,7 +110,9 @@ def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
         QueryStage,
         fn_constructor_kwargs={"index_dir": index_dir, "op": op, "k": k,
                                "exact": exact},
-        concurrency=concurrency,
+        # autoscaling pool: starts at 1 actor so a small session is never
+        # starved of CPUs for the downstream stages
+        concurrency=(1, concurrency),
         batch_size=batch_size,
         batch_format="pandas",
     )

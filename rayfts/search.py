@@ -477,14 +477,99 @@ def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     return topk.finalize()
 
 
+# ---------------------------------------------------------------------------
+# native-accelerated serving kernels (rayfts/codecs/native.c topk_query):
+# same algorithms, C control flow, float32 op-for-op — parity with the
+# exact Python ports is enforced in tests/test_native_kernels.py.  The
+# Python ports above remain the semantic reference and the fallback.
+# ---------------------------------------------------------------------------
+
+_OP_CODES = {"ranked_or": 0, "ranked_and": 1, "wand": 2, "maxscore": 3,
+             "block_max_wand": 4}
+
+
+def _topk_native(index: InvertedIndex, terms: list, k: int, op: str):
+    """Run one query through the C kernel; None = not available here."""
+    import ctypes
+
+    from .codecs.nativelib import native_topk
+    fn = native_topk()
+    if fn is None or k > 1024:
+        return None
+    qf = query_freqs(terms)
+    pls = _lists(index, terms)
+    if op in ("ranked_and",) and len(pls) < len(qf):
+        return []
+    if not pls:
+        return []
+    L = len(pls)
+    if L > 64:
+        return None
+
+    c64p = ctypes.POINTER(ctypes.c_int64)
+    cf32p = ctypes.POINTER(ctypes.c_float)
+    docs_p = (ctypes.c_void_p * L)()
+    freqs_p = (ctypes.c_void_p * L)()
+    bd_p = (ctypes.c_void_p * L)()
+    bs_p = (ctypes.c_void_p * L)()
+    ns = (ctypes.c_int64 * L)()
+    nb = (ctypes.c_int64 * L)()
+    qws = (ctypes.c_float * L)()
+    bounds = (ctypes.c_float * L)()
+    keepalive = []
+    for i, (pl, qw) in enumerate(pls):
+        d = np.ascontiguousarray(pl.docs, dtype=np.int64)
+        f = np.ascontiguousarray(pl.freqs, dtype=np.int64)
+        bmd = np.ascontiguousarray(pl.block_max_docs, dtype=np.int64)
+        bms = np.ascontiguousarray(pl.block_max_scores, dtype=np.float32)
+        keepalive.extend((d, f, bmd, bms))
+        docs_p[i] = d.ctypes.data
+        freqs_p[i] = f.ctypes.data
+        bd_p[i] = bmd.ctypes.data
+        bs_p[i] = bms.ctypes.data
+        ns[i] = len(d)
+        nb[i] = len(bmd)
+        qws[i] = float(qw)
+        bounds[i] = float(F32(qw * pl.max_weight))
+    norms = np.ascontiguousarray(index.norm_lens, dtype=np.float32)
+    out_s = np.empty(k, dtype=np.float32)
+    out_d = np.empty(k, dtype=np.int64)
+    n = fn(_OP_CODES[op], L, docs_p, freqs_p, ns, qws, bounds,
+           bd_p, bs_p, nb, norms.ctypes.data_as(cf32p),
+           index.num_docs, k,
+           out_s.ctypes.data_as(cf32p), out_d.ctypes.data_as(c64p))
+    if n < 0:
+        return None
+    return [(F32(out_s[i]), int(out_d[i])) for i in range(n)]
+
+
+def _native_or_exact(op: str, exact_fn):
+    def run(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
+            prec: _Prec = P32):
+        if prec is P32:
+            r = _topk_native(index, terms, k, op)
+            if r is not None:
+                return r
+        return exact_fn(index, terms, k, prec)
+    run.__name__ = op
+    return run
+
+
+ranked_or_fast = _native_or_exact("ranked_or", ranked_or_exact)
+ranked_and_fast = _native_or_exact("ranked_and", ranked_and_exact)
+wand_fast = _native_or_exact("wand", wand_exact)
+maxscore_fast = _native_or_exact("maxscore", maxscore_exact)
+block_max_wand_fast = _native_or_exact("block_max_wand", block_max_wand_exact)
+
+
 OPS = {
     "and": and_query,
     "or": or_query,
     "ranked_and": ranked_and,
     "ranked_or": ranked_or,
-    "wand": wand_exact,
-    "maxscore": maxscore_exact,
-    "block_max_wand": block_max_wand_exact,
+    "wand": wand_fast,
+    "maxscore": maxscore_fast,
+    "block_max_wand": block_max_wand_fast,
     "ranked_and_exact": ranked_and_exact,
     "ranked_or_exact": ranked_or_exact,
 }

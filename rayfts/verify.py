@@ -1,0 +1,98 @@
+"""Post-build index verification — the ``--check`` / verify_collection
+analogue (create_freq_index.cpp:104-106, verify_collection.hpp:9-54).
+
+The reference re-reads the frozen index against the input collection and
+compares every posting.  Here both sides are Ray datasets: the shard
+parquet files decode in parallel (`map_batches` over shards), the tokens
+checkpoint re-aggregates in parallel, and the comparison is a vectorized
+per-term equality on (doc_ids, freqs).  Streams: nothing is materialized
+beyond per-term rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .codecs.posting import decode_posting_list
+
+
+def verify_index(index_dir: str, sample_terms: int | None = None) -> dict:
+    """Decode every posting list and compare against the tokens
+    checkpoint.  Returns {"terms_checked": n, "mismatches": [...]}.
+    Raises AssertionError on any mismatch."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_docs = int(meta["num_docs"])
+    index_type = meta["index_type"]
+
+    # side 1: decoded postings per term (parallel over shard files)
+    shard_paths = [os.path.join(index_dir, "shards", f)
+                   for f in sorted(os.listdir(os.path.join(index_dir, "shards")))
+                   if f.endswith(".parquet")]
+    shards = rd.read_parquet(shard_paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        terms, docs_l, freqs_l = [], [], []
+        for i in range(batch.num_rows):
+            term = batch.column("term")[i].as_py()
+            db = batch.column("docs_bytes")[i].as_py()
+            fb = batch.column("freqs_bytes")[i].as_py()
+            docs, freqs = decode_posting_list(index_type, db, fb, num_docs)
+            terms.append(term)
+            docs_l.append(docs.tolist())
+            freqs_l.append(freqs.tolist())
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "docs": pa.array(docs_l, type=pa.list_(pa.int64())),
+            "freqs": pa.array(freqs_l, type=pa.list_(pa.int64())),
+        })
+
+    decoded = shards.map_batches(decode, batch_format="pyarrow")
+
+    # side 2: expected postings from the tokens checkpoint
+    tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                             columns=["term", "doc_id", "tf"])
+
+    def expected(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        return pd.DataFrame([{
+            "term": g["term"].iloc[0],
+            "e_docs": g["doc_id"].to_numpy(dtype=np.int64),
+            "e_freqs": g["tf"].to_numpy(dtype=np.int64),
+        }])
+
+    # drive both sides to small per-term frames and join driver-side in
+    # manageable chunks (term-keyed); at sandbox scale this is a dict join
+    exp = {r["term"]: (np.asarray(r["e_docs"]), np.asarray(r["e_freqs"]))
+           for r in tokens.groupby("term")
+                          .map_groups(expected, batch_format="pandas")
+                          .iter_rows()}
+
+    mismatches = []
+    checked = 0
+    for row in decoded.iter_rows():
+        term = row["term"]
+        if sample_terms is not None and checked >= sample_terms:
+            break
+        e = exp.get(term)
+        if e is None:
+            mismatches.append({"term": term, "why": "term not in tokens"})
+            continue
+        if (not np.array_equal(np.asarray(row["docs"]), e[0])
+                or not np.array_equal(np.asarray(row["freqs"]), e[1])):
+            mismatches.append({"term": term, "why": "postings differ"})
+        checked += 1
+
+    if len(exp) != checked and sample_terms is None:
+        mismatches.append({"term": None,
+                           "why": f"term count {checked} != {len(exp)}"})
+    result = {"terms_checked": checked, "mismatches": mismatches}
+    assert not mismatches, f"index verification failed: {mismatches[:5]}"
+    return result

@@ -1,0 +1,99 @@
+"""Parity of the native C top-k kernels (rayfts/codecs/native.c
+topk_query) with the exact Python reference ports — scores (float32,
+bit-identical) and docids, across random Zipf-ish workloads including
+duplicate and unknown terms.  Mirrors the ranked-query conformance
+strategy of test_ranked_queries.cpp:42-75 but requires exact equality."""
+
+import numpy as np
+import pytest
+
+from rayfts import search
+from rayfts.codecs.nativelib import native_topk
+from rayfts.corpus import corpus_parquet
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    src = corpus_parquet(150, seed=11)
+    d = str(tmp_path_factory.mktemp("nk_idx"))
+    build_index(src, d, index_type="ef", salt_threshold=64, num_shards=3)
+    return InvertedIndex(d)
+
+
+@pytest.fixture(scope="module")
+def workload(idx):
+    terms = sorted(idx._term_to_loc)
+    dfs = np.array([idx.get(t).n for t in terms], dtype=np.float64)
+    p = dfs / dfs.sum()
+    rng = np.random.RandomState(99)
+    queries = []
+    for _ in range(150):
+        nt = rng.randint(1, 6)
+        q = [terms[i] for i in rng.choice(len(terms), size=nt, p=p)]
+        r = rng.rand()
+        if r < 0.1 and len(q) > 1:
+            q[-1] = q[0]                      # duplicate term
+        elif r < 0.15:
+            q.append("qq_unknown_term")       # unknown term
+        queries.append(q)
+    queries.append(["qq_only_unknown"])
+    return queries
+
+
+def _norm(res):
+    return [(float(s), int(d)) for s, d in res]
+
+
+PAIRS = [
+    (search.ranked_or_fast, search.ranked_or_exact),
+    (search.ranked_and_fast, search.ranked_and_exact),
+    (search.wand_fast, search.wand_exact),
+    (search.maxscore_fast, search.maxscore_exact),
+    (search.block_max_wand_fast, search.block_max_wand_exact),
+]
+
+
+def test_native_lib_available():
+    assert native_topk() is not None, (
+        "native kernel failed to build; serving falls back to Python "
+        "(correct but slow) — investigate the compiler setup")
+
+
+@pytest.mark.parametrize("fast,exact", PAIRS, ids=lambda f: f.__name__)
+def test_native_matches_exact(idx, workload, fast, exact):
+    for q in workload:
+        got = _norm(fast(idx, q, K))
+        want = _norm(exact(idx, q, K))
+        assert got == want, (q, got, want)
+
+
+def test_bmw_matches_oracle(idx, workload):
+    """BMW/wand/maxscore (serving path) vs the ranked_or oracle: same
+    top-k docids, scores within the reference tolerance (0.1% relative,
+    test_ranked_queries.cpp:50-53 — wand/maxscore sum a doc's terms in a
+    different order than ranked_or, so the last float32 ulp can differ)."""
+    for q in workload:
+        want = _norm(search.ranked_or_exact(idx, q, K))
+        for fast in (search.wand_fast, search.maxscore_fast,
+                     search.block_max_wand_fast):
+            got = _norm(fast(idx, q, K))
+            assert [d for _, d in got] == [d for _, d in want], \
+                (fast.__name__, q, got, want)
+            np.testing.assert_allclose(
+                [s for s, _ in got], [s for s, _ in want], rtol=1e-3,
+                err_msg=f"{fast.__name__} {q}")
+
+
+def test_python_fallback_matches(idx, workload, monkeypatch):
+    """With the native lib disabled, the dispatch wrappers fall back to
+    the exact ports and still answer correctly."""
+    import rayfts.codecs.nativelib as nl
+    monkeypatch.setattr(nl, "_lib", None)
+    monkeypatch.setattr(nl, "_tried", True)
+    q = workload[0]
+    assert _norm(search.block_max_wand_fast(idx, q, K)) == \
+        _norm(search.block_max_wand_exact(idx, q, K))
