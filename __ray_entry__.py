@@ -160,7 +160,7 @@ def _postings_table(sf_dir: str, index_type: str = "opt") -> pd.DataFrame:
     table (verify_collection.hpp:9-54 analogue)."""
     idx = _index_for(sf_dir, index_type)
     rows_t, rows_d, rows_f = [], [], []
-    for term in sorted(idx._term_to_loc):
+    for term in idx.all_terms():
         pl = idx.get(term)
         rows_t.extend([term] * pl.n)
         rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
@@ -183,7 +183,7 @@ def _doc_lengths(sf_dir: str) -> pd.DataFrame:
 
 def _term_dfs(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
-    terms = sorted(idx._term_to_loc)
+    terms = idx.all_terms()
     return pd.DataFrame({
         "term": terms,
         "df": [idx.get(t).n for t in terms],
@@ -192,7 +192,7 @@ def _term_dfs(sf_dir: str) -> pd.DataFrame:
 
 def _lexicon(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
-    terms = sorted(idx._term_to_loc)
+    terms = idx.all_terms()
     return pd.DataFrame({
         "term": terms,
         "term_id": [idx.term_id(t) for t in terms],

@@ -294,14 +294,19 @@ def _stage_tokens(index_dir: str, text_col: str) -> None:
 
 
 # ---------------------------------------------------------------------------
-# stage 3: lengths + avg
+# stages 3+4: lengths + term dfs — two small aggregates over the tokens
+# checkpoint, executed CONCURRENTLY (two driver threads; Ray Data runs
+# both jobs at once so the cluster stays busy between the wide stages)
 # ---------------------------------------------------------------------------
 
-def _stage_lengths(index_dir: str, num_docs: int) -> tuple[np.ndarray, float]:
+def _stage_lengths(index_dir: str, num_docs: int,
+                   tokens: rd.Dataset | None = None
+                   ) -> tuple[np.ndarray, float]:
     path = os.path.join(index_dir, "lengths.parquet")
     if not os.path.exists(path):
-        tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
-                                 columns=["doc_id", "doc_len"])
+        if tokens is None:
+            tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                                     columns=["doc_id", "doc_len"])
 
         def distinct(t: pa.Table) -> pa.Table:
             df = t.to_pandas().drop_duplicates("doc_id")
@@ -321,15 +326,13 @@ def _stage_lengths(index_dir: str, num_docs: int) -> tuple[np.ndarray, float]:
     return lengths, avg_len
 
 
-# ---------------------------------------------------------------------------
-# stage 4: term dfs -> salt plan + shard boundaries
-# ---------------------------------------------------------------------------
-
-def _stage_dfs(index_dir: str) -> pd.DataFrame:
+def _stage_dfs(index_dir: str,
+               tokens: rd.Dataset | None = None) -> pd.DataFrame:
     path = os.path.join(index_dir, "dfs.parquet")
     if not os.path.exists(path):
-        tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
-                                 columns=["term"])
+        if tokens is None:
+            tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
+                                     columns=["term"])
 
         def partial(t: pa.Table) -> pa.Table:
             terms, counts = np.unique(
@@ -343,6 +346,27 @@ def _stage_dfs(index_dir: str) -> pd.DataFrame:
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
         os.replace(tmp, path)
     return pq.read_table(path).to_pandas()
+
+
+def _stage_lengths_dfs(index_dir: str, num_docs: int
+                       ) -> tuple[np.ndarray, float, pd.DataFrame]:
+    import concurrent.futures as cf
+    tokens_dir = os.path.join(index_dir, "tokens")
+    # datasource creation (path/filesystem resolution) is not thread-safe
+    # against itself in this Ray version — do it in the main thread; the
+    # threads only drive execution
+    t_len = (rd.read_parquet(tokens_dir, columns=["doc_id", "doc_len"])
+             if not os.path.exists(os.path.join(index_dir, "lengths.parquet"))
+             else None)
+    t_dfs = (rd.read_parquet(tokens_dir, columns=["term"])
+             if not os.path.exists(os.path.join(index_dir, "dfs.parquet"))
+             else None)
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        f_len = ex.submit(_stage_lengths, index_dir, num_docs, t_len)
+        f_dfs = ex.submit(_stage_dfs, index_dir, t_dfs)
+        lengths, avg_len = f_len.result()
+        dfs = f_dfs.result()
+    return lengths, avg_len, dfs
 
 
 # ---------------------------------------------------------------------------
@@ -376,8 +400,8 @@ class _ShardEncoder:
             with open(done_path) as f:
                 meta = json.load(f)
             return pd.DataFrame([{"shard": shard, **{k: meta[k] for k in
-                                  ("num_terms", "term_id_lo", "postings",
-                                   "bytes")}}])
+                                  ("num_terms", "term_id_lo", "term_lo",
+                                   "term_hi", "postings", "bytes")}}])
 
         # salt is docID-range based and per-batch partials are docID-range
         # runs, so (salt, first_doc) order makes concatenation docID-sorted
@@ -449,6 +473,8 @@ class _ShardEncoder:
             "shard": shard,
             "num_terms": len(uniq_terms),
             "term_id_lo": base,
+            "term_lo": str(uniq_terms[0]),
+            "term_hi": str(uniq_terms[-1]),
             "postings": total_postings,
             "bytes": int(table.nbytes),
             "index_type": self.index_type,
@@ -458,6 +484,8 @@ class _ShardEncoder:
         os.replace(done_path + ".tmp", done_path)
         return pd.DataFrame([{"shard": shard, "num_terms": len(uniq_terms),
                               "term_id_lo": base,
+                              "term_lo": str(uniq_terms[0]),
+                              "term_hi": str(uniq_terms[-1]),
                               "postings": total_postings,
                               "bytes": int(table.nbytes)}])
 
@@ -573,8 +601,7 @@ def build_index(source_path: str, index_dir: str, *,
 
     num_docs = _stage_docs(source_path, index_dir, key_cols, text_col)
     _stage_tokens(index_dir, text_col)
-    lengths, avg_len = _stage_lengths(index_dir, num_docs)
-    dfs = _stage_dfs(index_dir)
+    lengths, avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
     norm_lens = lengths / np.float32(avg_len) if avg_len else lengths.astype(np.float32)
     manifest = _stage_shards(index_dir, index_type, num_docs, dfs,
                              norm_lens.astype(np.float32),
@@ -589,6 +616,7 @@ def build_index(source_path: str, index_dir: str, *,
         "shards": sorted(
             ({"shard": int(m["shard"]), "num_terms": int(m["num_terms"]),
               "term_id_lo": int(m["term_id_lo"]),
+              "term_lo": str(m["term_lo"]), "term_hi": str(m["term_hi"]),
               "postings": int(m["postings"])} for m in manifest),
             key=lambda m: m["shard"]),
         "lineage": {"input": source_path, "key_cols": key_cols,

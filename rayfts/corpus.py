@@ -87,6 +87,10 @@ def corpus_parquet(num_docs: int, seed: int = 42,
     path = os.path.join(cache_dir, f"corpus_n{num_docs}_s{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        pq.write_table(generate_corpus(num_docs, seed), tmp)
+        # small row groups: Ray Data splits parquet reads at row-group
+        # granularity, so a single-row-group file would serialize every
+        # scan of the corpus (a real corpus is many files anyway)
+        pq.write_table(generate_corpus(num_docs, seed), tmp,
+                       row_group_size=2048)
         os.replace(tmp, path)
     return path

@@ -51,25 +51,64 @@ class InvertedIndex:
         self.norm_lens = (lengths / np.float32(self.avg_len)).astype(np.float32) \
             if self.avg_len else lengths.astype(np.float32)
 
-        # lexicon: term -> (shard, row); loaded from shard metadata columns
-        self._term_to_loc: dict[str, tuple[int, int]] = {}
-        self._tid_to_loc: dict[int, tuple[int, int]] = {}
+        # lexicon: term -> (shard, row), lazily loaded PER SHARD, routed
+        # by the manifest's term ranges — a query actor touches only the
+        # shards its terms live in (at corpus scale the full lexicon
+        # never fits one process)
         self._shard_paths: dict[int, str] = {}
+        self._shard_lex: dict[int, dict[str, int]] = {}   # shard -> term->row
+        self._tid_lex: dict[int, dict[int, int]] = {}     # shard -> tid->row
         shards_dir = os.path.join(index_dir, "shards")
-        for m in self.meta["shards"]:
+        shard_meta = sorted(self.meta["shards"], key=lambda m: m["term_id_lo"])
+        self._shard_ids = []
+        self._term_los: list[str] = []
+        self._tid_los: list[int] = []
+        self._tid_his: list[int] = []
+        legacy = any("term_lo" not in m for m in shard_meta)
+        for m in shard_meta:
             s = int(m["shard"])
-            path = os.path.join(shards_dir, f"shard_{s:05d}.parquet")
-            self._shard_paths[s] = path
-            t = pq.read_table(path, columns=["term", "term_id"])
-            terms = t.column("term").to_pylist()
-            tids = t.column("term_id").to_numpy()
-            for row, (term, tid) in enumerate(zip(terms, tids)):
-                self._term_to_loc[term] = (s, row)
-                self._tid_to_loc[int(tid)] = (s, row)
+            self._shard_paths[s] = os.path.join(
+                shards_dir, f"shard_{s:05d}.parquet")
+            self._shard_ids.append(s)
+            self._tid_los.append(int(m["term_id_lo"]))
+            self._tid_his.append(int(m["term_id_lo"]) + int(m["num_terms"]) - 1)
+            if not legacy:
+                self._term_los.append(str(m["term_lo"]))
+        if legacy:
+            # pre-term-range manifests: derive ranges from the shard files
+            self._term_los = []
+            for s in self._shard_ids:
+                t = pq.read_table(self._shard_paths[s], columns=["term"])
+                self._term_los.append(t.column("term")[0].as_py())
 
-        self.num_terms = len(self._term_to_loc)
+        self.num_terms = int(self.meta.get(
+            "num_terms", sum(int(m["num_terms"]) for m in shard_meta)))
         self._shard_cache: dict[int, object] = {}
         self._list_cache: dict[tuple[int, int], PostingList] = {}
+
+    def _shard_of_term(self, term: str) -> int | None:
+        import bisect
+        i = bisect.bisect_right(self._term_los, term) - 1
+        return self._shard_ids[i] if i >= 0 else None
+
+    def _shard_of_tid(self, tid: int) -> int | None:
+        import bisect
+        i = bisect.bisect_right(self._tid_los, tid) - 1
+        if i < 0 or tid > self._tid_his[i]:
+            return None
+        return self._shard_ids[i]
+
+    def _lex(self, s: int) -> tuple[dict, dict]:
+        lex = self._shard_lex.get(s)
+        if lex is None:
+            t = pq.read_table(self._shard_paths[s], columns=["term", "term_id"])
+            terms = t.column("term").to_pylist()
+            tids = t.column("term_id").to_numpy()
+            lex = {term: row for row, term in enumerate(terms)}
+            tlex = {int(tid): row for row, tid in enumerate(tids)}
+            self._shard_lex[s] = lex
+            self._tid_lex[s] = tlex
+        return lex, self._tid_lex[s]
 
     def _shard(self, s: int):
         tbl = self._shard_cache.get(s)
@@ -103,15 +142,28 @@ class InvertedIndex:
         return pl
 
     def get(self, term: str) -> PostingList | None:
-        loc = self._term_to_loc.get(term)
-        return self._load(loc) if loc is not None else None
+        s = self._shard_of_term(term)
+        if s is None:
+            return None
+        row = self._lex(s)[0].get(term)
+        return self._load((s, row)) if row is not None else None
 
     def get_by_id(self, term_id: int) -> PostingList | None:
-        loc = self._tid_to_loc.get(int(term_id))
-        return self._load(loc) if loc is not None else None
+        s = self._shard_of_tid(int(term_id))
+        if s is None:
+            return None
+        row = self._lex(s)[1].get(int(term_id))
+        return self._load((s, row)) if row is not None else None
 
     def term_id(self, term: str) -> int | None:
-        loc = self._term_to_loc.get(term)
-        if loc is None:
-            return None
-        return self._load(loc).term_id
+        pl = self.get(term)
+        return pl.term_id if pl is not None else None
+
+    def all_terms(self) -> list[str]:
+        """Full lexicon (sorted). Loads every shard — sandbox/test helper,
+        not for corpus-scale actors."""
+        out: list[str] = []
+        for s in self._shard_ids:
+            t = pq.read_table(self._shard_paths[s], columns=["term"])
+            out.extend(t.column("term").to_pylist())
+        return out

@@ -26,7 +26,7 @@ def idx(ray_session, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def workload(idx):
-    terms = sorted(idx._term_to_loc)
+    terms = idx.all_terms()
     dfs = np.array([idx.get(t).n for t in terms], dtype=np.float64)
     p = dfs / dfs.sum()
     rng = np.random.RandomState(99)
