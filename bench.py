@@ -78,7 +78,8 @@ def _gen_queries(index, n_queries: int = NUM_QUERIES, seed: int = 42):
     return queries
 
 
-def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
+def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
+               corpus_docs: int | None = None) -> dict:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
@@ -93,7 +94,7 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
     from rayfts.index import InvertedIndex
 
     sf = _sf_of(sf_dir)
-    n_docs = _corpus_docs(sf)
+    n_docs = corpus_docs or _corpus_docs(sf)
     src = corpus_parquet(n_docs)
 
     stage_secs: dict[str, float] = {}
@@ -111,6 +112,8 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
     extra["num_terms"] = meta["num_terms"]
     extra["build_docs_per_sec"] = round(meta["num_docs"] / build_s, 2)
     extra["build_postings_per_sec"] = round(meta["total_postings"] / build_s, 1)
+    extra["bits_per_doc"] = meta.get("bits_per_doc")
+    extra["bits_per_freq"] = meta.get("bits_per_freq")
 
     if not build_only:
         index = InvertedIndex(index_dir)
@@ -166,14 +169,19 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
     """Same build at 8 and 32 CPUs in fresh processes; efficiency =
-    (tp_32/tp_8) / (32/8)."""
+    (tp_32/tp_8) / (32/8).
+
+    Measured on a corpus big enough that distributed compute dominates
+    per-job scheduling constants (default 200k docs, ~90M postings) —
+    the sandbox stand-in for the N vs 4N cluster criterion."""
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
-             "--cpus", str(cpus), "--build-only"],
+             "--cpus", str(cpus), "--build-only",
+             "--corpus-docs", str(scaling_docs)],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         line = out.stdout.strip().splitlines()[-1]
@@ -200,6 +208,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--corpus-docs", type=int, default=None,
+                    help="override the sf-derived synthetic corpus size")
+    ap.add_argument("--scaling-docs", type=int, default=200_000)
     args = ap.parse_args()
 
     if not os.path.isdir(args.sf_dir):
@@ -207,9 +218,10 @@ def main() -> None:
         sys.exit(2)
 
     if args.scaling:
-        result = run_scaling(args.sf_dir)
+        result = run_scaling(args.sf_dir, args.scaling_docs)
     else:
-        result = run_single(args.sf_dir, args.cpus, build_only=args.build_only)
+        result = run_single(args.sf_dir, args.cpus, build_only=args.build_only,
+                            corpus_docs=args.corpus_docs)
     print(json.dumps(result))
 
 

@@ -76,7 +76,7 @@ def _sample_boundaries(keys_ds: rd.Dataset, col: str, num_buckets: int,
         h = vals.astype(str).map(lambda s: zlib.crc32(s.encode())).to_numpy()
         return pa.table({col: pa.array(vals[h % mod == 0])})
 
-    sampled = keys_ds.map_batches(sample, batch_format="pyarrow").take_all()
+    sampled = keys_ds.map_batches(sample, batch_size=None, batch_format="pyarrow").take_all()
     vals = sorted(r[col] for r in sampled)
     if not vals or num_buckets <= 1:
         return []
@@ -103,7 +103,7 @@ def _bucket_offsets(ds_with_bucket: rd.Dataset, num_buckets: int) -> np.ndarray:
         b, c = np.unique(t.column("bucket").to_numpy(), return_counts=True)
         return pa.table({"bucket": b, "cnt": c})
 
-    partial = ds_with_bucket.map_batches(counts, batch_format="pyarrow")
+    partial = ds_with_bucket.map_batches(counts, batch_size=None, batch_format="pyarrow")
     rows = partial.groupby("bucket").sum("cnt").take_all()
     totals = np.zeros(num_buckets, dtype=np.int64)
     for r in rows:
@@ -146,7 +146,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     keys_ds = rd.read_parquet(
         source_path,
         columns=[("doc_id" if c == "src_doc_id" else c) for c in key_cols],
-    ).map_batches(_rename, batch_format="pyarrow")
+    ).map_batches(_rename, batch_size=None, batch_format="pyarrow")
     num_docs = _parquet_num_rows(source_path)
     # enough buckets that the assign/sha256 stage (and every downstream
     # read of <index>/docs, which inherits this file count) parallelizes
@@ -172,7 +172,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         return t.append_column("sortkey", pa.array(sk, type=pa.string()))
 
     boundaries = _sample_boundaries(
-        keys_ds.map_batches(add_sortkey, batch_format="pyarrow"),
+        keys_ds.map_batches(add_sortkey, batch_size=None, batch_format="pyarrow"),
         "sortkey", num_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -180,8 +180,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         b = _bucket_of(t.column("sortkey").to_pandas(), boundaries)
         return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    keyed = keys_ds.map_batches(add_bucket, batch_format="pyarrow")
-    offsets = _bucket_offsets(keyed, len(boundaries) + 1)
+    keyed = keys_ds.map_batches(add_bucket, batch_size=None, batch_format="pyarrow")
 
     # keys-only shuffle: per-bucket sorted key files (the docID map).
     # The CONTENT never shuffles — at corpus scale that's the difference
@@ -209,8 +208,16 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         os.replace(tmp, path)
         return pd.DataFrame([{"bucket": b, "n": len(sk)}])
 
-    keyed.groupby("bucket").map_groups(
+    # the same shuffle also yields exact per-bucket counts -> offsets
+    # (no separate counting pass over the keys)
+    bucket_rows = keyed.groupby("bucket").map_groups(
         bucket_keys, batch_format="pandas").take_all()
+    num_buckets_eff = len(boundaries) + 1
+    totals = np.zeros(num_buckets_eff, dtype=np.int64)
+    for r in bucket_rows:
+        totals[int(r["bucket"])] = int(r["n"])
+    offsets = np.zeros(num_buckets_eff, dtype=np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
 
     # content pass: pure map (stateful actor pool caches bucket key
     # arrays; source rows are usually key-clustered so each batch touches
@@ -249,13 +256,14 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
             return sha256_batch(t, self.text_col)
 
     out = (rd.read_parquet(source_path)
-           .map_batches(_rename, batch_format="pyarrow")
+           .map_batches(_rename, batch_size=None, batch_format="pyarrow")
            .map_batches(
                _DocIdAssigner,
                fn_constructor_kwargs={
                    "map_dir": map_dir, "boundaries": boundaries,
                    "offsets": offsets, "text_col": text_col},
                concurrency=(1, max(2, cpus)),
+               batch_size=None,
                batch_format="pyarrow"))
     tmp = docs_dir + ".tmp"
     if os.path.exists(tmp):
@@ -280,8 +288,11 @@ def _stage_tokens(index_dir: str, text_col: str) -> None:
         return
     docs = rd.read_parquet(os.path.join(index_dir, "docs"),
                            columns=["doc_id", text_col])
+    # cap the batch: tokenize explodes each doc into ~hundreds of rows,
+    # so a full 64k-doc block would materialize a multi-GB output table
     tokens = docs.map_batches(
         lambda t: tokenize_batch(t, text_col=text_col),
+        batch_size=4096,
         batch_format="pyarrow")
     tmp = tokens_dir + ".tmp"
     if os.path.exists(tmp):
@@ -312,7 +323,7 @@ def _stage_lengths(index_dir: str, num_docs: int,
             df = t.to_pandas().drop_duplicates("doc_id")
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        agg = (tokens.map_batches(distinct, batch_format="pyarrow")
+        agg = (tokens.map_batches(distinct, batch_size=None, batch_format="pyarrow")
                .groupby("doc_id").max("doc_len"))
         pdf = agg.to_pandas().rename(columns={"max(doc_len)": "length"})
         tmp = path + ".tmp"
@@ -335,11 +346,12 @@ def _stage_dfs(index_dir: str,
                                      columns=["term"])
 
         def partial(t: pa.Table) -> pa.Table:
-            terms, counts = np.unique(
-                t.column("term").to_numpy(zero_copy_only=False), return_counts=True)
-            return pa.table({"term": terms, "cnt": counts})
+            import pyarrow.compute as pc
+            vc = pc.value_counts(t.column("term").combine_chunks())
+            return pa.table({"term": vc.field("values"),
+                             "cnt": vc.field("counts")})
 
-        agg = (tokens.map_batches(partial, batch_format="pyarrow")
+        agg = (tokens.map_batches(partial, batch_size=None, batch_format="pyarrow")
                .groupby("term").sum("cnt"))
         pdf = agg.to_pandas().rename(columns={"sum(cnt)": "df"})
         tmp = path + ".tmp"
@@ -380,60 +392,93 @@ class _ShardEncoder:
     encodes, computes WAND/BMW metadata, writes the shard atomically."""
 
     def __init__(self, index_dir: str, index_type: str, num_docs: int,
-                 offsets_ref, norm_lens_ref):
+                 vocab_ref, norm_lens_ref):
         self.index_dir = index_dir
         self.index_type = index_type
         self.num_docs = num_docs
-        self.offsets_ref = offsets_ref
+        self.vocab_ref = vocab_ref
         self.norm_lens_ref = norm_lens_ref
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:
-            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64)})
-        shard = int(group["bucket"].iloc[0])
-        offs = ray.get(self.offsets_ref)
-        norm_lens = ray.get(self.norm_lens_ref)
+    MANIFEST_SCHEMA = pa.schema([
+        ("shard", pa.int64()), ("num_terms", pa.int64()),
+        ("term_id_lo", pa.int64()), ("term_lo", pa.string()),
+        ("term_hi", pa.string()), ("postings", pa.int64()),
+        ("bytes", pa.int64()), ("docs_bits", pa.int64()),
+        ("freqs_bits", pa.int64())])
+
+    def _manifest_row(self, **kw) -> pa.Table:
+        return pa.table({f.name: pa.array([kw[f.name]], type=f.type)
+                         for f in self.MANIFEST_SCHEMA})
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return self.MANIFEST_SCHEMA.empty_table()
+        shard = int(group.column("bucket")[0].as_py())
         shard_path = os.path.join(self.index_dir, "shards",
                                   f"shard_{shard:05d}.parquet")
         done_path = shard_path + ".done.json"
         if os.path.exists(done_path) and os.path.exists(shard_path):
             with open(done_path) as f:
                 meta = json.load(f)
-            return pd.DataFrame([{"shard": shard, **{k: meta[k] for k in
-                                  ("num_terms", "term_id_lo", "term_lo",
-                                   "term_hi", "postings", "bytes")}}])
+            return self._manifest_row(shard=shard, **{
+                k: meta[k] for k in ("num_terms", "term_id_lo", "term_lo",
+                                     "term_hi", "postings", "bytes",
+                                     "docs_bits", "freqs_bits")})
+        vocab = ray.get(self.vocab_ref)
+        norm_lens = ray.get(self.norm_lens_ref)
 
-        # salt is docID-range based and per-batch partials are docID-range
-        # runs, so (salt, first_doc) order makes concatenation docID-sorted
-        group = group.sort_values(["term", "salt", "first_doc"],
-                                  kind="mergesort")
-        terms = group["term"].to_numpy()
-        uniq_terms, starts = np.unique(terms, return_index=True)
-        order = np.argsort(starts)
-        uniq_terms = uniq_terms[order]  # lexicographic == starts order here
-        starts = starts[order]
-        bounds = np.append(starts, len(group))
+        # merge salted/per-batch partials without ever leaving numpy:
+        # rows ordered by (term_id, salt, first_doc) — salt is docID-range
+        # based and per-batch partials are docID-range runs, so per-term
+        # concatenation in this order is docID-sorted
+        tids = group.column("term_id").to_numpy()
+        salts = group.column("salt").to_numpy()
+        firsts = group.column("first_doc").to_numpy()
+        order = np.lexsort((firsts, salts, tids))
 
-        base = int(offs[shard])
+        dcol = group.column("doc_ids").combine_chunks()
+        fcol = group.column("freqs").combine_chunks()
+        d_off = dcol.offsets.to_numpy().astype(np.int64)
+        d_val = dcol.values.to_numpy().astype(np.int64)
+        f_val = fcol.values.to_numpy().astype(np.int64)
+        seg_lo = d_off[:-1]
+        lens = d_off[1:] - seg_lo
+
+        ord_lens = lens[order]
+        total = int(ord_lens.sum())
+        out_starts = np.zeros(len(order), dtype=np.int64)
+        np.cumsum(ord_lens[:-1], out=out_starts[1:])
+        gidx = (np.repeat(seg_lo[order] - out_starts, ord_lens)
+                + np.arange(total, dtype=np.int64))
+        all_docs = d_val[gidx]
+        all_freqs = f_val[gidx]
+
+        ord_tids = tids[order]
+        new_term = np.empty(len(order), dtype=bool)
+        new_term[0] = True
+        np.not_equal(ord_tids[1:], ord_tids[:-1], out=new_term[1:])
+        term_rows = np.flatnonzero(new_term)
+        term_bounds = np.append(out_starts[term_rows], total)
+        uniq_tids = ord_tids[term_rows]
+        uniq_terms = vocab.take(pa.array(uniq_tids)).to_pylist()
+
         rows = {k: [] for k in (
             "term_id", "term", "n", "occurrences", "max_weight",
             "docs_bytes", "freqs_bytes", "block_max_docs", "block_max_scores")}
         total_postings = 0
-        doc_lists = group["doc_ids"].to_numpy()
-        freq_lists = group["freqs"].to_numpy()
-        for t in range(len(uniq_terms)):
-            lo, hi = bounds[t], bounds[t + 1]
-            # salt is docID-range based: concat in salt order is docID-sorted
-            docs = np.concatenate([np.asarray(d, dtype=np.int64)
-                                   for d in doc_lists[lo:hi]])
-            freqs = np.concatenate([np.asarray(f, dtype=np.int64)
-                                    for f in freq_lists[lo:hi]])
+        docs_bits = 0
+        freqs_bits = 0
+        for t in range(len(uniq_tids)):
+            lo, hi = term_bounds[t], term_bounds[t + 1]
+            docs = all_docs[lo:hi]
+            freqs = all_freqs[lo:hi]
             if len(docs) > 1 and not (docs[1:] > docs[:-1]).all():
                 # partials interleaved (e.g. input batches not doc-range
                 # contiguous): stable merge by docID
                 mo = np.argsort(docs, kind="stable")
                 docs, freqs = docs[mo], freqs[mo]
-            assert (np.diff(docs) > 0).all(), "salted merge broke docID order"
+            assert len(docs) == 1 or (np.diff(docs) > 0).all(), \
+                "salted merge broke docID order"
             db, fb = encode_posting_list(self.index_type, docs, freqs,
                                          self.num_docs)
             w = bm25.doc_term_weight(freqs, norm_lens[docs])
@@ -441,7 +486,7 @@ class _ShardEncoder:
             block_starts = np.arange(nblocks, dtype=np.int64) * BLOCK
             bmax_d = docs[np.minimum(block_starts + BLOCK - 1, len(docs) - 1)]
             bmax_s = np.maximum.reduceat(w, block_starts)
-            rows["term_id"].append(base + t)
+            rows["term_id"].append(int(uniq_tids[t]))
             rows["term"].append(uniq_terms[t])
             rows["n"].append(len(docs))
             rows["occurrences"].append(int(freqs.sum()))
@@ -451,6 +496,8 @@ class _ShardEncoder:
             rows["block_max_docs"].append(bmax_d)
             rows["block_max_scores"].append(bmax_s)
             total_postings += len(docs)
+            docs_bits += 8 * len(db)
+            freqs_bits += 8 * len(fb)
 
         table = pa.table({
             "term_id": pa.array(rows["term_id"], type=pa.int64()),
@@ -465,29 +512,31 @@ class _ShardEncoder:
             "block_max_scores": pa.array([x.tolist() for x in rows["block_max_scores"]],
                                          type=pa.list_(pa.float32())),
         })
+        base = int(uniq_tids[0])
         os.makedirs(os.path.dirname(shard_path), exist_ok=True)
         tmp = shard_path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, shard_path)
         meta = {
             "shard": shard,
-            "num_terms": len(uniq_terms),
+            "num_terms": len(uniq_tids),
             "term_id_lo": base,
             "term_lo": str(uniq_terms[0]),
             "term_hi": str(uniq_terms[-1]),
             "postings": total_postings,
             "bytes": int(table.nbytes),
+            "docs_bits": docs_bits,
+            "freqs_bits": freqs_bits,
             "index_type": self.index_type,
         }
         with open(done_path + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(done_path + ".tmp", done_path)
-        return pd.DataFrame([{"shard": shard, "num_terms": len(uniq_terms),
-                              "term_id_lo": base,
-                              "term_lo": str(uniq_terms[0]),
-                              "term_hi": str(uniq_terms[-1]),
-                              "postings": total_postings,
-                              "bytes": int(table.nbytes)}])
+        return self._manifest_row(
+            shard=shard, num_terms=len(uniq_tids), term_id_lo=base,
+            term_lo=str(uniq_terms[0]), term_hi=str(uniq_terms[-1]),
+            postings=total_postings, bytes=int(table.nbytes),
+            docs_bits=docs_bits, freqs_bits=freqs_bits)
 
 
 def _stage_shards(index_dir: str, index_type: str, num_docs: int,
@@ -514,73 +563,81 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
     offsets = np.zeros(num_shards, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
 
-    # salt plan: split terms with df > threshold into ceil(df/threshold) parts
-    hot = dfs_sorted[dfs_sorted["df"] > salt_threshold]
-    salt_map = {t: int(-(-d // salt_threshold))
-                for t, d in zip(hot["term"], hot["df"])}
-    salt_ref = ray.put(salt_map)
-    bnd_arr = np.array(bnd, dtype=object)
+    # salt plan: split terms with df > threshold into ceil(df/threshold)
+    # parts — dense per-term-rank array (no string dict crosses the wire)
+    df_arr = dfs_sorted["df"].to_numpy()
+    nsalts = np.ones(num_terms, dtype=np.int64)
+    hot_mask = df_arr > salt_threshold
+    nsalts[hot_mask] = -(-df_arr[hot_mask] // salt_threshold)
+    nsalts_ref = ray.put(nsalts)
+    # the sorted lexicon, broadcast once: term -> term_id (= global rank)
+    # is a C++ hash lookup (pc.index_in), so every stage after this point
+    # shuffles/sorts int64 term_ids, never strings
+    vocab_pa = pa.array(dfs_sorted["term"].to_numpy(), type=pa.string())
+    vocab_ref = ray.put(vocab_pa)
 
     def combine_partials(t: pa.Table) -> pa.Table:
         """Vectorized per-batch combiner (the map-side combine before the
-        one shuffle): token rows -> per-(term, salt) docID-sorted partial
-        posting lists.  This is what keeps the groupby("bucket") exchange
-        small — lists, not token rows, cross the wire — and what bounds a
-        hot term's shuffle unit (salt = docID-range split)."""
-        terms = t.column("term").to_numpy(zero_copy_only=False)
+        one shuffle): token rows -> per-(term_id, salt) docID-sorted
+        partial posting lists.  This is what keeps the groupby("bucket")
+        exchange small — lists, not token rows, cross the wire — and what
+        bounds a hot term's shuffle unit (salt = docID-range split)."""
         doc_ids = t.column("doc_id").to_numpy()
         tfs = t.column("tf").to_numpy()
-        if len(terms) == 0:
+        if len(doc_ids) == 0:
             return pa.table({
-                "term": pa.array([], type=pa.string()),
+                "term_id": pa.array([], type=pa.int64()),
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
                 "doc_ids": pa.array([], type=pa.list_(pa.int64())),
                 "freqs": pa.array([], type=pa.list_(pa.int64()))})
-        smap = ray.get(salt_ref)
-        salts = np.zeros(len(terms), dtype=np.int64)
-        if smap:
-            s = pd.Series(terms).map(smap).fillna(0).to_numpy(dtype=np.int64)
-            hot_rows = s > 0
-            if hot_rows.any():
-                salts[hot_rows] = (doc_ids[hot_rows] * s[hot_rows]) // max(1, num_docs)
-        order = np.lexsort((doc_ids, salts, terms))
-        terms, salts, doc_ids, tfs = (terms[order], salts[order],
-                                      doc_ids[order], tfs[order])
-        new = np.empty(len(terms), dtype=bool)
+        import pyarrow.compute as pc
+        vocab = ray.get(vocab_ref)
+        ns = ray.get(nsalts_ref)
+        tid_arr = pc.index_in(t.column("term").combine_chunks(),
+                              value_set=vocab)
+        assert tid_arr.null_count == 0, "token term missing from lexicon"
+        tids = tid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = ns[tids]
+        salts = np.zeros(len(tids), dtype=np.int64)
+        hot_rows = s > 1
+        if hot_rows.any():
+            salts[hot_rows] = (doc_ids[hot_rows] * s[hot_rows]) // max(1, num_docs)
+        order = np.lexsort((doc_ids, salts, tids))
+        tids, salts, doc_ids, tfs = (tids[order], salts[order],
+                                     doc_ids[order], tfs[order])
+        new = np.empty(len(tids), dtype=bool)
         new[0] = True
-        np.not_equal(terms[1:], terms[:-1], out=new[1:])
+        np.not_equal(tids[1:], tids[:-1], out=new[1:])
         np.logical_or(new[1:], salts[1:] != salts[:-1], out=new[1:])
         starts = np.flatnonzero(new)
-        offsets = np.append(starts, len(terms)).astype(np.int32)
-        g_terms = terms[starts]
-        bucket = (np.searchsorted(bnd_arr, g_terms, side="right")
-                  if len(bnd_arr) else np.zeros(len(starts), dtype=np.int64))
+        loffsets = np.append(starts, len(tids)).astype(np.int32)
+        g_tids = tids[starts]
+        bucket = np.searchsorted(offsets, g_tids, side="right") - 1
         return pa.table({
-            "term": pa.array(g_terms, type=pa.string()),
+            "term_id": pa.array(g_tids, type=pa.int64()),
             "salt": pa.array(salts[starts], type=pa.int64()),
             "bucket": pa.array(bucket, type=pa.int64()),
             "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
             "doc_ids": pa.ListArray.from_arrays(
-                offsets, pa.array(doc_ids, type=pa.int64())),
+                loffsets, pa.array(doc_ids, type=pa.int64())),
             "freqs": pa.ListArray.from_arrays(
-                offsets, pa.array(tfs, type=pa.int64())),
+                loffsets, pa.array(tfs, type=pa.int64())),
         })
 
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                              columns=["term", "doc_id", "tf"])
 
-    offsets_ref = ray.put(offsets)
     norm_ref = ray.put((norm_lens).astype(np.float32))
 
     manifest = (
-        tokens.map_batches(combine_partials, batch_format="pyarrow")
+        tokens.map_batches(combine_partials, batch_size=None, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_named(_ShardEncoder(index_dir, index_type, num_docs,
-                                         offsets_ref, norm_ref),
+                                         vocab_ref, norm_ref),
                            "encode_shard"),
-                    batch_format="pandas")
+                    batch_format="pyarrow")
     ).take_all()
     return manifest
 
@@ -613,6 +670,15 @@ def build_index(source_path: str, index_dir: str, *,
         "num_terms": int(sum(m["num_terms"] for m in manifest)),
         "total_postings": int(sum(m["postings"] for m in manifest)),
         "index_type": index_type,
+        # size accounting (index_build_utils.hpp:77-91): encoded bits per
+        # docid posting and per freq (block family stores one interleaved
+        # stream in docs_bits; freqs_bits is then 0)
+        "docs_bits": int(sum(m.get("docs_bits", 0) for m in manifest)),
+        "freqs_bits": int(sum(m.get("freqs_bits", 0) for m in manifest)),
+        "bits_per_doc": round(sum(m.get("docs_bits", 0) for m in manifest)
+                              / max(1, sum(m["postings"] for m in manifest)), 3),
+        "bits_per_freq": round(sum(m.get("freqs_bits", 0) for m in manifest)
+                               / max(1, sum(m["postings"] for m in manifest)), 3),
         "shards": sorted(
             ({"shard": int(m["shard"]), "num_terms": int(m["num_terms"]),
               "term_id_lo": int(m["term_id_lo"]),

@@ -28,22 +28,70 @@ def tokenize_text(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
-def tokenize_batch(batch: pa.Table, text_col: str = "content",
-                   id_col: str = "doc_id") -> pa.Table:
-    """Arrow batch of documents -> exploded (term, doc_id, tf, doc_len)."""
-    texts = batch.column(text_col).to_pylist()
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
 
-    # one flat token stream for the whole batch, then a single vectorized
-    # (doc, term) group-count — no per-doc Counter objects
+
+def _flat_tokens(texts: list, ids: np.ndarray):
+    """All docs' tokens as one flat stream + per-doc lengths.
+
+    polars path: lowercase + extract_all run in Rust (the pattern has
+    disjoint first-characters per alternative, so leftmost matching is
+    identical to Python re.findall).  Fallback: Python re.
+    """
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8)
+        toks = s.fill_null("").str.to_lowercase().str.extract_all(
+            TOKEN_SQL_RE)
+        doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+        flat = toks.explode().drop_nulls()
+        tok_arr = flat.to_numpy()
+        return tok_arr, doc_lens
     all_toks: list[str] = []
-    doc_of: list[np.ndarray] = []
     doc_lens = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
         toks = TOKEN_RE.findall((text or "").lower())
         doc_lens[i] = len(toks)
         all_toks.extend(toks)
-    tok_arr = np.asarray(all_toks, dtype=object)
+    return np.asarray(all_toks, dtype=object), doc_lens
+
+
+def tokenize_batch(batch: pa.Table, text_col: str = "content",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Arrow batch of documents -> exploded (term, doc_id, tf, doc_len).
+
+    polars path: tokenize + (doc, term) group-count entirely in Rust,
+    zero-copy back to Arrow.  numpy/re fallback below is the semantic
+    reference (outputs are row-order-insensitively identical)."""
+    if _pl is not None:
+        df = _pl.from_arrow(batch.select([id_col, text_col]))
+        out = (
+            df.rename({id_col: "doc_id", text_col: "_t"})
+            .with_columns(
+                term=_pl.col("_t").fill_null("").str.to_lowercase()
+                        .str.extract_all(TOKEN_SQL_RE))
+            .with_columns(doc_len=_pl.col("term").list.len().cast(_pl.Int64))
+            .drop("_t")
+            .explode("term")
+            .drop_nulls("term")
+            .group_by(["term", "doc_id", "doc_len"])
+            .len(name="tf")
+            .with_columns(_pl.col("tf").cast(_pl.Int64),
+                          _pl.col("doc_id").cast(_pl.Int64))
+            .select(["term", "doc_id", "tf", "doc_len"])
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("doc_id", pa.int64()),
+            ("tf", pa.int64()), ("doc_len", pa.int64())]))
+
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+
+    # one flat token stream for the whole batch, then a single vectorized
+    # (doc, term) group-count — no per-doc Counter objects
+    tok_arr, doc_lens = _flat_tokens(texts, ids)
     doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doc_lens)
 
     if len(tok_arr):
