@@ -172,6 +172,36 @@ def _postings_table_block(sf_dir: str) -> pd.DataFrame:
     return _postings_table(sf_dir, "block_packed")
 
 
+def _hybrid_index_for(sf_dir: str):
+    """λ-optimized mixed-block re-encode of the block index
+    (optimal_hybrid_index parity; rayfts/hybrid.py)."""
+    from rayfts.hybrid import build_hybrid
+    from rayfts.index import InvertedIndex
+
+    src_idx = _index_for(sf_dir, "block_packed")
+    out_dir = src_idx.index_dir.rstrip("/") + "_hybrid"
+    key = out_dir
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        if not os.path.exists(os.path.join(out_dir, "meta.json")):
+            build_hybrid(src_idx.index_dir, out_dir, budget_factor=1.15)
+        idx = InvertedIndex(out_dir)
+        idx.src_doc_ids = src_idx.src_doc_ids
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _postings_table_hybrid(sf_dir: str) -> pd.DataFrame:
+    idx = _hybrid_index_for(sf_dir)
+    rows_t, rows_d, rows_f = [], [], []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -339,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _tokenize,
         "postings": _postings_table,
         "postings_block": _postings_table_block,
+        "postings_hybrid": _postings_table_hybrid,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -452,6 +483,7 @@ WITH {_TOK.strip()}
 SELECT term, doc_id, tf FROM tf"""
     sqls["postings"] = postings_sql
     sqls["postings_block"] = postings_sql
+    sqls["postings_hybrid"] = postings_sql
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}

@@ -1,0 +1,11 @@
+"""rayfts — Ray-Data-native inverted index + BM25 engine."""
+
+import os
+
+# Each Ray worker process gets its own polars; by default every one of
+# them would size its Rust thread pool to ALL machine cores, so N workers
+# x N threads thrash the CPU (tokenize measurably got slower with more
+# workers).  Ray already provides the process-level parallelism — keep
+# polars single-threaded inside tasks.  Must be set before polars is
+# first imported anywhere in the process.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")

@@ -96,29 +96,80 @@ def _bucket_of(values: pd.Series, boundaries: list) -> np.ndarray:
                            side="right").astype(np.int64)
 
 
-def _bucket_offsets(ds_with_bucket: rd.Dataset, num_buckets: int) -> np.ndarray:
-    """Row count per bucket -> exclusive prefix offsets (driver-side; one
-    small row per (bucket, batch))."""
-    def counts(t: pa.Table) -> pa.Table:
-        b, c = np.unique(t.column("bucket").to_numpy(), return_counts=True)
-        return pa.table({"bucket": b, "cnt": c})
-
-    partial = ds_with_bucket.map_batches(counts, batch_size=None, batch_format="pyarrow")
-    rows = partial.groupby("bucket").sum("cnt").take_all()
-    totals = np.zeros(num_buckets, dtype=np.int64)
-    for r in rows:
-        totals[int(r["bucket"])] = int(r["sum(cnt)"])
-    offsets = np.zeros(num_buckets, dtype=np.int64)
-    np.cumsum(totals[:-1], out=offsets[1:])
-    return offsets
-
-
 def _parquet_num_rows(path: str) -> int:
     """Exact row count from parquet footers — no data scan."""
     if os.path.isdir(path):
         return sum(_parquet_num_rows(os.path.join(path, f))
                    for f in os.listdir(path) if f.endswith(".parquet"))
     return pq.ParquetFile(path).metadata.num_rows
+
+
+#: per-worker-process cache of bucket docID-map key arrays
+_BUCKET_KEY_CACHE: dict[str, np.ndarray] = {}
+
+
+def _keystr_col(col: pd.Series) -> pd.Series:
+    # zero-pad integers so string order == numeric order
+    if col.dtype.kind in "iu":
+        return col.map(lambda v: "%020d" % v)
+    return col.astype(str)
+
+
+def _add_sortkey(t: pa.Table, key_cols: list[str]) -> pa.Table:
+    # \x01 separator: sorts below every printable char, so the concat
+    # order equals the column-tuple order (pandas drops \x00 in str
+    # concat -- C-string semantics -- hence not \x00); assumes keys
+    # contain no control characters
+    df = t.select(key_cols).to_pandas()
+    sk = _keystr_col(df[key_cols[0]])
+    for c in key_cols[1:]:
+        sk = sk + "\x01" + _keystr_col(df[c])
+    return t.append_column("sortkey", pa.array(sk, type=pa.string()))
+
+
+def _assign_tokenize(t: pa.Table, *, map_dir: str, boundaries: list,
+                     offsets: np.ndarray, text_col: str, docs_dir: str,
+                     key_cols: list[str]) -> pa.Table:
+    """Stage-1 worker body: docID assignment + sha256 + docs-meta
+    side-write + tokenize, all on one pass over a content batch."""
+    if t.num_rows == 0:
+        return tokenize_batch(t, text_col=text_col)
+    t = _add_sortkey(t, key_cols)
+    sk = t.column("sortkey").to_pandas()
+    buckets = _bucket_of(sk, boundaries)
+    sk = sk.to_numpy()
+    doc_ids = np.empty(len(sk), dtype=np.int64)
+    for b in np.unique(buckets):
+        sel = buckets == b
+        ckey = os.path.join(map_dir, f"map_{int(b):05d}.parquet")
+        keys = _BUCKET_KEY_CACHE.get(ckey)
+        if keys is None:
+            keys = pq.read_table(ckey).column("sortkey") \
+                     .to_numpy(zero_copy_only=False)
+            _BUCKET_KEY_CACHE[ckey] = keys
+        pos = np.searchsorted(keys, sk[sel])
+        doc_ids[sel] = offsets[int(b)] + pos
+    t = t.drop_columns(["sortkey"])
+    t = t.add_column(0, "doc_id", pa.array(doc_ids, type=pa.int64()))
+    t = sha256_batch(t, text_col)
+    # side-write this batch's docs metadata (everything except content);
+    # name keyed by first docID -> idempotent on retry
+    meta_t = t.drop_columns([text_col])
+    fname = os.path.join(docs_dir, f"meta_{int(doc_ids.min()):012d}.parquet")
+    tmpf = fname + ".tmp"
+    pq.write_table(meta_t, tmpf)
+    os.replace(tmpf, fname)
+    tok = tokenize_batch(t, text_col=text_col)
+    # side-write per-doc lengths too (each doc lives in exactly one
+    # batch): the .sizes sidecar needs no later scan of the 90M-row
+    # tokens table, and tokens shed the repeated doc_len column
+    lens = tok.group_by("doc_id").aggregate([("doc_len", "max")]) \
+              .rename_columns(["doc_id", "length"])
+    ldir = os.path.join(os.path.dirname(docs_dir), "lengths_parts")
+    lname = os.path.join(ldir, f"len_{int(doc_ids.min()):012d}.parquet")
+    pq.write_table(lens, lname + ".tmp")
+    os.replace(lname + ".tmp", lname)
+    return tok.drop_columns(["doc_len"])
 
 
 # ---------------------------------------------------------------------------
@@ -150,26 +201,13 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     num_docs = _parquet_num_rows(source_path)
     # enough buckets that the assign/sha256 stage (and every downstream
     # read of <index>/docs, which inherits this file count) parallelizes
-    # across the cluster; ~64k docs per bucket at large scale
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    num_buckets = max(1, min(num_docs, max(num_docs // 65536 + 1, 2 * cpus)))
-
-    def _keystr(col: pd.Series) -> pd.Series:
-        # zero-pad integers so string order == numeric order
-        if col.dtype.kind in "iu":
-            return col.map(lambda v: "%020d" % v)
-        return col.astype(str)
+    # across the cluster; ~64k docs per bucket at large scale.  Data-
+    # dependent only (NOT cpu-dependent) so the physical plan is identical
+    # across cluster sizes — a scaling run compares the same job.
+    num_buckets = max(1, min(num_docs, max(num_docs // 65536 + 1, 64)))
 
     def add_sortkey(t: pa.Table) -> pa.Table:
-        # \x01 separator: sorts below every printable char, so the concat
-        # order equals the column-tuple order (pandas drops \x00 in str
-        # concat — C-string semantics — hence not \x00); assumes keys
-        # contain no control characters
-        df = t.to_pandas()
-        sk = _keystr(df[key_cols[0]])
-        for c in key_cols[1:]:
-            sk = sk + "\x01" + _keystr(df[c])
-        return t.append_column("sortkey", pa.array(sk, type=pa.string()))
+        return _add_sortkey(t, key_cols)
 
     boundaries = _sample_boundaries(
         keys_ds.map_batches(add_sortkey, batch_size=None, batch_format="pyarrow"),
@@ -219,58 +257,44 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     offsets = np.zeros(num_buckets_eff, dtype=np.int64)
     np.cumsum(totals[:-1], out=offsets[1:])
 
-    # content pass: pure map (stateful actor pool caches bucket key
-    # arrays; source rows are usually key-clustered so each batch touches
-    # few buckets)
-    class _DocIdAssigner:
-        def __init__(self, map_dir: str, boundaries: list,
-                     offsets: np.ndarray, text_col: str):
-            self.map_dir = map_dir
-            self.boundaries = boundaries
-            self.offsets = offsets
-            self.text_col = text_col
-            self._maps: dict[int, np.ndarray] = {}
+    # content pass, ONE scan of the source: assign docIDs, sha256, side-
+    # write the content-free docs-meta checkpoint, tokenize, and emit the
+    # token rows — the (often multi-TB) content column is read exactly
+    # once and never written again.  Stateful actor pool caches bucket
+    # key arrays; source rows are usually key-clustered so each batch
+    # touches few buckets.
+    tokens_dir = os.path.join(index_dir, "tokens")
+    tokens_marker = os.path.join(index_dir, "tokens.done.json")
 
-        def _map_for(self, b: int) -> np.ndarray:
-            m = self._maps.get(b)
-            if m is None:
-                m = pq.read_table(
-                    os.path.join(self.map_dir, f"map_{b:05d}.parquet")
-                ).column("sortkey").to_numpy(zero_copy_only=False)
-                self._maps[b] = m
-            return m
+    assign_kwargs = {"map_dir": map_dir, "boundaries": boundaries,
+                     "offsets": offsets, "text_col": text_col,
+                     "docs_dir": docs_dir, "key_cols": key_cols}
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = add_sortkey(t)
-            sk = t.column("sortkey").to_pandas()
-            buckets = _bucket_of(sk, self.boundaries)
-            sk = sk.to_numpy()
-            doc_ids = np.empty(len(sk), dtype=np.int64)
-            for b in np.unique(buckets):
-                sel = buckets == b
-                keys = self._map_for(int(b))
-                pos = np.searchsorted(keys, sk[sel])
-                doc_ids[sel] = self.offsets[int(b)] + pos
-            t = t.drop_columns(["sortkey"])
-            t = t.add_column(0, "doc_id", pa.array(doc_ids, type=pa.int64()))
-            return sha256_batch(t, self.text_col)
+    import shutil as _sh
+    lengths_parts = os.path.join(index_dir, "lengths_parts")
+    for d in (docs_dir, tokens_dir + ".tmp", lengths_parts):
+        if os.path.exists(d):
+            _sh.rmtree(d)   # clear partial outputs from an aborted run
+    os.makedirs(docs_dir, exist_ok=True)
+    os.makedirs(lengths_parts, exist_ok=True)
 
-    out = (rd.read_parquet(source_path)
-           .map_batches(_rename, batch_size=None, batch_format="pyarrow")
-           .map_batches(
-               _DocIdAssigner,
-               fn_constructor_kwargs={
-                   "map_dir": map_dir, "boundaries": boundaries,
-                   "offsets": offsets, "text_col": text_col},
-               concurrency=(1, max(2, cpus)),
-               batch_size=None,
-               batch_format="pyarrow"))
-    tmp = docs_dir + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
-        shutil.rmtree(tmp)
-    out.write_parquet(tmp)
-    os.replace(tmp, docs_dir)
+    # plain tasks, not an actor pool: Ray pre-starts one worker process
+    # per CPU, so parallelism is immediate (an autoscaling actor pool
+    # ramps up one costly import at a time); the per-worker bucket-map
+    # cache lives in module state and persists across tasks
+    tokens = (rd.read_parquet(source_path)
+              .map_batches(_rename, batch_size=None, batch_format="pyarrow")
+              .map_batches(
+                  lambda t: _assign_tokenize(t, **assign_kwargs),
+                  # cap the batch: tokenize explodes each doc into
+                  # ~hundreds of rows
+                  batch_size=2048,
+                  batch_format="pyarrow"))
+    tmp = tokens_dir + ".tmp"
+    tokens.write_parquet(tmp)
+    os.replace(tmp, tokens_dir)
+    with open(tokens_marker, "w") as f:
+        json.dump({"text_col": text_col}, f)
     with open(marker, "w") as f:
         json.dump({"num_docs": num_docs, "input": source_path,
                    "key_cols": key_cols}, f)
@@ -278,30 +302,16 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
 
 
 # ---------------------------------------------------------------------------
-# stage 2: tokens checkpoint
+# stage 2: tokens checkpoint — fused into stage 1 (one content scan);
+# kept as a no-op guard for resume compatibility
 # ---------------------------------------------------------------------------
 
 def _stage_tokens(index_dir: str, text_col: str) -> None:
-    tokens_dir = os.path.join(index_dir, "tokens")
     marker = os.path.join(index_dir, "tokens.done.json")
-    if os.path.exists(marker):
-        return
-    docs = rd.read_parquet(os.path.join(index_dir, "docs"),
-                           columns=["doc_id", text_col])
-    # cap the batch: tokenize explodes each doc into ~hundreds of rows,
-    # so a full 64k-doc block would materialize a multi-GB output table
-    tokens = docs.map_batches(
-        lambda t: tokenize_batch(t, text_col=text_col),
-        batch_size=4096,
-        batch_format="pyarrow")
-    tmp = tokens_dir + ".tmp"
-    if os.path.exists(tmp):
-        import shutil
-        shutil.rmtree(tmp)
-    tokens.write_parquet(tmp)
-    os.replace(tmp, tokens_dir)
-    with open(marker, "w") as f:
-        json.dump({"text_col": text_col}, f)
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "tokens checkpoint missing: stage 1 (docs+tokens fused) did "
+            "not complete; delete docs.done.json and rebuild")
 
 
 # ---------------------------------------------------------------------------
@@ -314,20 +324,36 @@ def _stage_lengths(index_dir: str, num_docs: int,
                    tokens: rd.Dataset | None = None
                    ) -> tuple[np.ndarray, float]:
     path = os.path.join(index_dir, "lengths.parquet")
+    parts = os.path.join(index_dir, "lengths_parts")
+    if not os.path.exists(path) and os.path.isdir(parts):
+        # stage-1 side-wrote per-batch (doc_id, length); docs are unique
+        # across batches so plain concat is the full table
+        t = pq.read_table(parts)
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
     if not os.path.exists(path):
         if tokens is None:
             tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                                      columns=["doc_id", "doc_len"])
 
         def distinct(t: pa.Table) -> pa.Table:
-            df = t.to_pandas().drop_duplicates("doc_id")
-            return pa.Table.from_pandas(df, preserve_index=False)
+            # per-batch combiner: one (doc_id, doc_len) row per doc
+            gb = t.group_by("doc_id").aggregate([("doc_len", "max")])
+            return gb.rename_columns(["doc_id", "doc_len"])
 
-        agg = (tokens.map_batches(distinct, batch_size=None, batch_format="pyarrow")
-               .groupby("doc_id").max("doc_len"))
-        pdf = agg.to_pandas().rename(columns={"max(doc_len)": "length"})
+        # tree combine: per-block distinct, then re-combined over larger
+        # coalesced batches, final distinct on the driver — the doc-length
+        # table is driver-resident anyway (norm_lens broadcast), so a full
+        # Ray groupby shuffle here is pure overhead
+        agg = (tokens.map_batches(distinct, batch_size=None,
+                                  batch_format="pyarrow")
+               .map_batches(distinct, batch_size=1 << 20,
+                            batch_format="pyarrow"))
+        big = pa.concat_tables([ray.get(r) for r in agg.to_arrow_refs()])
+        final = big.group_by("doc_id").aggregate([("doc_len", "max")]) \
+                   .rename_columns(["doc_id", "length"])
         tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        pq.write_table(final, tmp)
         os.replace(tmp, path)
     pdf = pq.read_table(path).to_pandas()
     lengths = np.zeros(num_docs, dtype=np.int64)
@@ -349,35 +375,33 @@ def _stage_dfs(index_dir: str,
             import pyarrow.compute as pc
             vc = pc.value_counts(t.column("term").combine_chunks())
             return pa.table({"term": vc.field("values"),
-                             "cnt": vc.field("counts")})
+                             "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-        agg = (tokens.map_batches(partial, batch_size=None, batch_format="pyarrow")
-               .groupby("term").sum("cnt"))
-        pdf = agg.to_pandas().rename(columns={"sum(cnt)": "df"})
+        def merge(t: pa.Table) -> pa.Table:
+            gb = t.group_by("term").aggregate([("cnt", "sum")])
+            return gb.rename_columns(["term", "cnt"])
+
+        # tree combine (per-block value_counts -> coalesced re-combine ->
+        # driver-side final sum): the df table is driver-resident anyway
+        # (salt plan + shard boundaries), so a Ray groupby shuffle here
+        # is pure overhead
+        agg = (tokens.map_batches(partial, batch_size=None,
+                                  batch_format="pyarrow")
+               .map_batches(merge, batch_size=1 << 20,
+                            batch_format="pyarrow"))
+        big = pa.concat_tables([ray.get(r) for r in agg.to_arrow_refs()])
+        final = big.group_by("term").aggregate([("cnt", "sum")]) \
+                   .rename_columns(["term", "df"])
         tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        pq.write_table(final, tmp)
         os.replace(tmp, path)
     return pq.read_table(path).to_pandas()
 
 
 def _stage_lengths_dfs(index_dir: str, num_docs: int
                        ) -> tuple[np.ndarray, float, pd.DataFrame]:
-    import concurrent.futures as cf
-    tokens_dir = os.path.join(index_dir, "tokens")
-    # datasource creation (path/filesystem resolution) is not thread-safe
-    # against itself in this Ray version — do it in the main thread; the
-    # threads only drive execution
-    t_len = (rd.read_parquet(tokens_dir, columns=["doc_id", "doc_len"])
-             if not os.path.exists(os.path.join(index_dir, "lengths.parquet"))
-             else None)
-    t_dfs = (rd.read_parquet(tokens_dir, columns=["term"])
-             if not os.path.exists(os.path.join(index_dir, "dfs.parquet"))
-             else None)
-    with cf.ThreadPoolExecutor(max_workers=2) as ex:
-        f_len = ex.submit(_stage_lengths, index_dir, num_docs, t_len)
-        f_dfs = ex.submit(_stage_dfs, index_dir, t_dfs)
-        lengths, avg_len = f_len.result()
-        dfs = f_dfs.result()
+    lengths, avg_len = _stage_lengths(index_dir, num_docs)
+    dfs = _stage_dfs(index_dir)
     return lengths, avg_len, dfs
 
 
@@ -590,8 +614,10 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
-                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
-                "freqs": pa.array([], type=pa.list_(pa.int64()))})
+                "doc_ids": pa.array([], type=pa.list_(
+                    pa.int32() if num_docs < (1 << 31) else pa.int64())),
+                "freqs": pa.array([], type=pa.list_(
+                    pa.int32() if num_docs < (1 << 31) else pa.int64()))})
         import pyarrow.compute as pc
         vocab = ray.get(vocab_ref)
         ns = ray.get(nsalts_ref)
@@ -615,15 +641,22 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         loffsets = np.append(starts, len(tids)).astype(np.int32)
         g_tids = tids[starts]
         bucket = np.searchsorted(offsets, g_tids, side="right") - 1
+        # narrowest dtype that fits: the list payload is most of what the
+        # one big shuffle moves (encoder widens back to int64 on decode)
+        if num_docs < (1 << 31):
+            ldt, lnp = pa.int32(), np.int32
+        else:
+            ldt, lnp = pa.int64(), np.int64
         return pa.table({
             "term_id": pa.array(g_tids, type=pa.int64()),
             "salt": pa.array(salts[starts], type=pa.int64()),
             "bucket": pa.array(bucket, type=pa.int64()),
             "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
             "doc_ids": pa.ListArray.from_arrays(
-                loffsets, pa.array(doc_ids, type=pa.int64())),
+                loffsets, pa.array(doc_ids.astype(lnp), type=ldt)),
             "freqs": pa.ListArray.from_arrays(
-                loffsets, pa.array(tfs, type=pa.int64())),
+                loffsets, pa.array(np.minimum(tfs, (1 << 31) - 1).astype(lnp)
+                                   if lnp is np.int32 else tfs, type=ldt)),
         })
 
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),

@@ -67,6 +67,20 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_hybrid(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .hybrid import build_hybrid
+    t0 = time.perf_counter()
+    meta = build_hybrid(args.index, args.output,
+                        budget_factor=args.budget_factor)
+    print(json.dumps({"event": "hybrid_done",
+                      "wall_sec": round(time.perf_counter() - t0, 3),
+                      "base_space_bytes": meta["hybrid"]["base_space_bytes"],
+                      "spent_bytes": meta["hybrid"]["spent_bytes"],
+                      "budget_factor": args.budget_factor}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     _ensure_ray(args.num_cpus)
     from .verify import verify_index
@@ -125,6 +139,14 @@ def main(argv=None) -> int:
     b.add_argument("--check", action="store_true",
                    help="verify the index after building (--check parity)")
     b.set_defaults(fn=cmd_build)
+
+    h = sub.add_parser("hybrid", parents=[common])
+    h.add_argument("--index", required=True)
+    h.add_argument("--output", required=True)
+    h.add_argument("--budget-factor", type=float, default=1.15,
+                   help="allowed space = min-space * factor "
+                        "(optimal_hybrid_index space budget)")
+    h.set_defaults(fn=cmd_hybrid)
 
     v = sub.add_parser("verify", parents=[common])
     v.add_argument("--index", required=True)

@@ -86,7 +86,7 @@ BLOCK_INDEX_TYPES = {
     "block_vbyte": VByteBlock,
 }
 
-INDEX_TYPES = list(FREQ_INDEX_TYPES) + list(BLOCK_INDEX_TYPES)
+INDEX_TYPES = list(FREQ_INDEX_TYPES) + list(BLOCK_INDEX_TYPES) + ["block_mixed"]
 
 
 def encode_posting_list(index_type: str, docs: np.ndarray, freqs: np.ndarray,
@@ -95,9 +95,23 @@ def encode_posting_list(index_type: str, docs: np.ndarray, freqs: np.ndarray,
     """Encode one posting list; returns (docs_bytes, freqs_bytes).
 
     Block-family lists interleave docs+freqs in docs_bytes (freqs_bytes
-    empty), matching block_posting_list's single stream."""
+    empty), matching block_posting_list's single stream.  ``block_mixed``
+    built directly picks the smallest codec per block (the zero-budget
+    hybrid; rayfts.hybrid.build_hybrid re-optimizes under a space
+    budget)."""
     n = len(docs)
     assert n > 0
+    if index_type == "block_mixed":
+        from ..hybrid import (_block_candidates, _iter_block_streams,
+                              _pareto, write_mixed_posting_list)
+        docs = np.asarray(docs, dtype=np.int64)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        nblocks = (n + 127) // 128
+        choices = [[0, 0] for _ in range(nblocks)]
+        for b, stream, vals, sov in _iter_block_streams(docs, freqs):
+            choices[b][stream] = _pareto(_block_candidates(vals, sov))[0][0]
+        return write_mixed_posting_list(
+            docs, freqs, [tuple(c) for c in choices]), b""
     if index_type in BLOCK_INDEX_TYPES:
         codec = BLOCK_INDEX_TYPES[index_type]
         return write_block_posting_list(docs, freqs, codec), b""
@@ -123,6 +137,9 @@ def decode_posting_list(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
                         params: GlobalParameters = PARAMS
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Decode one posting list; returns (docs:int64, freqs:int64)."""
+    if index_type == "block_mixed":
+        from ..hybrid import MixedPostingListReader
+        return MixedPostingListReader(docs_bytes).decode_all()
     if index_type in BLOCK_INDEX_TYPES:
         codec = BLOCK_INDEX_TYPES[index_type]
         return BlockPostingListReader(docs_bytes, codec).decode_all()

@@ -1,0 +1,390 @@
+"""Space-time-optimal hybrid ("mixed") block index — the
+``optimal_hybrid_index`` driver re-expressed on Ray Data
+(optimal_hybrid_index.cpp:56-396, mixed_block.hpp:10-218).
+
+Pipeline:
+
+  1. ``compute_lambdas``: map_batches over the source index's shard
+     parquet — decode every posting list, try every block codec on every
+     128-block (docs-gap stream and freq stream separately), emit the
+     Pareto-frontier transitions as (gain = time saved per bit of space
+     spent) rows.  Checkpointed to ``<out>/lambdas/`` — the reference's
+     resumable ``lambdas.bin`` (optimal_hybrid_index.cpp:337-343).
+  2. ``ds.sort`` by gain descending — the Ray-native replacement for the
+     reference's 16 GB stxxl external sort (:237-240).
+  3. Greedy frontier walk (inherently sequential, driver-side — same as
+     the reference): start every block at its min-space codec, apply
+     upgrades in gain order until the space budget is exhausted.
+  4. Re-encode stage: map_batches over shards re-encodes each block with
+     its chosen codec into the mixed container (1 tag byte per block
+     payload) and writes the hybrid index directory.
+
+Decode-time model: the reference trains a linear per-codec predictor
+offline (dec_time_regression.py over features from
+dec_time_prediction.hpp:13).  We use fixed per-codec (alpha, beta)
+nanosecond constants measured once on this container — deterministic
+stand-ins with the same role (documented deviation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from .codecs import vbyte as vb
+from .codecs.blocks import (
+    BLOCK_CODECS, BLOCK_SIZE, InterpolativeBlock, PackedBlock,
+    SUM_UNKNOWN, VByteBlock,
+)
+
+#: codec tag byte <-> codec (mixed_block.hpp's type tags)
+TAGS = {0: PackedBlock, 1: VByteBlock, 2: InterpolativeBlock}
+TAG_OF = {c.name: t for t, c in TAGS.items()}
+
+#: decode-time model ns = alpha + beta * n (fixed deterministic stand-in
+#: for the trained predictor of dec_time_prediction.hpp)
+TIME_NS = {
+    "packed": (900.0, 2.0),
+    "vbyte": (1100.0, 9.0),
+    "interpolative": (1500.0, 95.0),
+}
+
+
+def _time_ns(codec_name: str, n: int) -> float:
+    a, b = TIME_NS[codec_name]
+    return a + b * n
+
+
+# --------------------------------------------------------------------------
+# mixed container: block_posting_list layout + 1 tag byte per payload
+# --------------------------------------------------------------------------
+
+def write_mixed_posting_list(docs: np.ndarray, freqs: np.ndarray,
+                             choices: list[tuple[int, int]]) -> bytes:
+    """choices[b] = (doc_tag, freq_tag) per 128-block."""
+    n = len(docs)
+    assert n > 0 and len(freqs) == n
+    out = bytearray()
+    out += vb.encode_single(n)
+    blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    assert len(choices) == blocks
+    begin_block_maxs = len(out)
+    begin_block_endpoints = begin_block_maxs + 4 * blocks
+    begin_blocks = begin_block_endpoints + 4 * (blocks - 1)
+    out += bytes(begin_blocks - begin_block_maxs)
+
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    last_doc = -1
+    block_base = 0
+    maxs = np.empty(blocks, dtype=np.uint32)
+    endpoints = np.empty(max(0, blocks - 1), dtype=np.uint32)
+    for b in range(blocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        cur = hi - lo
+        dblk = docs[lo:hi]
+        gaps = np.empty(cur, dtype=np.uint64)
+        gaps[0] = dblk[0] - last_doc - 1
+        gaps[1:] = np.diff(dblk) - 1
+        last_doc = int(dblk[-1])
+        maxs[b] = last_doc
+        dtag, ftag = choices[b]
+        out.append(dtag)
+        TAGS[dtag].encode(gaps, last_doc - block_base - (cur - 1), out)
+        out.append(ftag)
+        TAGS[ftag].encode((freqs[lo:hi] - 1).astype(np.uint64),
+                          SUM_UNKNOWN, out)
+        if b != blocks - 1:
+            endpoints[b] = len(out) - begin_blocks
+        block_base = last_doc + 1
+
+    buf = np.frombuffer(out, dtype=np.uint8).copy()
+    buf[begin_block_maxs:begin_block_endpoints] = maxs.view(np.uint8)
+    if blocks > 1:
+        buf[begin_block_endpoints:begin_blocks] = endpoints.view(np.uint8)
+    return buf.tobytes()
+
+
+class MixedPostingListReader:
+    """BlockPostingListReader for the mixed container (per-block tag)."""
+
+    __slots__ = ("data", "n", "blocks", "block_maxs", "_endpoints",
+                 "_begin_blocks")
+
+    def __init__(self, data):
+        self.data = (np.frombuffer(data, dtype=np.uint8)
+                     if isinstance(data, (bytes, bytearray)) else data)
+        self.n, pos = vb.decode_single(self.data, 0)
+        self.blocks = (self.n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        mb = pos
+        eb = mb + 4 * self.blocks
+        self._begin_blocks = eb + 4 * (self.blocks - 1)
+        self.block_maxs = np.ascontiguousarray(self.data[mb:eb]).view(np.uint32)
+        self._endpoints = np.ascontiguousarray(
+            self.data[eb:self._begin_blocks]).view(np.uint32)
+
+    def decode_block(self, b: int):
+        lo = b * BLOCK_SIZE
+        hi = min(lo + BLOCK_SIZE, self.n)
+        cur = hi - lo
+        pos = self._begin_blocks + (int(self._endpoints[b - 1]) if b else 0)
+        block_base = int(self.block_maxs[b - 1]) + 1 if b else 0
+        block_max = int(self.block_maxs[b])
+        dtag = int(self.data[pos]); pos += 1
+        gaps, pos = TAGS[dtag].decode(self.data, pos,
+                                      block_max - block_base - (cur - 1), cur)
+        docs = block_base + np.cumsum(gaps.astype(np.int64) + 1) - 1
+        ftag = int(self.data[pos]); pos += 1
+        fgaps, _ = TAGS[ftag].decode(self.data, pos, SUM_UNKNOWN, cur)
+        return docs, fgaps.astype(np.int64) + 1
+
+    def decode_all(self):
+        ds, fs = [], []
+        for b in range(self.blocks):
+            d, f = self.decode_block(b)
+            ds.append(d)
+            fs.append(f)
+        return np.concatenate(ds), np.concatenate(fs)
+
+
+# --------------------------------------------------------------------------
+# candidate costs per block
+# --------------------------------------------------------------------------
+
+def _block_candidates(values: np.ndarray, sum_of_values) -> list[tuple[int, int, float]]:
+    """[(tag, space_bytes, time_ns)] for one block stream."""
+    out = []
+    n = len(values)
+    for name, codec in BLOCK_CODECS.items():
+        buf = bytearray()
+        codec.encode(values, sum_of_values, buf)
+        out.append((TAG_OF[name], len(buf) + 1, _time_ns(name, n)))  # +1 tag
+    return out
+
+
+def _pareto(cands):
+    """Space-ascending Pareto frontier (ties keep fastest)."""
+    cands = sorted(cands, key=lambda x: (x[1], x[2]))
+    front = []
+    best_t = float("inf")
+    for tag, s, t in cands:
+        if t < best_t:
+            front.append((tag, s, t))
+            best_t = t
+    return front
+
+
+def _iter_block_streams(docs: np.ndarray, freqs: np.ndarray):
+    """Yield (block, stream, values, sum_of_values) for every 128-block;
+    stream 0 = doc gaps (known sum), 1 = freqs-1 (unknown sum)."""
+    n = len(docs)
+    blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last_doc = -1
+    block_base = 0
+    for b in range(blocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        cur = hi - lo
+        dblk = docs[lo:hi]
+        gaps = np.empty(cur, dtype=np.uint64)
+        gaps[0] = dblk[0] - last_doc - 1
+        gaps[1:] = np.diff(dblk) - 1
+        last_doc = int(dblk[-1])
+        yield b, 0, gaps, last_doc - block_base - (cur - 1)
+        yield b, 1, (freqs[lo:hi] - 1).astype(np.uint64), SUM_UNKNOWN
+        block_base = last_doc + 1
+
+
+# --------------------------------------------------------------------------
+# the Ray pipeline
+# --------------------------------------------------------------------------
+
+def compute_lambdas(index_dir: str, out_dir: str) -> str:
+    """Stage 1: λ rows parquet (resumable checkpoint). Returns its path."""
+    lam_dir = os.path.join(out_dir, "lambdas")
+    marker = lam_dir + ".done.json"
+    if os.path.exists(marker):
+        return lam_dir
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_docs = int(meta["num_docs"])
+    index_type = meta["index_type"]
+
+    from .codecs.posting import decode_posting_list
+
+    def lam(batch: pa.Table) -> pa.Table:
+        rows = {"term_id": [], "block": [], "stream": [], "from_tag": [],
+                "tag": [], "dspace": [], "gain": [], "base_tag": [],
+                "base_space": []}
+        for i in range(batch.num_rows):
+            tid = int(batch.column("term_id")[i].as_py())
+            db = batch.column("docs_bytes")[i].as_py()
+            fb = batch.column("freqs_bytes")[i].as_py()
+            docs, freqs = decode_posting_list(index_type, db, fb, num_docs)
+            for b, stream, vals, sov in _iter_block_streams(docs, freqs):
+                front = _pareto(_block_candidates(vals, sov))
+                base_tag, base_s, _ = front[0]
+                rows["term_id"].append(tid)
+                rows["block"].append(b)
+                rows["stream"].append(stream)
+                rows["from_tag"].append(-1)
+                rows["tag"].append(base_tag)
+                rows["dspace"].append(0)
+                rows["gain"].append(float("inf"))
+                rows["base_tag"].append(base_tag)
+                rows["base_space"].append(base_s)
+                for j in range(1, len(front)):
+                    pt, ps, ptm = front[j - 1]
+                    ct, cs, ctm = front[j]
+                    rows["term_id"].append(tid)
+                    rows["block"].append(b)
+                    rows["stream"].append(stream)
+                    rows["from_tag"].append(pt)
+                    rows["tag"].append(ct)
+                    rows["dspace"].append(cs - ps)
+                    rows["gain"].append((ptm - ctm) / (cs - ps))
+                    rows["base_tag"].append(base_tag)
+                    rows["base_space"].append(base_s)
+        return pa.table({
+            "term_id": pa.array(rows["term_id"], type=pa.int64()),
+            "block": pa.array(rows["block"], type=pa.int64()),
+            "stream": pa.array(rows["stream"], type=pa.int64()),
+            "from_tag": pa.array(rows["from_tag"], type=pa.int64()),
+            "tag": pa.array(rows["tag"], type=pa.int64()),
+            "dspace": pa.array(rows["dspace"], type=pa.int64()),
+            "gain": pa.array(rows["gain"], type=pa.float64()),
+            "base_tag": pa.array(rows["base_tag"], type=pa.int64()),
+            "base_space": pa.array(rows["base_space"], type=pa.int64()),
+        })
+
+    shards_dir = os.path.join(index_dir, "shards")
+    shard_paths = [os.path.join(shards_dir, f)
+                   for f in sorted(os.listdir(shards_dir))
+                   if f.endswith(".parquet")]
+    ds = rd.read_parquet(shard_paths,
+                         columns=["term_id", "docs_bytes", "freqs_bytes"])
+    tmp = lam_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.map_batches(lam, batch_size=None,
+                   batch_format="pyarrow").write_parquet(tmp)
+    os.replace(tmp, lam_dir)
+    with open(marker, "w") as f:
+        json.dump({"source": index_dir}, f)
+    return lam_dir
+
+
+def choose_codecs(lam_dir: str, budget_factor: float) -> dict:
+    """Stages 2+3: sort by gain desc (Ray shuffle), stream the sorted
+    prefix through the driver's greedy walk.  Returns
+    {(term_id, block, stream): tag} plus base sizes.
+
+    budget_factor: allowed space = base_space * budget_factor
+    (1.0 = smallest possible index, +inf = fastest)."""
+    ds = rd.read_parquet(lam_dir)
+    base_rows = ds.filter(expr="from_tag == -1")
+    base = {}
+    base_space = 0
+    for r in base_rows.iter_rows():
+        base[(r["term_id"], r["block"], r["stream"])] = r["tag"]
+        base_space += r["base_space"]
+
+    budget = base_space * budget_factor
+    spent = base_space
+    choice = dict(base)
+    cur_tag = dict(base)
+    upgrades = ds.filter(expr="from_tag >= 0").sort("gain", descending=True)
+    for batch in upgrades.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+        tids = batch.column("term_id").to_numpy()
+        blocks = batch.column("block").to_numpy()
+        streams = batch.column("stream").to_numpy()
+        from_tags = batch.column("from_tag").to_numpy()
+        tags = batch.column("tag").to_numpy()
+        dspaces = batch.column("dspace").to_numpy()
+        for i in range(len(tids)):
+            key = (int(tids[i]), int(blocks[i]), int(streams[i]))
+            # upgrades apply in frontier order per block
+            if cur_tag.get(key) != int(from_tags[i]):
+                continue
+            if spent + int(dspaces[i]) > budget:
+                continue
+            spent += int(dspaces[i])
+            cur_tag[key] = int(tags[i])
+            choice[key] = int(tags[i])
+    return {"choice": choice, "base_space": base_space, "spent": spent}
+
+
+def build_hybrid(index_dir: str, out_dir: str,
+                 budget_factor: float = 1.15) -> dict:
+    """Full hybrid re-encode; returns the new index meta."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        src_meta = json.load(f)
+    num_docs = int(src_meta["num_docs"])
+    index_type = src_meta["index_type"]
+
+    lam_dir = compute_lambdas(index_dir, out_dir)
+    plan = choose_codecs(lam_dir, budget_factor)
+    choice = plan["choice"]
+
+    from .codecs.posting import decode_posting_list
+
+    import ray
+    choice_ref = ray.put(choice)
+
+    def reenc(batch: pa.Table) -> pa.Table:
+        ch = ray.get(choice_ref)
+        out_bytes = []
+        for i in range(batch.num_rows):
+            tid = int(batch.column("term_id")[i].as_py())
+            db = batch.column("docs_bytes")[i].as_py()
+            fb = batch.column("freqs_bytes")[i].as_py()
+            docs, freqs = decode_posting_list(index_type, db, fb, num_docs)
+            blocks = (len(docs) + BLOCK_SIZE - 1) // BLOCK_SIZE
+            choices = [(ch[(tid, b, 0)], ch[(tid, b, 1)])
+                       for b in range(blocks)]
+            out_bytes.append(write_mixed_posting_list(docs, freqs, choices))
+        cols = {name: batch.column(name)
+                for name in batch.column_names
+                if name not in ("docs_bytes", "freqs_bytes")}
+        cols["docs_bytes"] = pa.array(out_bytes, type=pa.binary())
+        cols["freqs_bytes"] = pa.array([b""] * batch.num_rows,
+                                       type=pa.binary())
+        return pa.table(cols)
+
+    shards_dir = os.path.join(index_dir, "shards")
+    out_shards = os.path.join(out_dir, "shards")
+    os.makedirs(out_shards, exist_ok=True)
+    for fname in sorted(os.listdir(shards_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(shards_dir, fname)
+        dst = os.path.join(out_shards, fname)
+        if os.path.exists(dst):
+            continue  # resumable per shard
+        t = pq.read_table(src)
+        t2 = reenc(t)
+        tmp = dst + ".tmp"
+        pq.write_table(t2, tmp)
+        os.replace(tmp, dst)
+
+    # sidecars + meta
+    shutil.copy(os.path.join(index_dir, "lengths.parquet"),
+                os.path.join(out_dir, "lengths.parquet"))
+    meta = dict(src_meta)
+    meta["index_type"] = "block_mixed"
+    meta["hybrid"] = {"source": index_dir, "budget_factor": budget_factor,
+                      "base_space_bytes": plan["base_space"],
+                      "spent_bytes": plan["spent"]}
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return meta

@@ -1,0 +1,74 @@
+"""Hybrid (mixed-block) index: λ-frontier re-encode correctness.
+
+Mirrors the intent of optimal_hybrid_index.cpp: the re-encoded index
+must decode to exactly the same postings and serve identical top-k,
+while respecting the space budget."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+
+@pytest.fixture(scope="module")
+def source_index(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    src = corpus_parquet(120, seed=21)
+    d = str(tmp_path_factory.mktemp("hy_src"))
+    build_index(src, d, index_type="block_packed", num_shards=3)
+    return d
+
+
+def test_hybrid_roundtrip_and_topk(source_index, tmp_path_factory):
+    from rayfts import search
+    from rayfts.hybrid import build_hybrid
+    from rayfts.index import InvertedIndex
+
+    out = str(tmp_path_factory.mktemp("hy_out"))
+    meta = build_hybrid(source_index, out, budget_factor=1.10)
+    assert meta["index_type"] == "block_mixed"
+    assert meta["hybrid"]["spent_bytes"] <= \
+        meta["hybrid"]["base_space_bytes"] * 1.10 + 1
+
+    src_idx = InvertedIndex(source_index)
+    hyb_idx = InvertedIndex(out)
+    assert hyb_idx.num_docs == src_idx.num_docs
+
+    terms = src_idx.all_terms()
+    assert terms == hyb_idx.all_terms()
+    # every posting list identical
+    for t in terms:
+        a, b = src_idx.get(t), hyb_idx.get(t)
+        np.testing.assert_array_equal(a.docs, b.docs)
+        np.testing.assert_array_equal(a.freqs, b.freqs)
+        assert a.max_weight == b.max_weight
+
+    # top-k identical through the serving kernels
+    rng = np.random.RandomState(3)
+    for _ in range(30):
+        q = [terms[i] for i in rng.randint(0, len(terms), size=rng.randint(1, 5))]
+        want = [(float(s), d) for s, d in search.block_max_wand_fast(src_idx, q, 10)]
+        got = [(float(s), d) for s, d in search.block_max_wand_fast(hyb_idx, q, 10)]
+        assert got == want, q
+
+
+def test_budget_zero_is_min_space(source_index, tmp_path_factory):
+    """budget_factor=1.0 keeps every block at its smallest codec."""
+    from rayfts.hybrid import build_hybrid
+    out = str(tmp_path_factory.mktemp("hy_min"))
+    meta = build_hybrid(source_index, out, budget_factor=1.0)
+    assert meta["hybrid"]["spent_bytes"] == meta["hybrid"]["base_space_bytes"]
+
+
+def test_lambda_checkpoint_resume(source_index, tmp_path_factory):
+    """compute_lambdas is a resumable checkpoint (lambdas.bin parity)."""
+    from rayfts.hybrid import compute_lambdas
+    out = str(tmp_path_factory.mktemp("hy_ck"))
+    p1 = compute_lambdas(source_index, out)
+    mtime = os.path.getmtime(p1)
+    p2 = compute_lambdas(source_index, out)
+    assert p1 == p2 and os.path.getmtime(p2) == mtime, \
+        "second call should hit the checkpoint, not recompute"
