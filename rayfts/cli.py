@@ -98,6 +98,10 @@ def cmd_query(args) -> int:
     with (open(args.queries) if args.queries != "-" else sys.stdin) as f:
         queries = [(i, line.split()) for i, line in
                    enumerate(l.strip() for l in f) if line]
+    if args.term_ids:
+        # reference query format: whitespace-separated term-ids
+        # (queries.hpp:15-27); the engine's kernels accept ints directly
+        queries = [(i, [int(t) for t in terms]) for i, terms in queries]
 
     for op in args.ops.split(":"):
         if op not in RANKED_OPS and op not in BOOL_OPS:
@@ -159,6 +163,9 @@ def main(argv=None) -> int:
     q.add_argument("--queries", default="-")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--concurrency", type=int, default=4)
+    q.add_argument("--term-ids", action="store_true",
+                   help="queries are term-ids, not terms (reference "
+                        "stdin format, queries.hpp:15-27)")
     q.add_argument("--output", default=None,
                    help="write (query_id, rank, doc_id, score) parquet here")
     q.set_defaults(fn=cmd_query)

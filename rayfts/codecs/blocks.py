@@ -197,3 +197,87 @@ class BlockPostingListReader:
             ds.append(d)
             fs.append(f)
         return np.concatenate(ds), np.concatenate(fs)
+
+
+class BlockEnumerator:
+    """Lazy per-block enumerator over an encoded block posting list —
+    block_posting_list::document_enumerator (block_posting_list.hpp:
+    84-354): ``next_geq`` linearly scans ``block_maxs`` then decodes
+    only the target block; freqs decode lazily on first access to a
+    block (:165-171, 321-331).  Skipped blocks are never touched.
+
+    Works over both the fixed-codec reader and the mixed-tag reader
+    (rayfts.hybrid.MixedPostingListReader) — anything with ``n``,
+    ``blocks``, ``block_maxs`` and ``decode_block``.
+    """
+
+    __slots__ = ("reader", "universe", "position", "value",
+                 "_cur_block", "_docs", "_freqs", "blocks_decoded")
+
+    def __init__(self, reader, universe: int):
+        self.reader = reader
+        self.universe = int(universe)
+        self._cur_block = -1
+        self._docs = None
+        self._freqs = None
+        self.blocks_decoded = 0   # block_profiler-style access counter
+        self.position = reader.n
+        self.value = self.universe
+
+    def size(self) -> int:
+        return self.reader.n
+
+    def _load_block(self, b: int) -> None:
+        if b != self._cur_block:
+            self._docs, self._freqs = self.reader.decode_block(b)
+            self._cur_block = b
+            self.blocks_decoded += 1
+
+    def _at(self, pos: int):
+        n = self.reader.n
+        self.position = pos
+        if pos >= n:
+            self.value = self.universe
+            return (self.position, self.value)
+        b = pos // BLOCK_SIZE
+        self._load_block(b)
+        self.value = int(self._docs[pos - b * BLOCK_SIZE])
+        return (self.position, self.value)
+
+    def move(self, position: int):
+        assert position <= self.reader.n
+        return self._at(position)
+
+    def next(self):
+        return self._at(min(self.position + 1, self.reader.n))
+
+    def next_geq(self, lower_bound: int):
+        r = self.reader
+        # linear scan of block maxima (block_posting_list.hpp:124-146)
+        b = int(np.searchsorted(r.block_maxs, lower_bound, side="left"))
+        if b >= r.blocks:
+            return self._at(r.n)
+        self._load_block(b)
+        lo = b * BLOCK_SIZE
+        i = int(np.searchsorted(self._docs, lower_bound, side="left"))
+        return self._at(lo + i)
+
+    def freq(self) -> int:
+        """Occurrence count at the current position (lazy block decode —
+        the reader already decoded this block)."""
+        assert self.position < self.reader.n
+        b = self.position // BLOCK_SIZE
+        self._load_block(b)
+        return int(self._freqs[self.position - b * BLOCK_SIZE])
+
+    def prev_value(self) -> int:
+        if self.position == 0:
+            return 0
+        pos = min(self.position, self.reader.n) - 1
+        b = pos // BLOCK_SIZE
+        saved = (self._cur_block, self._docs, self._freqs)
+        self._load_block(b)
+        v = int(self._docs[pos - b * BLOCK_SIZE])
+        if saved[0] != b and saved[0] != -1:
+            self._cur_block, self._docs, self._freqs = saved
+        return v

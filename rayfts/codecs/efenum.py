@@ -1,0 +1,220 @@
+"""Streaming Elias-Fano enumerator over the ENCODED words — the
+reference's `compact_elias_fano::enumerator` (compact_elias_fano.hpp:
+121-419) including skip-pointer traversal:
+
+* ``move(k)``: select the k-th one of the unary high-bits stream via the
+  ``pointers1`` samples (one every 2^ef_log_sampling1 ones), then a
+  word-at-a-time popcount scan (:218-258 semantics).
+* ``next_geq(lb)``: jump to the (lb >> l)-th zero via the ``pointers0``
+  samples (one every 2^ef_log_sampling0 zeros), scan to the exact zero,
+  then walk elements until value >= lb (:291-336).
+* ``next()``: advance to the following one bit (:152-169).
+* exhaustion: ``(n, universe)`` sentinel — same contract as the decoded
+  ArrayEnumerator.
+
+This is the conformance/fidelity layer: per-operation Python with
+bounded word scans (skip samples cap the distance).  The serving path
+decodes lists in bulk and runs the native C kernels; this enumerator
+proves the encoded form supports the reference's access pattern and
+never touches bits it skips over.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS
+from .ef import EFOffsets
+from .bits import read_bits
+
+_M1 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# byte popcount table
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount(word: int) -> int:
+    return bin(word).count("1")
+
+
+def _select_in_word(word: int, k: int) -> int:
+    """Bit index of the k-th (0-based) set bit of `word`."""
+    for b in range(64):
+        if (word >> b) & 1:
+            if k == 0:
+                return b
+            k -= 1
+    raise AssertionError("select out of range")
+
+
+def _select0_in_word(word: int, k: int) -> int:
+    return _select_in_word(~word & 0xFFFFFFFFFFFFFFFF, k)
+
+
+class EfEnumerator:
+    """Reference-contract enumerator reading the encoded EF words."""
+
+    __slots__ = ("words", "of", "position", "value", "_high_pos")
+
+    def __init__(self, words: np.ndarray, offset: int, universe: int,
+                 n: int, params: GlobalParameters = PARAMS):
+        self.words = words
+        self.of = EFOffsets(offset, universe, n, params)
+        self.position = n
+        self.value = universe
+        self._high_pos = -1  # absolute bit pos of current element's one
+
+    # --- bit primitives over the higher-bits region --------------------
+
+    def _word(self, wi: int) -> int:
+        return int(self.words[wi]) if wi < len(self.words) else 0
+
+    def _hb_abs(self, rel: int) -> int:
+        return self.of.higher_bits_offset + rel
+
+    def _scan_ones_from(self, abs_pos: int, k: int) -> int:
+        """Absolute position of the k-th one at/after abs_pos (k>=0)."""
+        wi, bi = abs_pos >> 6, abs_pos & 63
+        word = self._word(wi) & ~((1 << bi) - 1)
+        while True:
+            c = _popcount(word)
+            if k < c:
+                return (wi << 6) + _select_in_word(word, k)
+            k -= c
+            wi += 1
+            word = self._word(wi)
+
+    def _scan_zeros_from(self, abs_pos: int, k: int) -> int:
+        """Absolute position of the k-th zero at/after abs_pos (k>=0)."""
+        wi, bi = abs_pos >> 6, abs_pos & 63
+        word = self._word(wi) | ((1 << bi) - 1)
+        while True:
+            c = 64 - _popcount(word)
+            if k < c:
+                return (wi << 6) + _select0_in_word(word, k)
+            k -= c
+            wi += 1
+            word = self._word(wi)
+
+    def _pointer(self, table_offset: int, idx: int) -> int:
+        return read_bits(self.words,
+                         table_offset + idx * self.of.pointer_size,
+                         self.of.pointer_size)
+
+    # --- element accessors ---------------------------------------------
+
+    def _low(self, k: int) -> int:
+        if not self.of.lower_bits:
+            return 0
+        return read_bits(self.words,
+                         self.of.lower_bits_offset + k * self.of.lower_bits,
+                         self.of.lower_bits)
+
+    def _value_at(self, k: int, high_rel: int) -> int:
+        return ((high_rel - k - 1) << self.of.lower_bits) | self._low(k)
+
+    def _select_one(self, k: int) -> int:
+        """Relative high-bits position of element k's one, via pointers1."""
+        of = self.of
+        block = k >> of.log_sampling1
+        if block > 0 and of.pointer_size:
+            # pointers1[block-1] = exact position of element
+            # (block << s1)'s one; count it as the 0th in the scan
+            start_rel = self._pointer(of.pointers1_offset, block - 1)
+            skipped = block << of.log_sampling1
+        else:
+            start_rel = 0   # rel 0 is the sentinel zero, safe scan start
+            skipped = 0
+        abs_pos = self._scan_ones_from(self._hb_abs(start_rel), k - skipped)
+        return abs_pos - of.higher_bits_offset
+
+    # --- the reference contract ----------------------------------------
+
+    def size(self) -> int:
+        return self.of.n
+
+    def _at_end(self):
+        self.position = self.of.n
+        self.value = self.of.universe
+        self._high_pos = -1
+        return (self.position, self.value)
+
+    def move(self, position: int):
+        assert 0 <= position <= self.of.n
+        if position == self.of.n:
+            return self._at_end()
+        rel = self._select_one(position)
+        self.position = position
+        self._high_pos = rel
+        self.value = self._value_at(position, rel)
+        return (self.position, self.value)
+
+    def next(self):
+        k = self.position + 1
+        if k >= self.of.n:
+            return self._at_end()
+        if self._high_pos >= 0:
+            abs_next = self._scan_ones_from(
+                self._hb_abs(self._high_pos) + 1, 0)
+            rel = abs_next - self.of.higher_bits_offset
+            self.position = k
+            self._high_pos = rel
+            self.value = self._value_at(k, rel)
+            return (self.position, self.value)
+        return self.move(k)
+
+    def next_geq(self, lower_bound: int):
+        """First (position, value) with value >= lower_bound
+        (compact_elias_fano.hpp:291-336: pointer0 jump to the h-th zero,
+        then element walk)."""
+        of = self.of
+        if lower_bound >= of.universe:
+            return self._at_end()
+        h = lower_bound >> of.lower_bits
+        total_zeros = of.higher_bits_length - of.n
+        if h >= total_zeros:
+            return self._at_end()
+        # jump near the h-th zero (zero index h marks the boundary: ones
+        # before it have high < h ... careful: zero #j sits between high
+        # groups; the h-th zero (0-based: the zero numbered h, where the
+        # sentinel zero at rel 0 is zero #0) precedes elements with
+        # high >= h)
+        block = h >> of.log_sampling0
+        if block > 0 and of.pointer_size and of.pointers0 >= block:
+            # pointers0[block-1] = exact position of zero #(block << s0);
+            # count it as the 0th zero in the continued scan
+            zpos_rel = self._pointer(of.pointers0_offset, block - 1)
+            zskipped = block << of.log_sampling0
+        else:
+            zpos_rel = 0   # sentinel zero at rel 0 is zero #0
+            zskipped = 0
+        abs_zero = self._scan_zeros_from(
+            self._hb_abs(zpos_rel), h - zskipped)
+        rel_zero = abs_zero - of.higher_bits_offset
+        # ones strictly before this zero = rel_zero - h = first candidate
+        k = rel_zero - h
+        if k >= of.n:
+            return self._at_end()
+        # walk candidates
+        abs_one = self._scan_ones_from(abs_zero + 1, 0)
+        rel = abs_one - of.higher_bits_offset
+        while True:
+            v = self._value_at(k, rel)
+            if v >= lower_bound:
+                self.position = k
+                self.value = v
+                self._high_pos = rel
+                return (self.position, self.value)
+            k += 1
+            if k >= of.n:
+                return self._at_end()
+            abs_one = self._scan_ones_from(
+                self._hb_abs(rel) + 1, 0)
+            rel = abs_one - of.higher_bits_offset
+
+    def prev_value(self) -> int:
+        if self.position == 0:
+            return 0
+        k = min(self.position, self.of.n) - 1
+        rel = self._select_one(k)
+        return self._value_at(k, rel)

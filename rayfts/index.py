@@ -84,7 +84,13 @@ class InvertedIndex:
         self.num_terms = int(self.meta.get(
             "num_terms", sum(int(m["num_terms"]) for m in shard_meta)))
         self._shard_cache: dict[int, object] = {}
-        self._list_cache: dict[tuple[int, int], PostingList] = {}
+        # decoded-list cache, LRU-bounded by postings so a long-lived
+        # query actor's heap stays flat no matter how many terms it sees
+        from collections import OrderedDict
+        self._list_cache: "OrderedDict[tuple[int, int], PostingList]" = \
+            OrderedDict()
+        self._cache_postings = 0
+        self.cache_max_postings = 50_000_000
 
     def _shard_of_term(self, term: str) -> int | None:
         import bisect
@@ -120,6 +126,7 @@ class InvertedIndex:
     def _load(self, loc: tuple[int, int]) -> PostingList:
         pl = self._list_cache.get(loc)
         if pl is not None:
+            self._list_cache.move_to_end(loc)   # refresh LRU recency
             return pl
         s, row = loc
         tbl = self._shard(s)
@@ -139,6 +146,11 @@ class InvertedIndex:
                                         dtype=np.float32),
         )
         self._list_cache[loc] = pl
+        self._cache_postings += len(pl.docs)
+        while (self._cache_postings > self.cache_max_postings
+               and len(self._list_cache) > 1):
+            _, old = self._list_cache.popitem(last=False)   # evict LRU
+            self._cache_postings -= len(old.docs)
         return pl
 
     def get(self, term: str) -> PostingList | None:

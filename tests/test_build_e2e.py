@@ -230,3 +230,19 @@ def test_resume_skips_done_shards(built_index, ray_session):
     for f, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(shards_dir, f)) == mt, \
             f"finished shard {f} was rewritten on resume"
+
+
+def test_list_cache_lru_bound(built_index):
+    """The decoded-list cache evicts LRU entries once the posting bound
+    is exceeded (long-lived query actors must not grow unboundedly)."""
+    from rayfts.index import InvertedIndex
+    idx = InvertedIndex(built_index[1])
+    idx.cache_max_postings = 500
+    terms = idx.all_terms()
+    for t in terms[:200]:
+        idx.get(t)
+    assert idx._cache_postings <= max(
+        500, max(idx.get(t).n for t in terms[:200])), idx._cache_postings
+    # results stay correct after eviction
+    pl = idx.get(terms[0])
+    assert pl is not None and pl.term == terms[0]

@@ -1,0 +1,105 @@
+"""Enumerator contract over the ENCODED forms — the reference's
+generic-sequence harness (test_generic_sequence.hpp:28-163) applied to
+the streaming Elias-Fano enumerator (skip-pointer next_geq,
+compact_elias_fano.hpp:121-419) and the lazy block-posting-list
+enumerator (block-max skipping + lazy freq decode,
+block_posting_list.hpp:84-354), plus laziness/accounting checks."""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs.bits import BitWriter
+from rayfts.codecs.blocks import (
+    BLOCK_CODECS, BLOCK_SIZE, BlockEnumerator, BlockPostingListReader,
+    write_block_posting_list,
+)
+from rayfts.codecs.ef import ef_write
+from rayfts.codecs.efenum import EfEnumerator
+
+from harness import check_move_next, check_next_geq, random_sequence
+
+
+# sizes chosen to cross BOTH skip-sampling periods (pointers1 every
+# 2^8 ones -> n > 512; pointers0 every 2^9 zeros -> (u >> l) > 1024)
+# while keeping the O(n log n)-probe harness fast in per-op Python
+CASES = [
+    (10_000, 1), (10_000, 10), (20_000, 100),
+    (131_000, 700),             # crosses both skip-sampling periods
+    (600, 600),                 # dense: universe == n
+    (100_000, 2),               # huge gaps
+]
+
+
+@pytest.mark.parametrize("universe,n", CASES)
+def test_ef_enumerator_contract(universe, n):
+    seq = random_sequence(universe, n, strict=True)
+    bw = BitWriter()
+    ef_write(bw, seq, universe, n)
+    make = lambda: EfEnumerator(bw.words, 0, universe, n)
+    check_move_next(make, seq)
+    check_next_geq(make, seq)
+
+
+def test_ef_enumerator_nonzero_offset():
+    universe, n = 50_000, 400
+    seq = random_sequence(universe, n, strict=True)
+    bw = BitWriter()
+    bw.append_bits(0b1011011, 7)      # preceding garbage bits
+    off = bw.size
+    ef_write(bw, seq, universe, n)
+    make = lambda: EfEnumerator(bw.words, off, universe, n)
+    check_move_next(make, seq)
+    check_next_geq(make, seq)
+
+
+@pytest.mark.parametrize("codec_name", sorted(BLOCK_CODECS))
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 640])
+def test_block_enumerator_contract(codec_name, n):
+    universe = max(4 * n, 64)
+    docs = random_sequence(universe, n, strict=True)
+    rng = np.random.RandomState(7)
+    freqs = rng.randint(1, 50, size=n).astype(np.int64)
+    codec = BLOCK_CODECS[codec_name]
+    data = write_block_posting_list(docs, freqs, codec)
+    make = lambda: BlockEnumerator(BlockPostingListReader(data, codec),
+                                   universe)
+    check_move_next(make, docs)
+    check_next_geq(make, docs)
+    # freqs through the lazy accessor
+    e = make()
+    e.move(0)
+    for i in range(n):
+        assert e.freq() == int(freqs[i]), i
+        e.next()
+
+
+def test_block_enumerator_is_lazy():
+    """A far next_geq jump decodes only the landing block — skipped
+    blocks are never touched (the point of block-max skipping)."""
+    n = 40 * BLOCK_SIZE
+    universe = 10 * n
+    docs = random_sequence(universe, n, strict=True)
+    freqs = np.ones(n, dtype=np.int64)
+    data = write_block_posting_list(docs, freqs, BLOCK_CODECS["packed"])
+    e = BlockEnumerator(BlockPostingListReader(data), universe)
+    e.next_geq(int(docs[35 * BLOCK_SIZE]))   # land deep in the list
+    assert e.blocks_decoded == 1, e.blocks_decoded
+    e.next_geq(universe - 1)
+    assert e.blocks_decoded <= 3
+
+
+def test_mixed_reader_enumerator():
+    """BlockEnumerator over the hybrid mixed container."""
+    from rayfts.hybrid import MixedPostingListReader, write_mixed_posting_list
+    n = 700
+    universe = 9_000
+    docs = random_sequence(universe, n, strict=True)
+    rng = np.random.RandomState(3)
+    freqs = rng.randint(1, 9, size=n).astype(np.int64)
+    blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    choices = [(int(rng.randint(0, 3)), int(rng.randint(0, 3)))
+               for _ in range(blocks)]
+    data = write_mixed_posting_list(docs, freqs, choices)
+    make = lambda: BlockEnumerator(MixedPostingListReader(data), universe)
+    check_move_next(make, docs)
+    check_next_geq(make, docs)
