@@ -2,11 +2,12 @@
 analogue (create_freq_index.cpp:104-106, verify_collection.hpp:9-54).
 
 The reference re-reads the frozen index against the input collection and
-compares every posting.  Here both sides are Ray datasets: the shard
-parquet files decode in parallel (`map_batches` over shards), the tokens
-checkpoint re-aggregates in parallel, and the comparison is a vectorized
-per-term equality on (doc_ids, freqs).  Streams: nothing is materialized
-beyond per-term rows.
+compares every posting.  Here the check is fully distributed and uses
+the same partitioning as the build: the tokens checkpoint flows through
+the same per-batch combiner and ``groupby(bucket)`` shuffle, and each
+group task loads ITS term-range shard file, decodes every posting list,
+and compares (docs, freqs) per term — nothing is materialized on the
+driver except one small result row per shard.
 """
 
 from __future__ import annotations
@@ -17,7 +18,9 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from .codecs.posting import decode_posting_list
@@ -25,74 +28,105 @@ from .codecs.posting import decode_posting_list
 
 def verify_index(index_dir: str, sample_terms: int | None = None) -> dict:
     """Decode every posting list and compare against the tokens
-    checkpoint.  Returns {"terms_checked": n, "mismatches": [...]}.
-    Raises AssertionError on any mismatch."""
+    checkpoint (distributed, shard-parallel). Returns
+    {"terms_checked": n, "mismatches": [...]}; raises AssertionError on
+    any mismatch.  ``sample_terms`` caps the per-shard term count (quick
+    mode)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     num_docs = int(meta["num_docs"])
     index_type = meta["index_type"]
+    shard_meta = sorted(meta["shards"], key=lambda m: m["term_id_lo"])
+    # term-range -> shard routing (same boundaries the build used)
+    term_los = [str(m["term_lo"]) for m in shard_meta]
+    shard_ids = [int(m["shard"]) for m in shard_meta]
+    boundaries = term_los[1:]          # bucket b <=> shard_ids[b]
+    shards_dir = os.path.join(index_dir, "shards")
 
-    # side 1: decoded postings per term (parallel over shard files)
-    shard_paths = [os.path.join(index_dir, "shards", f)
-                   for f in sorted(os.listdir(os.path.join(index_dir, "shards")))
-                   if f.endswith(".parquet")]
-    shards = rd.read_parquet(shard_paths)
-
-    def decode(batch: pa.Table) -> pa.Table:
-        terms, docs_l, freqs_l = [], [], []
-        for i in range(batch.num_rows):
-            term = batch.column("term")[i].as_py()
-            db = batch.column("docs_bytes")[i].as_py()
-            fb = batch.column("freqs_bytes")[i].as_py()
-            docs, freqs = decode_posting_list(index_type, db, fb, num_docs)
-            terms.append(term)
-            docs_l.append(docs.tolist())
-            freqs_l.append(freqs.tolist())
+    def combine(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        doc_ids = t.column("doc_id").to_numpy()
+        tfs = t.column("tf").to_numpy()
+        if len(terms) == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                "freqs": pa.array([], type=pa.list_(pa.int64()))})
+        order = np.lexsort((doc_ids, terms))
+        terms, doc_ids, tfs = terms[order], doc_ids[order], tfs[order]
+        new = np.empty(len(terms), dtype=bool)
+        new[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        offs = np.append(starts, len(terms)).astype(np.int32)
+        g_terms = terms[starts]
+        bucket = (np.searchsorted(np.array(boundaries, dtype=object),
+                                  g_terms, side="right")
+                  if boundaries else np.zeros(len(starts), dtype=np.int64))
         return pa.table({
-            "term": pa.array(terms, type=pa.string()),
-            "docs": pa.array(docs_l, type=pa.list_(pa.int64())),
-            "freqs": pa.array(freqs_l, type=pa.list_(pa.int64())),
+            "term": pa.array(g_terms, type=pa.string()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "doc_ids": pa.ListArray.from_arrays(
+                offs, pa.array(doc_ids, type=pa.int64())),
+            "freqs": pa.ListArray.from_arrays(
+                offs, pa.array(tfs, type=pa.int64())),
         })
 
-    decoded = shards.map_batches(decode, batch_format="pyarrow")
+    def check_shard(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                                 "terms_checked": pd.Series([], dtype=np.int64),
+                                 "mismatches": pd.Series([], dtype=object)})
+        bucket = int(group["bucket"].iloc[0])
+        shard = shard_ids[bucket]
+        tbl = pq.read_table(
+            os.path.join(shards_dir, f"shard_{shard:05d}.parquet"))
+        enc = {tbl.column("term")[i].as_py():
+               (tbl.column("docs_bytes")[i].as_py(),
+                tbl.column("freqs_bytes")[i].as_py())
+               for i in range(tbl.num_rows)}
 
-    # side 2: expected postings from the tokens checkpoint
+        # merge per-batch partials per term (docID-sorted by construction
+        # within a partial; stable sort across partials)
+        group = group.sort_values("term", kind="mergesort")
+        bad = []
+        checked = 0
+        seen = set()
+        for term, g in group.groupby("term", sort=False):
+            if sample_terms is not None and checked >= sample_terms:
+                break
+            docs = np.concatenate([np.asarray(d) for d in g["doc_ids"]])
+            freqs = np.concatenate([np.asarray(f) for f in g["freqs"]])
+            mo = np.argsort(docs, kind="stable")
+            docs, freqs = docs[mo], freqs[mo]
+            pair = enc.pop(term, None)
+            if pair is None:
+                bad.append({"term": str(term), "why": "missing from shard"})
+                continue
+            d2, f2 = decode_posting_list(index_type, pair[0], pair[1],
+                                         num_docs)
+            if (not np.array_equal(docs, d2)
+                    or not np.array_equal(freqs, f2)):
+                bad.append({"term": str(term), "why": "postings differ"})
+            checked += 1
+            seen.add(term)
+        if enc and sample_terms is None:
+            bad.append({"term": None,
+                        "why": f"{len(enc)} extra terms in shard {shard}"})
+        return pd.DataFrame([{"shard": shard, "terms_checked": checked,
+                              "mismatches": bad}])
+
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                              columns=["term", "doc_id", "tf"])
+    rows = (tokens
+            .map_batches(combine, batch_size=None, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(check_shard, batch_format="pandas")
+            ).take_all()
 
-    def expected(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        return pd.DataFrame([{
-            "term": g["term"].iloc[0],
-            "e_docs": g["doc_id"].to_numpy(dtype=np.int64),
-            "e_freqs": g["tf"].to_numpy(dtype=np.int64),
-        }])
-
-    # drive both sides to small per-term frames and join driver-side in
-    # manageable chunks (term-keyed); at sandbox scale this is a dict join
-    exp = {r["term"]: (np.asarray(r["e_docs"]), np.asarray(r["e_freqs"]))
-           for r in tokens.groupby("term")
-                          .map_groups(expected, batch_format="pandas")
-                          .iter_rows()}
-
-    mismatches = []
-    checked = 0
-    for row in decoded.iter_rows():
-        term = row["term"]
-        if sample_terms is not None and checked >= sample_terms:
-            break
-        e = exp.get(term)
-        if e is None:
-            mismatches.append({"term": term, "why": "term not in tokens"})
-            continue
-        if (not np.array_equal(np.asarray(row["docs"]), e[0])
-                or not np.array_equal(np.asarray(row["freqs"]), e[1])):
-            mismatches.append({"term": term, "why": "postings differ"})
-        checked += 1
-
-    if len(exp) != checked and sample_terms is None:
-        mismatches.append({"term": None,
-                           "why": f"term count {checked} != {len(exp)}"})
+    checked = int(sum(r["terms_checked"] for r in rows))
+    mismatches = [m for r in rows for m in r["mismatches"]]
     result = {"terms_checked": checked, "mismatches": mismatches}
     assert not mismatches, f"index verification failed: {mismatches[:5]}"
     return result

@@ -246,3 +246,29 @@ def test_list_cache_lru_bound(built_index):
     # results stay correct after eviction
     pl = idx.get(terms[0])
     assert pl is not None and pl.term == terms[0]
+
+
+def test_verify_index_distributed(built_index, ray_session):
+    """The --check pass (verify_collection parity): clean index passes;
+    a corrupted posting list is detected."""
+    import pyarrow as pa
+    from rayfts.verify import verify_index
+    _, index_dir, _ = built_index
+    res = verify_index(index_dir)
+    assert res["terms_checked"] > 0 and not res["mismatches"]
+
+    import shutil as sh
+    bad = index_dir + "_corrupt"
+    if os.path.exists(bad):
+        sh.rmtree(bad)
+    sh.copytree(index_dir, bad)
+    p = os.path.join(bad, "shards", sorted(os.listdir(
+        os.path.join(bad, "shards")))[0])
+    t = pq.read_table(p)
+    db = t.column("docs_bytes").to_pylist()
+    db[0] = db[0][:-1] + bytes([db[0][-1] ^ 0xFF])
+    t = t.set_column(t.schema.get_field_index("docs_bytes"),
+                     "docs_bytes", pa.array(db, type=pa.binary()))
+    pq.write_table(t, p)
+    with pytest.raises(Exception):
+        verify_index(bad)
