@@ -172,6 +172,13 @@ def _postings_table_block(sf_dir: str) -> pd.DataFrame:
     return _postings_table(sf_dir, "block_packed")
 
 
+def _postings_for(index_type: str):
+    def fn(sf_dir: str) -> pd.DataFrame:
+        return _postings_table(sf_dir, index_type)
+    fn.__name__ = f"postings_{index_type}"
+    return fn
+
+
 def _hybrid_index_for(sf_dir: str):
     """λ-optimized mixed-block re-encode of the block index
     (optimal_hybrid_index parity; rayfts/hybrid.py)."""
@@ -370,6 +377,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _postings_table,
         "postings_block": _postings_table_block,
         "postings_hybrid": _postings_table_hybrid,
+        # one decode round-trip entry per remaining index type
+        # (index_types.hpp:18-42 parity through the driver gate)
+        "postings_ef": _postings_for("ef"),
+        "postings_single": _postings_for("single"),
+        "postings_uniform": _postings_for("uniform"),
+        "postings_block_interp": _postings_for("block_interpolative"),
+        "postings_block_vbyte": _postings_for("block_vbyte"),
+        "postings_block_mixed": _postings_for("block_mixed"),
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -484,6 +499,9 @@ SELECT term, doc_id, tf FROM tf"""
     sqls["postings"] = postings_sql
     sqls["postings_block"] = postings_sql
     sqls["postings_hybrid"] = postings_sql
+    for _t in ("ef", "single", "uniform", "block_interp", "block_vbyte",
+               "block_mixed"):
+        sqls[f"postings_{_t}"] = postings_sql
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}

@@ -272,3 +272,24 @@ def test_verify_index_distributed(built_index, ray_session):
     pq.write_table(t, p)
     with pytest.raises(Exception):
         verify_index(bad)
+
+
+def test_stage_level_resume(built_index, ray_session):
+    """docs+tokens stage resume: with stage-1 markers present, a re-run
+    with deleted shards rebuilds ONLY stage 5 (the content scan and
+    tokenize never re-run — north_rule per-partition checkpointing)."""
+    from rayfts.build import build_index
+    src, index_dir, _ = built_index
+    docs_files = {f: os.path.getmtime(os.path.join(index_dir, "docs", f))
+                  for f in os.listdir(os.path.join(index_dir, "docs"))}
+    tok_marker = os.path.getmtime(os.path.join(index_dir, "tokens.done.json"))
+    shutil.rmtree(os.path.join(index_dir, "shards"))
+    os.remove(os.path.join(index_dir, "meta.json"))
+    meta = build_index(src, index_dir, index_type="opt",
+                       salt_threshold=64, num_shards=5)
+    assert meta["num_docs"] == 200
+    for f, m in docs_files.items():
+        assert os.path.getmtime(os.path.join(index_dir, "docs", f)) == m, \
+            f"stage 1 re-ran: {f} was rewritten"
+    assert os.path.getmtime(
+        os.path.join(index_dir, "tokens.done.json")) == tok_marker
