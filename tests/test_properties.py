@@ -1,0 +1,87 @@
+"""Property-based codec round-trips (hypothesis, derandomized so runs
+are reproducible — the reference pins seeds the same way,
+test_generic_sequence.hpp:7-26)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rayfts.codecs.bits import BitWriter
+from rayfts.codecs.blocks import BLOCK_CODECS
+from rayfts.codecs.ef import ef_decode, ef_write
+from rayfts.codecs.efenum import EfEnumerator
+from rayfts.codecs.partitioned import pef_decode, pef_write
+from rayfts.codecs.posting import (
+    INDEX_TYPES, decode_posting_list, encode_posting_list,
+)
+
+SETTINGS = settings(max_examples=60, deadline=None, derandomize=True)
+
+
+@st.composite
+def sorted_unique_seq(draw, max_n=400, max_gap=5000):
+    n = draw(st.integers(1, max_n))
+    gaps = draw(st.lists(st.integers(1, max_gap), min_size=n, max_size=n))
+    vals = np.cumsum(np.asarray(gaps, dtype=np.int64)) - 1
+    slack = draw(st.integers(0, max_gap))
+    return vals, int(vals[-1]) + 1 + slack
+
+
+@given(sorted_unique_seq())
+@SETTINGS
+def test_ef_roundtrip(case):
+    vals, universe = case
+    bw = BitWriter()
+    ef_write(bw, vals, universe, len(vals))
+    got = ef_decode(bw.words, 0, universe, len(vals))
+    np.testing.assert_array_equal(got, vals)
+
+
+@given(sorted_unique_seq(), st.integers(0, 1 << 30))
+@SETTINGS
+def test_ef_enumerator_next_geq_matches_searchsorted(case, probe):
+    vals, universe = case
+    probe = probe % (universe + 2)
+    bw = BitWriter()
+    ef_write(bw, vals, universe, len(vals))
+    e = EfEnumerator(bw.words, 0, universe, len(vals))
+    j = int(np.searchsorted(vals, probe, side="left"))
+    want = (j, int(vals[j])) if j < len(vals) else (len(vals), universe)
+    assert e.next_geq(probe) == want
+
+
+@given(sorted_unique_seq())
+@SETTINGS
+def test_pef_roundtrip(case):
+    vals, universe = case
+    bw = BitWriter()
+    pef_write(bw, vals, universe, len(vals))
+    got = pef_decode(bw.words, 0, universe, len(vals))
+    np.testing.assert_array_equal(got, vals)
+
+
+@given(st.sampled_from(sorted(BLOCK_CODECS)),
+       st.lists(st.integers(0, 1 << 22), min_size=1, max_size=128),
+       st.booleans())
+@SETTINGS
+def test_block_codec_roundtrip(codec_name, values, known_sum):
+    codec = BLOCK_CODECS[codec_name]
+    vals = np.asarray(values, dtype=np.uint64)
+    sov = int(vals.sum()) if known_sum else None
+    out = bytearray()
+    codec.encode(vals, sov, out)
+    got, _ = codec.decode(np.frombuffer(bytes(out), dtype=np.uint8), 0,
+                          sov, len(vals))
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  vals.astype(np.int64))
+
+
+@given(st.sampled_from(INDEX_TYPES), sorted_unique_seq(max_n=300),
+       st.lists(st.integers(1, 255), min_size=300, max_size=300))
+@SETTINGS
+def test_posting_list_roundtrip_all_types(index_type, case, freqs300):
+    docs, universe = case
+    freqs = np.asarray(freqs300[: len(docs)], dtype=np.int64)
+    db, fb = encode_posting_list(index_type, docs, freqs, universe)
+    d2, f2 = decode_posting_list(index_type, db, fb, universe)
+    np.testing.assert_array_equal(d2, docs)
+    np.testing.assert_array_equal(f2, freqs)
