@@ -1,5 +1,10 @@
 """LSB-first bit vector over numpy uint64 words.
 
+Hot primitives (``select_ones``, ``read_fields``) dispatch to the native
+C kernels (codecs/native.c) when available — identical semantics, ~20x
+less per-call overhead for the small partitions a PEF list decodes
+thousands of; the numpy paths remain the reference and fallback.
+
 Semantics follow the reference's succinct::bit_vector_builder (bit *i* of
 the stream is bit ``i % 64`` of word ``i // 64``), but every hot path is
 vectorized numpy: scattered bit sets, fixed-width field scatter/gather,
@@ -12,6 +17,19 @@ from __future__ import annotations
 import numpy as np
 
 _U64 = np.uint64
+
+_nb_cache = [False, None]
+
+
+def _native_bits():
+    if not _nb_cache[0]:
+        _nb_cache[0] = True
+        try:
+            from .nativelib import native_bits
+            _nb_cache[1] = native_bits()
+        except Exception:
+            _nb_cache[1] = None
+    return _nb_cache[1]
 _ONE = _U64(1)
 
 
@@ -110,11 +128,14 @@ class BitWriter:
 
 
 def words_from_bytes(data: bytes | np.ndarray) -> np.ndarray:
-    """uint8/bytes -> uint64 word array (little-endian, zero padded)."""
+    """uint8/bytes -> uint64 word array (little-endian, zero padded).
+
+    Pads one extra zero word so 8-byte-window field reads near the end
+    of the stream stay in-bounds (lets every read take the native fast
+    path instead of falling back to the padding numpy gather)."""
     buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data
-    pad = (-len(buf)) % 8
-    if pad:
-        buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
+    pad = (-len(buf)) % 8 + 8
+    buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
     return buf.view(_U64)
 
 
@@ -132,6 +153,13 @@ def unpack_bit_range(words: np.ndarray, start: int, count: int) -> np.ndarray:
 
 def select_ones(words: np.ndarray, start: int, count: int) -> np.ndarray:
     """Positions (relative to `start`) of set bits in [start, start+count)."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64)
+    fns = _native_bits()
+    if fns is not None and words.flags.c_contiguous             and ((start + count + 63) >> 6) <= len(words):
+        out = np.empty(count, dtype=np.int64)
+        m = fns[0](words.ctypes.data, start, count, out.ctypes.data)
+        return out[:m]
     return np.flatnonzero(unpack_bit_range(words, start, count))
 
 
@@ -145,7 +173,15 @@ def read_fields(words: np.ndarray, offsets: np.ndarray, width: int) -> np.ndarra
     if width == 0:
         return np.zeros(len(offsets), dtype=_U64)
     assert width <= 57
-    offsets = offsets.astype(np.int64, copy=False)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    fns = _native_bits()
+    if fns is not None and len(offsets) and words.flags.c_contiguous \
+            and (int(offsets.max()) >> 3) + 8 <= len(words) * 8 \
+            and int(offsets.min()) >= 0:
+        out = np.empty(len(offsets), dtype=np.int64)
+        fns[1](words.ctypes.data, offsets.ctypes.data, len(offsets),
+               width, out.ctypes.data)
+        return out.view(np.uint64)
     bytes_view = words.view(np.uint8)
     byte_off = offsets >> 3
     # gather 8 bytes per field; pad the tail so the last gather is in range
@@ -159,6 +195,23 @@ def read_fields(words: np.ndarray, offsets: np.ndarray, width: int) -> np.ndarra
     shift = (offsets & 7).astype(_U64)
     mask = _U64((1 << width) - 1)
     return (gathered >> shift) & mask
+
+
+def read_fields_strided(words: np.ndarray, start: int, n: int,
+                        width: int) -> np.ndarray:
+    """n equal-width fields at start + i*width (the EF lower-bits /
+    endpoint layout) — avoids materializing an offsets array."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=_U64)
+    fns = _native_bits()
+    if fns is not None and words.flags.c_contiguous \
+            and ((start + n * width) >> 3) + 8 <= len(words) * 8 \
+            and start >= 0:
+        out = np.empty(n, dtype=np.int64)
+        fns[2](words.ctypes.data, start, n, width, out.ctypes.data)
+        return out.view(np.uint64)
+    offsets = start + np.arange(n, dtype=np.int64) * width
+    return read_fields(words, offsets, width)
 
 
 def read_bits(words: np.ndarray, offset: int, width: int) -> int:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..params import GlobalParameters, PARAMS, ceil_log2, floor_log2
-from .bits import BitWriter, read_fields, select_ones
+from .bits import BitWriter, read_fields, read_fields_strided, select_ones
 
 
 class EFOffsets:
@@ -123,8 +123,7 @@ def ef_decode(words: np.ndarray, offset: int, universe: int, n: int,
     idx = np.arange(n, dtype=np.int64)
     values = (high - idx - 1) << of.lower_bits
     if of.lower_bits:
-        lows = read_fields(
-            words, of.lower_bits_offset + idx * of.lower_bits, of.lower_bits
-        )
+        lows = read_fields_strided(
+            words, of.lower_bits_offset, n, of.lower_bits)
         values |= lows.astype(np.int64)
     return values

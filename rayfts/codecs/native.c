@@ -431,3 +431,67 @@ int topk_query(int op, int L,
     }
     return finalize(&t, out_scores, out_docs);
 }
+
+/* ======================================================================
+ * Bulk bit primitives for the decode path: select-all-ones over a bit
+ * range and fixed-width field gathers.  These are what every EF / ranked
+ * bitvector / PEF-partition decode reduces to; the numpy fallbacks in
+ * bits.py are semantically identical but pay ~30us of per-call overhead,
+ * which dominates when a PEF list decodes thousands of small partitions.
+ * ====================================================================== */
+
+/* positions (relative to start) of set bits in [start, start+count);
+ * returns how many were written to out. words buffer must cover the
+ * range (caller guarantees). */
+i64 select_ones_range(const uint64_t *words, i64 start, i64 count,
+                      i64 *out) {
+    i64 found = 0;
+    i64 end = start + count;
+    i64 wi = start >> 6;
+    int bi = (int)(start & 63);
+    uint64_t w = words[wi] >> bi;
+    i64 base = start;
+    while (base < end) {
+        i64 limit = end - base; /* bits of w that are in range */
+        while (w) {
+            int tz = __builtin_ctzll(w);
+            if (tz >= limit) break;
+            out[found++] = base + tz - start;
+            w &= w - 1;
+        }
+        base += 64 - bi;
+        bi = 0;
+        if (base >= end) break;
+        w = words[base >> 6];
+    }
+    return found;
+}
+
+/* gather n fields of `width` bits at arbitrary bit offsets (width <= 57,
+ * like the reference's bv.get_word56). words must extend 8 bytes past
+ * the last offset's byte (caller pads). */
+void read_fields_bulk(const uint64_t *words, const i64 *offsets, i64 n,
+                      int width, i64 *out) {
+    const unsigned char *bytes = (const unsigned char *)words;
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    for (i64 i = 0; i < n; i++) {
+        i64 off = offsets[i];
+        uint64_t v;
+        memcpy(&v, bytes + (off >> 3), 8);
+        out[i] = (i64)((v >> (off & 7)) & mask);
+    }
+}
+
+/* strided variant: offsets = start + i*width (the common EF lower-bits /
+ * endpoint layout) */
+void read_fields_strided(const uint64_t *words, i64 start, i64 n,
+                         int width, i64 *out) {
+    const unsigned char *bytes = (const unsigned char *)words;
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    i64 off = start;
+    for (i64 i = 0; i < n; i++, off += width) {
+        uint64_t v;
+        memcpy(&v, bytes + (off >> 3), 8);
+        out[i] = (i64)((v >> (off & 7)) & mask);
+    }
+}

@@ -54,6 +54,18 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    sel = lib.select_ones_range
+    sel.restype = ctypes.c_int64
+    sel.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p]
+    rfb = lib.read_fields_bulk
+    rfb.restype = None
+    rfb.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_void_p]
+    rfs = lib.read_fields_strided
+    rfs.restype = None
+    rfs.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_void_p]
     topk = lib.topk_query
     topk.restype = ctypes.c_int
     topk.argtypes = [
@@ -68,7 +80,8 @@ def _build_and_load():
         ctypes.c_int64, ctypes.c_int,                         # num_docs, k
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
-    return {"dp": dp, "topk": topk}
+    return {"dp": dp, "topk": topk, "select": sel,
+            "read_fields": rfb, "read_fields_strided": rfs}
 
 
 def _lib_handle():
@@ -92,6 +105,14 @@ def native_topk():
     """The compiled top-k query kernel, or None if unavailable."""
     lib = _lib_handle()
     return lib["topk"] if lib else None
+
+
+def native_bits():
+    """(select_ones_range, read_fields_bulk, read_fields_strided) or None."""
+    lib = _lib_handle()
+    if not lib:
+        return None
+    return lib["select"], lib["read_fields"], lib["read_fields_strided"]
 
 
 def optimal_partition_native(values: np.ndarray, universe: int,

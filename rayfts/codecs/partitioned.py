@@ -27,7 +27,7 @@ import numpy as np
 
 from ..params import BuildConfig, CONFIG, GlobalParameters, PARAMS, ceil_log2, floor_log2
 from .bits import (
-    BitReader, BitWriter, read_fields, write_delta, write_gamma,
+    BitReader, BitWriter, read_fields, read_fields_strided, write_delta, write_gamma,
     write_gamma_nonzero, read_delta, read_gamma, read_gamma_nonzero,
 )
 from .ef import ef_bitsize, ef_decode, ef_write
@@ -271,10 +271,8 @@ def _decode_tail(words: np.ndarray, offset: int, universe: int, n: int,
     sequences_offset = cur_offset
 
     if endpoint_bits and partitions > 1:
-        eps = read_fields(
-            words,
-            endpoints_offset + np.arange(partitions - 1, dtype=np.int64) * endpoint_bits,
-            endpoint_bits,
+        eps = read_fields_strided(
+            words, endpoints_offset, partitions - 1, endpoint_bits
         ).astype(np.int64)
     else:
         eps = np.zeros(max(0, partitions - 1), dtype=np.int64)

@@ -94,3 +94,41 @@ def corpus_parquet(num_docs: int, seed: int = 42,
                        row_group_size=2048)
         os.replace(tmp, path)
     return path
+
+
+def corpus_parquet_sharded(num_docs: int, seed: int = 42,
+                           shard_docs: int = 50_000,
+                           cache_dir: str = "/tmp/rayfts_corpus") -> str:
+    """Large deterministic corpus as a DIRECTORY of parquet shards,
+    generated in parallel with Ray tasks (per-shard seed = seed + i, so
+    content differs from the monolithic generator but is deterministic).
+    Returns the directory path."""
+    import ray
+
+    shards = (num_docs + shard_docs - 1) // shard_docs
+    out_dir = os.path.join(cache_dir,
+                           f"corpus_n{num_docs}_s{seed}_sh{shard_docs}")
+    done = out_dir + ".done"
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen(i: int) -> str:
+        n = min(shard_docs, num_docs - i * shard_docs)
+        path = os.path.join(out_dir, f"part_{i:05d}.parquet")
+        if not os.path.exists(path):
+            t = generate_corpus(n, seed=seed + i)
+            # keys must be globally unique: prefix path with the shard
+            import pyarrow as _pa
+            paths = [f"sh{i:05d}/{p}" for p in t.column("path").to_pylist()]
+            t = t.set_column(t.schema.get_field_index("path"), "path",
+                             _pa.array(paths))
+            pq.write_table(t, path + ".tmp", row_group_size=2048)
+            os.replace(path + ".tmp", path)
+        return path
+
+    ray.get([gen.remote(i) for i in range(shards)])
+    with open(done, "w") as f:
+        f.write(str(num_docs))
+    return out_dir
