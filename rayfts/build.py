@@ -689,13 +689,21 @@ def build_index(source_path: str, index_dir: str, *,
     os.makedirs(index_dir, exist_ok=True)
     key_cols = key_cols or ["repo", "path", "commit"]
 
+    import time as _time
+    stage_secs = {}
+    t0 = _time.perf_counter()
     num_docs = _stage_docs(source_path, index_dir, key_cols, text_col)
     _stage_tokens(index_dir, text_col)
+    stage_secs["docs_tokens"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
     lengths, avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
+    stage_secs["lengths_dfs"] = round(_time.perf_counter() - t0, 3)
     norm_lens = lengths / np.float32(avg_len) if avg_len else lengths.astype(np.float32)
+    t0 = _time.perf_counter()
     manifest = _stage_shards(index_dir, index_type, num_docs, dfs,
                              norm_lens.astype(np.float32),
                              salt_threshold, num_shards)
+    stage_secs["shards"] = round(_time.perf_counter() - t0, 3)
 
     meta = {
         "num_docs": num_docs,
@@ -720,6 +728,9 @@ def build_index(source_path: str, index_dir: str, *,
             key=lambda m: m["shard"]),
         "lineage": {"input": source_path, "key_cols": key_cols,
                     "text_col": text_col, "salt_threshold": salt_threshold},
+        # per-stage wall seconds (stats_line / construction_time parity,
+        # util.hpp:148-255, create_freq_index.cpp:87-97)
+        "stage_secs": stage_secs,
     }
     tmp = os.path.join(index_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
