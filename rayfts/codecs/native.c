@@ -495,3 +495,213 @@ void read_fields_strided(const uint64_t *words, i64 start, i64 n,
         out[i] = (i64)((v >> (off & 7)) & mask);
     }
 }
+
+/* ======================================================================
+ * Full PEF list decode in C (partitioned_sequence.hpp:22-120 layout):
+ * gamma(#partitions), single-partition fast path or
+ * [gamma(endpoint_bits)][sizes-EF][upper-bounds-EF][endpoints][payloads]
+ * with indexed_sequence payloads (best-of EF / ranked-bitvector /
+ * all-ones, 1 type bit) or the strict variant for cumulated freqs.
+ * Mirrors partitioned.py/_pef_decode_impl exactly; Python remains the
+ * fallback and semantic reference (round-trip tests cover both).
+ * ====================================================================== */
+
+typedef struct { const uint64_t *words; i64 pos; } breader;
+
+static inline uint64_t br_read(const uint64_t *words, i64 off, int width) {
+    const unsigned char *bytes = (const unsigned char *)words;
+    uint64_t v;
+    memcpy(&v, bytes + (off >> 3), 8);
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    return (v >> (off & 7)) & mask;
+}
+
+static inline uint64_t br_take(breader *b, int width) {
+    uint64_t v = width ? br_read(b->words, b->pos, width) : 0;
+    b->pos += width;
+    return v;
+}
+
+static inline int br_skip_zeros(breader *b) {
+    int n = 0;
+    i64 w = b->pos >> 6;
+    int bi = (int)(b->pos & 63);
+    for (;;) {
+        uint64_t word = b->words[w] >> bi;
+        if (word) {
+            int tz = __builtin_ctzll(word);
+            n += tz;
+            b->pos += tz + 1;
+            return n;
+        }
+        n += 64 - bi;
+        b->pos += 64 - bi;
+        w += 1;
+        bi = 0;
+    }
+}
+
+static inline i64 br_gamma(breader *b) {
+    int l = br_skip_zeros(b);
+    return (i64)((br_take(b, l) | (1ULL << l)) - 1);
+}
+
+static inline i64 br_gamma_nz(breader *b) { return br_gamma(b) + 1; }
+
+static inline i64 br_delta(breader *b) {
+    i64 l = br_gamma(b);
+    return (i64)((br_take(b, (int)l) | (1ULL << l)) - 1);
+}
+
+/* select the first n ones in [start, start+len) writing positions
+ * RELATIVE to start; returns count found (must equal n for valid data) */
+static i64 sel_n_ones(const uint64_t *words, i64 start, i64 len, i64 n,
+                      i64 *out) {
+    i64 found = 0;
+    i64 end = start + len;
+    i64 wi = start >> 6;
+    int bi = (int)(start & 63);
+    uint64_t w = words[wi] >> bi;
+    i64 base = start;
+    while (base < end && found < n) {
+        i64 limit = end - base;
+        while (w && found < n) {
+            int tz = __builtin_ctzll(w);
+            if (tz >= limit) break;
+            out[found++] = base + tz - start;
+            w &= w - 1;
+        }
+        base += 64 - bi;
+        bi = 0;
+        if (base >= end) break;
+        w = words[base >> 6];
+    }
+    return found;
+}
+
+static inline i64 ef_end_bits(i64 universe, i64 n, int s0, int s1) {
+    i64 l = (universe > n) ? floor_log2_u(universe / n) : 0;
+    i64 hbl = n + (universe >> l) + 2;
+    i64 ps = ceil_log2_u(hbl);
+    i64 p0 = (hbl - n) >> s0;
+    i64 p1 = n >> s1;
+    return (p0 + p1) * ps + hbl + n * l;
+}
+
+/* decode an EF sequence at bit `offset`; returns 0 ok / -1 corrupt */
+static int ef_dec(const uint64_t *words, i64 offset, i64 universe, i64 n,
+                  int s0, int s1, i64 *out) {
+    i64 l = (universe > n) ? floor_log2_u(universe / n) : 0;
+    i64 hbl = n + (universe >> l) + 2;
+    i64 ps = ceil_log2_u(hbl);
+    i64 p0 = (hbl - n) >> s0;
+    i64 p1 = n >> s1;
+    i64 hb_off = offset + (p0 + p1) * ps;
+    i64 lb_off = hb_off + hbl;
+    if (sel_n_ones(words, hb_off, hbl, n, out) != n) return -1;
+    for (i64 i = 0; i < n; i++) {
+        i64 v = (out[i] - i - 1) << l;
+        if (l) v |= (i64)br_read(words, lb_off + i * l, (int)l);
+        out[i] = v;
+    }
+    return 0;
+}
+
+/* indexed_sequence / strict_sequence payload decode at bit `offset`.
+ * strict: apply strict params (s0/rs disabled) and the v[i]-i shift.
+ * Returns 0 ok / -1 corrupt. */
+static int base_dec(const uint64_t *words, i64 offset, i64 universe, i64 n,
+                    int s0, int s1, int rs, int rs1, int strict, i64 *out) {
+    if (universe == n) {               /* all-ones (implicit) */
+        for (i64 i = 0; i < n; i++) out[i] = i;
+        return 0;
+    }
+    int es0 = strict ? 63 : s0;
+    int ers = strict ? 63 : rs;
+    int type = (int)br_read(words, offset, 1);
+    offset += 1;
+    if (type == 0) {                   /* EF (strict: over u-n+1, +i) */
+        i64 u = strict ? (universe - n + 1) : universe;
+        if (ef_dec(words, offset, u, n, es0, s1, out)) return -1;
+        if (strict)
+            for (i64 i = 0; i < n; i++) out[i] += i;
+        return 0;
+    }
+    /* ranked bitvector: [rank1 samples][pointers1][bits(universe)] */
+    {
+        i64 r1ss = ceil_log2_u(n + 1);
+        i64 ptrsz = ceil_log2_u(universe);
+        i64 r1s = universe >> ers;
+        i64 p1 = n >> rs1;
+        i64 bits_off = offset + r1s * r1ss + p1 * ptrsz;
+        if (sel_n_ones(words, bits_off, universe, n, out) != n) return -1;
+        return 0;
+    }
+}
+
+/* Full partitioned-sequence decode.  has_sizes: 1 for `opt` (sizes-EF),
+ * 0 for `uniform` (fixed 2^log_psize partitions).  strict: payload base.
+ * Returns 0 ok / -1 fallback-needed. */
+int pef_decode_native(const uint64_t *words, i64 nwords, i64 offset,
+                      i64 universe, i64 n,
+                      int s0, int s1, int rs, int rs1,
+                      int strict, int has_sizes, int log_psize,
+                      i64 *out, i64 *scratch) {
+    /* scratch must hold >= 2*(max partitions)+2 entries; caller sizes it
+     * as n+2 which always suffices (partitions <= n). */
+    breader br = {words, offset};
+    i64 partitions = br_gamma_nz(&br);
+    if (partitions <= 0 || partitions > n) return -1;
+
+    if (partitions == 1) {
+        int universe_bits = (int)ceil_log2_u(universe);
+        i64 cur_base = (i64)br_take(&br, universe_bits);
+        i64 ubound = 0;
+        if (n > 1) {
+            i64 d = br_delta(&br);
+            ubound = d ? d : (universe - cur_base - 1);
+        }
+        if (base_dec(words, br.pos, ubound + 1, n, s0, s1, rs, rs1,
+                     strict, out)) return -1;
+        for (i64 i = 0; i < n; i++) out[i] += cur_base;
+        return 0;
+    }
+
+    i64 endpoint_bits = br_gamma(&br);
+    i64 *bnd = scratch;                     /* partitions entries */
+    if (has_sizes) {
+        if (ef_dec(words, br.pos, n, partitions - 1, s0, s1, bnd))
+            return -1;
+        br.pos += ef_end_bits(n, partitions - 1, s0, s1);
+    } else {
+        i64 psize = 1LL << log_psize;
+        for (i64 p = 0; p < partitions - 1; p++) bnd[p] = (p + 1) * psize;
+    }
+    bnd[partitions - 1] = n;
+
+    i64 *ub = scratch + partitions;          /* partitions+1 entries */
+    if (ef_dec(words, br.pos, universe, partitions + 1, s0, s1, ub))
+        return -1;
+    br.pos += ef_end_bits(universe, partitions + 1, s0, s1);
+
+    i64 endpoints_offset = br.pos;
+    i64 sequences_offset = endpoints_offset
+        + endpoint_bits * (partitions - 1);
+
+    i64 begin = 0;
+    for (i64 p = 0; p < partitions; p++) {
+        i64 end = bnd[p];
+        i64 cur_base = ub[p] + (p ? 1 : 0);
+        i64 cur_ub = ub[p + 1];
+        i64 ep = p ? (i64)br_read(words, endpoints_offset
+                                  + (p - 1) * endpoint_bits,
+                                  (int)endpoint_bits) : 0;
+        if (end <= begin || end > n) return -1;
+        if (base_dec(words, sequences_offset + ep,
+                     cur_ub - cur_base + 1, end - begin,
+                     s0, s1, rs, rs1, strict, out + begin)) return -1;
+        for (i64 i = begin; i < end; i++) out[i] += cur_base;
+        begin = end;
+    }
+    return 0;
+}

@@ -66,6 +66,13 @@ def _build_and_load():
     rfs.restype = None
     rfs.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_int, ctypes.c_void_p]
+    pef = lib.pef_decode_native
+    pef.restype = ctypes.c_int
+    pef.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p]
     topk = lib.topk_query
     topk.restype = ctypes.c_int
     topk.argtypes = [
@@ -81,7 +88,7 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
     return {"dp": dp, "topk": topk, "select": sel,
-            "read_fields": rfb, "read_fields_strided": rfs}
+            "read_fields": rfb, "read_fields_strided": rfs, "pef": pef}
 
 
 def _lib_handle():
@@ -113,6 +120,12 @@ def native_bits():
     if not lib:
         return None
     return lib["select"], lib["read_fields"], lib["read_fields_strided"]
+
+
+def native_pef():
+    """The compiled partitioned-sequence decoder, or None."""
+    lib = _lib_handle()
+    return lib["pef"] if lib else None
 
 
 def optimal_partition_native(values: np.ndarray, universe: int,

@@ -231,9 +231,37 @@ def uniform_pef_write(bw: BitWriter, values: np.ndarray, universe: int, n: int,
     _write_with_partition(bw, values, universe, n, partition, params, False, base)
 
 
+def _pef_native(words: np.ndarray, offset: int, universe: int, n: int,
+                params: GlobalParameters, has_sizes: bool,
+                base: str):
+    """C fast path for the whole partitioned-sequence decode (native.c
+    pef_decode_native); None -> take the Python reference path."""
+    from .nativelib import native_pef
+    fn = native_pef()
+    if fn is None:
+        return None
+    w = np.ascontiguousarray(words, dtype=np.uint64)
+    # one zero word of slack so 8-byte-window reads never run off the end
+    w2 = np.empty(len(w) + 1, dtype=np.uint64)
+    w2[:len(w)] = w
+    w2[len(w)] = 0
+    out = np.empty(n, dtype=np.int64)
+    scratch = np.empty(2 * n + 3, dtype=np.int64)
+    r = fn(w2.ctypes.data, len(w2), offset, universe, n,
+           params.ef_log_sampling0, params.ef_log_sampling1,
+           params.rb_log_rank1_sampling, params.rb_log_sampling1,
+           1 if base == "strict" else 0, 1 if has_sizes else 0,
+           params.log_partition_size,
+           out.ctypes.data, scratch.ctypes.data)
+    return out if r == 0 else None
+
+
 def _pef_decode_impl(words: np.ndarray, offset: int, universe: int, n: int,
                      params: GlobalParameters, has_sizes: bool,
                      base: str = "indexed") -> np.ndarray:
+    res = _pef_native(words, offset, universe, n, params, has_sizes, base)
+    if res is not None:
+        return res
     _, _, base_decode = BASES[base]
     it = BitReader(words, offset)
     partitions = read_gamma_nonzero(it)
