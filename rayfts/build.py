@@ -67,14 +67,15 @@ def _named(callable_obj, name: str):
 def _sample_boundaries(keys_ds: rd.Dataset, col: str, num_buckets: int,
                        mod: int = 101) -> list:
     """Approximate range-partition boundaries from a deterministic
-    hash-sample of the key column.  Boundaries only steer partitioning;
-    ranks are exact regardless of boundary quality."""
+    position-stratified sample of the key column (every mod-th row of
+    each batch — no per-row hashing; vectorized take).  Boundaries only
+    steer partitioning; ranks are exact regardless of boundary quality."""
     def sample(t: pa.Table) -> pa.Table:
-        vals = t.column(col).to_pandas()
-        if len(vals) == 0:
+        c = t.column(col).combine_chunks()
+        if len(c) == 0:
             return t.select([col])
-        h = vals.astype(str).map(lambda s: zlib.crc32(s.encode())).to_numpy()
-        return pa.table({col: pa.array(vals[h % mod == 0])})
+        idx = np.arange(0, len(c), mod, dtype=np.int64)
+        return pa.table({col: c.take(pa.array(idx))})
 
     sampled = keys_ds.map_batches(sample, batch_size=None, batch_format="pyarrow").take_all()
     vals = sorted(r[col] for r in sampled)
@@ -109,9 +110,13 @@ _BUCKET_KEY_CACHE: dict[str, np.ndarray] = {}
 
 
 def _keystr_col(col: pd.Series) -> pd.Series:
-    # zero-pad integers so string order == numeric order
+    # zero-pad integers so string order == numeric order (vectorized:
+    # polars zfill in Rust; the old per-row "%020d" lambda ran over the
+    # whole corpus keys)
     if col.dtype.kind in "iu":
-        return col.map(lambda v: "%020d" % v)
+        import polars as pl
+        s = pl.Series(col.to_numpy()).cast(pl.Utf8).str.zfill(20)
+        return pd.Series(s.to_numpy(), index=col.index)
     return col.astype(str)
 
 
@@ -272,7 +277,10 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
 
     import shutil as _sh
     lengths_parts = os.path.join(index_dir, "lengths_parts")
-    for d in (docs_dir, tokens_dir + ".tmp", lengths_parts):
+    # tokens_dir itself is in the list: a run that died between
+    # os.replace(tmp, tokens_dir) and the markers would otherwise make
+    # the rerun's os.replace fail with ENOTEMPTY (ADVICE r01)
+    for d in (docs_dir, tokens_dir + ".tmp", tokens_dir, lengths_parts):
         if os.path.exists(d):
             _sh.rmtree(d)   # clear partial outputs from an aborted run
     os.makedirs(docs_dir, exist_ok=True)
@@ -332,25 +340,27 @@ def _stage_lengths(index_dir: str, num_docs: int,
         pq.write_table(t, path + ".tmp")
         os.replace(path + ".tmp", path)
     if not os.path.exists(path):
+        # fallback for an index whose lengths_parts dir is gone: derive
+        # lengths from the tokens checkpoint as sum(tf) per doc (the
+        # fused stage 1 dropped the doc_len column; ADVICE r01)
         if tokens is None:
             tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
-                                     columns=["doc_id", "doc_len"])
+                                     columns=["doc_id", "tf"])
 
-        def distinct(t: pa.Table) -> pa.Table:
-            # per-batch combiner: one (doc_id, doc_len) row per doc
-            gb = t.group_by("doc_id").aggregate([("doc_len", "max")])
-            return gb.rename_columns(["doc_id", "doc_len"])
+        def partial(t: pa.Table) -> pa.Table:
+            gb = t.group_by("doc_id").aggregate([("tf", "sum")])
+            return gb.rename_columns(["doc_id", "tf"])
 
-        # tree combine: per-block distinct, then re-combined over larger
-        # coalesced batches, final distinct on the driver — the doc-length
+        # tree combine: per-block partial sums, re-combined over larger
+        # coalesced batches, final sum on the driver — the doc-length
         # table is driver-resident anyway (norm_lens broadcast), so a full
         # Ray groupby shuffle here is pure overhead
-        agg = (tokens.map_batches(distinct, batch_size=None,
+        agg = (tokens.map_batches(partial, batch_size=None,
                                   batch_format="pyarrow")
-               .map_batches(distinct, batch_size=1 << 20,
+               .map_batches(partial, batch_size=1 << 20,
                             batch_format="pyarrow"))
         big = pa.concat_tables([ray.get(r) for r in agg.to_arrow_refs()])
-        final = big.group_by("doc_id").aggregate([("doc_len", "max")]) \
+        final = big.group_by("doc_id").aggregate([("tf", "sum")]) \
                    .rename_columns(["doc_id", "length"])
         tmp = path + ".tmp"
         pq.write_table(final, tmp)
@@ -444,10 +454,13 @@ class _ShardEncoder:
         if os.path.exists(done_path) and os.path.exists(shard_path):
             with open(done_path) as f:
                 meta = json.load(f)
-            return self._manifest_row(shard=shard, **{
-                k: meta[k] for k in ("num_terms", "term_id_lo", "term_lo",
-                                     "term_hi", "postings", "bytes",
-                                     "docs_bits", "freqs_bits")})
+            keys = ("num_terms", "term_id_lo", "term_lo", "term_hi",
+                    "postings", "bytes", "docs_bits", "freqs_bits")
+            if all(k in meta for k in keys):
+                return self._manifest_row(
+                    shard=shard, **{k: meta[k] for k in keys})
+            # pre-term-range done.json (older build): schema outdated —
+            # fall through and re-encode the shard (ADVICE r01)
         vocab = ray.get(self.vocab_ref)
         norm_lens = ray.get(self.norm_lens_ref)
 

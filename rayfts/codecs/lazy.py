@@ -1,0 +1,235 @@
+"""Encoded-domain posting-list descriptors for the native lazy
+enumerators (native.c `lzdesc` / `topk_query_lazy`).
+
+An :class:`EncodedList` wraps one posting list's *compressed* payload
+plus the pre-parsed header metadata the C enumerators need (PEF
+partition tables, block directories, EF offsets are derived in C).  The
+serving path hands these straight to the C DAAT kernels, which decode
+only the chunks `next_geq` lands on — the reference's operating mode
+(compact_elias_fano.hpp:291-336, block_posting_list.hpp:124-146) —
+instead of bulk-decoding whole lists into an LRU cache.
+
+Header parsing happens once per list and is cached by the index reader;
+the per-list chunk buffer doubles as a 1-chunk decode cache across
+queries.  Memory per cached list is the encoded bytes + one chunk, ~10x
+smaller than the decoded int64 arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS, ceil_log2
+from . import vbyte as vb
+from .bits import BitReader, read_gamma_nonzero, words_from_bytes
+
+KIND_ARRAY = 0
+KIND_BLOCK = 1
+KIND_EF = 2
+KIND_PEF = 3
+KIND_SINGLE = 4
+
+_BLOCK_CODEC_ID = {
+    "block_packed": 0,
+    "block_vbyte": 1,
+    "block_interpolative": 2,
+    "block_mixed": 3,
+}
+
+#: index types the native lazy enumerators can serve
+SUPPORTED_TYPES = frozenset(
+    {"ef", "single", "uniform", "opt"} | set(_BLOCK_CODEC_ID))
+
+_I64 = ctypes.c_int64
+_VP = ctypes.c_void_p
+
+
+class LZDesc(ctypes.Structure):
+    """Mirror of native.c's lzdesc (all fields 8 bytes, same order)."""
+
+    _fields_ = [
+        ("kind", _I64), ("n", _I64),
+        ("adocs", _VP), ("afreqs", _VP),
+        ("dwords", _VP), ("fwords", _VP),
+        ("doffset", _I64), ("duniverse", _I64), ("funiverse", _I64),
+        ("s0", _I64), ("s1", _I64), ("rs", _I64), ("rs1", _I64),
+        ("dparts", _I64), ("dbnd", _VP), ("dub", _VP),
+        ("dendp_bits", _I64), ("dendp_off", _I64), ("dseq_off", _I64),
+        ("fparts", _I64), ("fbnd", _VP), ("fub", _VP),
+        ("fendp_bits", _I64), ("fendp_off", _I64), ("fseq_off", _I64),
+        ("bdata", _VP), ("codec", _I64), ("nblk", _I64),
+        ("blk_maxs", _VP), ("blk_endp", _VP), ("begin_blocks", _I64),
+        ("dbuf", _VP), ("fbuf", _VP),
+        ("cur_dchunk", _I64), ("cur_fchunk", _I64),
+        ("dchunk_begin", _I64), ("dchunk_end", _I64),
+        ("fchunk_begin", _I64), ("fchunk_end", _I64),
+        ("chunks_decoded", _I64),
+    ]
+
+
+class EncodedList:
+    """One posting list in encoded form + its native descriptor."""
+
+    __slots__ = ("term", "term_id", "n", "occurrences", "max_weight",
+                 "block_max_docs", "block_max_scores", "desc", "_keep")
+
+    def __init__(self):
+        self.desc = LZDesc()
+        self._keep: list = []
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self._keep if hasattr(a, "nbytes"))
+
+
+def _parse_pef(words: np.ndarray, offset: int, universe: int, n: int,
+               params: GlobalParameters, has_sizes: bool, lib):
+    """Parse one partitioned-sequence header; returns
+    (bnd, ub, endpoint_bits, endpoints_off, sequences_off, max_part)."""
+    parts = int(lib["pef_part_count"](words.ctypes.data, offset))
+    if parts <= 0 or parts > n:
+        raise ValueError("corrupt PEF header")
+    bnd = np.empty(parts, dtype=np.int64)
+    ub = np.empty(parts + 1, dtype=np.int64)
+    info = np.empty(3, dtype=np.int64)
+    r = lib["pef_parse"](words.ctypes.data, offset, universe, n,
+                         params.ef_log_sampling0, params.ef_log_sampling1,
+                         1 if has_sizes else 0, params.log_partition_size,
+                         bnd.ctypes.data, ub.ctypes.data, info.ctypes.data)
+    if r != 0:
+        raise ValueError("corrupt PEF stream")
+    starts = np.concatenate([[0], bnd[:-1]])
+    max_part = int((bnd - starts).max())
+    return bnd, ub, int(info[0]), int(info[1]), int(info[2]), max_part
+
+
+def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
+                       num_docs: int,
+                       params: GlobalParameters = PARAMS) -> EncodedList | None:
+    """Build the native descriptor for one list; None if the native lib
+    is unavailable (caller falls back to bulk decode)."""
+    from .nativelib import _lib_handle
+    lib = _lib_handle()
+    if lib is None or "pef_parse" not in lib:
+        return None
+
+    el = EncodedList()
+    d = el.desc
+    d.s0 = params.ef_log_sampling0
+    d.s1 = params.ef_log_sampling1
+    d.rs = params.rb_log_rank1_sampling
+    d.rs1 = params.rb_log_sampling1
+    d.cur_dchunk = -1
+    d.cur_fchunk = -1
+
+    if index_type in _BLOCK_CODEC_ID:
+        data = np.frombuffer(docs_bytes, dtype=np.uint8)
+        padded = np.empty(len(data) + 8, dtype=np.uint8)
+        padded[:len(data)] = data
+        padded[len(data):] = 0
+        n, pos = vb.decode_single(padded, 0)
+        blocks = (n + 127) >> 7
+        mb = pos
+        eb = mb + 4 * blocks
+        begin_blocks = eb + 4 * (blocks - 1)
+        maxs = np.ascontiguousarray(padded[mb:eb]).view(np.uint32)
+        endp = np.ascontiguousarray(padded[eb:begin_blocks]).view(np.uint32)
+        dbuf = np.empty(128, dtype=np.int64)
+        fbuf = np.empty(128, dtype=np.int64)
+        el._keep += [padded, maxs, endp, dbuf, fbuf]
+        d.kind = KIND_BLOCK
+        d.n = n
+        d.duniverse = num_docs
+        d.bdata = padded.ctypes.data
+        d.codec = _BLOCK_CODEC_ID[index_type]
+        d.nblk = blocks
+        d.blk_maxs = maxs.ctypes.data
+        d.blk_endp = endp.ctypes.data if blocks > 1 else maxs.ctypes.data
+        d.begin_blocks = begin_blocks
+        d.dbuf = dbuf.ctypes.data
+        d.fbuf = fbuf.ctypes.data
+        el.n = n
+        el.occurrences = -1  # not in the block header
+        return el
+
+    # freq-index family: gamma(occ) [n] header, then the docs sequence
+    dwords = words_from_bytes(docs_bytes)
+    it = BitReader(dwords)
+    occ = read_gamma_nonzero(it)
+    n = 1 if occ == 1 else it.take(ceil_log2(occ + 1))
+    fwords = words_from_bytes(freqs_bytes)
+    el._keep += [dwords, fwords]
+    d.n = n
+    d.doffset = it.pos
+    d.duniverse = num_docs
+    d.funiverse = occ + 1
+    d.dwords = dwords.ctypes.data
+    d.fwords = fwords.ctypes.data
+    el.n = n
+    el.occurrences = occ
+
+    if index_type == "ef":
+        d.kind = KIND_EF
+        return el
+    if index_type == "single":
+        d.kind = KIND_SINGLE
+        return el
+    if index_type in ("opt", "uniform"):
+        has_sizes = index_type == "opt"
+        dbnd, dub, debits, deoff, dsoff, dmax = _parse_pef(
+            dwords, it.pos, num_docs, n, params, has_sizes, lib)
+        fbnd, fub, febits, feoff, fsoff, fmax = _parse_pef(
+            fwords, 0, occ + 1, n, params, has_sizes, lib)
+        dbuf = np.empty(max(dmax, 1), dtype=np.int64)
+        fbuf = np.empty(max(fmax, 1), dtype=np.int64)
+        el._keep += [dbnd, dub, fbnd, fub, dbuf, fbuf]
+        d.kind = KIND_PEF
+        d.dparts = len(dbnd)
+        d.dbnd = dbnd.ctypes.data
+        d.dub = dub.ctypes.data
+        d.dendp_bits = debits
+        d.dendp_off = deoff
+        d.dseq_off = dsoff
+        d.fparts = len(fbnd)
+        d.fbnd = fbnd.ctypes.data
+        d.fub = fub.ctypes.data
+        d.fendp_bits = febits
+        d.fendp_off = feoff
+        d.fseq_off = fsoff
+        d.dbuf = dbuf.ctypes.data
+        d.fbuf = fbuf.ctypes.data
+        return el
+    return None
+
+
+def decode_all_lazy(el: EncodedList, num_docs: int):
+    """Walk the native enumerator over the whole list (test helper)."""
+    from .nativelib import _lib_handle
+    lib = _lib_handle()
+    out_d = np.empty(el.n, dtype=np.int64)
+    out_f = np.empty(el.n, dtype=np.int64)
+    r = lib["lz_decode_all"](ctypes.byref(el.desc), num_docs,
+                             out_d.ctypes.data, out_f.ctypes.data)
+    if r != 0:
+        raise ValueError(f"lz_decode_all failed: {r}")
+    return out_d, out_f
+
+
+def probe_geq_lazy(el: EncodedList, num_docs: int, lbs: np.ndarray):
+    """next_geq probes in arbitrary order on one enumerator (test helper);
+    returns (pos, value, freq) arrays."""
+    from .nativelib import _lib_handle
+    lib = _lib_handle()
+    lbs = np.ascontiguousarray(lbs, dtype=np.int64)
+    out_p = np.empty(len(lbs), dtype=np.int64)
+    out_v = np.empty(len(lbs), dtype=np.int64)
+    out_f = np.empty(len(lbs), dtype=np.int64)
+    r = lib["lz_probe_geq"](ctypes.byref(el.desc), num_docs,
+                            lbs.ctypes.data, len(lbs),
+                            out_p.ctypes.data, out_v.ctypes.data,
+                            out_f.ctypes.data)
+    if r != 0:
+        raise ValueError(f"lz_probe_geq failed: {r}")
+    return out_p, out_v, out_f

@@ -705,3 +705,954 @@ int pef_decode_native(const uint64_t *words, i64 nwords, i64 offset,
     }
     return 0;
 }
+
+/* ======================================================================
+ * Encoded-domain lazy enumerators (round 2): the serving path runs the
+ * DAAT kernels DIRECTLY over the compressed payloads -- next_geq lands
+ * on a chunk (EF skip pointers / PEF partition / 128-block) and decodes
+ * only that chunk, mirroring the reference's enumerator traversal
+ * (compact_elias_fano.hpp:291-336, block_posting_list.hpp:124-146,
+ * partitioned_sequence enumerator).  Python remains the semantic
+ * reference (rayfts/codecs/efenum.py, blocks.py BlockEnumerator);
+ * parity is enforced in tests/test_lazy_native.py.
+ *
+ * Descriptor kinds:
+ *   0 = decoded int64 arrays (legacy / fallback path)
+ *   1 = block posting list (packed / vbyte / interpolative / mixed)
+ *   2 = "ef" freq-index family (EF docs + strict-EF freqs)
+ *   3 = "opt"/"uniform" (partitioned docs + strict-partitioned freqs)
+ *   4 = "single" (indexed docs + strict-dispatch freqs)
+ * ====================================================================== */
+
+typedef struct {
+    i64 kind;
+    i64 n;
+    /* kind 0 */
+    const i64 *adocs; const i64 *afreqs;
+    /* bit-family streams (padded uint64 words) */
+    const uint64_t *dwords; const uint64_t *fwords;
+    i64 doffset;            /* docs payload bit offset (after header) */
+    i64 duniverse;          /* num_docs */
+    i64 funiverse;          /* occurrences + 1 */
+    i64 s0, s1, rs, rs1;    /* plain global params */
+    /* kind 3: pre-parsed partition tables (docs / freqs) */
+    i64 dparts; const i64 *dbnd; const i64 *dub;
+    i64 dendp_bits, dendp_off, dseq_off;
+    i64 fparts; const i64 *fbnd; const i64 *fub;
+    i64 fendp_bits, fendp_off, fseq_off;
+    /* kind 1: block container (byte data, padded by 8) */
+    const uint8_t *bdata;
+    i64 codec;              /* 0 packed 1 vbyte 2 interp 3 mixed */
+    i64 nblk;
+    const uint32_t *blk_maxs; const uint32_t *blk_endp;
+    i64 begin_blocks;
+    /* chunk buffers (persist across queries = 1-chunk cache) */
+    i64 *dbuf; i64 *fbuf;
+    i64 cur_dchunk, cur_fchunk;
+    i64 dchunk_begin, dchunk_end;
+    i64 fchunk_begin, fchunk_end;
+    i64 chunks_decoded;     /* block_profiler-style counter */
+} lzdesc;
+
+/* ---- bounded bit scans over uint64 words ---- */
+
+static i64 scan1_from(const uint64_t *w, i64 pos, i64 k) {
+    /* absolute position of the k-th (0-based) one at/after pos */
+    i64 wi = pos >> 6;
+    int bi = (int)(pos & 63);
+    uint64_t word = w[wi] >> bi;
+    for (;;) {
+        while (word) {
+            int tz = __builtin_ctzll(word);
+            if (k == 0) return (wi << 6) + bi + tz;
+            k--;
+            word &= word - 1;
+        }
+        wi++; bi = 0;
+        word = w[wi];
+    }
+}
+
+static i64 scan0_from(const uint64_t *w, i64 pos, i64 k) {
+    i64 wi = pos >> 6;
+    int bi = (int)(pos & 63);
+    uint64_t word = (~w[wi]) >> bi;
+    for (;;) {
+        while (word) {
+            int tz = __builtin_ctzll(word);
+            if (k == 0) return (wi << 6) + bi + tz;
+            k--;
+            word &= word - 1;
+        }
+        wi++; bi = 0;
+        word = ~w[wi];
+    }
+}
+
+static i64 popcount_range(const uint64_t *w, i64 start, i64 end) {
+    /* number of ones in bits [start, end) */
+    if (end <= start) return 0;
+    i64 c = 0;
+    i64 ws = start >> 6, we = (end - 1) >> 6;
+    uint64_t first = w[ws] & ~((start & 63) ? ((1ULL << (start & 63)) - 1) : 0ULL);
+    if (ws == we) {
+        uint64_t lastmask = ((end & 63) ? ((1ULL << (end & 63)) - 1) : ~0ULL);
+        return __builtin_popcountll(first & lastmask);
+    }
+    c += __builtin_popcountll(first);
+    for (i64 i = ws + 1; i < we; i++) c += __builtin_popcountll(w[i]);
+    uint64_t lastmask = ((end & 63) ? ((1ULL << (end & 63)) - 1) : ~0ULL);
+    c += __builtin_popcountll(w[we] & lastmask);
+    return c;
+}
+
+/* ---- EF offsets (mirror of EFOffsets / compact_elias_fano.hpp) ---- */
+
+typedef struct {
+    i64 universe, n;
+    i64 ls0, ls1;
+    int lower_bits;
+    i64 hbl;
+    int ptr_size;
+    i64 np0, np1;
+    i64 p0_off, p1_off, hb_off, lb_off;
+} efof;
+
+static void efof_init(efof *of, i64 base, i64 universe, i64 n,
+                      i64 s0, i64 s1) {
+    of->universe = universe; of->n = n;
+    of->ls0 = s0; of->ls1 = s1;
+    of->lower_bits = (universe > n) ? floor_log2_u(universe / n) : 0;
+    of->hbl = n + (universe >> of->lower_bits) + 2;
+    of->ptr_size = ceil_log2_u(of->hbl);
+    of->np0 = (s0 >= 63) ? 0 : ((of->hbl - n) >> s0);
+    of->np1 = (s1 >= 63) ? 0 : (n >> s1);
+    of->p0_off = base;
+    of->p1_off = of->p0_off + of->np0 * of->ptr_size;
+    of->hb_off = of->p1_off + of->np1 * of->ptr_size;
+    of->lb_off = of->hb_off + of->hbl;
+}
+
+static inline i64 ef_low_at(const efof *of, const uint64_t *w, i64 k) {
+    if (!of->lower_bits) return 0;
+    return (i64)br_read(w, of->lb_off + k * of->lower_bits, of->lower_bits);
+}
+
+static inline i64 ef_val_hr(const efof *of, const uint64_t *w, i64 k, i64 rel) {
+    return ((rel - k - 1) << of->lower_bits) | ef_low_at(of, w, k);
+}
+
+/* relative high-bits position of element k's one, via pointers1 */
+static i64 ef_sel1(const efof *of, const uint64_t *w, i64 k) {
+    i64 block = (of->ls1 >= 63) ? 0 : (k >> of->ls1);
+    i64 start_rel = 0, skipped = 0;
+    if (block > 0 && of->ptr_size) {
+        start_rel = (i64)br_read(w, of->p1_off + (block - 1) * of->ptr_size,
+                                 of->ptr_size);
+        skipped = block << of->ls1;
+    }
+    return scan1_from(w, of->hb_off + start_rel, k - skipped) - of->hb_off;
+}
+
+/* first (pos, value) with value >= lb; returns pos (n = exhausted);
+ * *hrel receives the element's high-bit rel position when pos < n */
+static i64 ef_next_geq(const efof *of, const uint64_t *w, i64 lb,
+                       i64 *val, i64 *hrel) {
+    if (lb >= of->universe) { *val = of->universe; return of->n; }
+    if (lb < 0) lb = 0;
+    i64 h = lb >> of->lower_bits;
+    i64 total_zeros = of->hbl - of->n;
+    if (h >= total_zeros) { *val = of->universe; return of->n; }
+    i64 block = (of->ls0 >= 63) ? 0 : (h >> of->ls0);
+    i64 zrel = 0, zskip = 0;
+    if (block > 0 && of->ptr_size && of->np0 >= block) {
+        zrel = (i64)br_read(w, of->p0_off + (block - 1) * of->ptr_size,
+                            of->ptr_size);
+        zskip = block << of->ls0;
+    }
+    i64 abs_zero = scan0_from(w, of->hb_off + zrel, h - zskip);
+    i64 rel_zero = abs_zero - of->hb_off;
+    i64 k = rel_zero - h;          /* ones strictly before this zero */
+    if (k >= of->n) { *val = of->universe; return of->n; }
+    i64 rel = scan1_from(w, abs_zero + 1, 0) - of->hb_off;
+    for (;;) {
+        i64 v = ef_val_hr(of, w, k, rel);
+        if (v >= lb) { *val = v; *hrel = rel; return k; }
+        k++;
+        if (k >= of->n) { *val = of->universe; return of->n; }
+        rel = scan1_from(w, of->hb_off + rel + 1, 0) - of->hb_off;
+    }
+}
+
+/* ---- ranked-bitvector offsets (compact_ranked_bitvector.hpp) ---- */
+
+typedef struct {
+    i64 universe, n;
+    i64 lrs, ls1;
+    int r1ss, ptr_size;
+    i64 nr1, np1;
+    i64 r1_off, p1_off, bits_off;
+} rbof;
+
+static void rbof_init(rbof *of, i64 base, i64 universe, i64 n,
+                      i64 rs, i64 rs1) {
+    of->universe = universe; of->n = n;
+    of->lrs = rs; of->ls1 = rs1;
+    of->r1ss = ceil_log2_u(n + 1);
+    of->ptr_size = ceil_log2_u(universe);
+    of->nr1 = (rs >= 63) ? 0 : (universe >> rs);
+    of->np1 = (rs1 >= 63) ? 0 : (n >> rs1);
+    of->r1_off = base;
+    of->p1_off = of->r1_off + of->nr1 * of->r1ss;
+    of->bits_off = of->p1_off + of->np1 * of->ptr_size;
+}
+
+/* value (= bit position) of element k, via select samples */
+static i64 rb_sel1(const rbof *of, const uint64_t *w, i64 k) {
+    i64 block = (of->ls1 >= 63) ? 0 : (k >> of->ls1);
+    i64 start = 0, skipped = 0;
+    if (block > 0 && of->ptr_size) {
+        start = (i64)br_read(w, of->p1_off + (block - 1) * of->ptr_size,
+                             of->ptr_size);
+        skipped = block << of->ls1;
+    }
+    return scan1_from(w, of->bits_off + start, k - skipped) - of->bits_off;
+}
+
+/* number of ones in [0, bitpos) of the bits region, via rank samples */
+static i64 rb_rank1(const rbof *of, const uint64_t *w, i64 bitpos) {
+    if (bitpos <= 0) return 0;
+    i64 m = (of->lrs >= 63) ? 0 : (bitpos >> of->lrs);
+    i64 base_rank = 0, base_pos = 0;
+    if (m > 0 && of->r1ss) {
+        base_rank = (i64)br_read(w, of->r1_off + (m - 1) * of->r1ss, of->r1ss);
+        base_pos = m << of->lrs;
+    }
+    return base_rank + popcount_range(w, of->bits_off + base_pos,
+                                      of->bits_off + bitpos);
+}
+
+/* ---- PEF header parse (one-time per list, cached Python-side) ---- */
+
+i64 pef_part_count(const uint64_t *words, i64 offset) {
+    breader br = {words, offset};
+    return br_gamma_nz(&br);
+}
+
+/* bnd: partitions entries (exclusive ends), ub: partitions+1 entries
+ * (ub[0] = first value, ub[p+1] = last value of partition p).
+ * info: [0]=endpoint_bits [1]=endpoints_offset [2]=sequences_offset */
+int pef_parse(const uint64_t *words, i64 offset, i64 universe, i64 n,
+              int s0, int s1, int has_sizes, int log_psize,
+              i64 *bnd, i64 *ub, i64 *info) {
+    breader br = {words, offset};
+    i64 partitions = br_gamma_nz(&br);
+    if (partitions <= 0 || partitions > n) return -1;
+    if (partitions == 1) {
+        int universe_bits = ceil_log2_u(universe);
+        i64 cur_base = (i64)br_take(&br, universe_bits);
+        i64 ubound = 0;
+        if (n > 1) {
+            i64 d = br_delta(&br);
+            ubound = d ? d : (universe - cur_base - 1);
+        }
+        bnd[0] = n;
+        ub[0] = cur_base;
+        ub[1] = cur_base + ubound;
+        info[0] = 0; info[1] = br.pos; info[2] = br.pos;
+        return 0;
+    }
+    i64 endpoint_bits = br_gamma(&br);
+    if (has_sizes) {
+        if (ef_dec(words, br.pos, n, partitions - 1, s0, s1, bnd)) return -1;
+        br.pos += ef_end_bits(n, partitions - 1, s0, s1);
+    } else {
+        i64 psize = 1LL << log_psize;
+        for (i64 p = 0; p < partitions - 1; p++) bnd[p] = (p + 1) * psize;
+    }
+    bnd[partitions - 1] = n;
+    if (ef_dec(words, br.pos, universe, partitions + 1, s0, s1, ub)) return -1;
+    br.pos += ef_end_bits(universe, partitions + 1, s0, s1);
+    info[0] = endpoint_bits;
+    info[1] = br.pos;
+    info[2] = br.pos + endpoint_bits * (partitions - 1);
+    return 0;
+}
+
+/* decode partition p of a pre-parsed partitioned sequence into buf
+ * (absolute values); returns 0 ok / -1 corrupt */
+static int pef_load_part(const uint64_t *words, i64 p,
+                         const i64 *bnd, const i64 *ub,
+                         i64 endp_bits, i64 endp_off, i64 seq_off,
+                         i64 s0, i64 s1, i64 rs, i64 rs1, int strictf,
+                         i64 *buf, i64 *begin_out, i64 *end_out) {
+    i64 begin = p ? bnd[p - 1] : 0;
+    i64 end = bnd[p];
+    i64 cur_base = ub[p] + (p ? 1 : 0);
+    i64 cur_ub = ub[p + 1];
+    i64 ep = (p && endp_bits)
+        ? (i64)br_read(words, endp_off + (p - 1) * endp_bits, (int)endp_bits)
+        : 0;
+    if (end <= begin) return -1;
+    if (base_dec(words, seq_off + ep, cur_ub - cur_base + 1, end - begin,
+                 (int)s0, (int)s1, (int)rs, (int)rs1, strictf, buf))
+        return -1;
+    for (i64 i = 0; i < end - begin; i++) buf[i] += cur_base;
+    *begin_out = begin; *end_out = end;
+    return 0;
+}
+
+/* ---- byte-aligned block codecs (blocks.py semantics) ---- */
+
+static inline uint64_t bread8(const uint8_t *data, i64 bitpos, int width) {
+    if (!width) return 0;
+    uint64_t v;
+    memcpy(&v, data + (bitpos >> 3), 8);
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    return (v >> (bitpos & 7)) & mask;
+}
+
+static i64 c_vbyte_single(const uint8_t *data, i64 pos, i64 *out) {
+    i64 v = 0; int shift = 0;
+    for (;;) {
+        uint8_t b = data[pos++];
+        v |= (i64)(b & 0x7F) << shift;
+        if (b & 0x80) break;
+        shift += 7;
+    }
+    *out = v;
+    return pos;
+}
+
+static i64 c_packed_decode(const uint8_t *data, i64 pos, i64 n, i64 *out) {
+    int w = data[pos++];
+    if (w == 0) { for (i64 i = 0; i < n; i++) out[i] = 0; return pos; }
+    i64 bit = pos << 3;
+    for (i64 i = 0; i < n; i++, bit += w) out[i] = (i64)bread8(data, bit, w);
+    return pos + ((n * w + 7) >> 3);
+}
+
+static i64 c_vbyte_decode(const uint8_t *data, i64 pos, i64 n, i64 *out) {
+    for (i64 i = 0; i < n; i++) pos = c_vbyte_single(data, pos, &out[i]);
+    return pos;
+}
+
+static i64 interp_dec_rec(const uint8_t *d, i64 pos, i64 *out,
+                          i64 lo, i64 hi, i64 low, i64 high) {
+    if (hi <= lo) return pos;
+    i64 h = (hi - lo) / 2;
+    i64 u = high - low + 1;
+    int b = floor_log2_u(u);
+    i64 m = (1LL << (b + 1)) - u;
+    i64 v = (i64)bread8(d, pos, b);
+    pos += b;
+    if (v >= m) { v = (v << 1) + (i64)bread8(d, pos, 1) - m; pos += 1; }
+    i64 val = low + v;
+    out[lo + h] = val;
+    pos = interp_dec_rec(d, pos, out, lo, lo + h, low, val);
+    return interp_dec_rec(d, pos, out, lo + h + 1, hi, val, high);
+}
+
+/* sum_known >= 0, or -1 => vbyte sum prefix (freq stream) */
+static i64 c_interp_decode(const uint8_t *data, i64 pos, i64 sum_known,
+                           i64 n, i64 *out) {
+    i64 sum = sum_known;
+    if (sum < 0) pos = c_vbyte_single(data, pos, &sum);
+    out[n - 1] = sum;
+    if (n > 1) {
+        i64 endbit = interp_dec_rec(data, pos << 3, out, 0, n - 1, 0, sum);
+        for (i64 i = n - 1; i > 0; i--) out[i] = out[i] - out[i - 1];
+        pos = (endbit + 7) >> 3;
+    }
+    return pos;
+}
+
+/* decode gaps with one codec; tag 0 packed / 1 vbyte / 2 interp */
+static i64 c_blk_codec_decode(i64 tag, const uint8_t *data, i64 pos,
+                              i64 sum_known, i64 n, i64 *out) {
+    if (tag == 2) return c_interp_decode(data, pos, sum_known, n, out);
+    if (sum_known < 0 && tag != 2) { /* vbyte/packed ignore the sum */ }
+    if (tag == 0) return c_packed_decode(data, pos, n, out);
+    return c_vbyte_decode(data, pos, n, out);
+}
+
+/* decode 128-block b of a block posting list into dbuf/fbuf */
+static int blk_load(lzdesc *d, i64 b) {
+    if (b == d->cur_dchunk) return 0;
+    i64 lo = b << 7;
+    i64 hi = lo + 128; if (hi > d->n) hi = d->n;
+    i64 cur = hi - lo;
+    i64 pos = d->begin_blocks + (b ? (i64)d->blk_endp[b - 1] : 0);
+    i64 block_base = b ? ((i64)d->blk_maxs[b - 1] + 1) : 0;
+    i64 block_max = (i64)d->blk_maxs[b];
+    i64 dtag = d->codec, ftag = d->codec;
+    if (d->codec == 3) { dtag = d->bdata[pos++]; }
+    pos = c_blk_codec_decode(dtag, d->bdata, pos,
+                             block_max - block_base - (cur - 1), cur, d->dbuf);
+    if (pos < 0) return -1;
+    /* gaps -> absolute docids: doc = base + cumsum(gap + 1) - 1 */
+    i64 acc = block_base - 1;
+    for (i64 i = 0; i < cur; i++) { acc += d->dbuf[i] + 1; d->dbuf[i] = acc; }
+    if (d->codec == 3) { ftag = d->bdata[pos++]; }
+    pos = c_blk_codec_decode(ftag, d->bdata, pos, -1, cur, d->fbuf);
+    if (pos < 0) return -1;
+    for (i64 i = 0; i < cur; i++) d->fbuf[i] += 1;
+    d->cur_dchunk = b; d->cur_fchunk = b;
+    d->dchunk_begin = lo; d->dchunk_end = hi;
+    d->fchunk_begin = lo; d->fchunk_end = hi;
+    d->chunks_decoded++;
+    return 0;
+}
+
+/* ---- runtime enumerator over a descriptor ---- */
+
+#define DM_ARRAY 0
+#define DM_BLOCK 1
+#define DM_EF    2
+#define DM_PEF   3
+#define DM_RBV   4
+#define DM_AO    5
+#define FM_ARRAY 0
+#define FM_BLOCK 1
+#define FM_SEF   2
+#define FM_PEF   3
+#define FM_RBV   4
+
+typedef struct {
+    lzdesc *d;
+    i64 pos, value;
+    i64 num_docs;
+    float qw, bound;
+    const i64 *bmax_docs; const float *bmax_scores; i64 nbmax;
+    int dmode, fmode;
+    efof dof, fof;
+    rbof drb, frb;
+    i64 high_pos;              /* EF docs: rel high pos of current one */
+    i64 f_last_k, f_last_rel;  /* sequential freq-select cache */
+} lzen;
+
+static int pef_chunk_for(lzen *e, i64 idx) {
+    lzdesc *d = e->d;
+    if (d->cur_dchunk >= 0 && idx >= d->dchunk_begin && idx < d->dchunk_end)
+        return 0;
+    i64 lo = 0, hi = d->dparts;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (d->dbnd[mid] <= idx) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= d->dparts) return -1;
+    i64 b, en;
+    if (pef_load_part(d->dwords, lo, d->dbnd, d->dub, d->dendp_bits,
+                      d->dendp_off, d->dseq_off, d->s0, d->s1, d->rs, d->rs1,
+                      0, d->dbuf, &b, &en))
+        return -1;
+    d->cur_dchunk = lo; d->dchunk_begin = b; d->dchunk_end = en;
+    d->chunks_decoded++;
+    return 0;
+}
+
+static int pef_fchunk_for(lzen *e, i64 idx) {
+    lzdesc *d = e->d;
+    if (d->cur_fchunk >= 0 && idx >= d->fchunk_begin && idx < d->fchunk_end)
+        return 0;
+    i64 lo = 0, hi = d->fparts;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (d->fbnd[mid] <= idx) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= d->fparts) return -1;
+    i64 b, en;
+    if (pef_load_part(d->fwords, lo, d->fbnd, d->fub, d->fendp_bits,
+                      d->fendp_off, d->fseq_off, d->s0, d->s1, d->rs, d->rs1,
+                      1, d->fbuf, &b, &en))
+        return -1;
+    d->cur_fchunk = lo; d->fchunk_begin = b; d->fchunk_end = en;
+    d->chunks_decoded++;
+    return 0;
+}
+
+static int lz_init(lzen *e, lzdesc *d, i64 num_docs) {
+    e->d = d; e->num_docs = num_docs;
+    e->high_pos = -1; e->f_last_k = -2; e->f_last_rel = -1;
+    switch ((int)d->kind) {
+    case 0: e->dmode = DM_ARRAY; e->fmode = FM_ARRAY; break;
+    case 1: e->dmode = DM_BLOCK; e->fmode = FM_BLOCK; break;
+    case 2:
+        e->dmode = DM_EF;
+        efof_init(&e->dof, d->doffset, d->duniverse, d->n, d->s0, d->s1);
+        e->fmode = FM_SEF;
+        efof_init(&e->fof, 0, d->funiverse - d->n + 1, d->n, 63, d->s1);
+        break;
+    case 3: e->dmode = DM_PEF; e->fmode = FM_PEF; break;
+    case 4: {
+        if (d->duniverse == d->n) e->dmode = DM_AO;
+        else {
+            int t = (int)br_read(d->dwords, d->doffset, 1);
+            if (t == 0) {
+                e->dmode = DM_EF;
+                efof_init(&e->dof, d->doffset + 1, d->duniverse, d->n,
+                          d->s0, d->s1);
+            } else {
+                e->dmode = DM_RBV;
+                rbof_init(&e->drb, d->doffset + 1, d->duniverse, d->n,
+                          d->rs, d->rs1);
+            }
+        }
+        int ft = (int)br_read(d->fwords, 0, 1);
+        if (ft == 0) {
+            e->fmode = FM_SEF;
+            efof_init(&e->fof, 1, d->funiverse - d->n + 1, d->n, 63, d->s1);
+        } else {
+            e->fmode = FM_RBV;
+            rbof_init(&e->frb, 1, d->funiverse, d->n, 63, d->rs1);
+        }
+        break;
+    }
+    default: return -1;
+    }
+    e->pos = 0;
+    if (d->n == 0) { e->pos = 0; e->value = num_docs; return 0; }
+    switch (e->dmode) {
+    case DM_ARRAY: e->value = d->adocs[0]; break;
+    case DM_BLOCK:
+        if (blk_load(d, 0)) return -1;
+        e->value = d->dbuf[0];
+        break;
+    case DM_EF: {
+        i64 rel = ef_sel1(&e->dof, d->dwords, 0);
+        e->high_pos = rel;
+        e->value = ef_val_hr(&e->dof, d->dwords, 0, rel);
+        break; }
+    case DM_PEF:
+        if (pef_chunk_for(e, 0)) return -1;
+        e->value = d->dbuf[0 - d->dchunk_begin];
+        break;
+    case DM_RBV:
+        e->value = scan1_from(d->dwords, e->drb.bits_off, 0) - e->drb.bits_off;
+        break;
+    case DM_AO: e->value = 0; break;
+    }
+    return 0;
+}
+
+static void lz_end(lzen *e) { e->pos = e->d->n; e->value = e->num_docs; }
+
+static void lz_next(lzen *e) {
+    lzdesc *d = e->d;
+    i64 p = e->pos + 1;
+    if (p >= d->n) { lz_end(e); return; }
+    e->pos = p;
+    switch (e->dmode) {
+    case DM_ARRAY: e->value = d->adocs[p]; return;
+    case DM_BLOCK:
+        if (p < d->dchunk_begin || p >= d->dchunk_end) {
+            if (blk_load(d, p >> 7)) { lz_end(e); return; }
+        }
+        e->value = d->dbuf[p - d->dchunk_begin];
+        return;
+    case DM_EF: {
+        i64 rel;
+        if (e->high_pos >= 0)
+            rel = scan1_from(d->dwords, e->dof.hb_off + e->high_pos + 1, 0)
+                - e->dof.hb_off;
+        else
+            rel = ef_sel1(&e->dof, d->dwords, p);
+        e->high_pos = rel;
+        e->value = ef_val_hr(&e->dof, d->dwords, p, rel);
+        return; }
+    case DM_PEF:
+        if (p < d->dchunk_begin || p >= d->dchunk_end) {
+            if (pef_chunk_for(e, p)) { lz_end(e); return; }
+        }
+        e->value = d->dbuf[p - d->dchunk_begin];
+        return;
+    case DM_RBV:
+        e->value = scan1_from(d->dwords, e->drb.bits_off + e->value + 1, 0)
+            - e->drb.bits_off;
+        return;
+    case DM_AO: e->value = p; return;
+    }
+}
+
+/* global lower_bound semantics: first (pos, value) with value >= lb,
+ * searched over the WHOLE list (can move backward, like the decoded
+ * ArrayEnumerator) */
+static void lz_next_geq(lzen *e, i64 lb) {
+    lzdesc *d = e->d;
+    if (lb < 0) lb = 0;
+    switch (e->dmode) {
+    case DM_ARRAY: {
+        i64 p = lower_bound_i64(d->adocs, d->n, lb);
+        e->pos = p;
+        e->value = (p < d->n) ? d->adocs[p] : e->num_docs;
+        return; }
+    case DM_BLOCK: {
+        i64 lo = 0, hi = d->nblk;
+        while (lo < hi) {
+            i64 mid = (lo + hi) >> 1;
+            if ((i64)d->blk_maxs[mid] < lb) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= d->nblk) { lz_end(e); return; }
+        if (blk_load(d, lo)) { lz_end(e); return; }
+        i64 i = lower_bound_i64(d->dbuf, d->dchunk_end - d->dchunk_begin, lb);
+        e->pos = d->dchunk_begin + i;
+        if (e->pos >= d->n) { lz_end(e); return; }
+        e->value = d->dbuf[i];
+        return; }
+    case DM_EF: {
+        i64 val, rel = -1;
+        i64 p = ef_next_geq(&e->dof, d->dwords, lb, &val, &rel);
+        e->pos = p; e->high_pos = rel;
+        e->value = (p < d->n) ? val : e->num_docs;
+        return; }
+    case DM_PEF: {
+        i64 lo = 0, hi = d->dparts;
+        while (lo < hi) {
+            i64 mid = (lo + hi) >> 1;
+            if (d->dub[mid + 1] < lb) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= d->dparts) { lz_end(e); return; }
+        if (d->cur_dchunk != lo) {
+            i64 b, en;
+            if (pef_load_part(d->dwords, lo, d->dbnd, d->dub, d->dendp_bits,
+                              d->dendp_off, d->dseq_off, d->s0, d->s1,
+                              d->rs, d->rs1, 0, d->dbuf, &b, &en)) {
+                lz_end(e); return;
+            }
+            d->cur_dchunk = lo; d->dchunk_begin = b; d->dchunk_end = en;
+            d->chunks_decoded++;
+        }
+        i64 i = lower_bound_i64(d->dbuf, d->dchunk_end - d->dchunk_begin, lb);
+        e->pos = d->dchunk_begin + i;
+        if (e->pos >= d->n) { lz_end(e); return; }
+        e->value = d->dbuf[i];
+        return; }
+    case DM_RBV: {
+        if (lb >= e->drb.universe) { lz_end(e); return; }
+        i64 p = rb_rank1(&e->drb, d->dwords, lb);
+        if (p >= d->n) { lz_end(e); return; }
+        e->pos = p;
+        e->value = scan1_from(d->dwords, e->drb.bits_off + lb, 0)
+            - e->drb.bits_off;
+        return; }
+    case DM_AO:
+        if (lb >= d->n) { lz_end(e); return; }
+        e->pos = lb; e->value = lb;
+        return;
+    }
+}
+
+static i64 lz_freq(lzen *e) {
+    lzdesc *d = e->d;
+    i64 k = e->pos;
+    switch (e->fmode) {
+    case FM_ARRAY: return d->afreqs[k];
+    case FM_BLOCK:
+        if (k < d->fchunk_begin || k >= d->fchunk_end || d->cur_fchunk < 0) {
+            if (blk_load(d, k >> 7)) return 1;
+        }
+        return d->fbuf[k - d->fchunk_begin];
+    case FM_SEF: {
+        const efof *of = &e->fof;
+        if (k == 0) {
+            i64 r = ef_sel1(of, d->fwords, 0);
+            e->f_last_k = 0; e->f_last_rel = r;
+            return ef_val_hr(of, d->fwords, 0, r);
+        }
+        i64 r1 = (e->f_last_k == k - 1 && e->f_last_rel >= 0)
+            ? e->f_last_rel : ef_sel1(of, d->fwords, k - 1);
+        i64 v1 = ef_val_hr(of, d->fwords, k - 1, r1);
+        i64 r2 = scan1_from(d->fwords, of->hb_off + r1 + 1, 0) - of->hb_off;
+        i64 v2 = ef_val_hr(of, d->fwords, k, r2);
+        e->f_last_k = k; e->f_last_rel = r2;
+        return v2 - v1 + 1; }
+    case FM_PEF: {
+        if (pef_fchunk_for(e, k)) return 1;
+        i64 i = k - d->fchunk_begin;
+        i64 cum = d->fbuf[i];
+        i64 prev = (i > 0) ? d->fbuf[i - 1]
+            : (d->cur_fchunk > 0 ? d->fub[d->cur_fchunk] : 0);
+        return cum - prev; }
+    case FM_RBV: {
+        const rbof *of = &e->frb;
+        if (k == 0) {
+            i64 c0 = rb_sel1(of, d->fwords, 0);
+            e->f_last_k = 0; e->f_last_rel = c0;
+            return c0;
+        }
+        i64 p1 = (e->f_last_k == k - 1 && e->f_last_rel >= 0)
+            ? e->f_last_rel : rb_sel1(of, d->fwords, k - 1);
+        i64 p2 = scan1_from(d->fwords, of->bits_off + p1 + 1, 0)
+            - of->bits_off;
+        e->f_last_k = k; e->f_last_rel = p2;
+        return p2 - p1; }
+    }
+    return 1;
+}
+
+/* ---- lazy DAAT kernels: same control flow / float32 op order as
+ * topk_query above (queries.hpp:200-591 ports); parity with the decoded
+ * path and the Python exact ports is enforced in tests. ---- */
+
+static void lz_sort_by_value(lzen **ord, int L) {
+    for (int i = 1; i < L; i++) {
+        lzen *x = ord[i];
+        int j = i - 1;
+        while (j >= 0 && ord[j]->value > x->value) { ord[j + 1] = ord[j]; j--; }
+        ord[j + 1] = x;
+    }
+}
+
+int topk_query_lazy(int op, int L, lzdesc **dv,
+                    const float *qws, const float *bounds,
+                    const i64 **bmax_docs, const float **bmax_scores,
+                    const i64 *nbmax,
+                    const float *norms, i64 num_docs, int k,
+                    float *out_scores, i64 *out_docs) {
+    if (L <= 0 || L > MAX_LISTS || k <= 0 || k > 1024) return -1;
+    lzen en[MAX_LISTS];
+    lzen *ord[MAX_LISTS];
+    hent heap[1024];
+    topk_t t = {heap, 0, k};
+    for (int i = 0; i < L; i++) {
+        if (lz_init(&en[i], dv[i], num_docs)) return -1;
+        en[i].qw = qws[i]; en[i].bound = bounds[i];
+        en[i].bmax_docs = bmax_docs ? bmax_docs[i] : 0;
+        en[i].bmax_scores = bmax_scores ? bmax_scores[i] : 0;
+        en[i].nbmax = nbmax ? nbmax[i] : 0;
+        ord[i] = &en[i];
+    }
+
+    if (op == 0) { /* ranked_or: ascending-term order accumulation */
+        i64 cur = num_docs;
+        for (int i = 0; i < L; i++) if (en[i].value < cur) cur = en[i].value;
+        while (cur < num_docs) {
+            float score = 0.0f;
+            float nl = norms[cur];
+            i64 next = num_docs;
+            for (int i = 0; i < L; i++) {
+                if (en[i].value == cur) {
+                    score = score + en[i].qw *
+                        dtw_f32((float)lz_freq(&en[i]), nl);
+                    lz_next(&en[i]);
+                }
+                if (en[i].value < next) next = en[i].value;
+            }
+            topk_insert(&t, score, cur);
+            cur = next;
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    if (op == 1) { /* ranked_and: sort by n asc, leapfrog */
+        for (int i = 1; i < L; i++) {
+            lzen *x = ord[i]; int j = i - 1;
+            while (j >= 0 && ord[j]->d->n > x->d->n) { ord[j + 1] = ord[j]; j--; }
+            ord[j + 1] = x;
+        }
+        i64 candidate = ord[0]->value;
+        while (candidate < num_docs) {
+            int i = 1;
+            for (; i < L; i++) {
+                lz_next_geq(ord[i], candidate);
+                if (ord[i]->value != candidate) {
+                    candidate = ord[i]->value;
+                    lz_next_geq(ord[0], candidate);
+                    candidate = ord[0]->value;
+                    break;
+                }
+            }
+            if (i == L) {
+                float score = 0.0f;
+                float nl = norms[candidate];
+                for (int j = 0; j < L; j++)
+                    score = score + ord[j]->qw *
+                        dtw_f32((float)lz_freq(ord[j]), nl);
+                topk_insert(&t, score, candidate);
+                lz_next(ord[0]);
+                candidate = ord[0]->value;
+            }
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    if (op == 3) { /* maxscore */
+        for (int i = 1; i < L; i++) {
+            lzen *x = ord[i]; int j = i - 1;
+            while (j >= 0 && ord[j]->bound > x->bound) { ord[j+1] = ord[j]; j--; }
+            ord[j + 1] = x;
+        }
+        float ub[MAX_LISTS];
+        ub[0] = ord[0]->bound;
+        for (int i = 1; i < L; i++) ub[i] = ub[i - 1] + ord[i]->bound;
+        int non_essential = 0;
+        i64 cur = num_docs;
+        for (int i = 0; i < L; i++) if (en[i].value < cur) cur = en[i].value;
+        while (non_essential < L && cur < num_docs) {
+            float score = 0.0f;
+            float nl = norms[cur];
+            i64 next = num_docs;
+            for (int i = non_essential; i < L; i++) {
+                if (ord[i]->value == cur) {
+                    score = score + ord[i]->qw *
+                        dtw_f32((float)lz_freq(ord[i]), nl);
+                    lz_next(ord[i]);
+                }
+                if (ord[i]->value < next) next = ord[i]->value;
+            }
+            for (int i = non_essential - 1; i >= 0; i--) {
+                if (!topk_would_enter(&t, score + ub[i])) break;
+                lz_next_geq(ord[i], cur);
+                if (ord[i]->value == cur)
+                    score = score + ord[i]->qw *
+                        dtw_f32((float)lz_freq(ord[i]), nl);
+            }
+            if (topk_insert(&t, score, cur)) {
+                while (non_essential < L &&
+                       !topk_would_enter(&t, ub[non_essential]))
+                    non_essential++;
+            }
+            cur = next;
+        }
+        return finalize(&t, out_scores, out_docs);
+    }
+
+    /* op 2 (wand) / op 4 (block_max_wand) */
+    lz_sort_by_value(ord, L);
+    for (;;) {
+        float upper_bound = 0.0f;
+        int found_pivot = 0;
+        int pivot = 0;
+        for (pivot = 0; pivot < L; pivot++) {
+            if (ord[pivot]->value == num_docs) break;
+            upper_bound = upper_bound + ord[pivot]->bound;
+            if (topk_would_enter(&t, upper_bound)) { found_pivot = 1; break; }
+        }
+        if (!found_pivot) break;
+        if (pivot == L) pivot = L - 1;
+        i64 pivot_id = ord[pivot]->value;
+
+        if (op == 4) {
+            while (pivot + 1 < L && ord[pivot + 1]->value == pivot_id) pivot++;
+            float block_bound = 0.0f;
+            for (int i = 0; i <= pivot; i++) {
+                if (ord[i]->value == num_docs) continue;
+                i64 b = lower_bound_i64(ord[i]->bmax_docs, ord[i]->nbmax,
+                                        pivot_id);
+                if (b < ord[i]->nbmax)
+                    block_bound = block_bound +
+                        ord[i]->qw * ord[i]->bmax_scores[b];
+            }
+            if (!topk_would_enter(&t, block_bound)) {
+                i64 next_cand = num_docs;
+                for (int i = 0; i <= pivot; i++) {
+                    i64 b = lower_bound_i64(ord[i]->bmax_docs,
+                                            ord[i]->nbmax, pivot_id);
+                    if (b < ord[i]->nbmax) {
+                        i64 c = ord[i]->bmax_docs[b] + 1;
+                        if (c < next_cand) next_cand = c;
+                    }
+                }
+                if (pivot + 1 < L && ord[pivot + 1]->value < next_cand)
+                    next_cand = ord[pivot + 1]->value;
+                if (next_cand < pivot_id + 1) next_cand = pivot_id + 1;
+                for (int i = 0; i <= pivot; i++)
+                    if (ord[i]->value < next_cand)
+                        lz_next_geq(ord[i], next_cand);
+                lz_sort_by_value(ord, L);
+                continue;
+            }
+        }
+
+        if (pivot_id == ord[0]->value) {
+            float score = 0.0f;
+            float nl = norms[pivot_id];
+            for (int i = 0; i < L; i++) {
+                if (ord[i]->value != pivot_id) break;
+                score = score + ord[i]->qw *
+                    dtw_f32((float)lz_freq(ord[i]), nl);
+                lz_next(ord[i]);
+            }
+            topk_insert(&t, score, pivot_id);
+            lz_sort_by_value(ord, L);
+        } else {
+            int next_list = pivot;
+            while (ord[next_list]->value == pivot_id) next_list--;
+            lz_next_geq(ord[next_list], pivot_id);
+            for (int i = next_list + 1; i < L; i++) {
+                if (ord[i]->value < ord[i - 1]->value) {
+                    lzen *tmp = ord[i]; ord[i] = ord[i - 1]; ord[i - 1] = tmp;
+                } else break;
+            }
+        }
+    }
+    return finalize(&t, out_scores, out_docs);
+}
+
+/* boolean AND through the skip structure (leapfrog; queries.hpp:35-79).
+ * Writes matching docids ascending; returns count, or -2 if cap hit. */
+i64 and_query_lazy(int L, lzdesc **dv, i64 num_docs, i64 *out, i64 cap) {
+    if (L <= 0 || L > MAX_LISTS) return -1;
+    lzen en[MAX_LISTS];
+    lzen *ord[MAX_LISTS];
+    for (int i = 0; i < L; i++) {
+        if (lz_init(&en[i], dv[i], num_docs)) return -1;
+        ord[i] = &en[i];
+    }
+    for (int i = 1; i < L; i++) {
+        lzen *x = ord[i]; int j = i - 1;
+        while (j >= 0 && ord[j]->d->n > x->d->n) { ord[j + 1] = ord[j]; j--; }
+        ord[j + 1] = x;
+    }
+    i64 cnt = 0;
+    i64 candidate = ord[0]->value;
+    while (candidate < num_docs) {
+        int i = 1;
+        for (; i < L; i++) {
+            lz_next_geq(ord[i], candidate);
+            if (ord[i]->value != candidate) {
+                candidate = ord[i]->value;
+                lz_next_geq(ord[0], candidate);
+                candidate = ord[0]->value;
+                break;
+            }
+        }
+        if (i == L) {
+            if (cnt >= cap) return -2;
+            out[cnt++] = candidate;
+            lz_next(ord[0]);
+            candidate = ord[0]->value;
+        }
+    }
+    return cnt;
+}
+
+/* ---- test/debug exports ---- */
+
+int lz_decode_all(lzdesc *d, i64 num_docs, i64 *out_docs, i64 *out_freqs) {
+    lzen e;
+    if (lz_init(&e, d, num_docs)) return -1;
+    for (i64 i = 0; i < d->n; i++) {
+        if (e.value >= num_docs) return -2;
+        out_docs[i] = e.value;
+        out_freqs[i] = lz_freq(&e);
+        lz_next(&e);
+    }
+    if (e.value != num_docs) return -3;
+    return 0;
+}
+
+/* arbitrary-order next_geq probes on ONE enumerator (global semantics);
+ * out_freq[i] = freq at landed position (0 when exhausted) */
+int lz_probe_geq(lzdesc *d, i64 num_docs, const i64 *lbs, i64 nprobes,
+                 i64 *out_pos, i64 *out_val, i64 *out_freq) {
+    lzen e;
+    if (lz_init(&e, d, num_docs)) return -1;
+    for (i64 i = 0; i < nprobes; i++) {
+        lz_next_geq(&e, lbs[i]);
+        out_pos[i] = e.pos;
+        out_val[i] = e.value;
+        out_freq[i] = (e.pos < d->n) ? lz_freq(&e) : 0;
+    }
+    return 0;
+}

@@ -87,8 +87,46 @@ def _build_and_load():
         ctypes.c_int64, ctypes.c_int,                         # num_docs, k
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
     ]
+    # --- encoded-domain lazy enumerator entry points (round 2) ---
+    ppc = lib.pef_part_count
+    ppc.restype = ctypes.c_int64
+    ppc.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    pparse = lib.pef_parse
+    pparse.restype = ctypes.c_int
+    pparse.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    tql = lib.topk_query_lazy
+    tql.restype = ctypes.c_int
+    tql.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,                                      # lzdesc**
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_void_p, ctypes.c_void_p,                     # bmax ptrs
+        ctypes.POINTER(ctypes.c_int64),                       # nbmax
+        ctypes.POINTER(ctypes.c_float),                       # norms
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+    ]
+    aql = lib.and_query_lazy
+    aql.restype = ctypes.c_int64
+    aql.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_int64]
+    lzd = lib.lz_decode_all
+    lzd.restype = ctypes.c_int
+    lzd.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_void_p]
+    lzp = lib.lz_probe_geq
+    lzp.restype = ctypes.c_int
+    lzp.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p]
     return {"dp": dp, "topk": topk, "select": sel,
-            "read_fields": rfb, "read_fields_strided": rfs, "pef": pef}
+            "read_fields": rfb, "read_fields_strided": rfs, "pef": pef,
+            "pef_part_count": ppc, "pef_parse": pparse,
+            "topk_lazy": tql, "and_lazy": aql,
+            "lz_decode_all": lzd, "lz_probe_geq": lzp}
 
 
 def _lib_handle():
@@ -126,6 +164,18 @@ def native_pef():
     """The compiled partitioned-sequence decoder, or None."""
     lib = _lib_handle()
     return lib["pef"] if lib else None
+
+
+def native_topk_lazy():
+    """The encoded-domain lazy top-k kernel, or None."""
+    lib = _lib_handle()
+    return lib["topk_lazy"] if lib else None
+
+
+def native_and_lazy():
+    """The encoded-domain boolean-AND leapfrog kernel, or None."""
+    lib = _lib_handle()
+    return lib["and_lazy"] if lib else None
 
 
 def optimal_partition_native(values: np.ndarray, universe: int,

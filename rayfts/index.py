@@ -91,6 +91,13 @@ class InvertedIndex:
             OrderedDict()
         self._cache_postings = 0
         self.cache_max_postings = 50_000_000
+        # encoded-list cache for the lazy serving path: holds compressed
+        # payloads + parsed headers (~bits_per_doc/8 bytes per posting,
+        # 10-15x smaller than decoded); queries decode only the chunks
+        # next_geq lands on (native.c lazy enumerators)
+        self._enc_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
+        self._enc_cache_bytes = 0
+        self.enc_cache_max_bytes = 1 << 30
 
     def _shard_of_term(self, term: str) -> int | None:
         import bisect
@@ -152,6 +159,55 @@ class InvertedIndex:
             _, old = self._list_cache.popitem(last=False)   # evict LRU
             self._cache_postings -= len(old.docs)
         return pl
+
+    def _load_encoded(self, loc: tuple[int, int]):
+        """EncodedList for the native lazy serving path (None when the
+        native lib is unavailable — caller falls back to decode)."""
+        el = self._enc_cache.get(loc)
+        if el is not None:
+            self._enc_cache.move_to_end(loc)
+            return el
+        from .codecs.lazy import encoded_from_bytes
+        s, row = loc
+        tbl = self._shard(s)
+        el = encoded_from_bytes(
+            self.index_type,
+            tbl.column("docs_bytes")[row].as_py(),
+            tbl.column("freqs_bytes")[row].as_py(),
+            self.num_docs)
+        if el is None:
+            return None
+        el.term = tbl.column("term")[row].as_py()
+        el.term_id = int(tbl.column("term_id")[row].as_py())
+        el.max_weight = np.float32(tbl.column("max_weight")[row].as_py())
+        bmd = np.asarray(tbl.column("block_max_docs")[row].as_py(),
+                         dtype=np.int64)
+        bms = np.asarray(tbl.column("block_max_scores")[row].as_py(),
+                         dtype=np.float32)
+        el.block_max_docs = bmd
+        el.block_max_scores = bms
+        el._keep += [bmd, bms]
+        self._enc_cache[loc] = el
+        self._enc_cache_bytes += el.nbytes
+        while (self._enc_cache_bytes > self.enc_cache_max_bytes
+               and len(self._enc_cache) > 1):
+            _, old = self._enc_cache.popitem(last=False)
+            self._enc_cache_bytes -= old.nbytes
+        return el
+
+    def get_encoded(self, term: str):
+        s = self._shard_of_term(term)
+        if s is None:
+            return None
+        row = self._lex(s)[0].get(term)
+        return self._load_encoded((s, row)) if row is not None else None
+
+    def get_encoded_by_id(self, term_id: int):
+        s = self._shard_of_tid(int(term_id))
+        if s is None:
+            return None
+        row = self._lex(s)[1].get(int(term_id))
+        return self._load_encoded((s, row)) if row is not None else None
 
     def get(self, term: str) -> PostingList | None:
         s = self._shard_of_term(term)

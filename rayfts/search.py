@@ -136,7 +136,12 @@ def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
 
 def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
     """Matching docids (ascending). Reference returns the count; we keep
-    the docs for oracle comparison."""
+    the docs for oracle comparison.  Serving path: C leapfrog through the
+    encoded skip structure (queries.hpp:35-79 / and_query_lazy); numpy
+    set-intersection over decoded lists is the fallback."""
+    r = _and_native_encoded(index, terms)
+    if r is not None:
+        return r
     pls = _lists(index, terms)
     if not pls or len(pls) < len(query_freqs(terms)):
         return np.empty(0, dtype=np.int64)  # an unknown term empties the AND
@@ -147,6 +152,36 @@ def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
         if len(cur) == 0:
             break
     return cur
+
+
+def _and_native_encoded(index: InvertedIndex, terms: list) -> np.ndarray | None:
+    import ctypes
+
+    from .codecs.lazy import SUPPORTED_TYPES
+    from .codecs.nativelib import native_and_lazy
+    fn = native_and_lazy()
+    if fn is None or index.index_type not in SUPPORTED_TYPES:
+        return None
+    qf = query_freqs(terms)
+    els = []
+    for term, _ in qf:
+        el = (index.get_encoded(term) if isinstance(term, str)
+              else index.get_encoded_by_id(term))
+        if el is None:
+            return np.empty(0, dtype=np.int64)  # unknown term empties AND
+        els.append(el)
+    if not els or len(els) > 64:
+        return None if els else np.empty(0, dtype=np.int64)
+    L = len(els)
+    descp = (ctypes.c_void_p * L)()
+    for i, el in enumerate(els):
+        descp[i] = ctypes.addressof(el.desc)
+    cap = min(el.n for el in els)
+    out = np.empty(max(cap, 1), dtype=np.int64)
+    r = fn(L, descp, index.num_docs, out.ctypes.data, max(cap, 1))
+    if r < 0:
+        return None
+    return out[:r]
 
 
 def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
@@ -488,6 +523,61 @@ _OP_CODES = {"ranked_or": 0, "ranked_and": 1, "wand": 2, "maxscore": 3,
              "block_max_wand": 4}
 
 
+def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
+    """Encoded-domain serving: the C kernel traverses the COMPRESSED
+    posting lists (lazy chunk decode inside next_geq — the reference's
+    enumerator mode, compact_elias_fano.hpp:291-336).  None = native lib
+    or descriptors unavailable; [] = provably empty result."""
+    import ctypes
+
+    from .codecs.lazy import SUPPORTED_TYPES
+    from .codecs.nativelib import native_topk_lazy
+    fn = native_topk_lazy()
+    if fn is None or k > 1024 or index.index_type not in SUPPORTED_TYPES:
+        return None
+    qf = query_freqs(terms)
+    els = []
+    for term, mult in qf:
+        el = (index.get_encoded(term) if isinstance(term, str)
+              else index.get_encoded_by_id(term))
+        if el is None:
+            continue
+        qw = bm25.query_term_weight(mult, el.n, index.num_docs)
+        els.append((el, F32(qw)))
+    if op == "ranked_and" and len(els) < len(qf):
+        return []
+    if not els:
+        return []
+    L = len(els)
+    if L > 64:
+        return None
+
+    c64p = ctypes.POINTER(ctypes.c_int64)
+    cf32p = ctypes.POINTER(ctypes.c_float)
+    descp = (ctypes.c_void_p * L)()
+    bd_p = (ctypes.c_void_p * L)()
+    bs_p = (ctypes.c_void_p * L)()
+    nb = (ctypes.c_int64 * L)()
+    qws = (ctypes.c_float * L)()
+    bounds = (ctypes.c_float * L)()
+    for i, (el, qw) in enumerate(els):
+        descp[i] = ctypes.addressof(el.desc)
+        bd_p[i] = el.block_max_docs.ctypes.data
+        bs_p[i] = el.block_max_scores.ctypes.data
+        nb[i] = len(el.block_max_docs)
+        qws[i] = float(qw)
+        bounds[i] = float(F32(qw * el.max_weight))
+    norms = index.norm_lens
+    out_s = np.empty(k, dtype=np.float32)
+    out_d = np.empty(k, dtype=np.int64)
+    n = fn(_OP_CODES[op], L, descp, qws, bounds, bd_p, bs_p, nb,
+           norms.ctypes.data_as(cf32p), index.num_docs, k,
+           out_s.ctypes.data_as(cf32p), out_d.ctypes.data_as(c64p))
+    if n < 0:
+        return None
+    return [(F32(out_s[i]), int(out_d[i])) for i in range(n)]
+
+
 def _topk_native(index: InvertedIndex, terms: list, k: int, op: str):
     """Run one query through the C kernel; None = not available here."""
     import ctypes
@@ -547,7 +637,9 @@ def _native_or_exact(op: str, exact_fn):
     def run(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
             prec: _Prec = P32):
         if prec is P32:
-            r = _topk_native(index, terms, k, op)
+            r = _topk_native_encoded(index, terms, k, op)
+            if r is None:
+                r = _topk_native(index, terms, k, op)
             if r is not None:
                 return r
         return exact_fn(index, terms, k, prec)

@@ -1,0 +1,167 @@
+"""Serving-path parity: the encoded-domain C kernels (lazy chunk decode
+inside next_geq) must return bit-identical top-k to the exact Python
+conformance ports — for every index type, with the decoded-list path
+DISABLED (proves serving never bulk-decodes a posting list)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts import bm25, search
+from rayfts.codecs.nativelib import _lib_handle
+from rayfts.codecs.posting import INDEX_TYPES, encode_posting_list
+from rayfts.index import InvertedIndex
+
+pytestmark = pytest.mark.skipif(_lib_handle() is None,
+                                reason="native lib unavailable")
+
+NUM_DOCS = 400
+K = 10
+
+
+def _synth_postings(seed=11, vocab=40):
+    """Zipf postings over NUM_DOCS docs; returns ({term: (docs, freqs)},
+    lengths)."""
+    rng = np.random.RandomState(seed)
+    lists = {}
+    lengths = np.zeros(NUM_DOCS, dtype=np.int64)
+    for t in range(vocab):
+        df = max(1, int(NUM_DOCS / (t + 1) ** 0.9) - rng.randint(0, 3))
+        docs = np.sort(rng.choice(NUM_DOCS, size=df, replace=False)).astype(np.int64)
+        freqs = rng.zipf(1.8, size=df).clip(1, 40).astype(np.int64)
+        term = f"t{t:03d}"
+        lists[term] = (docs, freqs)
+        np.add.at(lengths, docs, freqs)
+    lengths[lengths == 0] = 1
+    return lists, lengths
+
+
+def make_index_dir(base: str, index_type: str, lists, lengths) -> str:
+    """Write a minimal index directory (single shard) by hand — the
+    same on-disk contract build.py produces (meta/lengths/shards)."""
+    index_dir = os.path.join(base, index_type)
+    os.makedirs(os.path.join(index_dir, "shards"), exist_ok=True)
+    avg_len = float(lengths.mean())
+    norm_lens = (lengths / np.float32(avg_len)).astype(np.float32)
+
+    terms = sorted(lists)
+    cols = {"term": [], "term_id": [], "n": [], "docs_bytes": [],
+            "freqs_bytes": [], "max_weight": [], "block_max_docs": [],
+            "block_max_scores": []}
+    for tid, term in enumerate(terms):
+        docs, freqs = lists[term]
+        db, fb = encode_posting_list(index_type, docs, freqs, NUM_DOCS)
+        w = bm25.doc_term_weight(freqs, norm_lens[docs])
+        nblocks = (len(docs) + 127) // 128
+        bmd, bms = [], []
+        for b in range(nblocks):
+            lo, hi = b * 128, min((b + 1) * 128, len(docs))
+            bmd.append(int(docs[hi - 1]))
+            bms.append(np.float32(w[lo:hi].max()))
+        cols["term"].append(term)
+        cols["term_id"].append(tid)
+        cols["n"].append(len(docs))
+        cols["docs_bytes"].append(db)
+        cols["freqs_bytes"].append(fb)
+        cols["max_weight"].append(np.float32(w.max()))
+        cols["block_max_docs"].append(bmd)
+        cols["block_max_scores"].append(bms)
+    pq.write_table(pa.table({
+        "term": pa.array(cols["term"]),
+        "term_id": pa.array(cols["term_id"], type=pa.int64()),
+        "n": pa.array(cols["n"], type=pa.int64()),
+        "docs_bytes": pa.array(cols["docs_bytes"], type=pa.binary()),
+        "freqs_bytes": pa.array(cols["freqs_bytes"], type=pa.binary()),
+        "max_weight": pa.array(cols["max_weight"], type=pa.float32()),
+        "block_max_docs": pa.array(cols["block_max_docs"],
+                                   type=pa.list_(pa.int64())),
+        "block_max_scores": pa.array(cols["block_max_scores"],
+                                     type=pa.list_(pa.float32())),
+    }), os.path.join(index_dir, "shards", "shard_00000.parquet"))
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(NUM_DOCS), type=pa.int64()),
+        "length": pa.array(lengths, type=pa.int64()),
+    }), os.path.join(index_dir, "lengths.parquet"))
+
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({
+            "num_docs": NUM_DOCS, "avg_len": avg_len,
+            "index_type": index_type, "num_terms": len(terms),
+            "total_postings": int(sum(len(d) for d, _ in lists.values())),
+            "shards": [{"shard": 0, "term_id_lo": 0,
+                        "num_terms": len(terms), "term_lo": terms[0]}],
+        }, f)
+    return index_dir
+
+
+QUERIES = [
+    ["t000"],
+    ["t000", "t001"],
+    ["t003", "t010", "t025"],
+    ["t001", "t001", "t002"],           # duplicate term
+    ["t030", "t031", "t032", "t033", "t005"],
+    ["zz_unknown", "t004"],             # unknown term
+    ["t039"],
+    ["t002", "t007", "t013", "t021"],
+]
+
+OPS = [("ranked_or", search.ranked_or_fast, search.ranked_or_exact),
+       ("ranked_and", search.ranked_and_fast, search.ranked_and_exact),
+       ("wand", search.wand_fast, search.wand_exact),
+       ("maxscore", search.maxscore_fast, search.maxscore_exact),
+       ("block_max_wand", search.block_max_wand_fast,
+        search.block_max_wand_exact)]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _synth_postings()
+
+
+@pytest.mark.parametrize("index_type", INDEX_TYPES)
+def test_encoded_serving_parity(index_type, corpus, tmp_path_factory):
+    lists, lengths = corpus
+    base = str(tmp_path_factory.mktemp(f"enc_{index_type}"))
+    index_dir = make_index_dir(base, index_type, lists, lengths)
+
+    idx = InvertedIndex(index_dir)
+    idx.cache_max_postings = 0
+
+    # reference results from a second reader that IS allowed to decode
+    ref_idx = InvertedIndex(index_dir)
+
+    # the serving reader must never bulk-decode a posting list
+    def _no_decode(loc):
+        raise AssertionError("serving path bulk-decoded a posting list")
+    idx._load = _no_decode
+
+    for terms in QUERIES:
+        for name, fast, exact in OPS:
+            got = fast(idx, terms, K)
+            want = exact(ref_idx, terms, K)
+            assert len(got) == len(want), (index_type, name, terms)
+            for (gs, gd), (ws, wd) in zip(got, want):
+                assert gd == wd and np.float32(gs) == np.float32(ws), \
+                    (index_type, name, terms, got, want)
+        # boolean AND through the C leapfrog
+        got_and = search.and_query(idx, terms)
+        want_and = search.and_query(ref_idx, terms)
+        np.testing.assert_array_equal(got_and, want_and)
+
+
+def test_or_query_still_decodes(corpus, tmp_path_factory):
+    """or_query stays on the decoded path (union needs full lists)."""
+    lists, lengths = corpus
+    base = str(tmp_path_factory.mktemp("enc_or"))
+    index_dir = make_index_dir(base, "opt", lists, lengths)
+    idx = InvertedIndex(index_dir)
+    got = search.or_query(idx, ["t000", "t005"])
+    want = np.unique(np.concatenate([lists["t000"][0], lists["t005"][0]]))
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,91 @@
+"""Contract tests for the native encoded-domain enumerators
+(native.c lzdesc / lz_next / lz_next_geq / lz_freq) against the bulk
+decoders — every index type, randomized lists, arbitrary-order
+next_geq probes (the decoded ArrayEnumerator's global lower_bound
+semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rayfts.codecs.lazy import (
+    decode_all_lazy, encoded_from_bytes, probe_geq_lazy,
+)
+from rayfts.codecs.nativelib import _lib_handle
+from rayfts.codecs.posting import INDEX_TYPES, decode_posting_list, encode_posting_list
+
+pytestmark = pytest.mark.skipif(_lib_handle() is None,
+                                reason="native lib unavailable")
+
+RNG = np.random.RandomState(7)
+
+
+def _rand_list(n: int, num_docs: int, max_f: int = 50):
+    docs = np.sort(RNG.choice(num_docs, size=n, replace=False)).astype(np.int64)
+    freqs = (RNG.zipf(1.7, size=n).clip(1, max_f)).astype(np.int64)
+    return docs, freqs
+
+
+def _cases():
+    cases = []
+    for n, nd in [(1, 100), (2, 10), (5, 1_000), (127, 400), (128, 128),
+                  (129, 100_000), (300, 301), (1000, 2_000_000),
+                  (5000, 6_000), (4096, 4096)]:
+        docs, freqs = _rand_list(n, nd)
+        cases.append((docs, freqs, nd))
+    # all-docs (universe == n): indexed_sequence all-ones path
+    cases.append((np.arange(256, dtype=np.int64),
+                  np.ones(256, dtype=np.int64), 256))
+    # all-ones freqs (cumsum == arange-ish strict shapes)
+    cases.append((np.sort(RNG.choice(10_000, 700, replace=False)).astype(np.int64),
+                  np.ones(700, dtype=np.int64), 10_000))
+    return cases
+
+
+@pytest.mark.parametrize("index_type", INDEX_TYPES)
+def test_lazy_roundtrip_and_probes(index_type):
+    for docs, freqs, num_docs in _cases():
+        db, fb = encode_posting_list(index_type, docs, freqs, num_docs)
+        el = encoded_from_bytes(index_type, db, fb, num_docs)
+        assert el is not None
+        assert el.n == len(docs)
+
+        # full sequential walk == bulk decode
+        got_d, got_f = decode_all_lazy(el, num_docs)
+        ref_d, ref_f = decode_posting_list(index_type, db, fb, num_docs)
+        np.testing.assert_array_equal(got_d, np.asarray(ref_d))
+        np.testing.assert_array_equal(got_f, np.asarray(ref_f))
+
+        # arbitrary-order next_geq probes (incl. backward moves)
+        probes = np.concatenate([
+            docs[:: max(1, len(docs) // 7)],
+            docs[:: max(1, len(docs) // 5)] + 1,
+            np.array([0, num_docs - 1, num_docs, docs[0], docs[-1]]),
+            RNG.randint(0, num_docs + 1, size=20),
+        ]).astype(np.int64)
+        RNG.shuffle(probes)
+        pos, val, fq = probe_geq_lazy(el, num_docs, probes)
+        ref_pos = np.searchsorted(docs, probes, side="left")
+        in_range = ref_pos < len(docs)
+        np.testing.assert_array_equal(pos, np.where(in_range, ref_pos, len(docs)))
+        np.testing.assert_array_equal(
+            val, np.where(in_range, docs[ref_pos.clip(max=len(docs) - 1)],
+                          num_docs))
+        np.testing.assert_array_equal(
+            fq, np.where(in_range, freqs[ref_pos.clip(max=len(docs) - 1)], 0))
+
+
+def test_chunk_cache_persists_across_probes():
+    """The per-list chunk buffer is a cache: repeated probes into the
+    same chunk must not re-decode (chunks_decoded counter stable)."""
+    docs, freqs, num_docs = np.sort(
+        RNG.choice(1_000_000, 20_000, replace=False)).astype(np.int64), \
+        np.ones(20_000, dtype=np.int64), 1_000_000
+    db, fb = encode_posting_list("opt", docs, freqs, num_docs)
+    el = encoded_from_bytes("opt", db, fb, num_docs)
+    lb = int(docs[137])
+    probe_geq_lazy(el, num_docs, np.array([lb, lb, lb + 1, lb]))
+    first = el.desc.chunks_decoded
+    probe_geq_lazy(el, num_docs, np.array([lb, lb + 1]))
+    assert el.desc.chunks_decoded == first  # same chunk, cache hit
