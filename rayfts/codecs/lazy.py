@@ -42,6 +42,9 @@ _BLOCK_CODEC_ID = {
 SUPPORTED_TYPES = frozenset(
     {"ef", "single", "uniform", "opt"} | set(_BLOCK_CODEC_ID))
 
+#: must equal native.c's PEF_BUF_CAP
+PEF_BUF_CAP = 8192
+
 _I64 = ctypes.c_int64
 _VP = ctypes.c_void_p
 
@@ -66,6 +69,8 @@ class LZDesc(ctypes.Structure):
         ("dchunk_begin", _I64), ("dchunk_end", _I64),
         ("fchunk_begin", _I64), ("fchunk_end", _I64),
         ("chunks_decoded", _I64),
+        ("dchunk_ao", _I64), ("fchunk_ao", _I64),
+        ("dchunk_base", _I64), ("fchunk_base", _I64),
     ]
 
 
@@ -101,7 +106,12 @@ def _parse_pef(words: np.ndarray, offset: int, universe: int, n: int,
     if r != 0:
         raise ValueError("corrupt PEF stream")
     starts = np.concatenate([[0], bnd[:-1]])
-    max_part = int((bnd - starts).max())
+    counts = bnd - starts
+    # all-ones partitions are served analytically in C (no buffer), so
+    # the chunk buffer only covers the largest EF/bitvector partition
+    bases = ub[:-1] + (np.arange(parts) > 0)
+    non_ao = counts[(ub[1:] - bases + 1) != counts]
+    max_part = int(non_ao.max()) if len(non_ao) else 0
     return bnd, ub, int(info[0]), int(info[1]), int(info[2]), max_part
 
 
@@ -182,9 +192,18 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
             dwords, it.pos, num_docs, n, params, has_sizes, lib)
         fbnd, fub, febits, feoff, fsoff, fmax = _parse_pef(
             fwords, 0, occ + 1, n, params, has_sizes, lib)
-        dbuf = np.empty(max(dmax, 1), dtype=np.int64)
-        fbuf = np.empty(max(fmax, 1), dtype=np.int64)
-        el._keep += [dbnd, dub, fbnd, fub, dbuf, fbuf]
+        # chunk buffers cover partitions up to native.c's PEF_BUF_CAP;
+        # bigger (and all-ones) partitions are traversed via select/rank
+        # accessors in C, so buffers stay small even for dense hot terms
+        if dmax:
+            dbuf = np.empty(min(dmax, PEF_BUF_CAP), dtype=np.int64)
+            el._keep.append(dbuf)
+            d.dbuf = dbuf.ctypes.data
+        if fmax:
+            fbuf = np.empty(min(fmax, PEF_BUF_CAP), dtype=np.int64)
+            el._keep.append(fbuf)
+            d.fbuf = fbuf.ctypes.data
+        el._keep += [dbnd, dub, fbnd, fub]
         d.kind = KIND_PEF
         d.dparts = len(dbnd)
         d.dbnd = dbnd.ctypes.data
@@ -198,8 +217,6 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
         d.fendp_bits = febits
         d.fendp_off = feoff
         d.fseq_off = fsoff
-        d.dbuf = dbuf.ctypes.data
-        d.fbuf = fbuf.ctypes.data
         return el
     return None
 

@@ -752,6 +752,11 @@ typedef struct {
     i64 dchunk_begin, dchunk_end;
     i64 fchunk_begin, fchunk_end;
     i64 chunks_decoded;     /* block_profiler-style counter */
+    /* all-ones PEF partitions are served analytically (value = base +
+     * offset) so the chunk buffer only needs the largest NON-AO
+     * partition — dense runs would otherwise force huge buffers */
+    i64 dchunk_ao, fchunk_ao;
+    i64 dchunk_base, fchunk_base;
 } lzdesc;
 
 /* ---- bounded bit scans over uint64 words ---- */
@@ -985,20 +990,27 @@ static int pef_load_part(const uint64_t *words, i64 p,
                          const i64 *bnd, const i64 *ub,
                          i64 endp_bits, i64 endp_off, i64 seq_off,
                          i64 s0, i64 s1, i64 rs, i64 rs1, int strictf,
-                         i64 *buf, i64 *begin_out, i64 *end_out) {
+                         i64 *buf, i64 *begin_out, i64 *end_out,
+                         i64 *ao_out, i64 *base_out) {
     i64 begin = p ? bnd[p - 1] : 0;
     i64 end = bnd[p];
     i64 cur_base = ub[p] + (p ? 1 : 0);
     i64 cur_ub = ub[p + 1];
+    if (end <= begin) return -1;
+    *begin_out = begin; *end_out = end; *base_out = cur_base;
+    if (cur_ub - cur_base + 1 == end - begin) {
+        /* all-ones partition: values are cur_base + i — no buffer */
+        *ao_out = 1;
+        return 0;
+    }
+    *ao_out = 0;
     i64 ep = (p && endp_bits)
         ? (i64)br_read(words, endp_off + (p - 1) * endp_bits, (int)endp_bits)
         : 0;
-    if (end <= begin) return -1;
     if (base_dec(words, seq_off + ep, cur_ub - cur_base + 1, end - begin,
                  (int)s0, (int)s1, (int)rs, (int)rs1, strictf, buf))
         return -1;
     for (i64 i = 0; i < end - begin; i++) buf[i] += cur_base;
-    *begin_out = begin; *end_out = end;
     return 0;
 }
 
@@ -1104,7 +1116,13 @@ static int blk_load(lzdesc *d, i64 b) {
     return 0;
 }
 
-/* ---- runtime enumerator over a descriptor ---- */
+/* ---- runtime enumerator over a descriptor ----
+ *
+ * PEF partitions are accessed through partition-scoped EF / ranked-
+ * bitvector accessors (select / rank / bounded scans over the encoded
+ * words) — the reference's partitioned_sequence enumerator shape: no
+ * partition is ever bulk-decoded, no decode buffer exists.  Only the
+ * byte-aligned block family keeps a (128-entry) chunk buffer. */
 
 #define DM_ARRAY 0
 #define DM_BLOCK 1
@@ -1118,6 +1136,12 @@ static int blk_load(lzdesc *d, i64 b) {
 #define FM_PEF   3
 #define FM_RBV   4
 
+/* partitions up to this many elements are bulk-decoded into the
+ * descriptor's chunk buffer (cached across queries); larger ones are
+ * traversed via select/rank over the encoded words — so a monster
+ * dense partition never forces a full decode OR a huge buffer */
+#define PEF_BUF_CAP 8192
+
 typedef struct {
     lzdesc *d;
     i64 pos, value;
@@ -1125,55 +1149,109 @@ typedef struct {
     float qw, bound;
     const i64 *bmax_docs; const float *bmax_scores; i64 nbmax;
     int dmode, fmode;
-    efof dof, fof;
+    efof dof, fof;             /* whole-list EF docs / strict-EF freqs */
     rbof drb, frb;
     i64 high_pos;              /* EF docs: rel high pos of current one */
     i64 f_last_k, f_last_rel;  /* sequential freq-select cache */
+    /* PEF partition-scoped state (docs / freqs independently) */
+    i64 dpart, fpart;
+    int dpmode, fpmode;        /* 0 EF, 1 RBV, 2 all-ones, 3 buffered */
+    efof dpef, fpef;
+    rbof dprb, fprb;
+    i64 dpbegin, dpend, dpbase;
+    i64 fpbegin, fpend, fpbase;
+    i64 dp_high;               /* EF docs partition sequential state */
 } lzen;
 
-static int pef_chunk_for(lzen *e, i64 idx) {
+static int pef_dpart_enter(lzen *e, i64 p) {
     lzdesc *d = e->d;
-    if (d->cur_dchunk >= 0 && idx >= d->dchunk_begin && idx < d->dchunk_end)
+    i64 begin = p ? d->dbnd[p - 1] : 0, end = d->dbnd[p];
+    i64 base = d->dub[p] + (p ? 1 : 0);
+    i64 u = d->dub[p + 1] - base + 1, n = end - begin;
+    e->dpart = p; e->dpbegin = begin; e->dpend = end; e->dpbase = base;
+    e->dp_high = -1;
+    if (u == n) { e->dpmode = 2; return 0; }
+    i64 ep = (p && d->dendp_bits)
+        ? (i64)br_read(d->dwords, d->dendp_off + (p - 1) * d->dendp_bits,
+                       (int)d->dendp_bits) : 0;
+    i64 off = d->dseq_off + ep;
+    if (d->dbuf && n <= PEF_BUF_CAP) {
+        if (d->cur_dchunk != p) {
+            if (base_dec(d->dwords, off, u, n, (int)d->s0, (int)d->s1,
+                         (int)d->rs, (int)d->rs1, 0, d->dbuf))
+                return -1;
+            for (i64 i = 0; i < n; i++) d->dbuf[i] += base;
+            d->cur_dchunk = p;
+            d->chunks_decoded++;
+        }
+        e->dpmode = 3;
         return 0;
-    i64 lo = 0, hi = d->dparts;
-    while (lo < hi) {
-        i64 mid = (lo + hi) >> 1;
-        if (d->dbnd[mid] <= idx) lo = mid + 1; else hi = mid;
     }
-    if (lo >= d->dparts) return -1;
-    i64 b, en;
-    if (pef_load_part(d->dwords, lo, d->dbnd, d->dub, d->dendp_bits,
-                      d->dendp_off, d->dseq_off, d->s0, d->s1, d->rs, d->rs1,
-                      0, d->dbuf, &b, &en))
-        return -1;
-    d->cur_dchunk = lo; d->dchunk_begin = b; d->dchunk_end = en;
-    d->chunks_decoded++;
+    int t = (int)br_read(d->dwords, off, 1);
+    if (t == 0) {
+        e->dpmode = 0;
+        efof_init(&e->dpef, off + 1, u, n, d->s0, d->s1);
+    } else {
+        e->dpmode = 1;
+        rbof_init(&e->dprb, off + 1, u, n, d->rs, d->rs1);
+    }
     return 0;
 }
 
-static int pef_fchunk_for(lzen *e, i64 idx) {
+static int pef_fpart_enter(lzen *e, i64 p) {
     lzdesc *d = e->d;
-    if (d->cur_fchunk >= 0 && idx >= d->fchunk_begin && idx < d->fchunk_end)
+    i64 begin = p ? d->fbnd[p - 1] : 0, end = d->fbnd[p];
+    i64 base = d->fub[p] + (p ? 1 : 0);
+    i64 u = d->fub[p + 1] - base + 1, n = end - begin;
+    e->fpart = p; e->fpbegin = begin; e->fpend = end; e->fpbase = base;
+    e->f_last_k = -2; e->f_last_rel = -1;
+    if (u == n) { e->fpmode = 2; return 0; }
+    i64 ep = (p && d->fendp_bits)
+        ? (i64)br_read(d->fwords, d->fendp_off + (p - 1) * d->fendp_bits,
+                       (int)d->fendp_bits) : 0;
+    i64 off = d->fseq_off + ep;
+    if (d->fbuf && n <= PEF_BUF_CAP) {
+        if (d->cur_fchunk != p) {
+            if (base_dec(d->fwords, off, u, n, (int)d->s0, (int)d->s1,
+                         (int)d->rs, (int)d->rs1, 1, d->fbuf))
+                return -1;
+            for (i64 i = 0; i < n; i++) d->fbuf[i] += base;
+            d->cur_fchunk = p;
+            d->chunks_decoded++;
+        }
+        e->fpmode = 3;
         return 0;
-    i64 lo = 0, hi = d->fparts;
-    while (lo < hi) {
-        i64 mid = (lo + hi) >> 1;
-        if (d->fbnd[mid] <= idx) lo = mid + 1; else hi = mid;
     }
-    if (lo >= d->fparts) return -1;
-    i64 b, en;
-    if (pef_load_part(d->fwords, lo, d->fbnd, d->fub, d->fendp_bits,
-                      d->fendp_off, d->fseq_off, d->s0, d->s1, d->rs, d->rs1,
-                      1, d->fbuf, &b, &en))
-        return -1;
-    d->cur_fchunk = lo; d->fchunk_begin = b; d->fchunk_end = en;
-    d->chunks_decoded++;
+    int t = (int)br_read(d->fwords, off, 1);
+    if (t == 0) {   /* strict EF over u-n+1 with strict params */
+        e->fpmode = 0;
+        efof_init(&e->fpef, off + 1, u - n + 1, n, 63, d->s1);
+    } else {        /* ranked bitvector with strict params (rs=63) */
+        e->fpmode = 1;
+        rbof_init(&e->fprb, off + 1, u, n, 63, d->rs1);
+    }
     return 0;
+}
+
+/* docs value of element `pos` when it is the FIRST access in the
+ * current partition (positions the EF sequential state) */
+static i64 pef_dval_first(lzen *e, i64 pos) {
+    lzdesc *d = e->d;
+    i64 kl = pos - e->dpbegin;
+    if (e->dpmode == 2) return e->dpbase + kl;
+    if (e->dpmode == 3) return d->dbuf[kl];
+    if (e->dpmode == 0) {
+        i64 rel = ef_sel1(&e->dpef, d->dwords, kl);
+        e->dp_high = rel;
+        return ef_val_hr(&e->dpef, d->dwords, kl, rel) + e->dpbase;
+    }
+    return rb_sel1(&e->dprb, d->dwords, kl) + e->dpbase;
 }
 
 static int lz_init(lzen *e, lzdesc *d, i64 num_docs) {
     e->d = d; e->num_docs = num_docs;
     e->high_pos = -1; e->f_last_k = -2; e->f_last_rel = -1;
+    e->dpart = -1; e->fpart = -1;
     switch ((int)d->kind) {
     case 0: e->dmode = DM_ARRAY; e->fmode = FM_ARRAY; break;
     case 1: e->dmode = DM_BLOCK; e->fmode = FM_BLOCK; break;
@@ -1211,7 +1289,7 @@ static int lz_init(lzen *e, lzdesc *d, i64 num_docs) {
     default: return -1;
     }
     e->pos = 0;
-    if (d->n == 0) { e->pos = 0; e->value = num_docs; return 0; }
+    if (d->n == 0) { e->value = num_docs; return 0; }
     switch (e->dmode) {
     case DM_ARRAY: e->value = d->adocs[0]; break;
     case DM_BLOCK:
@@ -1224,8 +1302,8 @@ static int lz_init(lzen *e, lzdesc *d, i64 num_docs) {
         e->value = ef_val_hr(&e->dof, d->dwords, 0, rel);
         break; }
     case DM_PEF:
-        if (pef_chunk_for(e, 0)) return -1;
-        e->value = d->dbuf[0 - d->dchunk_begin];
+        if (pef_dpart_enter(e, 0)) return -1;
+        e->value = pef_dval_first(e, 0);
         break;
     case DM_RBV:
         e->value = scan1_from(d->dwords, e->drb.bits_off, 0) - e->drb.bits_off;
@@ -1261,11 +1339,33 @@ static void lz_next(lzen *e) {
         e->value = ef_val_hr(&e->dof, d->dwords, p, rel);
         return; }
     case DM_PEF:
-        if (p < d->dchunk_begin || p >= d->dchunk_end) {
-            if (pef_chunk_for(e, p)) { lz_end(e); return; }
+        if (p >= e->dpend || e->dpart < 0) {
+            if (pef_dpart_enter(e, e->dpart < 0 ? 0 : e->dpart + 1)) {
+                lz_end(e); return;
+            }
+            e->value = pef_dval_first(e, p);
+            return;
         }
-        e->value = d->dbuf[p - d->dchunk_begin];
-        return;
+        switch (e->dpmode) {
+        case 2: e->value = e->dpbase + (p - e->dpbegin); return;
+        case 3: e->value = d->dbuf[p - e->dpbegin]; return;
+        case 0: {
+            i64 kl = p - e->dpbegin;
+            i64 rel;
+            if (e->dp_high >= 0)
+                rel = scan1_from(d->dwords, e->dpef.hb_off + e->dp_high + 1, 0)
+                    - e->dpef.hb_off;
+            else
+                rel = ef_sel1(&e->dpef, d->dwords, kl);
+            e->dp_high = rel;
+            e->value = ef_val_hr(&e->dpef, d->dwords, kl, rel) + e->dpbase;
+            return; }
+        default:
+            e->value = scan1_from(d->dwords,
+                                  e->dprb.bits_off + (e->value - e->dpbase) + 1,
+                                  0) - e->dprb.bits_off + e->dpbase;
+            return;
+        }
     case DM_RBV:
         e->value = scan1_from(d->dwords, e->drb.bits_off + e->value + 1, 0)
             - e->drb.bits_off;
@@ -1312,20 +1412,34 @@ static void lz_next_geq(lzen *e, i64 lb) {
             if (d->dub[mid + 1] < lb) lo = mid + 1; else hi = mid;
         }
         if (lo >= d->dparts) { lz_end(e); return; }
-        if (d->cur_dchunk != lo) {
-            i64 b, en;
-            if (pef_load_part(d->dwords, lo, d->dbnd, d->dub, d->dendp_bits,
-                              d->dendp_off, d->dseq_off, d->s0, d->s1,
-                              d->rs, d->rs1, 0, d->dbuf, &b, &en)) {
-                lz_end(e); return;
-            }
-            d->cur_dchunk = lo; d->dchunk_begin = b; d->dchunk_end = en;
-            d->chunks_decoded++;
+        if (lo != e->dpart && pef_dpart_enter(e, lo)) { lz_end(e); return; }
+        i64 rel_lb = lb - e->dpbase;
+        if (rel_lb < 0) rel_lb = 0;
+        i64 kl, val;
+        switch (e->dpmode) {
+        case 2: kl = rel_lb; val = e->dpbase + kl; break;
+        case 3:
+            kl = lower_bound_i64(d->dbuf, e->dpend - e->dpbegin, lb);
+            if (kl >= e->dpend - e->dpbegin) { lz_end(e); return; }
+            val = d->dbuf[kl];
+            break;
+        case 0: {
+            i64 rel = -1;
+            kl = ef_next_geq(&e->dpef, d->dwords, rel_lb, &val, &rel);
+            if (kl >= e->dpend - e->dpbegin) { lz_end(e); return; }
+            e->dp_high = rel;
+            val += e->dpbase;
+            break; }
+        default:
+            kl = rb_rank1(&e->dprb, d->dwords, rel_lb);
+            if (kl >= e->dpend - e->dpbegin) { lz_end(e); return; }
+            val = scan1_from(d->dwords, e->dprb.bits_off + rel_lb, 0)
+                - e->dprb.bits_off + e->dpbase;
+            break;
         }
-        i64 i = lower_bound_i64(d->dbuf, d->dchunk_end - d->dchunk_begin, lb);
-        e->pos = d->dchunk_begin + i;
+        e->pos = e->dpbegin + kl;
         if (e->pos >= d->n) { lz_end(e); return; }
-        e->value = d->dbuf[i];
+        e->value = val;
         return; }
     case DM_RBV: {
         if (lb >= e->drb.universe) { lz_end(e); return; }
@@ -1367,12 +1481,54 @@ static i64 lz_freq(lzen *e) {
         e->f_last_k = k; e->f_last_rel = r2;
         return v2 - v1 + 1; }
     case FM_PEF: {
-        if (pef_fchunk_for(e, k)) return 1;
-        i64 i = k - d->fchunk_begin;
-        i64 cum = d->fbuf[i];
-        i64 prev = (i > 0) ? d->fbuf[i - 1]
-            : (d->cur_fchunk > 0 ? d->fub[d->cur_fchunk] : 0);
-        return cum - prev; }
+        if (e->fpart < 0 || k < e->fpbegin || k >= e->fpend) {
+            i64 lo = 0, hi = d->fparts;
+            while (lo < hi) {
+                i64 mid = (lo + hi) >> 1;
+                if (d->fbnd[mid] <= k) lo = mid + 1; else hi = mid;
+            }
+            if (lo >= d->fparts) return 1;
+            if (pef_fpart_enter(e, lo)) return 1;
+        }
+        i64 kl = k - e->fpbegin;
+        i64 prev_out = (e->fpart > 0) ? d->fub[e->fpart] : 0;
+        if (e->fpmode == 2) {   /* consecutive cums: freq 1 inside */
+            return (kl > 0) ? 1 : (e->fpbase - prev_out);
+        }
+        if (e->fpmode == 3) {   /* buffered absolute cums */
+            return d->fbuf[kl] - (kl > 0 ? d->fbuf[kl - 1] : prev_out);
+        }
+        if (e->fpmode == 0) {   /* strict EF: cum = efval(kl) + kl + base */
+            const efof *of = &e->fpef;
+            if (kl == 0) {
+                i64 r = ef_sel1(of, d->fwords, 0);
+                e->f_last_k = k; e->f_last_rel = r;
+                return ef_val_hr(of, d->fwords, 0, r) + e->fpbase - prev_out;
+            }
+            i64 r1 = (e->f_last_k == k - 1 && e->f_last_rel >= 0)
+                ? e->f_last_rel : ef_sel1(of, d->fwords, kl - 1);
+            i64 v1 = ef_val_hr(of, d->fwords, kl - 1, r1);
+            i64 r2 = scan1_from(d->fwords, of->hb_off + r1 + 1, 0)
+                - of->hb_off;
+            i64 v2 = ef_val_hr(of, d->fwords, kl, r2);
+            e->f_last_k = k; e->f_last_rel = r2;
+            return v2 - v1 + 1;
+        }
+        /* ranked bitvector: cum = position of kl-th one + base */
+        {
+            const rbof *of = &e->fprb;
+            if (kl == 0) {
+                i64 c0 = rb_sel1(of, d->fwords, 0);
+                e->f_last_k = k; e->f_last_rel = c0;
+                return c0 + e->fpbase - prev_out;
+            }
+            i64 p1 = (e->f_last_k == k - 1 && e->f_last_rel >= 0)
+                ? e->f_last_rel : rb_sel1(of, d->fwords, kl - 1);
+            i64 p2 = scan1_from(d->fwords, of->bits_off + p1 + 1, 0)
+                - of->bits_off;
+            e->f_last_k = k; e->f_last_rel = p2;
+            return p2 - p1;
+        } }
     case FM_RBV: {
         const rbof *of = &e->frb;
         if (k == 0) {

@@ -180,10 +180,14 @@ class InvertedIndex:
         el.term = tbl.column("term")[row].as_py()
         el.term_id = int(tbl.column("term_id")[row].as_py())
         el.max_weight = np.float32(tbl.column("max_weight")[row].as_py())
-        bmd = np.asarray(tbl.column("block_max_docs")[row].as_py(),
-                         dtype=np.int64)
-        bms = np.asarray(tbl.column("block_max_scores")[row].as_py(),
-                         dtype=np.float32)
+        # list-scalar .values -> numpy is zero-copy (no per-element
+        # Python list round-trip for hot terms' block tables)
+        bmd = np.ascontiguousarray(
+            tbl.column("block_max_docs")[row].values.to_numpy(),
+            dtype=np.int64)
+        bms = np.ascontiguousarray(
+            tbl.column("block_max_scores")[row].values.to_numpy(),
+            dtype=np.float32)
         el.block_max_docs = bmd
         el.block_max_scores = bms
         el._keep += [bmd, bms]

@@ -76,16 +76,22 @@ def test_lazy_roundtrip_and_probes(index_type):
             fq, np.where(in_range, freqs[ref_pos.clip(max=len(docs) - 1)], 0))
 
 
-def test_chunk_cache_persists_across_probes():
-    """The per-list chunk buffer is a cache: repeated probes into the
-    same chunk must not re-decode (chunks_decoded counter stable)."""
+def test_block_chunk_cache_persists_across_probes():
+    """The block family's per-list chunk buffer is a cache that outlives
+    a query: repeated probes into the same 128-block must not re-decode
+    (chunks_decoded counter stable).  PEF partitions need no cache — they
+    are traversed via select/rank over the encoded words."""
     docs, freqs, num_docs = np.sort(
         RNG.choice(1_000_000, 20_000, replace=False)).astype(np.int64), \
         np.ones(20_000, dtype=np.int64), 1_000_000
-    db, fb = encode_posting_list("opt", docs, freqs, num_docs)
-    el = encoded_from_bytes("opt", db, fb, num_docs)
-    lb = int(docs[137])
+    db, fb = encode_posting_list("block_packed", docs, freqs, num_docs)
+    el = encoded_from_bytes("block_packed", db, fb, num_docs)
+    lb = int(docs[1370])  # not in block 0 (which init positions into)
     probe_geq_lazy(el, num_docs, np.array([lb, lb, lb + 1, lb]))
-    first = el.desc.chunks_decoded
+    # exactly 2 decodes: block 0 at init + the probed block (3 repeat
+    # probes of the same block hit the buffer)
+    assert el.desc.chunks_decoded == 2
     probe_geq_lazy(el, num_docs, np.array([lb, lb + 1]))
-    assert el.desc.chunks_decoded == first  # same chunk, cache hit
+    # +2: block 0 at re-init, then the probed block again (the 1-block
+    # buffer was reclaimed by block 0)
+    assert el.desc.chunks_decoded == 4

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""1M-document capstone: build (resumable) then measure COLD vs WARM
+query latency with the encoded-domain serving path.
+
+Cold = a fresh InvertedIndex (empty caches): the first pass over the
+workload pays per-list header parse + the chunk decodes each query's
+next_geq traversal actually lands on — no bulk list decode exists in
+the serving path anymore.  Warm = the same reader after the workload has
+been seen once (encoded cache + chunk buffers hot).
+
+Prints one JSON line; record in BASELINE.md.  Usage:
+    python tools/capstone.py [--docs 1000000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--index-dir", default=None)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from bench import _gen_queries
+    from rayfts import search
+    from rayfts.build import build_index
+    from rayfts.corpus import corpus_parquet_sharded
+    from rayfts.index import InvertedIndex
+
+    index_dir = args.index_dir or f"/tmp/rayfts_capstone/idx_n{args.docs}"
+    out: dict = {"metric": "1M-doc capstone build + cold/warm latency",
+                 "unit": "sec", "num_cpus": args.cpus, "docs": args.docs}
+
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        src = corpus_parquet_sharded(args.docs)
+        t0 = time.perf_counter()
+        meta = build_index(src, index_dir, index_type="opt", num_shards=256)
+        build_s = time.perf_counter() - t0
+        out["build_sec"] = round(build_s, 1)
+        out["total_postings"] = meta["total_postings"]
+        out["postings_per_sec"] = round(meta["total_postings"] / build_s, 0)
+        out["bits_per_doc"] = meta["bits_per_doc"]
+        out["bits_per_freq"] = meta["bits_per_freq"]
+
+    index = InvertedIndex(index_dir)
+    queries = _gen_queries(index)
+    ops = {"ranked_or": search.ranked_or_fast, "wand": search.wand_fast,
+           "maxscore": search.maxscore_fast,
+           "block_max_wand": search.block_max_wand_fast}
+
+    lat = {}
+    for op, kernel in ops.items():
+        # cold: fresh reader, empty encoded cache; time the FIRST pass
+        idx = InvertedIndex(index_dir)
+        cold = []
+        for _, terms in queries:
+            t0 = time.perf_counter()
+            kernel(idx, terms, 10)
+            cold.append(time.perf_counter() - t0)
+        # warm: 1 more untimed pass, then 2 timed (reference protocol)
+        for _, terms in queries:
+            kernel(idx, terms, 10)
+        warm = []
+        for _ in range(2):
+            for _, terms in queries:
+                t0 = time.perf_counter()
+                kernel(idx, terms, 10)
+                warm.append(time.perf_counter() - t0)
+        cold_ms = np.asarray(cold) * 1e3
+        warm_ms = np.asarray(warm) * 1e3
+        lat[op] = {
+            "cold_p50_ms": round(float(np.percentile(cold_ms, 50)), 3),
+            "cold_p99_ms": round(float(np.percentile(cold_ms, 99)), 3),
+            "warm_p50_ms": round(float(np.percentile(warm_ms, 50)), 3),
+            "warm_p99_ms": round(float(np.percentile(warm_ms, 99)), 3),
+            "cold_over_warm_p50": round(
+                float(np.percentile(cold_ms, 50))
+                / max(1e-9, float(np.percentile(warm_ms, 50))), 2),
+        }
+        enc_mb = idx._enc_cache_bytes / 1e6
+        lat[op]["enc_cache_mb"] = round(enc_mb, 1)
+    out["latency"] = lat
+    out["value"] = out.get("build_sec", 0)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
