@@ -78,6 +78,85 @@ def _gen_queries(index, n_queries: int = NUM_QUERIES, seed: int = 42):
     return queries
 
 
+def _ref_queries(num_terms: int, n_queries: int = NUM_QUERIES,
+                 seed: int = 1729):
+    """Reference query workload (test_data/queries golden stats: 500
+    queries, mean 3.18 terms, term-ids across the whole lexicon;
+    queries.hpp:136-150 folds duplicate terms).  Term-ids are drawn
+    uniformly over the lexicon — the TREC-query regime where query
+    terms are selective (avg df ~ 160), which is what makes the
+    reference's μs/query numbers what they are."""
+    rng = np.random.RandomState(seed)
+    queries = []
+    for qid in range(n_queries):
+        nt = int(np.clip(rng.poisson(2.18) + 1, 1, 6))
+        tids = [int(t) for t in rng.randint(0, num_terms, size=nt)]
+        if rng.rand() < 0.05 and nt > 1:
+            tids[-1] = tids[0]                  # duplicate term
+        queries.append((qid, tids))
+    return queries
+
+
+#: reference published means on the same-shaped collection (README.md:123-137)
+REF_PUBLISHED_US = {"block_mixed": 9.955, "block_optpfor": 11.125}
+
+
+def run_reference_protocol(num_cpus: int) -> dict:
+    """Reference query protocol on a reference-shaped collection:
+    10k docs / ~17.7M term occurrences / ~113k-term vocabulary
+    (test_collection.sizes), 500 queries (mean 3.18 terms), 1 untimed
+    warm-up run + 2 timed runs (queries.cpp:25-60), mean μs/query —
+    directly comparable to the reference's published `ranked_and`
+    means (README.md:123-137: block_mixed 9.955 μs, block_optpfor
+    11.125 μs)."""
+    from rayfts import search
+    from rayfts.build import build_index
+    from rayfts.corpus import reference_collection
+    from rayfts.hybrid import build_hybrid
+    from rayfts.index import InvertedIndex
+
+    src = reference_collection()
+    base_dir = "/tmp/rayfts_bench/refcol_block_packed"
+    if not os.path.exists(os.path.join(base_dir, "meta.json")):
+        build_index(src, base_dir, index_type="block_packed", num_shards=64)
+    mixed_dir = "/tmp/rayfts_bench/refcol_mixed"
+    if not os.path.exists(os.path.join(mixed_dir, "meta.json")):
+        build_hybrid(base_dir, mixed_dir, budget_factor=1.15)
+
+    out: dict = {"reference_published_ranked_and_us": REF_PUBLISHED_US}
+    for name, d in (("block_mixed", mixed_dir), ("block_packed", base_dir)):
+        idx = InvertedIndex(d)
+        queries = _ref_queries(idx.num_terms)
+        if "collection" not in out:
+            out["collection"] = {
+                "docs": idx.num_docs, "terms": idx.num_terms,
+                "occurrences": int(round(idx.num_docs * idx.avg_len)),
+                "postings": int(idx.meta["total_postings"]),
+                "queries": len(queries),
+                "mean_terms_per_query": round(
+                    float(np.mean([len(t) for _, t in queries])), 2),
+            }
+        ops = {}
+        for op in ("ranked_and", "ranked_or", "wand", "maxscore",
+                   "block_max_wand"):
+            kernel = getattr(search, f"{op}_fast")
+            for _, t in queries:                  # untimed warm-up run
+                kernel(idx, t, K)
+            per = []
+            for _ in range(2):                    # 2 timed runs
+                for _, t in queries:
+                    t0 = time.perf_counter()
+                    kernel(idx, t, K)
+                    per.append(time.perf_counter() - t0)
+            us = np.asarray(per) * 1e6
+            ops[op] = {"mean_us": round(float(us.mean()), 3),
+                       "q50_us": round(float(np.percentile(us, 50)), 3),
+                       "q90_us": round(float(np.percentile(us, 90)), 3),
+                       "q95_us": round(float(np.percentile(us, 95)), 3)}
+        out[name] = ops
+    return out
+
+
 def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
                corpus_docs: int | None = None) -> dict:
     import ray
@@ -169,6 +248,11 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
         extra["query_pool_qps"] = round(len(queries) / pool_s, 1)
         extra["query_pool_rows"] = int(n_rows)
 
+        # ---- reference protocol on the reference-shaped collection
+        t0 = time.perf_counter()
+        extra["reference_protocol"] = run_reference_protocol(num_cpus)
+        stage_secs["reference_protocol"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "rayfts build+query wall sec (synthetic source-code corpus)",
         "value": round(sum(stage_secs.values()), 3),
@@ -228,6 +312,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--reference-only", action="store_true",
+                    help="run just the reference query protocol")
     ap.add_argument("--corpus-docs", type=int, default=None,
                     help="override the sf-derived synthetic corpus size")
     ap.add_argument("--scaling-docs", type=int, default=200_000)
@@ -237,6 +323,17 @@ def main() -> None:
         print(f"error: --sf-dir {args.sf_dir!r} does not exist", file=sys.stderr)
         sys.exit(2)
 
+    if args.reference_only:
+        import ray
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        result = run_reference_protocol(args.cpus)
+        print(json.dumps(result))
+        ray.shutdown()
+        return
     if args.scaling:
         result = run_scaling(args.sf_dir, args.scaling_docs)
     else:

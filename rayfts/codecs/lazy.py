@@ -78,7 +78,9 @@ class EncodedList:
     """One posting list in encoded form + its native descriptor."""
 
     __slots__ = ("term", "term_id", "n", "occurrences", "max_weight",
-                 "block_max_docs", "block_max_scores", "desc", "_keep")
+                 "block_max_docs", "block_max_scores", "desc", "_keep",
+                 # serving hot-path constants cached by InvertedIndex
+                 "desc_addr", "bd_addr", "bs_addr", "nbm", "qw1", "bound1")
 
     def __init__(self):
         self.desc = LZDesc()

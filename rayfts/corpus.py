@@ -27,16 +27,24 @@ _PUNCT = ["(", ")", " = ", " + ", ", ", ": ", ";\n", " {\n", "}\n", ".", "\n    
 
 VOCAB_SIZE = 5000
 
+#: reference-shaped collection (README.md:123-137, test_collection.sizes):
+#: 10k docs, ~17.7M term occurrences, ~113k-term vocabulary
+REF_DOCS = 10_000
+REF_VOCAB = 24 * 24 * 200          # 115,200 distinct identifiers
+REF_TOTAL_TOKENS = 17_700_745
+REF_MAX_LEN = 61_081
 
-def _vocab(rng: np.random.RandomState) -> np.ndarray:
+
+def _vocab(rng: np.random.RandomState, size: int = VOCAB_SIZE) -> np.ndarray:
     words = list(_KEYWORDS)
     i = 0
-    while len(words) < VOCAB_SIZE:
+    while len(words) < size:
         a = _STEMS[i % len(_STEMS)]
         b = _STEMS[(i // len(_STEMS)) % len(_STEMS)]
-        words.append(f"{a}_{b}{i % 97}")
+        words.append(f"{a}_{b}{i % 97}" if size <= VOCAB_SIZE
+                     else f"{a}_{b}{i}")
         i += 1
-    return np.array(words[:VOCAB_SIZE])
+    return np.array(words[:size])
 
 
 def generate_corpus(num_docs: int, seed: int = 42,
@@ -94,6 +102,83 @@ def corpus_parquet(num_docs: int, seed: int = 42,
                        row_group_size=2048)
         os.replace(tmp, path)
     return path
+
+
+def _assemble_docs(tok_strs: np.ndarray, punct_arr: np.ndarray,
+                   lengths: np.ndarray) -> list[str]:
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    contents = []
+    for i in range(len(lengths)):
+        lo, hi = offsets[i], offsets[i + 1]
+        pieces = np.empty(2 * (hi - lo), dtype=object)
+        pieces[0::2] = tok_strs[lo:hi]
+        pieces[1::2] = punct_arr[lo:hi]
+        contents.append("".join(pieces))
+    return contents
+
+
+def _ref_chunk(chunk: int, n: int, seed: int) -> pa.Table:
+    """One deterministic chunk of the reference-shaped collection:
+    lognormal doc lengths calibrated so the whole collection totals
+    ~17.7M term occurrences over a 115,200-term Zipf vocabulary
+    (test_collection.sizes: 10k docs / 17,700,745 postings / term-ids
+    to 113,242)."""
+    rng = np.random.RandomState(seed + 7919 * chunk)
+    vocab = _vocab(rng, REF_VOCAB)
+    ranks = np.arange(1, REF_VOCAB + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+
+    # E[lognormal(mu, 1.0)] = e^(mu+0.5); mu chosen for mean ~1770
+    mu = np.log(REF_TOTAL_TOKENS / REF_DOCS) - 0.5
+    lengths = np.exp(rng.normal(mu, 1.0, size=n))
+    lengths = np.clip(lengths, 1, REF_MAX_LEN).astype(np.int64)
+    total = int(lengths.sum())
+    draws = rng.choice(REF_VOCAB, size=total, p=probs)
+    puncts = rng.randint(0, len(_PUNCT), size=total)
+    contents = _assemble_docs(vocab[draws], np.array(_PUNCT)[puncts], lengths)
+
+    idx = np.arange(n)
+    exts = [_EXTS[int(x)] for x in idx % len(_EXTS)]
+    commits = ["%040x" % int(x) for x in
+               rng.randint(0, 1 << 62, size=n).astype(object)]
+    return pa.table({
+        "repo": pa.array([f"org{i % 7}/repo{i % 23}" for i in idx]),
+        "path": pa.array([f"ref{chunk:03d}/mod{i % 13}/file{i}.{e}"
+                          for i, e in zip(idx, exts)]),
+        "commit": pa.array(commits),
+        "lang": pa.array([_LANGS[e] for e in exts]),
+        "content": pa.array(contents),
+    })
+
+
+def reference_collection(num_docs: int = REF_DOCS, seed: int = 42,
+                         cache_dir: str = "/tmp/rayfts_corpus") -> str:
+    """Reference-protocol collection as a directory of parquet shards,
+    generated in parallel (8 chunks, per-chunk seeds). Returns the dir."""
+    import ray
+
+    chunks = 8
+    out_dir = os.path.join(cache_dir, f"refcol_n{num_docs}_s{seed}")
+    done = out_dir + ".done"
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    per = (num_docs + chunks - 1) // chunks
+
+    @ray.remote
+    def gen(i: int) -> None:
+        n = min(per, num_docs - i * per)
+        path = os.path.join(out_dir, f"part_{i:05d}.parquet")
+        if n > 0 and not os.path.exists(path):
+            pq.write_table(_ref_chunk(i, n, seed), path + ".tmp",
+                           row_group_size=256)
+            os.replace(path + ".tmp", path)
+
+    ray.get([gen.remote(i) for i in range(chunks)])
+    with open(done, "w") as f:
+        f.write(str(num_docs))
+    return out_dir
 
 
 def corpus_parquet_sharded(num_docs: int, seed: int = 42,

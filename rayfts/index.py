@@ -98,6 +98,11 @@ class InvertedIndex:
         self._enc_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
         self._enc_cache_bytes = 0
         self.enc_cache_max_bytes = 1 << 30
+        # lookaside maps for the serving hot path: term/tid -> EncodedList
+        # with no per-hit LRU bookkeeping (hits don't refresh recency —
+        # approximate LRU is fine; entries are dropped on eviction)
+        self._enc_by_term: dict[str, object] = {}
+        self._enc_by_tid: dict[int, object] = {}
 
     def _shard_of_term(self, term: str) -> int | None:
         import bisect
@@ -191,27 +196,60 @@ class InvertedIndex:
         el.block_max_docs = bmd
         el.block_max_scores = bms
         el._keep += [bmd, bms]
+        # per-list constants the query hot path would otherwise recompute
+        # every query: C descriptor / block-max addresses, and the m=1
+        # query weight + score bound (f32(1)*idf == idf, so caching the
+        # mult==1 weight is bit-exact)
+        import ctypes as _ct
+
+        from . import bm25 as _bm25
+        el.desc_addr = _ct.addressof(el.desc)
+        el.bd_addr = bmd.ctypes.data
+        el.bs_addr = bms.ctypes.data
+        el.nbm = len(bmd)
+        _qw1 = _bm25.query_term_weight(1, el.n, self.num_docs)
+        el.qw1 = float(_qw1)
+        el.bound1 = float(np.float32(_qw1 * el.max_weight))
         self._enc_cache[loc] = el
         self._enc_cache_bytes += el.nbytes
         while (self._enc_cache_bytes > self.enc_cache_max_bytes
                and len(self._enc_cache) > 1):
             _, old = self._enc_cache.popitem(last=False)
             self._enc_cache_bytes -= old.nbytes
+            self._enc_by_term.pop(old.term, None)
+            self._enc_by_tid.pop(old.term_id, None)
         return el
 
     def get_encoded(self, term: str):
+        el = self._enc_by_term.get(term)
+        if el is not None:
+            return el
         s = self._shard_of_term(term)
         if s is None:
             return None
         row = self._lex(s)[0].get(term)
-        return self._load_encoded((s, row)) if row is not None else None
+        if row is None:
+            return None
+        el = self._load_encoded((s, row))
+        if el is not None:
+            self._enc_by_term[term] = el
+        return el
 
     def get_encoded_by_id(self, term_id: int):
-        s = self._shard_of_tid(int(term_id))
+        term_id = int(term_id)
+        el = self._enc_by_tid.get(term_id)
+        if el is not None:
+            return el
+        s = self._shard_of_tid(term_id)
         if s is None:
             return None
-        row = self._lex(s)[1].get(int(term_id))
-        return self._load_encoded((s, row)) if row is not None else None
+        row = self._lex(s)[1].get(term_id)
+        if row is None:
+            return None
+        el = self._load_encoded((s, row))
+        if el is not None:
+            self._enc_by_tid[term_id] = el
+        return el
 
     def get(self, term: str) -> PostingList | None:
         s = self._shard_of_term(term)

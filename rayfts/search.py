@@ -523,59 +523,85 @@ _OP_CODES = {"ranked_or": 0, "ranked_and": 1, "wand": 2, "maxscore": 3,
              "block_max_wand": 4}
 
 
+def _nq_scratch(index: InvertedIndex):
+    """Per-index reusable ctypes argument buffers for the lazy kernel —
+    allocated once so the per-query cost is writes, not allocations.
+    One query at a time per process (Ray actor model), so a single
+    scratch per index is safe."""
+    import ctypes
+
+    sc = getattr(index, "_nq_scratch_v", None)
+    if sc is None:
+        from .codecs.lazy import SUPPORTED_TYPES
+        from .codecs.nativelib import native_topk_lazy
+        cap = 64
+        out_s = np.empty(1024, dtype=np.float32)
+        out_d = np.empty(1024, dtype=np.int64)
+        fn = native_topk_lazy()
+        sc = {
+            "fn": (fn if index.index_type in SUPPORTED_TYPES else None),
+            "descp": (ctypes.c_void_p * cap)(),
+            "bd_p": (ctypes.c_void_p * cap)(),
+            "bs_p": (ctypes.c_void_p * cap)(),
+            "nb": (ctypes.c_int64 * cap)(),
+            "qws": (ctypes.c_float * cap)(),
+            "bounds": (ctypes.c_float * cap)(),
+            "out_s": out_s, "out_d": out_d,
+            "out_s_p": out_s.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            "out_d_p": out_d.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            "norms_p": index.norm_lens.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+        }
+        index._nq_scratch_v = sc
+    return sc
+
+
 def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
     """Encoded-domain serving: the C kernel traverses the COMPRESSED
     posting lists (lazy chunk decode inside next_geq — the reference's
     enumerator mode, compact_elias_fano.hpp:291-336).  None = native lib
     or descriptors unavailable; [] = provably empty result."""
-    import ctypes
-
-    from .codecs.lazy import SUPPORTED_TYPES
-    from .codecs.nativelib import native_topk_lazy
-    fn = native_topk_lazy()
-    if fn is None or k > 1024 or index.index_type not in SUPPORTED_TYPES:
+    sc = _nq_scratch(index)
+    fn = sc["fn"]
+    if fn is None or k > 1024:
         return None
+    descp = sc["descp"]; bd_p = sc["bd_p"]; bs_p = sc["bs_p"]
+    nb = sc["nb"]; qws = sc["qws"]; bounds = sc["bounds"]
+    get_str = index.get_encoded
+    get_tid = index.get_encoded_by_id
     qf = query_freqs(terms)
-    els = []
+    L = 0
     for term, mult in qf:
-        el = (index.get_encoded(term) if isinstance(term, str)
-              else index.get_encoded_by_id(term))
+        el = get_str(term) if isinstance(term, str) else get_tid(term)
         if el is None:
             continue
-        qw = bm25.query_term_weight(mult, el.n, index.num_docs)
-        els.append((el, F32(qw)))
-    if op == "ranked_and" and len(els) < len(qf):
+        if L >= 64:
+            return None
+        if mult == 1:
+            qw, bound = el.qw1, el.bound1
+        else:
+            qwf = bm25.query_term_weight(mult, el.n, index.num_docs)
+            qw, bound = float(qwf), float(F32(qwf * el.max_weight))
+        descp[L] = el.desc_addr
+        bd_p[L] = el.bd_addr
+        bs_p[L] = el.bs_addr
+        nb[L] = el.nbm
+        qws[L] = qw
+        bounds[L] = bound
+        L += 1
+    if op == "ranked_and" and L < len(qf):
         return []
-    if not els:
+    if L == 0:
         return []
-    L = len(els)
-    if L > 64:
-        return None
-
-    c64p = ctypes.POINTER(ctypes.c_int64)
-    cf32p = ctypes.POINTER(ctypes.c_float)
-    descp = (ctypes.c_void_p * L)()
-    bd_p = (ctypes.c_void_p * L)()
-    bs_p = (ctypes.c_void_p * L)()
-    nb = (ctypes.c_int64 * L)()
-    qws = (ctypes.c_float * L)()
-    bounds = (ctypes.c_float * L)()
-    for i, (el, qw) in enumerate(els):
-        descp[i] = ctypes.addressof(el.desc)
-        bd_p[i] = el.block_max_docs.ctypes.data
-        bs_p[i] = el.block_max_scores.ctypes.data
-        nb[i] = len(el.block_max_docs)
-        qws[i] = float(qw)
-        bounds[i] = float(F32(qw * el.max_weight))
-    norms = index.norm_lens
-    out_s = np.empty(k, dtype=np.float32)
-    out_d = np.empty(k, dtype=np.int64)
     n = fn(_OP_CODES[op], L, descp, qws, bounds, bd_p, bs_p, nb,
-           norms.ctypes.data_as(cf32p), index.num_docs, k,
-           out_s.ctypes.data_as(cf32p), out_d.ctypes.data_as(c64p))
+           sc["norms_p"], index.num_docs, k, sc["out_s_p"], sc["out_d_p"])
     if n < 0:
         return None
-    return [(F32(out_s[i]), int(out_d[i])) for i in range(n)]
+    out_s, out_d = sc["out_s"], sc["out_d"]
+    return [(F32(s), d) for s, d in
+            zip(out_s[:n].tolist(), out_d[:n].tolist())]
 
 
 def _topk_native(index: InvertedIndex, terms: list, k: int, op: str):
