@@ -75,12 +75,21 @@ def _index_for(sf_dir: str, index_type: str = "opt"):
                         salt_threshold=1 << 17, num_shards=8)
         idx = InvertedIndex(index_dir)
         # internal docid -> source doc_id map (identity when the source
-        # ids are already dense ranks, but never assumed)
-        dm = pq.read_table(os.path.join(index_dir, "docs"),
-                           columns=["doc_id", "src_doc_id"])
-        src_ids = np.zeros(idx.num_docs, dtype=np.int64)
-        src_ids[dm.column("doc_id").to_numpy()] = dm.column("src_doc_id").to_numpy()
-        idx.src_doc_ids = src_ids
+        # ids are already dense ranks, but never assumed); materialized
+        # once as a doc-indexed binary and mmapped — same no-O(num_docs)-
+        # heap discipline as the norms/lengths sidecars
+        sid_path = os.path.join(index_dir, "sidecar", "src_doc_ids.i64")
+        if not os.path.exists(sid_path):
+            dm = pq.read_table(os.path.join(index_dir, "docs"),
+                               columns=["doc_id", "src_doc_id"])
+            src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+            src_ids[dm.column("doc_id").to_numpy()] = \
+                dm.column("src_doc_id").to_numpy()
+            os.makedirs(os.path.dirname(sid_path), exist_ok=True)
+            with open(sid_path + ".tmp", "wb") as f:
+                f.write(src_ids.tobytes())
+            os.replace(sid_path + ".tmp", sid_path)
+        idx.src_doc_ids = np.memmap(sid_path, dtype=np.int64, mode="r")
         _INDEX_CACHE[key] = idx
     return idx
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import zlib
 
 import numpy as np
@@ -365,12 +366,93 @@ def _stage_lengths(index_dir: str, num_docs: int,
         tmp = path + ".tmp"
         pq.write_table(final, tmp)
         os.replace(tmp, path)
-    pdf = pq.read_table(path).to_pandas()
-    lengths = np.zeros(num_docs, dtype=np.int64)
-    lengths[pdf["doc_id"].to_numpy()] = pdf["length"].to_numpy()
-    # reference avg includes zero-length docs (wand_data.hpp:23-29)
-    avg_len = float(lengths.sum()) / num_docs if num_docs else 1.0
-    return lengths, avg_len
+    # reference avg includes zero-length docs (wand_data.hpp:23-29);
+    # a column sum — never a dense O(num_docs) driver array
+    total = pq.read_table(path, columns=["length"]) \
+        .column("length").cast(pa.int64())
+    import pyarrow.compute as pc
+    avg_len = float(pc.sum(total).as_py() or 0) / num_docs if num_docs else 1.0
+    return avg_len
+
+
+SIDECAR_RANGE = 1 << 22      # docs per sidecar part (16 MB of f32 norms)
+
+
+def _stage_sidecar(index_dir: str, num_docs: int, avg_len: float,
+                   range_size: int = SIDECAR_RANGE) -> None:
+    """Dense per-doc sidecars (norms.f32 + lengths.i64), built by
+    docID-range-parallel tasks and memory-mapped by every later consumer
+    — no process ever holds an O(num_docs) heap array (the reference
+    mmaps its .sizes file, wand_data.hpp:23-32; at cluster scale the
+    ranges are what each node pages in).  Each range task reads only its
+    doc-range slice of lengths.parquet (parquet row-group predicate
+    pushdown — at scale the lengths table is doc-sorted so this is
+    O(range), not O(corpus)); parts are then streamed into one dense
+    file the readers mmap."""
+    sdir = os.path.join(index_dir, "sidecar")
+    marker = os.path.join(sdir, "sidecar.done.json")
+    if os.path.exists(marker):
+        return
+    os.makedirs(sdir, exist_ok=True)
+    lengths_path = os.path.join(index_dir, "lengths.parquet")
+    nranges = max(1, -(-num_docs // range_size))
+    # divide, don't multiply by the reciprocal: norm values must round
+    # exactly like the f32 serving/oracle computation length/f32(avg)
+    avg32 = np.float32(avg_len) if avg_len else np.float32(1.0)
+
+    @ray.remote
+    def part(r: int) -> int:
+        lo, hi = r * range_size, min((r + 1) * range_size, num_docs)
+        npart = os.path.join(sdir, f"norms_{r:06d}.part")
+        lpart = os.path.join(sdir, f"lengths_{r:06d}.part")
+        if os.path.exists(npart) and os.path.exists(lpart):
+            return r
+        t = pq.read_table(lengths_path, columns=["doc_id", "length"],
+                          filters=[("doc_id", ">=", lo), ("doc_id", "<", hi)])
+        ln = np.zeros(hi - lo, dtype=np.int64)
+        ln[t.column("doc_id").to_numpy() - lo] = t.column("length").to_numpy()
+        norms = (ln / avg32).astype(np.float32)
+        for p, arr in ((npart, norms), (lpart, ln)):
+            with open(p + ".tmp", "wb") as f:
+                f.write(arr.tobytes())
+            os.replace(p + ".tmp", p)
+        return r
+
+    ray.get([part.remote(r) for r in range(nranges)])
+    for name, dtype in (("norms.f32", "norms"), ("lengths.i64", "lengths")):
+        out = os.path.join(sdir, name)
+        with open(out + ".tmp", "wb") as dst:
+            for r in range(nranges):
+                with open(os.path.join(sdir, f"{dtype}_{r:06d}.part"),
+                          "rb") as src:
+                    shutil.copyfileobj(src, dst, 1 << 22)
+        os.replace(out + ".tmp", out)
+    for r in range(nranges):
+        for dtype in ("norms", "lengths"):
+            try:
+                os.remove(os.path.join(sdir, f"{dtype}_{r:06d}.part"))
+            except OSError:
+                pass
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"num_docs": num_docs, "range_size": range_size,
+                   "ranges": nranges}, f)
+    os.replace(marker + ".tmp", marker)
+
+
+_WORKER_MMAPS: dict = {}
+
+
+def worker_norms(index_dir: str) -> np.ndarray:
+    """Per-worker-process cached read-only mmap of the norms sidecar —
+    pages are faulted in on demand and shared across all workers on the
+    node (OS page cache), so N workers cost one copy of the touched
+    pages, not N heap arrays."""
+    mm = _WORKER_MMAPS.get(index_dir)
+    if mm is None:
+        mm = np.memmap(os.path.join(index_dir, "sidecar", "norms.f32"),
+                       dtype=np.float32, mode="r")
+        _WORKER_MMAPS[index_dir] = mm
+    return mm
 
 
 def _stage_dfs(index_dir: str,
@@ -409,10 +491,10 @@ def _stage_dfs(index_dir: str,
 
 
 def _stage_lengths_dfs(index_dir: str, num_docs: int
-                       ) -> tuple[np.ndarray, float, pd.DataFrame]:
-    lengths, avg_len = _stage_lengths(index_dir, num_docs)
+                       ) -> tuple[float, pd.DataFrame]:
+    avg_len = _stage_lengths(index_dir, num_docs)
     dfs = _stage_dfs(index_dir)
-    return lengths, avg_len, dfs
+    return avg_len, dfs
 
 
 # ---------------------------------------------------------------------------
@@ -426,12 +508,11 @@ class _ShardEncoder:
     encodes, computes WAND/BMW metadata, writes the shard atomically."""
 
     def __init__(self, index_dir: str, index_type: str, num_docs: int,
-                 vocab_ref, norm_lens_ref):
+                 vocab_ref):
         self.index_dir = index_dir
         self.index_type = index_type
         self.num_docs = num_docs
         self.vocab_ref = vocab_ref
-        self.norm_lens_ref = norm_lens_ref
 
     MANIFEST_SCHEMA = pa.schema([
         ("shard", pa.int64()), ("num_terms", pa.int64()),
@@ -462,7 +543,9 @@ class _ShardEncoder:
             # pre-term-range done.json (older build): schema outdated —
             # fall through and re-encode the shard (ADVICE r01)
         vocab = ray.get(self.vocab_ref)
-        norm_lens = ray.get(self.norm_lens_ref)
+        # per-doc norms via the range-built mmap sidecar: the worker
+        # pages in only the doc ranges this shard's lists touch
+        norm_lens = worker_norms(self.index_dir)
 
         # merge salted/per-batch partials without ever leaving numpy:
         # rows ordered by (term_id, salt, first_doc) — salt is docID-range
@@ -577,7 +660,7 @@ class _ShardEncoder:
 
 
 def _stage_shards(index_dir: str, index_type: str, num_docs: int,
-                  dfs: pd.DataFrame, norm_lens: np.ndarray,
+                  dfs: pd.DataFrame,
                   salt_threshold: int, num_shards: int | None) -> list[dict]:
     dfs_sorted = dfs.sort_values("term", kind="mergesort").reset_index(drop=True)
     num_terms = len(dfs_sorted)
@@ -675,13 +758,11 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                              columns=["term", "doc_id", "tf"])
 
-    norm_ref = ray.put((norm_lens).astype(np.float32))
-
     manifest = (
         tokens.map_batches(combine_partials, batch_size=None, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_named(_ShardEncoder(index_dir, index_type, num_docs,
-                                         vocab_ref, norm_ref),
+                                         vocab_ref),
                            "encode_shard"),
                     batch_format="pyarrow")
     ).take_all()
@@ -709,12 +790,11 @@ def build_index(source_path: str, index_dir: str, *,
     _stage_tokens(index_dir, text_col)
     stage_secs["docs_tokens"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
-    lengths, avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
+    avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
+    _stage_sidecar(index_dir, num_docs, avg_len)
     stage_secs["lengths_dfs"] = round(_time.perf_counter() - t0, 3)
-    norm_lens = lengths / np.float32(avg_len) if avg_len else lengths.astype(np.float32)
     t0 = _time.perf_counter()
     manifest = _stage_shards(index_dir, index_type, num_docs, dfs,
-                             norm_lens.astype(np.float32),
                              salt_threshold, num_shards)
     stage_secs["shards"] = round(_time.perf_counter() - t0, 3)
 

@@ -378,6 +378,10 @@ def build_hybrid(index_dir: str, out_dir: str,
     # sidecars + meta
     shutil.copy(os.path.join(index_dir, "lengths.parquet"),
                 os.path.join(out_dir, "lengths.parquet"))
+    src_sidecar = os.path.join(index_dir, "sidecar")
+    if os.path.isdir(src_sidecar):
+        shutil.copytree(src_sidecar, os.path.join(out_dir, "sidecar"),
+                        dirs_exist_ok=True)
     meta = dict(src_meta)
     meta["index_type"] = "block_mixed"
     meta["hybrid"] = {"source": index_dir, "budget_factor": budget_factor,

@@ -44,12 +44,27 @@ class InvertedIndex:
         self.avg_len = float(self.meta["avg_len"])
         self.index_type = self.meta["index_type"]
 
-        lp = pq.read_table(os.path.join(index_dir, "lengths.parquet"))
-        lengths = np.zeros(self.num_docs, dtype=np.int64)
-        lengths[lp.column("doc_id").to_numpy()] = lp.column("length").to_numpy()
-        self.lengths = lengths
-        self.norm_lens = (lengths / np.float32(self.avg_len)).astype(np.float32) \
-            if self.avg_len else lengths.astype(np.float32)
+        sdir = os.path.join(index_dir, "sidecar")
+        if os.path.exists(os.path.join(sdir, "sidecar.done.json")):
+            # per-doc sidecars are mmapped, not loaded: only the 4/8-byte
+            # entries queries actually touch are paged in, and the pages
+            # are shared across every reader process on the node — no
+            # process holds an O(num_docs) heap array (wand_data mmap
+            # semantics, wand_data.hpp:23-32, partitioned per node)
+            self.norm_lens = np.memmap(os.path.join(sdir, "norms.f32"),
+                                       dtype=np.float32, mode="r")
+            self.lengths = np.memmap(os.path.join(sdir, "lengths.i64"),
+                                     dtype=np.int64, mode="r")
+        else:
+            # legacy index layout (no sidecar): densify from the parquet
+            lp = pq.read_table(os.path.join(index_dir, "lengths.parquet"))
+            lengths = np.zeros(self.num_docs, dtype=np.int64)
+            lengths[lp.column("doc_id").to_numpy()] = \
+                lp.column("length").to_numpy()
+            self.lengths = lengths
+            self.norm_lens = \
+                (lengths / np.float32(self.avg_len)).astype(np.float32) \
+                if self.avg_len else lengths.astype(np.float32)
 
         # lexicon: term -> (shard, row), lazily loaded PER SHARD, routed
         # by the manifest's term ranges — a query actor touches only the
