@@ -275,11 +275,9 @@ def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 def _minhash_dups(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.dedup import minhash_candidate_pairs, verify_jaccard
-    cand = minhash_candidate_pairs(_docs_ds(sf_dir)).to_pandas()
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"]).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    return verify_jaccard(cand, texts, tau=0.5)
+    cand = minhash_candidate_pairs(_docs_ds(sf_dir))
+    out = verify_jaccard(cand, _docs_ds(sf_dir), tau=0.5).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _simhash(sf_dir: str) -> pd.DataFrame:
@@ -305,32 +303,25 @@ def _ann_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def _embedding_dups(sf_dir: str) -> pd.DataFrame:
-    import ray as _ray
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
-    ids = emb["vec_id"].to_numpy()
-    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mn = m / norms
-    full_ref = _ray.put((ids, mn))
+    """Exact cosine threshold self-join via the distributed block-pair
+    sweep (no full-matrix broadcast; rayfts/ops/ann.py)."""
+    from rayfts.ops.ann import embedding_pairs_exact
+    out = embedding_pairs_exact(_emb_ds(sf_dir), tau=0.35,
+                                block_rows=256).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "cos_q": pd.Series([], dtype=np.int64)})
+    out["cos_q"] = _quantize(out["cos"])
+    return (out[["a", "b", "cos_q"]].sort_values(["a", "b"])
+            .reset_index(drop=True))
 
-    def pairs(t: pa.Table) -> pa.Table:
-        all_ids, all_m = _ray.get(full_ref)
-        bids = t.column("vec_id").to_numpy()
-        bm = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        bn = np.linalg.norm(bm, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        sims = (bm / bn) @ all_m.T
-        a_out, b_out, c_out = [], [], []
-        for i, a in enumerate(bids):
-            sel = (sims[i] >= 0.35) & (all_ids > a)
-            for b, c in zip(all_ids[sel], sims[i][sel]):
-                a_out.append(int(a)); b_out.append(int(b)); c_out.append(c)
-        return pa.table({"a": pa.array(a_out, type=pa.int64()),
-                         "b": pa.array(b_out, type=pa.int64()),
-                         "cos": pa.array(c_out, type=pa.float64())})
 
-    out = _emb_ds(sf_dir).map_batches(pairs, batch_format="pyarrow").to_pandas()
+def _embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate LSH-bucketed variant — the 100-TB scale path
+    (recall < 1 by design; no oracle)."""
+    from rayfts.ops.ann import embedding_pairs_lsh
+    out = embedding_pairs_lsh(_emb_ds(sf_dir), tau=0.35).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
@@ -411,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": _minhash_dups,
         "simhash_fingerprints": _simhash,
         "embedding_dup_pairs": _embedding_dups,
+        "embedding_dup_pairs_lsh": _embedding_dups_lsh,
         # similarity search
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh,

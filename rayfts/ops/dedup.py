@@ -127,28 +127,85 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     return cand
 
 
-def verify_jaccard(pairs_df: pd.DataFrame, texts: dict, tau: float,
-                   k: int = 3) -> pd.DataFrame:
-    """Exact Jaccard over token k-shingles for candidate pairs.
-    `texts` maps docid -> text for candidates only (at cluster scale this
-    is a partitioned join of the pair list against the corpus)."""
-    seen = set()
-    rows = []
-    for a, b in zip(pairs_df["a"], pairs_df["b"]):
-        key = (int(a), int(b))
-        if key in seen:
-            continue
-        seen.add(key)
-        sa = set(_token_shingles(texts[a], k).tolist())
-        sb = set(_token_shingles(texts[b], k).tolist())
-        inter = len(sa & sb)
+def verify_jaccard(pairs_ds, docs_ds, tau: float, k: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_partitions: int = 2):
+    """Exact Jaccard verification of candidate pairs as PARTITIONED
+    JOINS — no driver-side text dict, nothing corpus-sized in any one
+    process (VERDICT r01 #4):
+
+      1. dedup candidate pairs (bands produce repeats)
+      2. explode each pair to two membership rows keyed by doc_id
+      3. semi-join the corpus against the distinct member ids, shingle
+         ONLY those docs (shingling the full corpus would re-do the
+         MinHash stage's work)
+      4. join memberships with shingles on doc_id, group by pair:
+         each group holds exactly the two shingle sets -> exact Jaccard
+
+    Every shuffle is bounded by candidate volume, not corpus size.
+    The candidate-scale intermediates are materialized (they are as
+    small as the final answer; only the corpus side stays streaming) —
+    a fully lazy plan would re-execute the signature actor pool inside
+    each join branch and deadlock its scheduling on small clusters.
+    Returns a Dataset(a, b, jaccard_q) with jaccard >= tau."""
+    uniq = (pairs_ds.groupby(["a", "b"]).count()
+            .select_columns(["a", "b"]).materialize())
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({
+            id_col: pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+        })
+
+    members = uniq.map_batches(explode, batch_format="pyarrow").materialize()
+    member_ids = (members.select_columns([id_col])
+                  .groupby(id_col).count().select_columns([id_col])
+                  .materialize())
+
+    # fractional-CPU join aggregators: the two chained joins spawn
+    # 2*num_partitions long-lived actors — at full weight they deadlock
+    # the actor pool on a small cluster (each join waits for the other's
+    # actors to schedule)
+    agg_args = {"num_cpus": 0.25}
+    cand_docs = docs_ds.select_columns([id_col, text_col]).join(
+        member_ids, "inner", num_partitions, on=(id_col,),
+        aggregator_ray_remote_args=agg_args)
+
+    def shingle_batch(t: pa.Table) -> pa.Table:
+        # shingle sets ship as binary blobs: Acero hash joins reject
+        # list-typed non-key columns but pass binary payloads through
+        shs = [_token_shingles(x, k).tobytes()
+               for x in t.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "sh": pa.array(shs, type=pa.binary()),
+        })
+
+    sh_ds = (cand_docs.map_batches(shingle_batch, batch_format="pyarrow")
+             .materialize())
+    joined = members.join(sh_ds, "inner", num_partitions, on=(id_col,),
+                          aggregator_ray_remote_args=agg_args)
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "jaccard_q": pd.Series([], dtype=np.int64)})
+        if len(g) != 2:        # a member doc missing from the corpus
+            return empty
+        sa, sb = (set(np.frombuffer(x, dtype=np.uint64).tolist())
+                  for x in g["sh"].tolist())
         union = len(sa | sb)
-        j = inter / union if union else 1.0
-        if j >= tau:
-            rows.append({"a": key[0], "b": key[1],
-                         "jaccard_q": int(np.floor(j * 10000 + 0.5))})
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard_q"]).sort_values(
-        ["a", "b"]).reset_index(drop=True)
+        j = len(sa & sb) / union if union else 1.0
+        if j < tau:
+            return empty
+        return pd.DataFrame({"a": [int(g["a"].iloc[0])],
+                             "b": [int(g["b"].iloc[0])],
+                             "jaccard_q": [int(np.floor(j * 10000 + 0.5))]})
+
+    return joined.groupby(["a", "b"]).map_groups(jac, batch_format="pandas")
 
 
 class SimHasher:
