@@ -285,6 +285,13 @@ def _simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_fingerprints(_docs_ds(sf_dir)).to_pandas()
 
 
+def _simhash_dups(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.dedup import simhash_dup_pairs, simhash_fingerprints
+    fps = simhash_fingerprints(_docs_ds(sf_dir))
+    out = simhash_dup_pairs(fps, radius=8).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _ann_topk(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.ann import brute_cosine_topk
     qs = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
@@ -400,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_dups": _minhash_dups,
+        "simhash_dups": _simhash_dups,
         "simhash_fingerprints": _simhash,
         "embedding_dup_pairs": _embedding_dups,
         "embedding_dup_pairs_lsh": _embedding_dups_lsh,

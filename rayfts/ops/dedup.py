@@ -24,9 +24,31 @@ import pandas as pd
 import pyarrow as pa
 
 _WORD = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+_WORD_SQL = "[a-z_][a-z0-9_]*|[0-9]+"
 
 # splitmix64-ish mixers for the minhash permutation family (seeded, public)
 _MERSENNE = (1 << 61) - 1
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+#: per-worker crc32 memo (shingles repeat heavily across near-dup docs)
+_SH_CRC: dict = {}
+
+
+def _crc_u64(strs: np.ndarray) -> np.ndarray:
+    out = np.empty(len(strs), dtype=np.uint64)
+    memo = _SH_CRC
+    for i, s in enumerate(strs):
+        h = memo.get(s)
+        if h is None:
+            h = zlib.crc32(s.encode())
+            if len(memo) < (1 << 20):
+                memo[s] = h
+        out[i] = h
+    return out
 
 
 def _token_shingles(text: str, k: int = 3) -> np.ndarray:
@@ -38,8 +60,63 @@ def _token_shingles(text: str, k: int = 3) -> np.ndarray:
                     dtype=np.uint64)
 
 
+def _batch_shingles(texts: list, k: int = 3):
+    """Whole-batch shingling: tokens + k-gram string concat run in
+    polars (Rust); crc32 runs once per UNIQUE shingle string.  Returns
+    (flat uint64 shingle-hash stream, per-doc shingle counts) with
+    per-doc-unique shingles — the exact sets `_token_shingles` builds
+    per doc, without its per-doc Python loops."""
+    if _pl is None:          # pragma: no cover - semantic fallback
+        shs = [_token_shingles(t, k) for t in texts]
+        return (np.concatenate(shs) if shs else
+                np.empty(0, dtype=np.uint64),
+                np.array([len(s) for s in shs], dtype=np.int64))
+    s = _pl.Series("t", texts, dtype=_pl.Utf8)
+    toks = s.fill_null("").str.to_lowercase().str.extract_all(_WORD_SQL)
+    doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+    flat = toks.explode().drop_nulls().to_numpy()
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doc_lens)
+
+    df = _pl.DataFrame({"doc": doc_idx, "tok": flat})
+    tri = df.with_columns(
+        s=_pl.concat_str([_pl.col("tok"),
+                          _pl.col("tok").shift(-1),
+                          _pl.col("tok").shift(-2)], separator=" "),
+        ok=(_pl.col("doc") == _pl.col("doc").shift(-2)),
+    ).filter(_pl.col("ok")).select(["doc", "s"]).unique()
+    docs_a = tri.get_column("doc").to_numpy().copy()
+    strs = tri.get_column("s").to_numpy()
+
+    # docs with < k tokens contribute their single padded shingle
+    short = np.flatnonzero(doc_lens < k)
+    if len(short):
+        pad_docs, pad_strs = [], []
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(doc_lens[:-1], out=starts[1:])
+        for d in short:
+            tk = list(flat[starts[d]:starts[d] + doc_lens[d]])
+            tk += ["_"] * (k - len(tk))
+            pad_docs.append(d)
+            pad_strs.append(" ".join(tk))
+        docs_a = np.concatenate([docs_a, np.array(pad_docs, dtype=np.int64)])
+        strs = np.concatenate([strs, np.array(pad_strs, dtype=object)])
+
+    hs = _crc_u64(strs)
+    order = np.argsort(docs_a, kind="stable")
+    docs_a, hs = docs_a[order], hs[order]
+    counts = np.bincount(docs_a, minlength=len(texts)).astype(np.int64)
+    return hs, counts
+
+
 def exact_duplicates(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """-> Dataset(text_hash, keeper, n_dups); keeper = min docid."""
+    """-> Dataset(text_hash, keeper, n_dups); keeper = min docid.
+
+    The md5 stays a per-row C call (the DuckDB oracle's md5() must be
+    reproduced bit-for-bit; there is no vectorized md5 kernel), but the
+    reduction is a native Arrow groupby-aggregate — no Python callback
+    per hash group building 1-row DataFrames (VERDICT r01 #5)."""
+    from ray.data.aggregate import Count, Min
+
     def add_hash(t: pa.Table) -> pa.Table:
         hs = [hashlib.md5((x or "").encode()).hexdigest()
               for x in t.column(text_col).to_pylist()]
@@ -48,15 +125,10 @@ def exact_duplicates(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
             id_col: t.column(id_col),
         })
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            "text_hash": g["text_hash"].iloc[0],
-            "keeper": int(g[id_col].min()),
-            "n_dups": len(g),
-        }])
-
     return (docs_ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("text_hash").map_groups(keep_first, batch_format="pandas"))
+            .groupby("text_hash").aggregate(Min(id_col), Count())
+            .rename_columns({f"min({id_col})": "keeper",
+                             "count()": "n_dups"}))
 
 
 class MinHasher:
@@ -77,12 +149,27 @@ class MinHasher:
         return v.min(axis=0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column(self.id_col).to_pylist()
-        sigs = [self.signature(x) for x in t.column(self.text_col).to_pylist()]
+        """Whole-batch minhash: one flat shingle-hash stream (polars
+        shingling, unique-string crc) -> one (shingles x perms) modular
+        matrix -> per-doc segment min.  Bit-identical to `signature`
+        per doc (same uint64 wrap + mod, order-independent min)."""
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_col).to_pylist()
+        if not texts:
+            return pa.table({
+                self.id_col: pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.list_(pa.uint64()))})
+        hs, counts = _batch_shingles(texts, self.k)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        v = (hs[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        sigs = np.minimum.reduceat(v, starts, axis=0)
+        off = np.arange(0, (len(texts) + 1) * len(self.a),
+                        len(self.a), dtype=np.int32)
         return pa.table({
-            self.id_col: pa.array(ids, type=pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            type=pa.list_(pa.uint64())),
+            self.id_col: pa.array(ids.astype(np.int64)),
+            "sig": pa.ListArray.from_arrays(
+                pa.array(off), pa.array(sigs.reshape(-1))),
         })
 
 
@@ -228,11 +315,42 @@ class SimHasher:
         return int((self.bit_weights[v > 0]).sum())
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Whole-batch simhash: flat token stream (polars), crc once per
+        unique token, per-doc bit-count via add.reduceat — bit-identical
+        to `fingerprint` per doc."""
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_col).to_pylist()
+        n = len(texts)
+        fps = np.zeros(n, dtype=np.uint64)
+        if n:
+            if _pl is not None:
+                s = _pl.Series("t", texts, dtype=_pl.Utf8)
+                toks = (s.fill_null("").str.to_lowercase()
+                        .str.extract_all(_WORD_SQL))
+                doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+                flat = toks.explode().drop_nulls().to_numpy()
+            else:             # pragma: no cover - semantic fallback
+                doc_lens = np.zeros(n, dtype=np.int64)
+                all_toks: list = []
+                for i, text in enumerate(texts):
+                    tk = _WORD.findall((text or "").lower())
+                    doc_lens[i] = len(tk)
+                    all_toks.extend(tk)
+                flat = np.asarray(all_toks, dtype=object)
+            if len(flat):
+                hs = _crc_u64(flat) * np.uint64(0x9E3779B97F4A7C15)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(doc_lens[:-1], out=starts[1:])
+                nonempty = doc_lens > 0
+                cnt = np.add.reduceat(bits, starts[nonempty], axis=0)
+                v = 2 * cnt - doc_lens[nonempty][:, None]
+                fp = ((v > 0) * self.bit_weights[None, :]).sum(axis=1)
+                fps[nonempty] = fp.astype(np.uint64)
         return pa.table({
-            self.id_col: t.column(self.id_col),
-            "simhash": pa.array(
-                [self.fingerprint(x) for x in t.column(self.text_col).to_pylist()],
-                type=pa.uint64()),
+            self.id_col: pa.array(ids.astype(np.int64)),
+            "simhash": pa.array(fps, type=pa.uint64()),
         })
 
 
@@ -242,6 +360,59 @@ def simhash_fingerprints(docs_ds, text_col: str = "text",
         SimHasher, fn_constructor_kwargs={"text_col": text_col,
                                           "id_col": id_col},
         batch_format="pyarrow", concurrency=4)
+
+
+def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
+                      id_col: str = "doc_id"):
+    """Banded Hamming candidate stage over 64-bit simhash fingerprints:
+    the fingerprint splits into `bands` 16-bit band keys; two docs within
+    Hamming distance `radius` <= bands-1 must agree exactly on at least
+    one band (pigeonhole), so a (band, key) groupby generates a complete
+    candidate set, verified in-bucket with a vectorized XOR popcount.
+    -> Dataset(a, b, hamming), deduped across bands."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        fp = t.column("simhash").to_numpy().astype(np.uint64)
+        n = len(ids)
+        bs = np.repeat(np.arange(bands, dtype=np.int64), n)
+        key = np.concatenate([
+            ((fp >> np.uint64(b * width)) & mask).astype(np.int64)
+            for b in range(bands)])
+        return pa.table({
+            "band": pa.array(bs),
+            "key": pa.array(key),
+            id_col: pa.array(np.tile(ids, bands)),
+            "fp": pa.array(np.tile(fp, bands)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        fp = g["fp"].to_numpy().astype(np.uint64)
+        x = fp[:, None] ^ fp[None, :]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                            axis=2).sum(axis=2)
+        ii, jj = np.nonzero(ham <= radius)
+        keep = ids[ii] < ids[jj]
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "hamming": ham[ii, jj][keep].astype(np.int64)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (fps_ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band", "key"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["a", "b"]).map_groups(dedup, batch_format="pandas"))
 
 
 def ngram_jaccard_pairs(docs_df: pd.DataFrame, tau: float, k: int = 3,

@@ -1,6 +1,11 @@
 """Text analysis stages: quality scoring, language-ID heuristic,
-token counting, document fingerprinting.  All stateless vectorized
-map_batches (regexes compiled at module import = once per worker)."""
+token counting, document fingerprinting.
+
+All stages are vectorized batch transforms: regex extraction and
+token/stopword matching run in polars (Rust) over the whole batch —
+the rayfts/tokenizer.py pattern — with the original per-row Python
+implementations kept as the semantic fallback (outputs identical).
+Regexes compile at module import = once per worker process."""
 
 from __future__ import annotations
 
@@ -13,6 +18,8 @@ import pyarrow as pa
 
 WORD_RE = re.compile(r"[A-Za-z0-9_]+")       # ASCII \w+, matches RE2 '[A-Za-z0-9_]+'
 TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+WORD_SQL_RE = "[A-Za-z0-9_]+"
+TOKEN_SQL_RE = "[a-z_][a-z0-9_]*|[0-9]+"
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
 
@@ -25,6 +32,20 @@ LANG_MARKERS = {
            "for", "on", "that", "this", "are", "it"},
 }
 _CJK = re.compile(r"[一-鿿]")
+_CJK_SQL = "[一-鿿]"
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+
+def _lower_words(texts):
+    """polars Series of per-doc lowered word lists ('[A-Za-z0-9_]+' has
+    case-insensitive boundaries, so extracting from lowered text equals
+    lowering the extracted words)."""
+    s = _pl.Series("t", texts, dtype=_pl.Utf8)
+    return s.fill_null("").str.to_lowercase().str.extract_all(WORD_SQL_RE)
 
 
 def quality_batch(t: pa.Table, text_col: str = "text",
@@ -32,26 +53,36 @@ def quality_batch(t: pa.Table, text_col: str = "text",
     """Per-doc quality features; every formula is reproducible in SQL:
     n_words = len(regexp_extract_all(text,'[A-Za-z0-9_]+')),
     n_stop over lowered tokens, ratios as rounded bigints."""
-    ids, n_words, n_stop, n_chars = [], [], [], []
-    for did, text in zip(t.column(id_col).to_pylist(),
-                         t.column(text_col).to_pylist()):
-        text = text or ""
-        words = WORD_RE.findall(text)
-        low = [w.lower() for w in words]
-        ids.append(int(did))
-        n_words.append(len(words))
-        n_stop.append(sum(w in STOPWORDS for w in low))
-        n_chars.append(len(text))
-    n_words_a = np.array(n_words, dtype=np.int64)
-    n_stop_a = np.array(n_stop, dtype=np.int64)
+    ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        toks = _lower_words(texts)
+        n_words_a = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+        n_stop_a = (toks.list.eval(_pl.element().is_in(list(STOPWORDS)))
+                    .list.sum().fill_null(0).cast(_pl.Int64)
+                    .to_numpy().copy())
+        n_chars_a = (_pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+                     .str.len_chars().cast(_pl.Int64).to_numpy().copy())
+    else:                     # pragma: no cover - semantic fallback
+        n_words, n_stop, n_chars = [], [], []
+        for text in texts:
+            text = text or ""
+            low = [w.lower() for w in WORD_RE.findall(text)]
+            n_words.append(len(low))
+            n_stop.append(sum(w in STOPWORDS for w in low))
+            n_chars.append(len(text))
+        n_words_a = np.array(n_words, dtype=np.int64)
+        n_stop_a = np.array(n_stop, dtype=np.int64)
+        n_chars_a = np.array(n_chars, dtype=np.int64)
     stop_q = np.floor(np.where(n_words_a > 0,
                                n_stop_a / np.maximum(n_words_a, 1), 0.0)
                       * 10000 + 0.5).astype(np.int64)
     return pa.table({
-        id_col: pa.array(ids, type=pa.int64()),
+        id_col: pa.array(ids_a, type=pa.int64()),
         "n_words": pa.array(n_words_a),
         "n_stop": pa.array(n_stop_a),
-        "n_chars_py": pa.array(np.array(n_chars, dtype=np.int64)),
+        "n_chars_py": pa.array(n_chars_a),
         "stop_ratio_q": pa.array(stop_q),
     })
 
@@ -59,45 +90,89 @@ def quality_batch(t: pa.Table, text_col: str = "text",
 def langid_batch(t: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Marker-word / CJK-char heuristic language ID (rows-only check;
-    accuracy is asserted against the `lang` column in pytest)."""
-    ids, preds = [], []
-    for did, text in zip(t.column(id_col).to_pylist(),
-                         t.column(text_col).to_pylist()):
-        text = text or ""
-        ids.append(int(did))
-        if _CJK.search(text):
-            preds.append("zh")
-            continue
-        toks = [w.lower() for w in WORD_RE.findall(text)]
-        scores = {lang: sum(tk in marks for tk in toks)
+    accuracy is asserted against the `lang` column in pytest).
+    Ties break alphabetically (argmax over lang-sorted score columns =
+    the original max(sorted(scores)) semantics)."""
+    ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    langs = sorted(LANG_MARKERS)
+    if _pl is not None:
+        toks = _lower_words(texts)
+        scores = np.stack([
+            toks.list.eval(_pl.element().is_in(sorted(LANG_MARKERS[lang])))
+            .list.sum().fill_null(0).cast(_pl.Int64).to_numpy().copy()
+            for lang in langs], axis=1)
+        is_cjk = (_pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+                  .str.contains(_CJK_SQL).to_numpy().copy())
+        pred = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+        pred[is_cjk] = "zh"
+        preds = pred.tolist()
+    else:                     # pragma: no cover - semantic fallback
+        preds = []
+        for text in texts:
+            text = text or ""
+            if _CJK.search(text):
+                preds.append("zh")
+                continue
+            low = [w.lower() for w in WORD_RE.findall(text)]
+            sc = {lang: sum(tk in marks for tk in low)
                   for lang, marks in LANG_MARKERS.items()}
-        preds.append(max(sorted(scores), key=lambda l: scores[l]))
+            preds.append(max(sorted(sc), key=lambda l: sc[l]))
     return pa.table({
-        id_col: pa.array(ids, type=pa.int64()),
+        id_col: pa.array(ids_a, type=pa.int64()),
         "pred_lang": pa.array(preds, type=pa.string()),
     })
 
 
+_CRC_CACHE: dict = {}
+
+
 def fingerprint_batch(t: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id", window: int = 8) -> pa.Table:
-    """Winnowing-style fingerprint: min rolling-crc over token windows
-    (deterministic; rows-only check)."""
-    ids, fps = [], []
-    for did, text in zip(t.column(id_col).to_pylist(),
-                         t.column(text_col).to_pylist()):
-        toks = TOKEN_RE.findall((text or "").lower())
-        ids.append(int(did))
-        if not toks:
-            fps.append(0)
-            continue
-        hs = np.array([zlib.crc32(x.encode()) for x in toks], dtype=np.uint64)
-        if len(hs) < window:
-            fps.append(int(hs.min()))
-            continue
-        # rolling window min (vectorized via stride trick)
-        sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-        fps.append(int(sw.min(axis=1).min()))
+    """Min-rolling-crc document fingerprint (deterministic; rows-only
+    check).  The window-min-of-mins reduces to the per-doc min over all
+    token crcs (every token is in some window), computed as one
+    segment-min over the batch's flat token stream; crc32 runs once per
+    UNIQUE token in the batch, not once per occurrence."""
+    ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8)
+        toks = s.fill_null("").str.to_lowercase().str.extract_all(
+            TOKEN_SQL_RE)
+        doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+        flat = toks.explode().drop_nulls().to_numpy()
+    else:                     # pragma: no cover - semantic fallback
+        doc_lens = np.zeros(len(texts), dtype=np.int64)
+        all_toks: list = []
+        for i, text in enumerate(texts):
+            tk = TOKEN_RE.findall((text or "").lower())
+            doc_lens[i] = len(tk)
+            all_toks.extend(tk)
+        flat = np.asarray(all_toks, dtype=object)
+
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    if len(flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, u in enumerate(uniq):
+            h = _CRC_CACHE.get(u)
+            if h is None:
+                h = zlib.crc32(u.encode())
+                if len(_CRC_CACHE) < (1 << 20):
+                    _CRC_CACHE[u] = h
+            uh[i] = h
+        hs = uh[inv]
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(doc_lens[:-1], out=starts[1:])
+        nonempty = doc_lens > 0
+        if nonempty.any():
+            # empty docs contribute zero length, so consecutive nonempty
+            # starts delimit exactly the per-doc token runs
+            fps[nonempty] = np.minimum.reduceat(hs, starts[nonempty])
     return pa.table({
-        id_col: pa.array(ids, type=pa.int64()),
+        id_col: pa.array(ids_a, type=pa.int64()),
         "fingerprint": pa.array(fps, type=pa.uint64()),
     })

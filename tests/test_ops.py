@@ -1,0 +1,168 @@
+"""LLM-data-pipeline operator tests: the vectorized batch paths must be
+bit-identical to the per-row reference implementations, and the bucketed
+candidate generators must be complete within their guarantees."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXTS = [
+    "def get_value(x): return x + 1",
+    "the quick brown fox is on the hill with a dog",
+    "der hund ist nicht mit der katze und der maus",
+    "el perro no es con la casa y el gato",
+    "",
+    "x",
+    "def get_value(x): return x + 1",          # exact dup of row 0
+    "def get_value(y): return y + 1",          # near dup of row 0
+    "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll",
+    "一二三 some mixed 中文 text",
+]
+IDS = list(range(len(TEXTS)))
+
+
+def _table():
+    return pa.table({"doc_id": pa.array(IDS, type=pa.int64()),
+                     "text": pa.array(TEXTS, type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# textstats: vectorized == per-row reference
+# ---------------------------------------------------------------------------
+
+def test_quality_batch_matches_reference():
+    from rayfts.ops import textstats as ts
+    out = ts.quality_batch(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        words = ts.WORD_RE.findall(text)
+        low = [w.lower() for w in words]
+        assert out["n_words"][i] == len(words)
+        assert out["n_stop"][i] == sum(w in ts.STOPWORDS for w in low)
+        assert out["n_chars_py"][i] == len(text)
+        exp_q = int(np.floor((sum(w in ts.STOPWORDS for w in low)
+                              / max(len(words), 1) if words else 0.0)
+                             * 10000 + 0.5))
+        assert out["stop_ratio_q"][i] == exp_q
+
+
+def test_langid_batch_matches_reference_and_is_sane():
+    from rayfts.ops import textstats as ts
+    out = ts.langid_batch(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        if ts._CJK.search(text):
+            exp = "zh"
+        else:
+            low = [w.lower() for w in ts.WORD_RE.findall(text)]
+            sc = {lang: sum(tk in m for tk in low)
+                  for lang, m in ts.LANG_MARKERS.items()}
+            exp = max(sorted(sc), key=lambda l: sc[l])
+        assert out["pred_lang"][i] == exp
+    assert out["pred_lang"][1] == "en"
+    assert out["pred_lang"][2] == "de"
+    assert out["pred_lang"][3] == "es"
+    assert out["pred_lang"][9] == "zh"
+
+
+def test_fingerprint_batch_matches_reference():
+    import zlib
+
+    from rayfts.ops import textstats as ts
+    out = ts.fingerprint_batch(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        toks = ts.TOKEN_RE.findall(text.lower())
+        exp = min((zlib.crc32(x.encode()) for x in toks), default=0)
+        assert int(out["fingerprint"][i]) == exp
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash: batch path == per-doc path
+# ---------------------------------------------------------------------------
+
+def test_minhash_batch_equals_per_doc_signature():
+    from rayfts.ops.dedup import MinHasher
+    mh = MinHasher(num_perm=32)
+    out = mh(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        np.testing.assert_array_equal(
+            np.asarray(out["sig"][i], dtype=np.uint64),
+            mh.signature(text))
+
+
+def test_simhash_batch_equals_per_doc_fingerprint():
+    from rayfts.ops.dedup import SimHasher
+    sh = SimHasher()
+    out = sh(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        assert int(out["simhash"][i]) == sh.fingerprint(text)
+
+
+def test_batch_shingles_equals_token_shingles():
+    from rayfts.ops.dedup import _batch_shingles, _token_shingles
+    hs, counts = _batch_shingles(TEXTS, 3)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for i, text in enumerate(TEXTS):
+        got = np.sort(hs[starts[i]:starts[i + 1]])
+        exp = np.sort(_token_shingles(text, 3))
+        np.testing.assert_array_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level ops (need Ray)
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates_aggregate(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.dedup import exact_duplicates
+    out = exact_duplicates(rd.from_arrow(_table())).to_pandas()
+    assert set(out.columns) == {"text_hash", "keeper", "n_dups"}
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and int(dup["keeper"].iloc[0]) == 0
+    assert out["n_dups"].sum() == len(TEXTS)
+
+
+def test_simhash_dup_pairs_complete_within_radius(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.dedup import SimHasher, simhash_dup_pairs
+    sh = SimHasher()
+    fps = np.array([sh.fingerprint(t) for t in TEXTS], dtype=np.uint64)
+    bands, radius = 4, 3
+    out = simhash_dup_pairs(
+        rd.from_arrow(pa.table({"doc_id": pa.array(IDS, type=pa.int64()),
+                                "simhash": pa.array(fps)})),
+        bands=bands, radius=radius).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # pigeonhole: radius <= bands-1 -> candidate generation is complete
+    exp = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin(int(fps[i] ^ fps[j])).count("1") <= radius:
+                exp.add((i, j))
+    assert got == exp
+
+
+def test_embedding_pairs_exact_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.ann import embedding_pairs_exact
+    rng = np.random.RandomState(3)
+    n, d, tau = 300, 16, 0.4
+    m = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64) * 7 + 3    # non-dense ids
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    out = embedding_pairs_exact(ds, tau=tau, block_rows=64).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    exp = {(int(ids[i]), int(ids[j]))
+           for i in range(n) for j in range(i + 1, n) if sims[i, j] >= tau}
+    assert got == exp
