@@ -332,3 +332,35 @@ def test_sidecar_mmap_no_dense_heap_array(built_index, ray_session):
     from rayfts import search
     r = search.block_max_wand_fast(idx, ["def", "return"], 5)
     assert len(r) > 0
+
+
+def test_query_service_and_pool_match_kernels(built_index, ray_session):
+    """Distributed serving parity: the resident QueryService and the
+    one-shot Dataset pool both return exactly the driver kernels'
+    top-k for every query (including an unknown-term query)."""
+    from rayfts import search
+    from rayfts.engine import QueryService, run_queries
+    from rayfts.index import InvertedIndex
+    _, index_dir, _ = built_index
+    idx = InvertedIndex(index_dir)
+    queries = [(0, ["def", "return"]), (1, ["if", "while", "for"]),
+               (2, ["zz_unknown_zz"])]
+    exp_rows = []
+    for qid, terms in queries:
+        for rank, (score, doc) in enumerate(
+                search.block_max_wand_fast(idx, terms, 5)):
+            exp_rows.append((qid, rank, doc, float(score)))
+
+    svc = QueryService(index_dir, op="block_max_wand", k=5, concurrency=2)
+    svc.warm()
+    got = svc.run(queries).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    svc.shutdown()
+    assert [(int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
+            for r in got.itertuples()] == exp_rows
+
+    ds_out = run_queries(index_dir, queries, op="block_max_wand", k=5,
+                         concurrency=2).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert [(int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
+            for r in ds_out.itertuples()] == exp_rows
