@@ -137,9 +137,12 @@ def run_reference_protocol(num_cpus: int) -> dict:
                     float(np.mean([len(t) for _, t in queries])), 2),
             }
         ops = {}
-        for op in ("ranked_and", "ranked_or", "wand", "maxscore",
+        for op in ("and", "ranked_and", "ranked_or", "wand", "maxscore",
                    "block_max_wand"):
-            kernel = getattr(search, f"{op}_fast")
+            # boolean AND runs the C leapfrog over the encoded skip
+            # structure (and_query_lazy); ranked ops use the DAAT kernels
+            kernel = (lambda i, t, _k: search.and_query(i, t)) \
+                if op == "and" else getattr(search, f"{op}_fast")
             for _, t in queries:                  # untimed warm-up run
                 kernel(idx, t, K)
             per = []

@@ -191,6 +191,15 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         with open(marker) as f:
             return json.load(f)["num_docs"]
 
+    import time as _time
+    sub_secs: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        sub_secs[name] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
     def _rename(t: pa.Table) -> pa.Table:
         # the internal dense docID owns the name "doc_id"; a source column
         # of that name becomes src_doc_id (mapped back at query time)
@@ -218,6 +227,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     boundaries = _sample_boundaries(
         keys_ds.map_batches(add_sortkey, batch_size=None, batch_format="pyarrow"),
         "sortkey", num_buckets)
+    _mark("key_boundaries")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         t = add_sortkey(t)
@@ -256,6 +266,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     # (no separate counting pass over the keys)
     bucket_rows = keyed.groupby("bucket").map_groups(
         bucket_keys, batch_format="pandas").take_all()
+    _mark("key_shuffle")
     num_buckets_eff = len(boundaries) + 1
     totals = np.zeros(num_buckets_eff, dtype=np.int64)
     for r in bucket_rows:
@@ -290,8 +301,15 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     # plain tasks, not an actor pool: Ray pre-starts one worker process
     # per CPU, so parallelism is immediate (an autoscaling actor pool
     # ramps up one costly import at a time); the per-worker bucket-map
-    # cache lives in module state and persists across tasks
-    tokens = (rd.read_parquet(source_path)
+    # cache lives in module state and persists across tasks.
+    # override_num_blocks: Ray sizes read tasks to ~128 MB and FUSES the
+    # map chain into them, so a multi-GB corpus would otherwise run the
+    # whole tokenize pass at ~10-way parallelism no matter the cluster
+    # size; data-dependent (never cpu-dependent — scaling runs must
+    # compare the same physical plan), capped by row-group granularity
+    tokens = (rd.read_parquet(source_path,
+                              override_num_blocks=max(
+                                  64, min(num_docs // 2048, 4096)))
               .map_batches(_rename, batch_size=None, batch_format="pyarrow")
               .map_batches(
                   lambda t: _assign_tokenize(t, **assign_kwargs),
@@ -302,11 +320,12 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     tmp = tokens_dir + ".tmp"
     tokens.write_parquet(tmp)
     os.replace(tmp, tokens_dir)
+    _mark("content_pass")
     with open(tokens_marker, "w") as f:
         json.dump({"text_col": text_col}, f)
     with open(marker, "w") as f:
         json.dump({"num_docs": num_docs, "input": source_path,
-                   "key_cols": key_cols}, f)
+                   "key_cols": key_cols, "sub_secs": sub_secs}, f)
     return num_docs
 
 
@@ -556,22 +575,46 @@ class _ShardEncoder:
         firsts = group.column("first_doc").to_numpy()
         order = np.lexsort((firsts, salts, tids))
 
-        dcol = group.column("doc_ids").combine_chunks()
-        fcol = group.column("freqs").combine_chunks()
-        d_off = dcol.offsets.to_numpy().astype(np.int64)
-        d_val = dcol.values.to_numpy().astype(np.int64)
-        f_val = fcol.values.to_numpy().astype(np.int64)
-        seg_lo = d_off[:-1]
-        lens = d_off[1:] - seg_lo
+        if "docs_vb" in group.schema.names:
+            # packed exchange payload: concatenate the rows' delta-vbyte
+            # streams in merge order, decode ONCE (vectorized), then
+            # rebuild absolute docIDs by per-row prefix sums (row-first
+            # values are absolute)
+            from .codecs import vbyte
+            ord_lens = group.column("n").to_numpy().astype(np.int64)[order]
+            total = int(ord_lens.sum())
+            out_starts = np.zeros(len(order), dtype=np.int64)
+            np.cumsum(ord_lens[:-1], out=out_starts[1:])
+            dbytes = group.column("docs_vb").to_pylist()
+            fbytes = group.column("freqs_vb").to_pylist()
+            dstream = np.frombuffer(
+                b"".join(dbytes[i] for i in order), dtype=np.uint8)
+            fstream = np.frombuffer(
+                b"".join(fbytes[i] for i in order), dtype=np.uint8)
+            deltas, _ = vbyte.decode(dstream, 0, total)
+            all_freqs, _ = vbyte.decode(fstream, 0, total)
+            all_freqs = all_freqs.astype(np.int64)
+            g = np.cumsum(deltas.astype(np.int64))
+            prev = np.zeros(len(order), dtype=np.int64)
+            prev[1:] = g[out_starts[1:] - 1]
+            all_docs = g - np.repeat(prev, ord_lens)
+        else:
+            dcol = group.column("doc_ids").combine_chunks()
+            fcol = group.column("freqs").combine_chunks()
+            d_off = dcol.offsets.to_numpy().astype(np.int64)
+            d_val = dcol.values.to_numpy().astype(np.int64)
+            f_val = fcol.values.to_numpy().astype(np.int64)
+            seg_lo = d_off[:-1]
+            lens = d_off[1:] - seg_lo
 
-        ord_lens = lens[order]
-        total = int(ord_lens.sum())
-        out_starts = np.zeros(len(order), dtype=np.int64)
-        np.cumsum(ord_lens[:-1], out=out_starts[1:])
-        gidx = (np.repeat(seg_lo[order] - out_starts, ord_lens)
-                + np.arange(total, dtype=np.int64))
-        all_docs = d_val[gidx]
-        all_freqs = f_val[gidx]
+            ord_lens = lens[order]
+            total = int(ord_lens.sum())
+            out_starts = np.zeros(len(order), dtype=np.int64)
+            np.cumsum(ord_lens[:-1], out=out_starts[1:])
+            gidx = (np.repeat(seg_lo[order] - out_starts, ord_lens)
+                    + np.arange(total, dtype=np.int64))
+            all_docs = d_val[gidx]
+            all_freqs = f_val[gidx]
 
         ord_tids = tids[order]
         new_term = np.empty(len(order), dtype=bool)
@@ -702,18 +745,26 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         partial posting lists.  This is what keeps the groupby("bucket")
         exchange small — lists, not token rows, cross the wire — and what
         bounds a hot term's shuffle unit (salt = docID-range split)."""
+        packed = num_docs < (1 << 31)
         doc_ids = t.column("doc_id").to_numpy()
         tfs = t.column("tf").to_numpy()
         if len(doc_ids) == 0:
+            if packed:
+                return pa.table({
+                    "term_id": pa.array([], type=pa.int64()),
+                    "salt": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "first_doc": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "docs_vb": pa.array([], type=pa.binary()),
+                    "freqs_vb": pa.array([], type=pa.binary())})
             return pa.table({
                 "term_id": pa.array([], type=pa.int64()),
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
-                "doc_ids": pa.array([], type=pa.list_(
-                    pa.int32() if num_docs < (1 << 31) else pa.int64())),
-                "freqs": pa.array([], type=pa.list_(
-                    pa.int32() if num_docs < (1 << 31) else pa.int64()))})
+                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                "freqs": pa.array([], type=pa.list_(pa.int64()))})
         import pyarrow.compute as pc
         vocab = ray.get(vocab_ref)
         ns = ray.get(nsalts_ref)
@@ -737,22 +788,50 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         loffsets = np.append(starts, len(tids)).astype(np.int32)
         g_tids = tids[starts]
         bucket = np.searchsorted(offsets, g_tids, side="right") - 1
-        # narrowest dtype that fits: the list payload is most of what the
-        # one big shuffle moves (encoder widens back to int64 on decode)
-        if num_docs < (1 << 31):
-            ldt, lnp = pa.int32(), np.int32
-        else:
-            ldt, lnp = pa.int64(), np.int64
-        return pa.table({
+        base_cols = {
             "term_id": pa.array(g_tids, type=pa.int64()),
             "salt": pa.array(salts[starts], type=pa.int64()),
             "bucket": pa.array(bucket, type=pa.int64()),
             "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
+        }
+        if packed:
+            # delta + vbyte pack the list payloads: this is most of what
+            # the one big shuffle moves, and small gaps encode in 1-2
+            # bytes vs 8 for the int32 pair (VERDICT r01 #7).  Row-first
+            # values stay absolute so rows decode independently.
+            from .codecs import vbyte
+            counts = (loffsets[1:] - loffsets[:-1]).astype(np.int64)
+            deltas = doc_ids.astype(np.int64).copy()
+            deltas[1:] -= doc_ids[:-1]
+            deltas[starts] = doc_ids[starts]
+            tfc = np.minimum(tfs, (1 << 31) - 1).astype(np.int64)
+            dv = vbyte.encode(deltas)
+            fv = vbyte.encode(tfc)
+            dlen = vbyte.value_lengths(deltas)
+            flen = vbyte.value_lengths(tfc)
+            dends = np.cumsum(dlen)
+            fends = np.cumsum(flen)
+            bnds = np.append(starts, len(tids))
+            d_off = np.zeros(len(starts) + 1, dtype=np.int32)
+            f_off = np.zeros(len(starts) + 1, dtype=np.int32)
+            d_off[1:] = dends[bnds[1:] - 1]
+            f_off[1:] = fends[bnds[1:] - 1]
+            docs_vb = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(d_off.tobytes()),
+                 pa.py_buffer(dv.tobytes())])
+            freqs_vb = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(f_off.tobytes()),
+                 pa.py_buffer(fv.tobytes())])
+            return pa.table({**base_cols,
+                             "n": pa.array(counts, type=pa.int64()),
+                             "docs_vb": docs_vb, "freqs_vb": freqs_vb})
+        return pa.table({**base_cols,
             "doc_ids": pa.ListArray.from_arrays(
-                loffsets, pa.array(doc_ids.astype(lnp), type=ldt)),
+                loffsets, pa.array(doc_ids.astype(np.int64), type=pa.int64())),
             "freqs": pa.ListArray.from_arrays(
-                loffsets, pa.array(np.minimum(tfs, (1 << 31) - 1).astype(lnp)
-                                   if lnp is np.int32 else tfs, type=ldt)),
+                loffsets, pa.array(tfs.astype(np.int64), type=pa.int64())),
         })
 
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),

@@ -34,6 +34,16 @@ def encode(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def value_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length (1..5) per value — for segmenting a packed
+    stream without re-encoding."""
+    values = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(values), dtype=np.int64)
+    for bound in ((1 << 7), (1 << 14), (1 << 21), (1 << 28)):
+        nbytes += values >= bound
+    return nbytes
+
+
 def encode_single(value: int) -> bytes:
     return encode(np.array([value], dtype=np.uint64)).tobytes()
 
