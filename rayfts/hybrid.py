@@ -19,11 +19,16 @@ Pipeline:
      its chosen codec into the mixed container (1 tag byte per block
      payload) and writes the hybrid index directory.
 
-Decode-time model: the reference trains a linear per-codec predictor
-offline (dec_time_regression.py over features from
-dec_time_prediction.hpp:13).  We use fixed per-codec (alpha, beta)
-nanosecond constants measured once on this container — deterministic
-stand-ins with the same role (documented deviation).
+Decode-time model: the reference samples a fraction of blocks with a
+fixed seed, measures decode times, and trains a linear per-codec
+predictor offline (profile_decoding.cpp:77-101 seed 1729,
+dec_time_regression.py over dec_time_prediction.hpp:13 features).
+``profile_decode_times`` is the in-process analogue: a seeded block
+sample from the source index, each block re-encoded with every codec
+and its decode timed (best-of-3), then a least-squares fit of
+ns = alpha + beta*n per codec.  The measured model drives the lambda
+computation and is recorded in the hybrid meta; the fixed TIME_NS
+constants remain only as the fallback when profiling is disabled.
 """
 
 from __future__ import annotations
@@ -48,8 +53,8 @@ from .codecs.blocks import (
 TAGS = {0: PackedBlock, 1: VByteBlock, 2: InterpolativeBlock}
 TAG_OF = {c.name: t for t, c in TAGS.items()}
 
-#: decode-time model ns = alpha + beta * n (fixed deterministic stand-in
-#: for the trained predictor of dec_time_prediction.hpp)
+#: decode-time model ns = alpha + beta * n — fallback constants, used
+#: only when a measured model is not supplied
 TIME_NS = {
     "packed": (900.0, 2.0),
     "vbyte": (1100.0, 9.0),
@@ -57,9 +62,66 @@ TIME_NS = {
 }
 
 
-def _time_ns(codec_name: str, n: int) -> float:
-    a, b = TIME_NS[codec_name]
+def _time_ns(codec_name: str, n: int, model: dict | None = None) -> float:
+    a, b = (model or TIME_NS)[codec_name]
     return a + b * n
+
+
+def profile_decode_times(index_dir: str, fraction: float = 0.1,
+                         seed: int = 1729, max_blocks: int = 512) -> dict:
+    """Seeded block-sample decode-time measurement
+    (profile_decoding.cpp:77-101: fixed seed 1729, fraction of blocks).
+    Each sampled 128-block is re-encoded with every block codec and its
+    decode timed (best of 3); a least-squares line ns = alpha + beta*n
+    is fitted per codec.  Single-threaded like the reference profiler —
+    the times model ONE core's decode cost."""
+    import time
+
+    from .codecs.posting import decode_posting_list
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_docs = int(meta["num_docs"])
+    index_type = meta["index_type"]
+    rng = np.random.RandomState(seed)
+    shards_dir = os.path.join(index_dir, "shards")
+    samples: dict[str, list[tuple[int, float]]] = {
+        name: [] for name in BLOCK_CODECS}
+    n_sampled = 0
+    for fname in sorted(os.listdir(shards_dir)):
+        if not fname.endswith(".parquet") or n_sampled >= max_blocks:
+            continue
+        t = pq.read_table(os.path.join(shards_dir, fname),
+                          columns=["docs_bytes", "freqs_bytes"])
+        for i in range(t.num_rows):
+            if n_sampled >= max_blocks:
+                break
+            docs, freqs = decode_posting_list(
+                index_type, t.column("docs_bytes")[i].as_py(),
+                t.column("freqs_bytes")[i].as_py(), num_docs)
+            for _b, _s, vals, sov in _iter_block_streams(docs, freqs):
+                if rng.rand() >= fraction or n_sampled >= max_blocks:
+                    continue
+                n_sampled += 1
+                for name, codec in BLOCK_CODECS.items():
+                    buf = bytearray()
+                    codec.encode(vals, sov, buf)
+                    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.perf_counter_ns()
+                        codec.decode(arr, 0, sov, len(vals))
+                        best = min(best, time.perf_counter_ns() - t0)
+                    samples[name].append((len(vals), best))
+    model = {}
+    for name, pts in samples.items():
+        if len(pts) >= 2:
+            ns = np.array([p[0] for p in pts], dtype=np.float64)
+            ts = np.array([p[1] for p in pts], dtype=np.float64)
+            beta, alpha = np.polyfit(ns, ts, 1)
+            model[name] = (max(0.0, float(alpha)), max(0.0, float(beta)))
+        else:                # tiny index: fall back per codec
+            model[name] = TIME_NS[name]
+    return model
 
 
 # --------------------------------------------------------------------------
@@ -158,19 +220,28 @@ class MixedPostingListReader:
 # candidate costs per block
 # --------------------------------------------------------------------------
 
-def _block_candidates(values: np.ndarray, sum_of_values) -> list[tuple[int, int, float]]:
+def _block_candidates(values: np.ndarray, sum_of_values,
+                      model: dict | None = None
+                      ) -> list[tuple[int, int, float]]:
     """[(tag, space_bytes, time_ns)] for one block stream."""
     out = []
     n = len(values)
     for name, codec in BLOCK_CODECS.items():
         buf = bytearray()
         codec.encode(values, sum_of_values, buf)
-        out.append((TAG_OF[name], len(buf) + 1, _time_ns(name, n)))  # +1 tag
+        out.append((TAG_OF[name], len(buf) + 1,
+                    _time_ns(name, n, model)))  # +1 tag
     return out
 
 
 def _pareto(cands):
-    """Space-ascending Pareto frontier (ties keep fastest)."""
+    """Space-ascending CONVEX frontier (ties keep fastest).  Plain
+    Pareto is not enough: the greedy walk applies transitions in global
+    gain order and each block's chain must therefore have DECREASING
+    gain along it, or a later higher-gain hop sorts before its
+    predecessor, fails the cur_tag check and is never revisited,
+    under-using the budget (ADVICE r01; the reference's lambda ordering
+    is convex by construction, optimal_hybrid_index.cpp:115-131)."""
     cands = sorted(cands, key=lambda x: (x[1], x[2]))
     front = []
     best_t = float("inf")
@@ -178,7 +249,20 @@ def _pareto(cands):
         if t < best_t:
             front.append((tag, s, t))
             best_t = t
-    return front
+    # upper-left convex hull over (space, time): drop points that make
+    # the gain sequence non-decreasing
+    hull = front[:1]
+    for p in front[1:]:
+        while len(hull) >= 2:
+            a, b = hull[-2], hull[-1]
+            g_ab = (a[2] - b[2]) / (b[1] - a[1])
+            g_bp = (b[2] - p[2]) / (p[1] - b[1])
+            if g_bp >= g_ab:
+                hull.pop()
+            else:
+                break
+        hull.append(p)
+    return hull
 
 
 def _iter_block_streams(docs: np.ndarray, freqs: np.ndarray):
@@ -205,7 +289,8 @@ def _iter_block_streams(docs: np.ndarray, freqs: np.ndarray):
 # the Ray pipeline
 # --------------------------------------------------------------------------
 
-def compute_lambdas(index_dir: str, out_dir: str) -> str:
+def compute_lambdas(index_dir: str, out_dir: str,
+                    time_model: dict | None = None) -> str:
     """Stage 1: λ rows parquet (resumable checkpoint). Returns its path."""
     lam_dir = os.path.join(out_dir, "lambdas")
     marker = lam_dir + ".done.json"
@@ -228,7 +313,7 @@ def compute_lambdas(index_dir: str, out_dir: str) -> str:
             fb = batch.column("freqs_bytes")[i].as_py()
             docs, freqs = decode_posting_list(index_type, db, fb, num_docs)
             for b, stream, vals, sov in _iter_block_streams(docs, freqs):
-                front = _pareto(_block_candidates(vals, sov))
+                front = _pareto(_block_candidates(vals, sov, time_model))
                 base_tag, base_s, _ = front[0]
                 rows["term_id"].append(tid)
                 rows["block"].append(b)
@@ -276,7 +361,7 @@ def compute_lambdas(index_dir: str, out_dir: str) -> str:
                    batch_format="pyarrow").write_parquet(tmp)
     os.replace(tmp, lam_dir)
     with open(marker, "w") as f:
-        json.dump({"source": index_dir}, f)
+        json.dump({"source": index_dir, "time_model": time_model}, f)
     return lam_dir
 
 
@@ -322,7 +407,8 @@ def choose_codecs(lam_dir: str, budget_factor: float) -> dict:
 
 
 def build_hybrid(index_dir: str, out_dir: str,
-                 budget_factor: float = 1.15) -> dict:
+                 budget_factor: float = 1.15,
+                 profile_fraction: float = 0.1) -> dict:
     """Full hybrid re-encode; returns the new index meta."""
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(index_dir, "meta.json")) as f:
@@ -330,9 +416,37 @@ def build_hybrid(index_dir: str, out_dir: str,
     num_docs = int(src_meta["num_docs"])
     index_type = src_meta["index_type"]
 
-    lam_dir = compute_lambdas(index_dir, out_dir)
+    # measured decode-time model (profile_decoding analogue); a resumed
+    # lambdas checkpoint keeps the model it was computed with
+    lam_marker = os.path.join(out_dir, "lambdas.done.json")
+    if os.path.exists(lam_marker):
+        with open(lam_marker) as f:
+            time_model = json.load(f).get("time_model") or None
+        if time_model:
+            time_model = {k: tuple(v) for k, v in time_model.items()}
+    else:
+        time_model = (profile_decode_times(index_dir,
+                                           fraction=profile_fraction)
+                      if profile_fraction > 0 else None)
+    lam_dir = compute_lambdas(index_dir, out_dir, time_model)
     plan = choose_codecs(lam_dir, budget_factor)
     choice = plan["choice"]
+
+    # per-shard resume is only valid against the SAME plan: a changed
+    # budget_factor would otherwise silently mix two codec plans
+    # (ADVICE r01)
+    out_shards = os.path.join(out_dir, "shards")
+    plan_marker = os.path.join(out_dir, "plan.json")
+    plan_key = {"budget_factor": budget_factor, "source": index_dir,
+                "spent": plan["spent"], "base_space": plan["base_space"]}
+    if os.path.exists(plan_marker):
+        with open(plan_marker) as f:
+            old = json.load(f)
+        if old != plan_key and os.path.isdir(out_shards):
+            shutil.rmtree(out_shards)
+    with open(plan_marker + ".tmp", "w") as f:
+        json.dump(plan_key, f)
+    os.replace(plan_marker + ".tmp", plan_marker)
 
     from .codecs.posting import decode_posting_list
 
@@ -360,7 +474,6 @@ def build_hybrid(index_dir: str, out_dir: str,
         return pa.table(cols)
 
     shards_dir = os.path.join(index_dir, "shards")
-    out_shards = os.path.join(out_dir, "shards")
     os.makedirs(out_shards, exist_ok=True)
     for fname in sorted(os.listdir(shards_dir)):
         if not fname.endswith(".parquet"):
@@ -386,7 +499,8 @@ def build_hybrid(index_dir: str, out_dir: str,
     meta["index_type"] = "block_mixed"
     meta["hybrid"] = {"source": index_dir, "budget_factor": budget_factor,
                       "base_space_bytes": plan["base_space"],
-                      "spent_bytes": plan["spent"]}
+                      "spent_bytes": plan["spent"],
+                      "time_model_ns": time_model}
     tmp = os.path.join(out_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)

@@ -72,3 +72,43 @@ def test_lambda_checkpoint_resume(source_index, tmp_path_factory):
     p2 = compute_lambdas(source_index, out)
     assert p1 == p2 and os.path.getmtime(p2) == mtime, \
         "second call should hit the checkpoint, not recompute"
+
+
+def test_pareto_frontier_is_convex():
+    """Gains must strictly decrease along each block's transition chain
+    or the global-gain greedy walk skips upgrades forever (ADVICE r01)."""
+    from rayfts.hybrid import _pareto
+    # crafted candidates: pareto-optimal but non-convex middle point
+    cands = [(0, 10, 1000.0), (1, 12, 990.0), (2, 20, 100.0)]
+    front = _pareto(cands)
+    gains = [(front[j - 1][2] - front[j][2]) / (front[j][1] - front[j - 1][1])
+             for j in range(1, len(front))]
+    assert all(gains[i] > gains[i + 1] for i in range(len(gains) - 1))
+    # the low-gain middle hop (1000->990 over 2 bytes = 5/byte, vs the
+    # direct 0->2 hop at 90/byte) must be hulled away
+    assert [f[0] for f in front] == [0, 2]
+
+
+def test_hybrid_plan_change_invalidates_shards(source_index, tmp_path_factory):
+    """Re-running build_hybrid with a different budget_factor must not
+    reuse shards encoded under the previous plan (ADVICE r01)."""
+    import json
+
+    from rayfts.hybrid import build_hybrid
+    index_dir = source_index
+    out = str(tmp_path_factory.mktemp("hyb_replan"))
+    build_hybrid(index_dir, out, budget_factor=1.0)
+    first = {f: os.path.getmtime(os.path.join(out, "shards", f))
+             for f in os.listdir(os.path.join(out, "shards"))}
+    meta2 = build_hybrid(index_dir, out, budget_factor=10.0)
+    assert meta2["hybrid"]["budget_factor"] == 10.0
+    second = {f: os.path.getmtime(os.path.join(out, "shards", f))
+              for f in os.listdir(os.path.join(out, "shards"))}
+    assert all(second[f] > first[f] for f in first), \
+        "shards from the old plan were reused"
+    # measured decode-time model recorded in the meta
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    tm = meta["hybrid"]["time_model_ns"]
+    assert set(tm) == {"packed", "vbyte", "interpolative"}
+    assert all(len(v) == 2 for v in tm.values())
