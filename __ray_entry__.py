@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_interp": _postings_for("block_interpolative"),
         "postings_block_vbyte": _postings_for("block_vbyte"),
         "postings_block_mixed": _postings_for("block_mixed"),
+        "postings_block_optpfd": _postings_for("block_optpfd"),
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -509,7 +510,7 @@ SELECT term, doc_id, tf FROM tf"""
     sqls["postings_block"] = postings_sql
     sqls["postings_hybrid"] = postings_sql
     for _t in ("ef", "single", "uniform", "block_interp", "block_vbyte",
-               "block_mixed"):
+               "block_mixed", "block_optpfd"):
         sqls[f"postings_{_t}"] = postings_sql
 
     sqls["doc_lengths"] = f"""

@@ -122,9 +122,14 @@ def run_reference_protocol(num_cpus: int) -> dict:
     mixed_dir = "/tmp/rayfts_bench/refcol_mixed"
     if not os.path.exists(os.path.join(mixed_dir, "meta.json")):
         build_hybrid(base_dir, mixed_dir, budget_factor=1.15)
+    optpfd_dir = "/tmp/rayfts_bench/refcol_block_optpfd"
+    if not os.path.exists(os.path.join(optpfd_dir, "meta.json")):
+        build_index(src, optpfd_dir, index_type="block_optpfd",
+                    num_shards=64)
 
     out: dict = {"reference_published_ranked_and_us": REF_PUBLISHED_US}
-    for name, d in (("block_mixed", mixed_dir), ("block_packed", base_dir)):
+    for name, d in (("block_mixed", mixed_dir), ("block_packed", base_dir),
+                    ("block_optpfd", optpfd_dir)):
         idx = InvertedIndex(d)
         queries = _ref_queries(idx.num_terms)
         if "collection" not in out:
@@ -137,6 +142,14 @@ def run_reference_protocol(num_cpus: int) -> dict:
                     float(np.mean([len(t) for _, t in queries])), 2),
             }
         ops = {}
+        # interleaved block stream: bits per posting (docs+freqs);
+        # mixed meta inherits source bits, so use the plan's spent bytes
+        tp = max(1, int(idx.meta["total_postings"]))
+        if "hybrid" in idx.meta:
+            bpp = 8.0 * idx.meta["hybrid"]["spent_bytes"] / tp
+        else:
+            bpp = float(idx.meta.get("docs_bits", 0)) / tp
+        ops["bits_per_posting"] = round(bpp, 3)
         for op in ("and", "ranked_and", "ranked_or", "wand", "maxscore",
                    "block_max_wand"):
             # boolean AND runs the C leapfrog over the encoded skip

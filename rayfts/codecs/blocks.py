@@ -107,7 +107,10 @@ class VByteBlock:
         return vb.decode(data, pos, n)
 
 
-BLOCK_CODECS = {c.name: c for c in (InterpolativeBlock, PackedBlock, VByteBlock)}
+from .optpfd import OptPfdBlock  # noqa: E402  (cycle-free: optpfd imports bits only)
+
+BLOCK_CODECS = {c.name: c for c in (InterpolativeBlock, PackedBlock,
+                                    VByteBlock, OptPfdBlock)}
 
 
 # --- block posting list (block_posting_list.hpp:13-53) -------------------

@@ -36,6 +36,7 @@ _BLOCK_CODEC_ID = {
     "block_vbyte": 1,
     "block_interpolative": 2,
     "block_mixed": 3,
+    "block_optpfd": 4,
 }
 
 #: index types the native lazy enumerators can serve

@@ -742,7 +742,7 @@ typedef struct {
     i64 fendp_bits, fendp_off, fseq_off;
     /* kind 1: block container (byte data, padded by 8) */
     const uint8_t *bdata;
-    i64 codec;              /* 0 packed 1 vbyte 2 interp 3 mixed */
+    i64 codec;              /* 0 packed 1 vbyte 2 interp 3 mixed 4 optpfd */
     i64 nblk;
     const uint32_t *blk_maxs; const uint32_t *blk_endp;
     i64 begin_blocks;
@@ -1079,10 +1079,84 @@ static i64 c_interp_decode(const uint8_t *data, i64 pos, i64 sum_known,
     return pos;
 }
 
-/* decode gaps with one codec; tag 0 packed / 1 vbyte / 2 interp */
+/* Simple16 slot widths per mode (must equal optpfd.py _S16_WIDTHS),
+ * 0-terminated rows */
+static const uint8_t s16_widths[16][29] = {
+    {1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,0},
+    {2,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,0},
+    {1,1,1,1,1,1,1,2,2,2,2,2,2,2,1,1,1,1,1,1,1,0},
+    {1,1,1,1,1,1,1,1,1,1,1,1,1,1,2,2,2,2,2,2,2,0},
+    {2,2,2,2,2,2,2,2,2,2,2,2,2,2,0},
+    {4,3,3,3,3,3,3,3,3,0},
+    {3,4,4,4,4,3,3,3,0},
+    {4,4,4,4,4,4,4,0},
+    {5,5,5,5,4,4,0},
+    {4,4,5,5,5,5,0},
+    {6,6,6,5,5,0},
+    {5,5,6,6,6,0},
+    {7,7,7,7,0},
+    {10,9,9,0},
+    {14,14,0},
+    {28,0},
+};
+
+static i64 c_s16_decode(const uint8_t *data, i64 pos, i64 count, i64 *out) {
+    i64 got = 0;
+    while (got < count) {
+        uint32_t word;
+        memcpy(&word, data + pos, 4);
+        pos += 4;
+        const uint8_t *w = s16_widths[word >> 28];
+        int shift = 0;
+        for (int j = 0; w[j] && got < count; j++) {
+            out[got++] = (i64)((word >> shift) & ((1u << w[j]) - 1u));
+            shift += w[j];
+        }
+    }
+    return pos;
+}
+
+/* OptPFD full block: b | E | b-bit lows | Simple16 [pos-deltas, highs];
+ * partial blocks are interpolative (optpfd.py / block_codecs.hpp:196) */
+static i64 c_optpfd_decode(const uint8_t *data, i64 pos, i64 sum_known,
+                           i64 n, i64 *out) {
+    if (n < 128) return c_interp_decode(data, pos, sum_known, n, out);
+    int b = data[pos];
+    i64 E = data[pos + 1];
+    pos += 2;
+    if (b == 32) {
+        for (i64 i = 0; i < n; i++) {
+            uint32_t v;
+            memcpy(&v, data + pos + 4 * i, 4);
+            out[i] = (i64)v;
+        }
+        return pos + 4 * n;
+    }
+    if (b) {
+        i64 bit = pos << 3;
+        for (i64 i = 0; i < n; i++, bit += b)
+            out[i] = (i64)bread8(data, bit, b);
+        pos += ((i64)n * b + 7) >> 3;
+    } else {
+        for (i64 i = 0; i < n; i++) out[i] = 0;
+    }
+    if (E) {
+        i64 tmp[256];
+        pos = c_s16_decode(data, pos, 2 * E, tmp);
+        i64 p = -1;
+        for (i64 i = 0; i < E; i++) {
+            p += tmp[i] + 1;
+            out[p] |= tmp[E + i] << b;
+        }
+    }
+    return pos;
+}
+
+/* decode gaps with one codec; tag 0 packed / 1 vbyte / 2 interp / 3 optpfd */
 static i64 c_blk_codec_decode(i64 tag, const uint8_t *data, i64 pos,
                               i64 sum_known, i64 n, i64 *out) {
     if (tag == 2) return c_interp_decode(data, pos, sum_known, n, out);
+    if (tag == 3) return c_optpfd_decode(data, pos, sum_known, n, out);
     if (sum_known < 0 && tag != 2) { /* vbyte/packed ignore the sum */ }
     if (tag == 0) return c_packed_decode(data, pos, n, out);
     return c_vbyte_decode(data, pos, n, out);
@@ -1098,6 +1172,7 @@ static int blk_load(lzdesc *d, i64 b) {
     i64 block_base = b ? ((i64)d->blk_maxs[b - 1] + 1) : 0;
     i64 block_max = (i64)d->blk_maxs[b];
     i64 dtag = d->codec, ftag = d->codec;
+    if (d->codec == 4) { dtag = 3; ftag = 3; }   /* block_optpfd index */
     if (d->codec == 3) { dtag = d->bdata[pos++]; }
     pos = c_blk_codec_decode(dtag, d->bdata, pos,
                              block_max - block_base - (cur - 1), cur, d->dbuf);

@@ -1,0 +1,207 @@
+"""OptPFD (patched frame-of-reference) 128-integer block codec —
+the reference's `optpfor_block` (block_codecs.hpp:150-227: FastPFor
+OPTPFor<4, Simple16>) re-implemented from the published algorithm
+(Yan/Ding/Suel WWW'09; Zhang et al. Simple16), not from the vendored
+SSE code.  Semantics kept:
+
+* full 128-value blocks only; partial blocks fall back to
+  interpolative coding exactly like the reference (:196-199);
+* per-block bit width b chosen over FastPFor's possLogs ladder by
+  exact size accounting, preferring the LARGER b on ties and never
+  testing b where an exception's high part would exceed Simple16's
+  28-bit limit (the findBestB loop at :155-181);
+* values split into b-bit lows (bit-packed) and exceptions; exception
+  positions (delta-1) and high parts are Simple16-coded.
+
+Layout (own format, byte-aligned):
+  byte0 = b, byte1 = #exceptions E (0..128 -> stored as E, fits u8
+  since b=0 blocks cap E at 128), ceil(128*b/8) bytes of lows,
+  then E>0: one Simple16 stream of the 2E values
+  [pos_delta_0(=p0), pos_delta_i(=p_i-p_{i-1}-1)..., highs...],
+  4 bytes per Simple16 word (LE, selector in the top 4 bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bits import pack_fields, read_fields, words_from_bytes
+
+BLOCK_SIZE = 128
+
+#: FastPFor OPTPFor bit-width ladder
+POSS_LOGS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16, 20, 32)
+
+#: Simple16 modes: per-word slot widths (each sums to 28 payload bits)
+_S16_WIDTHS = [
+    [1] * 28,
+    [2] * 7 + [1] * 14,
+    [1] * 7 + [2] * 7 + [1] * 7,
+    [1] * 14 + [2] * 7,
+    [2] * 14,
+    [4] * 1 + [3] * 8,
+    [3] * 1 + [4] * 4 + [3] * 3,
+    [4] * 7,
+    [5] * 4 + [4] * 2,
+    [4] * 2 + [5] * 4,
+    [6] * 3 + [5] * 2,
+    [5] * 2 + [6] * 3,
+    [7] * 4,
+    [10] * 1 + [9] * 2,
+    [14] * 2,
+    [28] * 1,
+]
+_S16_W = [np.array(w, dtype=np.uint64) for w in _S16_WIDTHS]
+_S16_LIM = [(np.uint64(1) << w) for w in _S16_W]
+
+
+def _s16_encode(vals: np.ndarray) -> np.ndarray:
+    """-> uint32 word array (greedy first-fit mode per word)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    words = []
+    i, n = 0, len(vals)
+    while i < n:
+        for mi, (widths, lim) in enumerate(zip(_S16_W, _S16_LIM)):
+            k = min(len(widths), n - i)
+            chunk = vals[i:i + k]
+            if not (chunk < lim[:k]).all():
+                continue
+            word = mi << 28
+            shift = 0
+            for j in range(k):
+                word |= int(chunk[j]) << shift
+                shift += int(widths[j])
+            words.append(word)
+            i += k
+            break
+        else:
+            raise ValueError("value exceeds Simple16's 28-bit limit")
+    return np.asarray(words, dtype=np.uint32)
+
+
+def _s16_nwords(vals: np.ndarray) -> int:
+    """Greedy word count without materializing the stream (tryB sizing)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    i, n, words = 0, len(vals), 0
+    while i < n:
+        for widths, lim in zip(_S16_W, _S16_LIM):
+            k = min(len(widths), n - i)
+            if (vals[i:i + k] < lim[:k]).all():
+                words += 1
+                i += k
+                break
+        else:
+            raise ValueError("value exceeds Simple16's 28-bit limit")
+    return words
+
+
+def _s16_decode(data: np.ndarray, pos: int, count: int
+                ) -> tuple[np.ndarray, int]:
+    out = np.empty(count, dtype=np.uint64)
+    got = 0
+    while got < count:
+        word = int(data[pos]) | (int(data[pos + 1]) << 8) | \
+            (int(data[pos + 2]) << 16) | (int(data[pos + 3]) << 24)
+        pos += 4
+        shift = 0
+        for w in _S16_WIDTHS[word >> 28]:
+            if got >= count:
+                break
+            out[got] = (word >> shift) & ((1 << w) - 1)
+            shift += w
+            got += 1
+    return out, pos
+
+
+def _exceptions(vals: np.ndarray, b: int) -> np.ndarray:
+    return np.flatnonzero((vals >> np.uint64(b)) != 0) if b \
+        else np.flatnonzero(vals != 0)
+
+
+def _exc_stream(vals: np.ndarray, pos: np.ndarray, b: int) -> np.ndarray:
+    deltas = np.empty(len(pos), dtype=np.uint64)
+    deltas[0] = pos[0]
+    deltas[1:] = np.diff(pos) - 1
+    return np.concatenate([deltas, vals[pos] >> np.uint64(b)])
+
+
+def _find_best_b(vals: np.ndarray, n: int) -> int:
+    mb = int(vals.max()).bit_length()
+    i = 0
+    while mb > 28 + POSS_LOGS[i]:
+        i += 1
+    best_b, best_size = 32, 2 + 4 * n
+    for j in range(i, len(POSS_LOGS)):
+        b = POSS_LOGS[j]
+        if b > mb:
+            break
+        if b == 32:
+            size = 2 + 4 * n
+        else:
+            exc = _exceptions(vals, b)
+            size = 2 + ((n * b + 7) >> 3)
+            if len(exc):
+                size += 4 * _s16_nwords(_exc_stream(vals, exc, b))
+        if size <= best_size:
+            best_b, best_size = b, size
+    return best_b
+
+
+class OptPfdBlock:
+    name = "optpfd"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        n = len(values)
+        assert 0 < n <= BLOCK_SIZE
+        if n < BLOCK_SIZE:
+            # reference semantics: partial blocks are interpolative
+            from .blocks import InterpolativeBlock
+            InterpolativeBlock.encode(values, sum_of_values, out)
+            return
+        vals = np.asarray(values, dtype=np.uint64)
+        b = _find_best_b(vals, n)
+        if b == 32:
+            out.append(32)
+            out.append(0)
+            out += vals.astype("<u4").tobytes()
+            return
+        exc = _exceptions(vals, b)
+        out.append(b)
+        out.append(len(exc))          # E <= 128, fits a byte
+        if b:
+            lows = vals & np.uint64((1 << b) - 1)
+            out += pack_fields(lows, b).to_bytes()
+        if len(exc):
+            out += _s16_encode(_exc_stream(vals, exc, b)).tobytes()
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        if n < BLOCK_SIZE:
+            from .blocks import InterpolativeBlock
+            return InterpolativeBlock.decode(data, pos, sum_of_values, n)
+        b = int(data[pos])
+        E = int(data[pos + 1])
+        pos += 2
+        if b == 32:
+            vals = np.ascontiguousarray(
+                data[pos:pos + 4 * n]).view("<u4").astype(np.uint32)
+            return vals, pos + 4 * n
+        if b:
+            nbytes = (n * b + 7) >> 3
+            words = words_from_bytes(
+                np.ascontiguousarray(data[pos:pos + nbytes]))
+            vals = read_fields(words,
+                               np.arange(n, dtype=np.int64) * b, b)
+            pos += nbytes
+        else:
+            vals = np.zeros(n, dtype=np.int64)
+        if E:
+            sv, pos = _s16_decode(data, pos, 2 * E)
+            deltas, highs = sv[:E], sv[E:]
+            positions = (np.cumsum(deltas) + np.arange(E, dtype=np.uint64)
+                         ).astype(np.int64)
+            vals = vals.astype(np.int64)
+            vals[positions] |= (highs.astype(np.int64) << b)
+        return vals.astype(np.uint32), pos

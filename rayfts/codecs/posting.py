@@ -28,8 +28,8 @@ import numpy as np
 from ..params import GlobalParameters, PARAMS, ceil_log2
 from .bits import BitReader, BitWriter, read_gamma_nonzero, words_from_bytes, write_gamma_nonzero
 from .blocks import (
-    BLOCK_CODECS, BlockPostingListReader, InterpolativeBlock, PackedBlock,
-    VByteBlock, write_block_posting_list,
+    BLOCK_CODECS, BlockPostingListReader, InterpolativeBlock, OptPfdBlock,
+    PackedBlock, VByteBlock, write_block_posting_list,
 )
 from .ef import ef_decode, ef_write
 from .partitioned import pef_decode, pef_write, uniform_pef_decode, uniform_pef_write
@@ -84,6 +84,9 @@ BLOCK_INDEX_TYPES = {
     "block_interpolative": InterpolativeBlock,
     "block_packed": PackedBlock,
     "block_vbyte": VByteBlock,
+    # exact OptPFD (block_codecs.hpp:150-227 semantics; rayfts/codecs/
+    # optpfd.py) — block_packed remains as the simpler FOR variant
+    "block_optpfd": OptPfdBlock,
 }
 
 INDEX_TYPES = list(FREQ_INDEX_TYPES) + list(BLOCK_INDEX_TYPES) + ["block_mixed"]

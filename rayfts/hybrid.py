@@ -45,12 +45,14 @@ import ray.data as rd
 
 from .codecs import vbyte as vb
 from .codecs.blocks import (
-    BLOCK_CODECS, BLOCK_SIZE, InterpolativeBlock, PackedBlock,
+    BLOCK_CODECS, BLOCK_SIZE, InterpolativeBlock, OptPfdBlock, PackedBlock,
     SUM_UNKNOWN, VByteBlock,
 )
 
-#: codec tag byte <-> codec (mixed_block.hpp's type tags)
-TAGS = {0: PackedBlock, 1: VByteBlock, 2: InterpolativeBlock}
+#: codec tag byte <-> codec (mixed_block.hpp's type tags; the reference
+#: mixed family spans optpfor/varint/interpolative — optpfd included)
+TAGS = {0: PackedBlock, 1: VByteBlock, 2: InterpolativeBlock,
+        3: OptPfdBlock}
 TAG_OF = {c.name: t for t, c in TAGS.items()}
 
 #: decode-time model ns = alpha + beta * n — fallback constants, used
@@ -59,6 +61,7 @@ TIME_NS = {
     "packed": (900.0, 2.0),
     "vbyte": (1100.0, 9.0),
     "interpolative": (1500.0, 95.0),
+    "optpfd": (1400.0, 6.0),
 }
 
 

@@ -110,5 +110,5 @@ def test_hybrid_plan_change_invalidates_shards(source_index, tmp_path_factory):
     with open(os.path.join(out, "meta.json")) as f:
         meta = json.load(f)
     tm = meta["hybrid"]["time_model_ns"]
-    assert set(tm) == {"packed", "vbyte", "interpolative"}
+    assert set(tm) == {"packed", "vbyte", "interpolative", "optpfd"}
     assert all(len(v) == 2 for v in tm.values())
