@@ -81,6 +81,23 @@ def cmd_hybrid(args) -> int:
     return 0
 
 
+def cmd_profile_decoding(args) -> int:
+    """The reference's `profile_decoding <type> <index> <fraction>`
+    driver (profile_decoding.cpp:77-101, README.md:100-110): sample
+    blocks with a fixed seed, measure per-codec decode times, emit the
+    fitted linear model that `hybrid` consumes."""
+    _ensure_ray(args.num_cpus)
+    from .hybrid import profile_decode_times
+    model = profile_decode_times(args.index, fraction=args.fraction,
+                                 seed=args.seed,
+                                 max_blocks=args.max_blocks)
+    print(json.dumps({"event": "profile_decoding_done",
+                      "fraction": args.fraction, "seed": args.seed,
+                      "model_ns": {k: {"alpha": v[0], "beta": v[1]}
+                                   for k, v in model.items()}}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     _ensure_ray(args.num_cpus)
     from .verify import verify_index
@@ -151,6 +168,13 @@ def main(argv=None) -> int:
                    help="allowed space = min-space * factor "
                         "(optimal_hybrid_index space budget)")
     h.set_defaults(fn=cmd_hybrid)
+
+    pd = sub.add_parser("profile-decoding", parents=[common])
+    pd.add_argument("--index", required=True)
+    pd.add_argument("--fraction", type=float, default=0.1)
+    pd.add_argument("--seed", type=int, default=1729)
+    pd.add_argument("--max-blocks", type=int, default=512)
+    pd.set_defaults(fn=cmd_profile_decoding)
 
     v = sub.add_parser("verify", parents=[common])
     v.add_argument("--index", required=True)

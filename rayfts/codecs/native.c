@@ -1162,6 +1162,13 @@ static i64 c_blk_codec_decode(i64 tag, const uint8_t *data, i64 pos,
     return c_vbyte_decode(data, pos, n, out);
 }
 
+/* exported single-block decode — profile_decoding times THIS decoder
+ * (the one serving actually runs), not the Python reference codecs */
+i64 blk_codec_decode_one(i64 tag, const uint8_t *data, i64 pos,
+                         i64 sum_known, i64 n, i64 *out) {
+    return c_blk_codec_decode(tag, data, pos, sum_known, n, out);
+}
+
 /* decode 128-block b of a block posting list into dbuf/fbuf */
 static int blk_load(lzdesc *d, i64 b) {
     if (b == d->cur_dchunk) return 0;

@@ -122,11 +122,22 @@ def _build_and_load():
     lzp.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                     ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_void_p]
+    bcd = lib.blk_codec_decode_one
+    bcd.restype = ctypes.c_int64
+    bcd.argtypes = [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
     return {"dp": dp, "topk": topk, "select": sel,
             "read_fields": rfb, "read_fields_strided": rfs, "pef": pef,
             "pef_part_count": ppc, "pef_parse": pparse,
             "topk_lazy": tql, "and_lazy": aql,
-            "lz_decode_all": lzd, "lz_probe_geq": lzp}
+            "lz_decode_all": lzd, "lz_probe_geq": lzp,
+            "blk_codec_decode": bcd}
+
+
+def native_blk_codec_decode():
+    """The C single-block codec decoder (profiling), or None."""
+    lib = _lib_handle()
+    return lib["blk_codec_decode"] if lib else None
 
 
 def _lib_handle():

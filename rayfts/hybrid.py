@@ -85,6 +85,18 @@ def profile_decode_times(index_dir: str, fraction: float = 0.1,
         meta = json.load(f)
     num_docs = int(meta["num_docs"])
     index_type = meta["index_type"]
+    from .codecs.nativelib import native_blk_codec_decode
+    bcd = native_blk_codec_decode()   # time the SERVING decoder (C);
+    out_buf = np.empty(BLOCK_SIZE, dtype=np.int64)
+
+    def _timed_decode(name, codec, arr, sov, n) -> None:
+        if bcd is not None:
+            bcd(TAG_OF[name], arr.ctypes.data, 0,
+                -1 if sov is SUM_UNKNOWN else int(sov), n,
+                out_buf.ctypes.data)
+        else:                          # Python fallback decoder
+            codec.decode(arr, 0, sov, n)
+
     rng = np.random.RandomState(seed)
     shards_dir = os.path.join(index_dir, "shards")
     samples: dict[str, list[tuple[int, float]]] = {
@@ -108,12 +120,22 @@ def profile_decode_times(index_dir: str, fraction: float = 0.1,
                 for name, codec in BLOCK_CODECS.items():
                     buf = bytearray()
                     codec.encode(vals, sov, buf)
-                    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                    arr = np.zeros(len(buf) + 8, dtype=np.uint8)
+                    arr[:len(buf)] = np.frombuffer(bytes(buf),
+                                                   dtype=np.uint8)
+                    # 16-rep inner loop for sub-us resolution; the
+                    # constant ctypes call overhead inflates every
+                    # codec's alpha equally and cancels in the lambda
+                    # optimizer's between-codec time differences
+                    reps = 16
                     best = float("inf")
                     for _ in range(3):
                         t0 = time.perf_counter_ns()
-                        codec.decode(arr, 0, sov, len(vals))
-                        best = min(best, time.perf_counter_ns() - t0)
+                        for _r in range(reps):
+                            _timed_decode(name, codec, arr, sov,
+                                          len(vals))
+                        best = min(best,
+                                   (time.perf_counter_ns() - t0) / reps)
                     samples[name].append((len(vals), best))
     model = {}
     for name, pts in samples.items():
