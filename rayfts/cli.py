@@ -139,6 +139,24 @@ def cmd_query(args) -> int:
                           "queries": len(queries), "k": args.k,
                           "rows": n, "wall_sec": round(dt, 3),
                           "qps": round(len(queries) / dt, 1)}))
+
+    if args.profile:
+        # block_profiler dump: run the workload through ONE local reader
+        # so chunk-decode counters merge across all its enumerators
+        from . import search
+        from .engine import RANKED_OPS
+        from .index import InvertedIndex
+        idx = InvertedIndex(args.index)
+        for op in args.ops.split(":"):
+            kern = RANKED_OPS.get(op)
+            for _, terms in queries:
+                if kern is not None:
+                    kern(idx, terms, args.k)
+                else:
+                    (search.and_query if op == "and"
+                     else search.or_query)(idx, terms)
+        print(json.dumps({"event": "decode_profile",
+                          "profile": idx.decode_profile()[:20]}))
     return 0
 
 
@@ -192,6 +210,9 @@ def main(argv=None) -> int:
                         "stdin format, queries.hpp:15-27)")
     q.add_argument("--output", default=None,
                    help="write (query_id, rank, doc_id, score) parquet here")
+    q.add_argument("--profile", action="store_true",
+                   help="also dump the merged per-term chunk-decode "
+                        "profile (block_profiler analogue)")
     q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)

@@ -117,7 +117,12 @@ def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
     """Distributed top-k over the query workload; returns the result
     Dataset of ``(query_id, rank, doc_id, score)``.  The pool is FIXED
     size so all actors spawn (and load the index) immediately and in
-    parallel — `(1, N)` autoscaling ramps one costly init at a time."""
+    parallel — `(1, N)` autoscaling ramps one costly init at a time.
+    Capped one below the cluster's CPUs: a pool holding EVERY cpu
+    starves the input-feeding tasks and deadlocks the stage."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+    concurrency = max(1, min(concurrency, cpus - 1))
     ds = queries_dataset(queries, parallelism=concurrency * 2)
     return ds.map_batches(
         QueryStage,

@@ -284,6 +284,19 @@ class InvertedIndex:
         pl = self.get(term)
         return pl.term_id if pl is not None else None
 
+    def decode_profile(self) -> list[dict]:
+        """block_profiler analogue (block_profiler.hpp:9-62): merged
+        per-term decode counters across every encoded list this reader
+        has served — the reference dumps thread-local per-block access
+        maps at exit; here each lazy enumerator counts the chunks its
+        ``next_geq`` traversals actually decoded, and this merges them.
+        Sorted by chunks_decoded descending (hottest lists first)."""
+        rows = [{"term": el.term, "term_id": el.term_id, "n": el.n,
+                 "chunks_decoded": int(el.desc.chunks_decoded)}
+                for el in self._enc_cache.values()]
+        rows.sort(key=lambda r: (-r["chunks_decoded"], r["term_id"]))
+        return rows
+
     def all_terms(self) -> list[str]:
         """Full lexicon (sorted). Loads every shard — sandbox/test helper,
         not for corpus-scale actors."""

@@ -364,3 +364,19 @@ def test_query_service_and_pool_match_kernels(built_index, ray_session):
         ["query_id", "rank"]).reset_index(drop=True)
     assert [(int(r.query_id), int(r.rank), int(r.doc_id), float(r.score))
             for r in ds_out.itertuples()] == exp_rows
+
+
+def test_decode_profile_counts(built_index):
+    """block_profiler analogue: the merged per-term profile reflects
+    which lists a workload actually decoded chunks from."""
+    from rayfts import search
+    from rayfts.index import InvertedIndex
+    _, index_dir, _ = built_index
+    idx = InvertedIndex(index_dir)
+    search.block_max_wand_fast(idx, ["def", "return"], 5)
+    prof = idx.decode_profile()
+    terms = {r["term"] for r in prof}
+    assert {"def", "return"} <= terms
+    assert all(r["chunks_decoded"] >= 0 for r in prof)
+    assert prof == sorted(prof, key=lambda r: (-r["chunks_decoded"],
+                                               r["term_id"]))
