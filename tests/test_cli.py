@@ -1,0 +1,80 @@
+"""CLI driver surface (create_freq_index / queries / profile_decoding
+analogues): exercised in-process against a tiny corpus — covers the
+query reader (terms and reference term-id format), the stats_line-style
+JSON events, and the profile-decoding model emitter."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rayfts.corpus import corpus_parquet
+
+
+@pytest.fixture(scope="module")
+def cli_index(ray_session, tmp_path_factory):
+    from rayfts.cli import main
+    src = corpus_parquet(150, seed=33)
+    out = str(tmp_path_factory.mktemp("cli_idx"))
+    rc = main(["build", "--input", src, "--output", out,
+               "--index-type", "block_packed", "--num-shards", "3"])
+    assert rc == 0
+    return out
+
+
+def _run_cli(capsys, argv):
+    from rayfts.cli import main
+    rc = main(argv)
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    return lines
+
+
+def test_cli_build_emits_stats_line(cli_index, ray_session, capsys):
+    # the build fixture already ran; re-run = full resume, same stats
+    from rayfts.cli import main
+    src = corpus_parquet(150, seed=33)
+    assert main(["build", "--input", src, "--output", cli_index,
+                 "--index-type", "block_packed", "--num-shards", "3"]) == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["event"] == "build_done"
+    assert ev["num_docs"] == 150 and ev["total_postings"] > 0
+    assert "construction_time" in ev and "docs_per_sec" in ev
+
+
+def test_cli_query_terms_and_term_ids(cli_index, ray_session, capsys,
+                                      tmp_path):
+    from rayfts.index import InvertedIndex
+    qf = tmp_path / "q.tsv"
+    qf.write_text("def return\nif while\n")
+    ev = _run_cli(capsys, ["query", "--index", cli_index,
+                           "--ops", "block_max_wand:and",
+                           "--queries", str(qf), "--concurrency", "2",
+                           "--profile"])
+    ops = {e["op"]: e for e in ev if e["event"] == "query_done"}
+    assert ops["block_max_wand"]["rows"] == 20
+    assert ops["and"]["rows"] > 0
+    prof = [e for e in ev if e["event"] == "decode_profile"]
+    assert prof and prof[0]["profile"][0]["chunks_decoded"] >= 0
+
+    # reference stdin format: term-ids (queries.hpp:15-27)
+    idx = InvertedIndex(cli_index)
+    tid = idx.term_id("def")
+    qf2 = tmp_path / "qid.tsv"
+    qf2.write_text(f"{tid}\n")
+    ev2 = _run_cli(capsys, ["query", "--index", cli_index, "--ops",
+                            "ranked_or", "--queries", str(qf2),
+                            "--concurrency", "2", "--term-ids"])
+    assert ev2[0]["rows"] == 10
+
+
+def test_cli_profile_decoding(cli_index, ray_session, capsys):
+    ev = _run_cli(capsys, ["profile-decoding", "--index", cli_index,
+                           "--fraction", "0.5", "--max-blocks", "32"])
+    model = ev[-1]["model_ns"]
+    assert set(model) == {"packed", "vbyte", "interpolative", "optpfd"}
+    assert all(v["alpha"] >= 0 and v["beta"] >= 0 for v in model.values())
