@@ -199,31 +199,48 @@ class LSHSignatures:
 
 def lsh_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                     num_planes: int = 12, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> pd.DataFrame:
-    """Approximate: only vectors sharing the query's LSH bucket are
-    scored; exact rerank inside the bucket (recall < 1 by design)."""
+                    id_col: str = "vec_id", num_probes: int = 4,
+                    concurrency: int | None = None) -> pd.DataFrame:
+    """Approximate: only vectors in the query's LSH bucket — or one of
+    its `num_probes - 1` nearest multi-probe buckets (signatures at
+    Hamming distance 1, flipping the planes with the smallest
+    projection margin first) — are scored; exact rerank inside the
+    probed buckets.  Multi-probe trades a small constant factor of
+    candidates for much better recall than single-bucket LSH."""
+    import ray as _ray
     qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
     dim = qn.shape[1]
     hasher = LSHSignatures(dim, num_planes)
-    qbits = (qn @ hasher.planes.T) > 0
+    proj = qn @ hasher.planes.T
+    qbits = proj > 0
     qsig = (qbits * (1 << np.arange(num_planes))).sum(axis=1)
-    q_ref = ray.put((qn, qsig))
+    # probe sequence per query: exact bucket, then flip the lowest-
+    # |margin| planes one at a time (most likely misassigned bits)
+    probes = np.empty((len(qn), max(1, num_probes)), dtype=np.int64)
+    probes[:, 0] = qsig
+    order = np.argsort(np.abs(proj), axis=1)
+    for p in range(1, max(1, num_probes)):
+        probes[:, p] = qsig ^ (1 << order[:, p - 1])
+    q_ref = ray.put((qn, probes))
+    if concurrency is None:
+        concurrency = max(2, int(_ray.cluster_resources()
+                                 .get("CPU", 4)) // 2)
 
     sigs = emb_ds.map_batches(
         LSHSignatures,
         fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
                                "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=concurrency)
 
     def partial(t: pa.Table) -> pa.Table:
-        q, qs = ray.get(q_ref)
+        q, prb = ray.get(q_ref)
         ids = t.column(id_col).to_numpy()
         buckets = t.column("bucket").to_numpy()
         m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
         mn = _normalize(m)
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(len(q)):
-            sel = buckets == qs[qi]
+            sel = np.isin(buckets, prb[qi])
             if not sel.any():
                 continue
             s = mn[sel] @ q[qi]

@@ -166,3 +166,37 @@ def test_embedding_pairs_exact_vs_bruteforce(ray_session):
     exp = {(int(ids[i]), int(ids[j]))
            for i in range(n) for j in range(i + 1, n) if sims[i, j] >= tau}
     assert got == exp
+
+
+def test_lsh_multiprobe_recall(ray_session):
+    """Multi-probe LSH must dominate single-probe recall vs brute force
+    and stay a subset of the exact candidate universe."""
+    import ray.data as rd
+
+    from rayfts.ops.ann import brute_cosine_topk, lsh_cosine_topk
+    rng = np.random.RandomState(5)
+    d, k = 16, 10
+    # clustered data: near neighbors actually exist (random gaussians
+    # have none, which no LSH can find)
+    centers = rng.normal(size=(50, d))
+    m = np.repeat(centers, 8, axis=0) + rng.normal(
+        scale=0.05, size=(400, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    q = centers[:3] + rng.normal(scale=0.02, size=(3, d))
+    exact = brute_cosine_topk(ds, q, k=k)
+
+    def recall(probes):
+        got = lsh_cosine_topk(ds, q, k=k, num_probes=probes,
+                              concurrency=2)
+        r = 0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi]["vec_id"])
+            g = set(got[got.query_id == qi]["vec_id"]) if len(got) else set()
+            r += len(e & g) / max(1, len(e))
+        return r / 3
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.5, f"multi-probe recall too low: {r8}"
