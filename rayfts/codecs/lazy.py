@@ -70,8 +70,8 @@ class LZDesc(ctypes.Structure):
         ("dchunk_begin", _I64), ("dchunk_end", _I64),
         ("fchunk_begin", _I64), ("fchunk_end", _I64),
         ("chunks_decoded", _I64),
-        ("dchunk_ao", _I64), ("fchunk_ao", _I64),
-        ("dchunk_base", _I64), ("fchunk_base", _I64),
+        ("dbuf_cap", _I64), ("fbuf_cap", _I64),
+        ("dwin_len", _I64), ("fwin_len", _I64),
     ]
 
 
@@ -152,6 +152,8 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
         dbuf = np.empty(128, dtype=np.int64)
         fbuf = np.empty(128, dtype=np.int64)
         el._keep += [padded, maxs, endp, dbuf, fbuf]
+        d.dbuf_cap = 128
+        d.fbuf_cap = 128
         d.kind = KIND_BLOCK
         d.n = n
         d.duniverse = num_docs
@@ -183,11 +185,21 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
     el.n = n
     el.occurrences = occ
 
-    if index_type == "ef":
-        d.kind = KIND_EF
-        return el
-    if index_type == "single":
-        d.kind = KIND_SINGLE
+    if index_type in ("ef", "single"):
+        d.kind = KIND_EF if index_type == "ef" else KIND_SINGLE
+        # window buffers: long sequential scans over the whole-list EF
+        # docs / strict-EF freqs bulk-decode adaptive forward windows
+        # (native.c dwin_load/fwin_load) instead of select-stepping per
+        # element; short lists stay per-element (buffer not worth it)
+        if n > 1024:
+            cap = min(n, PEF_BUF_CAP)
+            dbuf = np.empty(cap, dtype=np.int64)
+            fbuf = np.empty(cap, dtype=np.int64)
+            el._keep += [dbuf, fbuf]
+            d.dbuf = dbuf.ctypes.data
+            d.fbuf = fbuf.ctypes.data
+            d.dbuf_cap = cap
+            d.fbuf_cap = cap
         return el
     if index_type in ("opt", "uniform"):
         has_sizes = index_type == "opt"
@@ -196,16 +208,19 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
         fbnd, fub, febits, feoff, fsoff, fmax = _parse_pef(
             fwords, 0, occ + 1, n, params, has_sizes, lib)
         # chunk buffers cover partitions up to native.c's PEF_BUF_CAP;
-        # bigger (and all-ones) partitions are traversed via select/rank
-        # accessors in C, so buffers stay small even for dense hot terms
+        # bigger partitions skip via select/rank accessors and serve
+        # sequential scans through adaptive decode windows in the same
+        # buffer; all-ones partitions are analytic (no buffer at all)
         if dmax:
             dbuf = np.empty(min(dmax, PEF_BUF_CAP), dtype=np.int64)
             el._keep.append(dbuf)
             d.dbuf = dbuf.ctypes.data
+            d.dbuf_cap = len(dbuf)
         if fmax:
             fbuf = np.empty(min(fmax, PEF_BUF_CAP), dtype=np.int64)
             el._keep.append(fbuf)
             d.fbuf = fbuf.ctypes.data
+            d.fbuf_cap = len(fbuf)
         el._keep += [dbnd, dub, fbnd, fub]
         d.kind = KIND_PEF
         d.dparts = len(dbnd)

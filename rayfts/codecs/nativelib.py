@@ -24,18 +24,23 @@ _lib = None
 _tried = False
 
 
+#: -ffp-contract=off keeps float32 scoring bit-identical to numpy;
+#: override via RAYFTS_CC_FLAGS (space-separated) to experiment
+_DEFAULT_FLAGS = "-O2 -ffp-contract=off"
+
+
 def _build_and_load():
     with open(_SRC, "rb") as f:
         src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    flags = os.environ.get("RAYFTS_CC_FLAGS", _DEFAULT_FLAGS).split()
+    tag = hashlib.sha256(src + " ".join(flags).encode()).hexdigest()[:16]
     so_path = os.path.join(tempfile.gettempdir(), f"rayfts_native_{tag}.so")
     if not os.path.exists(so_path):
         tmp = f"{so_path}.{os.getpid()}.tmp"
         for cc in ("cc", "gcc", "clang"):
             try:
                 r = subprocess.run(
-                    [cc, "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-                     "-o", tmp, _SRC],
+                    [cc, *flags, "-shared", "-fPIC", "-o", tmp, _SRC],
                     capture_output=True, timeout=120)
                 if r.returncode == 0:
                     os.replace(tmp, so_path)

@@ -40,6 +40,16 @@ def _cases():
     # all-ones freqs (cumsum == arange-ish strict shapes)
     cases.append((np.sort(RNG.choice(10_000, 700, replace=False)).astype(np.int64),
                   np.ones(700, dtype=np.int64), 10_000))
+    # constant-gap run: the opt DP merges it into partitions larger than
+    # PEF_BUF_CAP, exercising the windowed sequential decode (and the
+    # >1024 whole-list EF windows for the ef/single types)
+    run = np.arange(0, 7 * 30_000, 7, dtype=np.int64)
+    tail = 7 * 30_000 + np.sort(
+        RNG.choice(60_000, 2_000, replace=False)).astype(np.int64)
+    docs = np.concatenate([run, tail])
+    freqs = np.concatenate([RNG.randint(1, 3, size=30_000).astype(np.int64),
+                            RNG.randint(1, 9, size=2_000).astype(np.int64)])
+    cases.append((docs, freqs, int(docs[-1]) + 5))
     return cases
 
 
@@ -74,6 +84,32 @@ def test_lazy_roundtrip_and_probes(index_type):
                           num_docs))
         np.testing.assert_array_equal(
             fq, np.where(in_range, freqs[ref_pos.clip(max=len(docs) - 1)], 0))
+
+
+def test_windowed_scan_engages_on_long_ef_lists():
+    """A full sequential walk over a long `ef` list must run through
+    decode windows (bounded buffer, ~n/window chunk loads), not
+    per-element selects — and produce identical output either way."""
+    n, num_docs = 200_000, 2_000_000
+    docs = np.sort(RNG.choice(num_docs, n, replace=False)).astype(np.int64)
+    freqs = RNG.randint(1, 6, size=n).astype(np.int64)
+    db, fb = encode_posting_list("ef", docs, freqs, num_docs)
+    el = encoded_from_bytes("ef", db, fb, num_docs)
+    assert el.desc.dbuf_cap > 0     # window buffers allocated
+    gd, gf = decode_all_lazy(el, num_docs)
+    np.testing.assert_array_equal(gd, docs)
+    np.testing.assert_array_equal(gf, freqs)
+    # windows engaged: docs + freqs loads, far fewer than n but > 2
+    loads = el.desc.chunks_decoded
+    assert 2 < loads < n // 8, loads
+    # arbitrary probes after a windowed walk still agree
+    lbs = np.sort(RNG.randint(0, num_docs, size=500)).astype(np.int64)
+    pos, val, fq = probe_geq_lazy(el, num_docs, lbs)
+    ref_pos = np.searchsorted(docs, lbs, side="left")
+    in_r = ref_pos < n
+    np.testing.assert_array_equal(pos, np.where(in_r, ref_pos, n))
+    np.testing.assert_array_equal(
+        fq, np.where(in_r, freqs[ref_pos.clip(max=n - 1)], 0))
 
 
 def test_block_chunk_cache_persists_across_probes():
