@@ -1258,6 +1258,7 @@ typedef struct {
     i64 fpbegin, fpend, fpbase;
     i64 dp_high;               /* EF docs partition sequential state */
     i64 dseqrun, fseqrun;      /* consecutive sequential-step counters */
+    i64 dgeqrun;               /* consecutive small-step next_geq probes */
     /* hot fast path: when >0, the next win_left docids live at
      * win_ptr+1.. (a decoded buffer region), so lz_next is a pointer
      * bump; every slow-path move re-derives or clears it */
@@ -1289,7 +1290,8 @@ static int efof_dec_range(const efof *of, const uint64_t *w, i64 k0,
 static int dwin_load(lzen *e, const efof *of, i64 rbegin, i64 rend,
                      i64 add, i64 p) {
     lzdesc *d = e->d;
-    i64 len = (d->dchunk_end > d->dchunk_begin && p == d->dchunk_end)
+    i64 len = (d->dchunk_end > d->dchunk_begin && p >= d->dchunk_end
+               && p - d->dchunk_end < WIN_MIN)
         ? d->dwin_len * 2 : WIN_MIN;
     if (len < WIN_MIN) len = WIN_MIN;
     if (len > d->dbuf_cap) len = d->dbuf_cap;
@@ -1311,7 +1313,8 @@ static int fwin_load(lzen *e, const efof *of, i64 rbegin, i64 rend,
                      i64 add, i64 k) {
     lzdesc *d = e->d;
     i64 p = (k > rbegin) ? k - 1 : rbegin;
-    i64 len = (d->fchunk_end > d->fchunk_begin && p == d->fchunk_end - 1)
+    i64 len = (d->fchunk_end > d->fchunk_begin && p + 1 >= d->fchunk_end
+               && p - d->fchunk_end < WIN_MIN)
         ? d->fwin_len * 2 : WIN_MIN;
     if (len < WIN_MIN) len = WIN_MIN;
     if (len > d->fbuf_cap) len = d->fbuf_cap;
@@ -1422,7 +1425,7 @@ static int lz_init(lzen *e, lzdesc *d, i64 num_docs) {
     e->d = d; e->num_docs = num_docs;
     e->high_pos = -1; e->f_last_k = -2; e->f_last_rel = -1;
     e->dpart = -1; e->fpart = -1;
-    e->dseqrun = 0; e->fseqrun = 0;
+    e->dseqrun = 0; e->fseqrun = 0; e->dgeqrun = 0;
     e->win_left = 0; e->win_ptr = 0;
     switch ((int)d->kind) {
     case 0: e->dmode = DM_ARRAY; e->fmode = FM_ARRAY; break;
@@ -1597,6 +1600,16 @@ static void lz_next_slow(lzen *e) {
     }
 }
 
+/* lower_bound inside a window, galloping linearly from `lo` first —
+ * ascending DAAT probes usually advance only a few positions */
+static inline i64 win_lower_bound(const i64 *buf, i64 lo, i64 n, i64 lb) {
+    for (int s = 0; s < 8; s++) {
+        if (lo >= n || buf[lo] >= lb) return lo;
+        lo++;
+    }
+    return lo + lower_bound_i64(buf + lo, n - lo, lb);
+}
+
 /* hot path: sequential advance inside a decoded buffer region is a
  * pointer bump (array / block chunk / PEF partition / decode window);
  * everything else goes through the full dispatch above */
@@ -1641,10 +1654,37 @@ static void lz_next_geq(lzen *e, i64 lb) {
         lz_set_win(e, d->dbuf, d->dchunk_begin, d->dchunk_end);
         return; }
     case DM_EF: {
+        /* dense probe runs (WAND over dense lists degenerates to
+         * small skips): serve from the decode window when the target
+         * provably lies inside it — values are globally sorted, so
+         * dbuf[0] < lb <= dbuf[last] localizes the answer */
+        i64 wn = d->dchunk_end - d->dchunk_begin;
+        if (d->dbuf && wn > 0 && d->dbuf[0] < lb && lb <= d->dbuf[wn - 1]) {
+            i64 lo = (e->pos >= d->dchunk_begin && e->pos < d->dchunk_end
+                      && e->value < lb) ? e->pos - d->dchunk_begin + 1 : 0;
+            i64 i = win_lower_bound(d->dbuf, lo, wn, lb);
+            i64 np = d->dchunk_begin + i;
+            e->dgeqrun = (np >= e->pos && np - e->pos < WIN_MIN)
+                ? e->dgeqrun + 1 : 0;
+            e->pos = np;
+            e->value = d->dbuf[i];
+            e->high_pos = -1;
+            lz_set_win(e, d->dbuf, d->dchunk_begin, d->dchunk_end);
+            return;
+        }
         i64 val, rel = -1;
         i64 p = ef_next_geq(&e->dof, d->dwords, lb, &val, &rel);
+        if (p >= d->n) { lz_end(e); return; }
+        e->dgeqrun = (p >= e->pos && p - e->pos < WIN_MIN)
+            ? e->dgeqrun + 1 : 0;
         e->pos = p; e->high_pos = rel;
-        e->value = (p < d->n) ? val : e->num_docs;
+        e->value = val;
+        if (d->dbuf && d->dbuf_cap && e->dgeqrun >= WIN_RUN) {
+            if (!dwin_load(e, &e->dof, 0, d->n, 0, p)) {
+                e->high_pos = -1;
+                lz_set_win(e, d->dbuf, d->dchunk_begin, d->dchunk_end);
+            }
+        }
         return; }
     case DM_PEF: {
         i64 lo = 0, hi = d->dparts;
@@ -1665,11 +1705,44 @@ static void lz_next_geq(lzen *e, i64 lb) {
             val = d->dbuf[kl];
             break;
         case 0: {
+            /* window-serve for dense probe runs (values in the buffer
+             * are global absolutes, so sortedness localizes the
+             * answer even when the window is from another partition) */
+            i64 wn = d->dchunk_end - d->dchunk_begin;
+            if (d->dbuf && wn > 0 && d->dbuf[0] < lb
+                && lb <= d->dbuf[wn - 1]) {
+                i64 lo = (e->pos >= d->dchunk_begin
+                          && e->pos < d->dchunk_end && e->value < lb)
+                    ? e->pos - d->dchunk_begin + 1 : 0;
+                i64 i = win_lower_bound(d->dbuf, lo, wn, lb);
+                i64 np = d->dchunk_begin + i;
+                e->dgeqrun = (np >= e->pos && np - e->pos < WIN_MIN)
+                    ? e->dgeqrun + 1 : 0;
+                e->pos = np;
+                e->value = d->dbuf[i];
+                e->dp_high = -1;
+                lz_set_win(e, d->dbuf, d->dchunk_begin, d->dchunk_end);
+                return;
+            }
             i64 rel = -1;
             kl = ef_next_geq(&e->dpef, d->dwords, rel_lb, &val, &rel);
             if (kl >= e->dpend - e->dpbegin) { lz_end(e); return; }
             e->dp_high = rel;
             val += e->dpbase;
+            i64 np = e->dpbegin + kl;
+            e->dgeqrun = (np >= e->pos && np - e->pos < WIN_MIN)
+                ? e->dgeqrun + 1 : 0;
+            if (d->dbuf && d->dbuf_cap && e->dgeqrun >= WIN_RUN
+                && np < d->n) {
+                if (!dwin_load(e, &e->dpef, e->dpbegin, e->dpend,
+                               e->dpbase, np)) {
+                    e->pos = np;
+                    e->value = val;
+                    e->dp_high = -1;
+                    lz_set_win(e, d->dbuf, d->dchunk_begin, d->dchunk_end);
+                    return;
+                }
+            }
             break; }
         default:
             kl = rb_rank1(&e->dprb, d->dwords, rel_lb);
@@ -1722,7 +1795,8 @@ static i64 lz_freq(lzen *e) {
             e->f_last_k = 0; e->f_last_rel = -1;
             return d->fbuf[0];
         }
-        e->fseqrun = (k == e->f_last_k + 1) ? e->fseqrun + 1 : 0;
+        e->fseqrun = (k > e->f_last_k && k - e->f_last_k < WIN_MIN)
+            ? e->fseqrun + 1 : 0;
         if (d->fbuf && d->fbuf_cap &&
             ((d->fchunk_end > d->fchunk_begin && k == d->fchunk_end)
              || e->fseqrun >= WIN_RUN)) {
@@ -1774,7 +1848,8 @@ static i64 lz_freq(lzen *e) {
                 e->f_last_k = k; e->f_last_rel = -1;
                 return d->fbuf[0] - prev_out;
             }
-            e->fseqrun = (k == e->f_last_k + 1) ? e->fseqrun + 1 : 0;
+            e->fseqrun = (k > e->f_last_k && k - e->f_last_k < WIN_MIN)
+            ? e->fseqrun + 1 : 0;
             if (d->fbuf && d->fbuf_cap &&
                 ((d->fchunk_end > d->fchunk_begin && k == d->fchunk_end)
                  || e->fseqrun >= WIN_RUN)) {
