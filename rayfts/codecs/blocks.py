@@ -32,6 +32,38 @@ from .interpolative import read_interpolative, write_interpolative
 BLOCK_SIZE = 128
 SUM_UNKNOWN = None
 
+#: codec name -> native encoder tag (must equal native.c's encode tags)
+_ENC_TAG = {"packed": 0, "vbyte": 1, "interpolative": 2, "optpfd": 3}
+_enc_state: list = [False, None, None]   # [tried, fn, scratch]
+
+
+def native_block_encode(tag: int, values: np.ndarray, sum_of_values,
+                        out: bytearray) -> bool:
+    """Append the native C encoding of one block to `out`; False means
+    the native lib is unavailable (or the block needs a width the C
+    packer rejects) and the caller must run the Python encoder.  The
+    C encoders are byte-exact mirrors of the Python ones (enforced in
+    tests), so the two paths are interchangeable mid-stream."""
+    if not _enc_state[0]:
+        _enc_state[0] = True
+        try:
+            from .nativelib import native_blk_codec_encode
+            _enc_state[1] = native_blk_codec_encode()
+            _enc_state[2] = np.empty(2048, dtype=np.uint8)
+        except Exception:
+            _enc_state[1] = None
+    fn = _enc_state[1]
+    if fn is None:
+        return False
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    m = fn(tag, vals.ctypes.data, len(vals),
+           -1 if sum_of_values is None else int(sum_of_values),
+           _enc_state[2].ctypes.data)
+    if m <= 0:
+        return False
+    out += _enc_state[2][:m].tobytes()
+    return True
+
 
 class InterpolativeBlock:
     name = "interpolative"
@@ -41,6 +73,8 @@ class InterpolativeBlock:
     def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
         n = len(values)
         assert 0 < n <= BLOCK_SIZE
+        if native_block_encode(2, values, sum_of_values, out):
+            return
         prefix = np.cumsum(values.astype(np.int64))
         if sum_of_values is None:
             sum_of_values = int(prefix[-1])
@@ -74,6 +108,8 @@ class PackedBlock:
     def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
         n = len(values)
         assert 0 < n <= BLOCK_SIZE
+        if native_block_encode(0, values, sum_of_values, out):
+            return
         values = np.asarray(values, dtype=np.uint64)
         w = int(values.max()).bit_length() if n else 0
         out.append(w)
@@ -100,6 +136,8 @@ class VByteBlock:
     @staticmethod
     def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
         assert 0 < len(values) <= BLOCK_SIZE
+        if native_block_encode(1, values, sum_of_values, out):
+            return
         out += vb.encode(values).tobytes()
 
     @staticmethod

@@ -1172,6 +1172,226 @@ i64 blk_codec_decode_one(i64 tag, const uint8_t *data, i64 pos,
     return c_blk_codec_decode(tag, data, pos, sum_known, n, out);
 }
 
+/* ======================================================================
+ * Block codec ENCODERS — byte-exact mirrors of the Python reference
+ * encoders (blocks.py PackedBlock/VByteBlock/InterpolativeBlock,
+ * optpfd.py OptPfdBlock, vbyte.py).  The mixed/hybrid index encodes
+ * every 128-block with every codec to pick per-block winners
+ * (mixed_block.hpp's candidate sweep), which made the Python path the
+ * dominant build cost; equality with the Python encoders is enforced
+ * byte-for-byte in tests/test_blocks.py.
+ * ====================================================================== */
+
+/* LSB-first write of a (<=57 bit) field at an arbitrary bit offset;
+ * the target region must be pre-zeroed (fields never overlap) */
+static inline void bw8(uint8_t *data, i64 bitpos, int width, uint64_t v) {
+    if (!width) return;
+    uint64_t w;
+    memcpy(&w, data + (bitpos >> 3), 8);
+    w |= v << (bitpos & 7);
+    memcpy(data + (bitpos >> 3), &w, 8);
+}
+
+/* TightVariableByte single value (vbyte.py: 7-bit groups low-first,
+ * stop bit on the LAST byte, length capped at 5 like the reference) */
+static inline i64 vb_enc1(uint8_t *out, i64 pos, uint64_t v) {
+    int nb = 1 + (v >= (1ULL << 7)) + (v >= (1ULL << 14))
+               + (v >= (1ULL << 21)) + (v >= (1ULL << 28));
+    for (int j = 0; j < nb; j++) {
+        uint8_t c = (uint8_t)((v >> (7 * j)) & 0x7F);
+        if (j == nb - 1) c |= 0x80;
+        out[pos++] = c;
+    }
+    return pos;
+}
+
+/* centered-minimal interpolative code, mirror of interp_dec_rec */
+static i64 interp_enc_rec(uint8_t *d, i64 pos, const i64 *vals,
+                          i64 lo, i64 hi, i64 low, i64 high) {
+    if (hi <= lo) return pos;
+    i64 h = (hi - lo) / 2;
+    i64 u = high - low + 1;
+    int b = floor_log2_u(u);
+    i64 m = (1LL << (b + 1)) - u;
+    i64 val = vals[lo + h];
+    i64 v = val - low;
+    if (v < m) {
+        bw8(d, pos, b, (uint64_t)v);
+        pos += b;
+    } else {
+        i64 vv = v + m;
+        bw8(d, pos, b, (uint64_t)(vv >> 1));
+        pos += b;
+        bw8(d, pos, 1, (uint64_t)(vv & 1));
+        pos += 1;
+    }
+    pos = interp_enc_rec(d, pos, vals, lo, lo + h, low, val);
+    return interp_enc_rec(d, pos, vals, lo + h + 1, hi, val, high);
+}
+
+/* InterpolativeBlock.encode: [vbyte sum if unknown] + interp(prefix
+ * sums[:n-1] in [0, sum]), byte-aligned.  Returns end byte pos. */
+static i64 c_interp_encode(const i64 *vals, i64 n, i64 sum_known,
+                           uint8_t *out, i64 pos) {
+    i64 pref[128];
+    i64 acc = 0;
+    for (i64 i = 0; i < n; i++) { acc += vals[i]; pref[i] = acc; }
+    i64 sum = (sum_known >= 0) ? sum_known : acc;
+    if (sum_known < 0) pos = vb_enc1(out, pos, (uint64_t)acc);
+    if (n > 1) {
+        memset(out + pos, 0, (size_t)(((n * 34) >> 3) + 24));
+        i64 endbit = interp_enc_rec(out, pos << 3, pref, 0, n - 1, 0, sum);
+        pos = (endbit + 7) >> 3;
+    }
+    return pos;
+}
+
+static i64 c_packed_encode(const i64 *vals, i64 n, uint8_t *out, i64 pos) {
+    uint64_t mx = 0;
+    for (i64 i = 0; i < n; i++)
+        if ((uint64_t)vals[i] > mx) mx = (uint64_t)vals[i];
+    int w = mx ? (64 - __builtin_clzll(mx)) : 0;
+    if (w > 57) return -1;          /* caller falls back to Python */
+    out[pos++] = (uint8_t)w;
+    if (w) {
+        i64 nbytes = ((i64)n * w + 7) >> 3;
+        memset(out + pos, 0, (size_t)(nbytes + 8));
+        i64 bit = pos << 3;
+        for (i64 i = 0; i < n; i++, bit += w)
+            bw8(out, bit, w, (uint64_t)vals[i]);
+        pos += nbytes;
+    }
+    return pos;
+}
+
+/* Simple16 greedy first-fit (optpfd.py _s16_encode / _s16_nwords) */
+static i64 s16_enc(const uint64_t *v, i64 n, uint8_t *out, i64 pos) {
+    i64 i = 0;
+    while (i < n) {
+        int done = 0;
+        for (int mi = 0; mi < 16 && !done; mi++) {
+            const uint8_t *w = s16_widths[mi];
+            i64 k = 0;
+            int ok = 1;
+            for (; w[k] && i + k < n; k++)
+                if (v[i + k] >> w[k]) { ok = 0; break; }
+            if (!ok) continue;
+            uint32_t word = (uint32_t)mi << 28;
+            int shift = 0;
+            for (i64 q = 0; q < k; q++) {
+                word |= (uint32_t)(v[i + q] << shift);
+                shift += w[q];
+            }
+            if (out) memcpy(out + pos, &word, 4);
+            pos += 4;
+            i += k;
+            done = 1;
+        }
+        if (!done) return -1;
+    }
+    return pos;
+}
+
+/* OptPFD findBestB ladder (optpfd.py:128-147: prefer larger b on
+ * ties, skip b where an exception high part exceeds 28 bits) */
+static int c_find_best_b(const uint64_t *vals, i64 n) {
+    static const int poss[17] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                 12, 13, 16, 20, 32};
+    uint64_t mxv = 0;
+    for (i64 t = 0; t < n; t++) if (vals[t] > mxv) mxv = vals[t];
+    int mb = mxv ? (64 - __builtin_clzll(mxv)) : 0;
+    int i = 0;
+    while (mb > 28 + poss[i]) i++;
+    int best_b = 32;
+    i64 best_size = 2 + 4 * n;
+    for (int j = i; j < 17; j++) {
+        int b = poss[j];
+        if (b > mb) break;
+        i64 size;
+        if (b == 32) size = 2 + 4 * n;
+        else {
+            i64 posl[128], E = 0;
+            for (i64 t = 0; t < n; t++)
+                if (vals[t] >> b) posl[E++] = t;
+            size = 2 + (((i64)n * b + 7) >> 3);
+            if (E) {
+                uint64_t st[256];
+                st[0] = (uint64_t)posl[0];
+                for (i64 q = 1; q < E; q++)
+                    st[q] = (uint64_t)(posl[q] - posl[q - 1] - 1);
+                for (i64 q = 0; q < E; q++)
+                    st[E + q] = vals[posl[q]] >> b;
+                i64 nw = s16_enc(st, 2 * E, 0, 0);
+                if (nw < 0) return -1;
+                size += nw;         /* nw already in bytes (4/word) */
+            }
+        }
+        if (size <= best_size) { best_b = b; best_size = size; }
+    }
+    return best_b;
+}
+
+static i64 c_optpfd_encode(const i64 *ivals, i64 n, i64 sum_known,
+                           uint8_t *out, i64 pos) {
+    if (n < 128) return c_interp_encode(ivals, n, sum_known, out, pos);
+    uint64_t vals[128];
+    for (i64 t = 0; t < n; t++) vals[t] = (uint64_t)ivals[t];
+    int b = c_find_best_b(vals, n);
+    if (b < 0) return -1;
+    if (b == 32) {
+        out[pos++] = 32;
+        out[pos++] = 0;
+        for (i64 t = 0; t < n; t++) {
+            uint32_t u = (uint32_t)vals[t];
+            memcpy(out + pos, &u, 4);
+            pos += 4;
+        }
+        return pos;
+    }
+    i64 posl[128], E = 0;
+    for (i64 t = 0; t < n; t++)
+        if (vals[t] >> b) posl[E++] = t;
+    out[pos++] = (uint8_t)b;
+    out[pos++] = (uint8_t)E;
+    if (b) {
+        i64 nbytes = ((i64)n * b + 7) >> 3;
+        memset(out + pos, 0, (size_t)(nbytes + 8));
+        i64 bit = pos << 3;
+        uint64_t mask = (1ULL << b) - 1;
+        for (i64 t = 0; t < n; t++, bit += b)
+            bw8(out, bit, b, vals[t] & mask);
+        pos += nbytes;
+    }
+    if (E) {
+        uint64_t st[256];
+        st[0] = (uint64_t)posl[0];
+        for (i64 q = 1; q < E; q++)
+            st[q] = (uint64_t)(posl[q] - posl[q - 1] - 1);
+        for (i64 q = 0; q < E; q++)
+            st[E + q] = vals[posl[q]] >> b;
+        pos = s16_enc(st, 2 * E, out, pos);
+    }
+    return pos;
+}
+
+/* encode one block with codec `tag` (0 packed / 1 vbyte / 2 interp /
+ * 3 optpfd) into out (caller provides >= 2048 bytes); returns bytes
+ * written, -1 => caller must fall back to the Python encoder */
+i64 blk_codec_encode_one(i64 tag, const i64 *vals, i64 n, i64 sum_known,
+                         uint8_t *out) {
+    if (n <= 0 || n > 128) return -1;
+    if (tag == 0) return c_packed_encode(vals, n, out, 0);
+    if (tag == 1) {
+        i64 pos = 0;
+        for (i64 i = 0; i < n; i++)
+            pos = vb_enc1(out, pos, (uint64_t)vals[i]);
+        return pos;
+    }
+    if (tag == 2) return c_interp_encode(vals, n, sum_known, out, 0);
+    if (tag == 3) return c_optpfd_encode(vals, n, sum_known, out, 0);
+    return -1;
+}
+
 /* decode 128-block b of a block posting list into dbuf/fbuf */
 static int blk_load(lzdesc *d, i64 b) {
     if (b == d->cur_dchunk) return 0;

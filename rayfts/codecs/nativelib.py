@@ -131,18 +131,28 @@ def _build_and_load():
     bcd.restype = ctypes.c_int64
     bcd.argtypes = [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    bce = lib.blk_codec_encode_one
+    bce.restype = ctypes.c_int64
+    bce.argtypes = [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p]
     return {"dp": dp, "topk": topk, "select": sel,
             "read_fields": rfb, "read_fields_strided": rfs, "pef": pef,
             "pef_part_count": ppc, "pef_parse": pparse,
             "topk_lazy": tql, "and_lazy": aql,
             "lz_decode_all": lzd, "lz_probe_geq": lzp,
-            "blk_codec_decode": bcd}
+            "blk_codec_decode": bcd, "blk_codec_encode": bce}
 
 
 def native_blk_codec_decode():
     """The C single-block codec decoder (profiling), or None."""
     lib = _lib_handle()
     return lib["blk_codec_decode"] if lib else None
+
+
+def native_blk_codec_encode():
+    """The C single-block codec encoder, or None."""
+    lib = _lib_handle()
+    return lib["blk_codec_encode"] if lib else None
 
 
 def _lib_handle():

@@ -155,9 +155,11 @@ class OptPfdBlock:
     def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
         n = len(values)
         assert 0 < n <= BLOCK_SIZE
+        from .blocks import InterpolativeBlock, native_block_encode
+        if native_block_encode(3, values, sum_of_values, out):
+            return
         if n < BLOCK_SIZE:
             # reference semantics: partial blocks are interpolative
-            from .blocks import InterpolativeBlock
             InterpolativeBlock.encode(values, sum_of_values, out)
             return
         vals = np.asarray(values, dtype=np.uint64)

@@ -79,3 +79,40 @@ def test_block_posting_list_roundtrip(codec_name, n):
         lo, hi = r.block_bounds(r.blocks // 2)
         np.testing.assert_array_equal(d, docs[lo:hi])
         np.testing.assert_array_equal(f, freqs[lo:hi])
+
+
+def test_native_encoders_byte_identical_to_python():
+    """The C block encoders must produce byte-for-byte the same streams
+    as the Python reference encoders for every codec and block shape
+    (the mixed/hybrid candidate sweep runs whichever is available)."""
+    import rayfts.codecs.blocks as blk
+    from rayfts.codecs.blocks import BLOCK_CODECS, SUM_UNKNOWN
+    from rayfts.codecs.nativelib import _lib_handle
+    if _lib_handle() is None:
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for n in (1, 2, 7, 127, 128):
+        for mag in (1, 8, 1000, 1 << 20, (1 << 29) - 5):
+            cases.append(rng.randint(0, mag + 1, size=n).astype(np.uint64))
+    cases.append(np.zeros(128, dtype=np.uint64))           # b=0 / all-zero
+    v = np.zeros(128, dtype=np.uint64)
+    v[rng.choice(128, 9, replace=False)] = (1 << 27)       # sparse exceptions
+    cases.append(v)
+    cases.append(np.full(128, (1 << 31) + 7, dtype=np.uint64))  # b=32 path
+
+    saved = list(blk._enc_state)
+    try:
+        for vals in cases:
+            for name, codec in BLOCK_CODECS.items():
+                for sov in (SUM_UNKNOWN, int(vals.sum())):
+                    native, python = bytearray(), bytearray()
+                    blk._enc_state[:] = saved       # native allowed
+                    codec.encode(vals, sov, native)
+                    blk._enc_state[:] = [True, None, None]
+                    codec.encode(vals, sov, python)
+                    assert bytes(native) == bytes(python), (
+                        name, len(vals), sov)
+    finally:
+        blk._enc_state[:] = saved
