@@ -359,6 +359,14 @@ def _fingerprints(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def _token_counts(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.textstats import token_counts_batch
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: token_counts_batch(t),
+                         batch_format="pyarrow")
+            .to_pandas())
+
+
 def _byte_stats(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.multimodal import to_binary_payloads
     return (_docs_ds(sf_dir)
@@ -417,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         # text analysis / multimodal
         "text_quality": _quality,
+        "token_counts": _token_counts,
         "lang_id": _langid,
         "doc_fingerprints": _fingerprints,
         "byte_stats": _byte_stats,
@@ -616,6 +625,13 @@ SELECT doc_id, n_words, n_stop, n_chars_py,
                        THEN n_stop::DOUBLE / n_words ELSE 0 END
                   * 10000 + 0.5) AS BIGINT) AS stop_ratio_q
 FROM base"""
+
+    from rayfts.ops.textstats import BPE_TOKEN_SQL_RE, WS_TOKEN_SQL_RE
+    sqls["token_counts"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{WS_TOKEN_SQL_RE}'))::BIGINT AS n_ws,
+       len(regexp_extract_all(text, '{BPE_TOKEN_SQL_RE}'))::BIGINT AS n_bpe
+FROM documents"""
 
     sqls["byte_stats"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"""

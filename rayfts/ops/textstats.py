@@ -87,6 +87,45 @@ def quality_batch(t: pa.Table, text_col: str = "text",
     })
 
 
+# token counting (training-data budgeting): whitespace tokens + a
+# BPE-ish piece count (letter runs, single digits, punctuation runs —
+# the GPT-2 pre-tokenizer shape without lookahead).  All classes are
+# ASCII-explicit so the SAME pattern means the same thing in polars
+# (Rust regex), DuckDB (RE2) and Python re — \s is unicode in two of
+# the three and would silently diverge on exotic whitespace.
+_WS = " \\t\\n\\r\\x0b\\x0c"
+WS_TOKEN_SQL_RE = f"[^{_WS}]+"
+BPE_TOKEN_SQL_RE = f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS}]+"
+_WS_TOKEN_RE = re.compile(WS_TOKEN_SQL_RE)
+_BPE_TOKEN_RE = re.compile(BPE_TOKEN_SQL_RE)
+
+
+def token_counts_batch(t: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Per-doc token counts: n_ws (whitespace-delimited chunks) and
+    n_bpe (BPE-ish pieces).  Formulas reproducible in SQL as
+    len(regexp_extract_all(text, pattern))."""
+    ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        n_ws = (s.str.count_matches(WS_TOKEN_SQL_RE)
+                .cast(_pl.Int64).to_numpy().copy())
+        n_bpe = (s.str.count_matches(BPE_TOKEN_SQL_RE)
+                 .cast(_pl.Int64).to_numpy().copy())
+    else:                     # pragma: no cover - semantic fallback
+        n_ws = np.array([len(_WS_TOKEN_RE.findall(x or "")) for x in texts],
+                        dtype=np.int64)
+        n_bpe = np.array([len(_BPE_TOKEN_RE.findall(x or "")) for x in texts],
+                         dtype=np.int64)
+    return pa.table({
+        id_col: pa.array(ids_a, type=pa.int64()),
+        "n_ws": pa.array(n_ws),
+        "n_bpe": pa.array(n_bpe),
+    })
+
+
 def langid_batch(t: pa.Table, text_col: str = "text",
                  id_col: str = "doc_id") -> pa.Table:
     """Marker-word / CJK-char heuristic language ID (rows-only check;

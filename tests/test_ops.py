@@ -200,3 +200,17 @@ def test_lsh_multiprobe_recall(ray_session):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1
     assert r8 >= 0.5, f"multi-probe recall too low: {r8}"
+
+
+def test_token_counts_batch_matches_reference():
+    from rayfts.ops import textstats as ts
+    out = ts.token_counts_batch(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        assert out["n_ws"][i] == len(ts._WS_TOKEN_RE.findall(text)), text
+        assert out["n_bpe"][i] == len(ts._BPE_TOKEN_RE.findall(text)), text
+    # BPE-ish pieces: letter runs, single digits, punct runs
+    t = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array(["ab12, cd!  e"], type=pa.string())})
+    r = ts.token_counts_batch(t).to_pandas()
+    assert int(r["n_ws"][0]) == 3          # 'ab12,' 'cd!' 'e'
+    assert int(r["n_bpe"][0]) == 7         # ab 1 2 , cd ! e
