@@ -309,6 +309,14 @@ def _ann_lsh(sf_dir: str) -> pd.DataFrame:
     return lsh_cosine_topk(_emb_ds(sf_dir), qv, k=K)
 
 
+def _ann_ivf(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.ann import ivf_cosine_topk
+    qdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qv = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    return ivf_cosine_topk(_emb_ds(sf_dir), qv, k=K)
+
+
 def _embedding_dups(sf_dir: str) -> pd.DataFrame:
     """Exact cosine threshold self-join via the distributed block-pair
     sweep (no full-matrix broadcast; rayfts/ops/ann.py)."""
@@ -423,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
         "text_quality": _quality,
         "token_counts": _token_counts,
@@ -636,7 +645,8 @@ FROM documents"""
     sqls["byte_stats"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"""
 
-    # minhash_dups / simhash_fingerprints / ann_lsh_topk / lang_id /
+    # minhash_dups / simhash_fingerprints / ann_lsh_topk / ann_ivf_topk /
+    # lang_id /
     # doc_fingerprints / multimodal_decode: deliberately no SQL oracle
     # (sketch/model ops) -> driver records the weaker rows-only check.
     return sqls

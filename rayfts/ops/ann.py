@@ -264,3 +264,90 @@ def lsh_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1)
         out.append(g[["query_id", "rank", id_col, "cos_q"]])
     return pd.concat(out, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) cosine top-k — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(emb_ds, num_clusters: int = 16, sample_rows: int = 8192,
+                    iters: int = 8, seed: int = 13,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a BOUNDED driver-side sample (take_batch,
+    never the full dataset): a handful of Lloyd iterations with
+    renormalized centroids.  Deterministic under `seed`.  At 100 TB the
+    sample stays sample_rows regardless of corpus size; assignment of
+    the full corpus is the distributed stage, not training."""
+    b = emb_ds.take_batch(sample_rows, batch_format="pyarrow")
+    m = _normalize(np.array(b[vec_col].to_pylist(), dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    c = min(num_clusters, len(m))
+    cen = m[rng.choice(len(m), c, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cen.T, axis=1)
+        for j in range(c):
+            sel = assign == j
+            if sel.any():
+                cen[j] = m[sel].mean(axis=0)
+        cen = _normalize(cen)
+    return cen
+
+
+def ivf_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
+                    num_clusters: int = 16, nprobe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """Approximate top-k: each vector belongs to its nearest centroid's
+    inverted list; a query scores only vectors in its `nprobe` nearest
+    lists.  Here assignment + probe filtering fuse into one streaming
+    map_batches pass (centroids broadcast once via ray.put); a
+    persistent deployment instead writes the assignment ONCE as
+    cluster-partitioned parquet (write_parquet(partition_cols=
+    ['cluster'])) so queries read only the probed partitions — the
+    same probe math over ~nprobe/num_clusters of the data."""
+    qn = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    cen = train_centroids(emb_ds, num_clusters, vec_col=vec_col) \
+        if centroids is None else _normalize(np.asarray(centroids,
+                                                        dtype=np.float64))
+    nprobe = min(nprobe, len(cen))
+    # (nq, C) probe mask: each query's nprobe nearest centroids
+    order = np.argsort(-(qn @ cen.T), axis=1)[:, :nprobe]
+    mask = np.zeros((len(qn), len(cen)), dtype=bool)
+    np.put_along_axis(mask, order, True, axis=1)
+    ref = ray.put((qn, cen, mask))
+
+    def partial(t: pa.Table) -> pa.Table:
+        q, c, msk = ray.get(ref)
+        ids = t.column(id_col).to_numpy()
+        mn = _normalize(np.array(t.column(vec_col).to_pylist(),
+                                 dtype=np.float64))
+        assign = np.argmax(mn @ c.T, axis=1)
+        rows_q, rows_id, rows_s = [], [], []
+        top = min(k, len(ids))
+        for qi in range(len(q)):
+            sel = msk[qi][assign]
+            if not sel.any():
+                continue
+            s = mn[sel] @ q[qi]
+            part = (np.argpartition(-s, top - 1)[:top]
+                    if len(s) > top else np.arange(len(s)))
+            rows_q.extend([qi] * len(part))
+            rows_id.extend(ids[sel][part].tolist())
+            rows_s.extend(s[part].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            id_col: pa.array(rows_id, type=pa.int64()),
+            "cos": pa.array(rows_s, type=pa.float64()),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "cos_q"])
+    parts["cos_q"] = np.floor(parts["cos"] * 10000 + 0.5).astype(np.int64)
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        g = g.sort_values(["cos_q", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g[["query_id", "rank", id_col, "cos_q"]])
+    return pd.concat(out, ignore_index=True)

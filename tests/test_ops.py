@@ -214,3 +214,33 @@ def test_token_counts_batch_matches_reference():
     r = ts.token_counts_batch(t).to_pandas()
     assert int(r["n_ws"][0]) == 3          # 'ab12,' 'cd!' 'e'
     assert int(r["n_bpe"][0]) == 7         # ab 1 2 , cd ! e
+
+
+def test_ivf_recall_on_clustered_data(ray_session):
+    """IVF with enough probes must recover most brute-force neighbors
+    on clustered data, and centroids training must be deterministic."""
+    import ray.data as rd
+
+    from rayfts.ops.ann import brute_cosine_topk, ivf_cosine_topk, train_centroids
+    rng = np.random.RandomState(5)
+    d, k = 16, 10
+    centers = rng.normal(size=(20, d))
+    m = np.repeat(centers, 20, axis=0) + rng.normal(
+        scale=0.05, size=(400, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    q = centers[:3] + rng.normal(scale=0.02, size=(3, d))
+    exact = brute_cosine_topk(ds, q, k=k)
+
+    c1 = train_centroids(ds, num_clusters=8, sample_rows=400)
+    c2 = train_centroids(ds, num_clusters=8, sample_rows=400)
+    np.testing.assert_array_equal(c1, c2)
+
+    got = ivf_cosine_topk(ds, q, k=k, num_clusters=8, nprobe=4)
+    r = 0.0
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        g = set(got[got.query_id == qi]["vec_id"])
+        r += len(e & g) / max(1, len(e))
+    assert r / 3 >= 0.8, r / 3
