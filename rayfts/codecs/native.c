@@ -1392,6 +1392,20 @@ i64 blk_codec_encode_one(i64 tag, const i64 *vals, i64 n, i64 sum_known,
     return -1;
 }
 
+/* encoded size of one block under ALL four codecs in a single call —
+ * the mixed/hybrid candidate sweep runs this per block stream */
+i64 blk_candidate_sizes(const i64 *vals, i64 n, i64 sum_known,
+                        i64 *sizes) {
+    if (n <= 0 || n > 128) return -1;
+    uint8_t scratch[2304];
+    for (int tag = 0; tag < 4; tag++) {
+        i64 m = blk_codec_encode_one(tag, vals, n, sum_known, scratch);
+        if (m < 0) return -1;
+        sizes[tag] = m;
+    }
+    return 0;
+}
+
 /* decode 128-block b of a block posting list into dbuf/fbuf */
 static int blk_load(lzdesc *d, i64 b) {
     if (b == d->cur_dchunk) return 0;

@@ -135,12 +135,17 @@ def _build_and_load():
     bce.restype = ctypes.c_int64
     bce.argtypes = [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_void_p]
+    bcs = lib.blk_candidate_sizes
+    bcs.restype = ctypes.c_int64
+    bcs.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p]
     return {"dp": dp, "topk": topk, "select": sel,
             "read_fields": rfb, "read_fields_strided": rfs, "pef": pef,
             "pef_part_count": ppc, "pef_parse": pparse,
             "topk_lazy": tql, "and_lazy": aql,
             "lz_decode_all": lzd, "lz_probe_geq": lzp,
-            "blk_codec_decode": bcd, "blk_codec_encode": bce}
+            "blk_codec_decode": bcd, "blk_codec_encode": bce,
+            "blk_candidate_sizes": bcs}
 
 
 def native_blk_codec_decode():

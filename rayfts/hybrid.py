@@ -245,12 +245,36 @@ class MixedPostingListReader:
 # candidate costs per block
 # --------------------------------------------------------------------------
 
+_cand_state: list = [False, None, None, None]   # [tried, fn, scratch, vals]
+
+
 def _block_candidates(values: np.ndarray, sum_of_values,
                       model: dict | None = None
                       ) -> list[tuple[int, int, float]]:
-    """[(tag, space_bytes, time_ns)] for one block stream."""
-    out = []
+    """[(tag, space_bytes, time_ns)] for one block stream.  One native
+    call sizes all four codecs (byte-exact with the encoders); the
+    Python per-codec encode loop remains the fallback."""
     n = len(values)
+    if not _cand_state[0]:
+        _cand_state[0] = True
+        try:
+            from .codecs.nativelib import _lib_handle
+            lib = _lib_handle()
+            _cand_state[1] = lib["blk_candidate_sizes"] if lib else None
+            _cand_state[2] = np.empty(4, dtype=np.int64)
+        except Exception:
+            _cand_state[1] = None
+    fn = _cand_state[1]
+    if fn is not None:
+        vals = np.ascontiguousarray(values, dtype=np.int64)
+        sizes = _cand_state[2]
+        if fn(vals.ctypes.data, n,
+              -1 if sum_of_values is None else int(sum_of_values),
+              sizes.ctypes.data) == 0:
+            return [(TAG_OF[name], int(sizes[TAG_OF[name]]) + 1,
+                     _time_ns(name, n, model))          # +1 tag
+                    for name in BLOCK_CODECS]
+    out = []
     for name, codec in BLOCK_CODECS.items():
         buf = bytearray()
         codec.encode(values, sum_of_values, buf)
