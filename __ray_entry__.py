@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_vbyte": _postings_for("block_vbyte"),
         "postings_block_mixed": _postings_for("block_mixed"),
         "postings_block_optpfd": _postings_for("block_optpfd"),
+        "postings_block_g8iu": _postings_for("block_g8iu"),
+        "postings_block_qmx": _postings_for("block_qmx"),
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -528,7 +530,7 @@ SELECT term, doc_id, tf FROM tf"""
     sqls["postings_block"] = postings_sql
     sqls["postings_hybrid"] = postings_sql
     for _t in ("ef", "single", "uniform", "block_interp", "block_vbyte",
-               "block_mixed", "block_optpfd"):
+               "block_mixed", "block_optpfd", "block_g8iu", "block_qmx"):
         sqls[f"postings_{_t}"] = postings_sql
 
     sqls["doc_lengths"] = f"""

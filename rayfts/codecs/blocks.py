@@ -33,7 +33,8 @@ BLOCK_SIZE = 128
 SUM_UNKNOWN = None
 
 #: codec name -> native encoder tag (must equal native.c's encode tags)
-_ENC_TAG = {"packed": 0, "vbyte": 1, "interpolative": 2, "optpfd": 3}
+_ENC_TAG = {"packed": 0, "vbyte": 1, "interpolative": 2, "optpfd": 3,
+            "g8iu": 4, "qmx": 5}
 _enc_state: list = [False, None, None]   # [tried, fn, scratch]
 
 
@@ -146,9 +147,12 @@ class VByteBlock:
 
 
 from .optpfd import OptPfdBlock  # noqa: E402  (cycle-free: optpfd imports bits only)
+from .g8iu import G8IUBlock      # noqa: E402
+from .qmx import QmxBlock        # noqa: E402
 
 BLOCK_CODECS = {c.name: c for c in (InterpolativeBlock, PackedBlock,
-                                    VByteBlock, OptPfdBlock)}
+                                    VByteBlock, OptPfdBlock,
+                                    G8IUBlock, QmxBlock)}
 
 
 # --- block posting list (block_posting_list.hpp:13-53) -------------------

@@ -1,0 +1,118 @@
+"""varint-G8IU 128-integer block codec — the reference's
+`varint_G8IU_block` (block_codecs.hpp:229-315: FastPFor VarIntG8IU)
+re-implemented from the published format (Stepanov, Gangolli, Rose,
+Ernst, Oberoi, "SIMD-based decoding of posting lists", CIKM 2011),
+not from the vendored SSE code (the FastPFor submodule is empty in
+the reference checkout, so only the paper's format is available).
+
+Group-of-8 "incomplete unit" (G8IU) layout:
+
+* a unit is 1 descriptor byte + 8 data bytes (always 9 bytes);
+* integers are 1-4 bytes little-endian, packed left to right into the
+  8 data bytes; an integer that does not fit in the remaining bytes of
+  the unit starts a new unit (the unit is left "incomplete" — unused
+  trailing bytes are zero and carry no descriptor bit);
+* descriptor bit i (LSB-first over the 8 data bytes) is 1 iff data
+  byte i is the LAST byte of an integer, so popcount(desc) = number of
+  integers in the unit — the property the SIMD decoder's shuffle-table
+  lookup (`vecmask[desc]` / `maskOutputSize[desc]`, block_codecs.hpp:
+  238-258) is built on.
+
+Reference semantics kept: full 128-value blocks only; partial blocks
+fall back to interpolative coding exactly like the reference
+(block_codecs.hpp:266-270, 297-300).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+# descriptor -> (count, starts[<=8], lens[<=8]); only descriptors whose
+# integer spans are 1-4 bytes are produced by the encoder, but the LUT
+# is total over all 256 values (longer spans decode little-endian too)
+_LUT_COUNT = np.zeros(256, dtype=np.int64)
+_LUT_START = np.zeros((256, 8), dtype=np.int64)
+_LUT_LEN = np.zeros((256, 8), dtype=np.int64)
+for _desc in range(256):
+    _start = 0
+    _k = 0
+    for _i in range(8):
+        if (_desc >> _i) & 1:
+            _LUT_START[_desc, _k] = _start
+            _LUT_LEN[_desc, _k] = _i - _start + 1
+            _start = _i + 1
+            _k += 1
+    _LUT_COUNT[_desc] = _k
+
+
+def _byte_lens(vals: np.ndarray) -> np.ndarray:
+    """Little-endian byte length (1-4) of each uint32 value."""
+    lens = np.ones(len(vals), dtype=np.int64)
+    lens += vals > 0xFF
+    lens += vals > 0xFFFF
+    lens += vals > 0xFFFFFF
+    return lens
+
+
+def g8iu_encode_full(vals: np.ndarray) -> bytes:
+    """Encode exactly the unit stream (no fallback logic)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    lens = _byte_lens(vals)
+    out = bytearray()
+    i, n = 0, len(vals)
+    while i < n:
+        desc = 0
+        data = bytearray(8)
+        pos = 0
+        while i < n and pos + lens[i] <= 8:
+            ln = int(lens[i])
+            v = int(vals[i])
+            for b in range(ln):
+                data[pos + b] = (v >> (8 * b)) & 0xFF
+            pos += ln
+            desc |= 1 << (pos - 1)
+            i += 1
+        out.append(desc)
+        out += data
+    return bytes(out)
+
+
+class G8IUBlock:
+    name = "g8iu"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        n = len(values)
+        assert 0 < n <= BLOCK_SIZE
+        from .blocks import InterpolativeBlock, native_block_encode
+        if native_block_encode(4, values, sum_of_values, out):
+            return
+        if n < BLOCK_SIZE:
+            # reference semantics: partial blocks are interpolative
+            InterpolativeBlock.encode(values, sum_of_values, out)
+            return
+        out += g8iu_encode_full(values)
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        if n < BLOCK_SIZE:
+            from .blocks import InterpolativeBlock
+            return InterpolativeBlock.decode(data, pos, sum_of_values, n)
+        out = np.empty(n + 8, dtype=np.uint32)  # units may overshoot n
+        got = 0
+        while got < n:
+            desc = int(data[pos])
+            unit = data[pos + 1:pos + 9].astype(np.uint32)
+            pos += 9
+            cnt = int(_LUT_COUNT[desc])
+            for k in range(cnt):
+                s = int(_LUT_START[desc, k])
+                v = 0
+                for b in range(int(_LUT_LEN[desc, k])):
+                    v |= int(unit[s + b]) << (8 * b)
+                out[got + k] = v
+            got += cnt
+        return out[:n].copy(), pos

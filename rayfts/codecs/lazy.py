@@ -37,6 +37,8 @@ _BLOCK_CODEC_ID = {
     "block_interpolative": 2,
     "block_mixed": 3,
     "block_optpfd": 4,
+    "block_g8iu": 5,
+    "block_qmx": 6,
 }
 
 #: index types the native lazy enumerators can serve
@@ -139,7 +141,9 @@ def encoded_from_bytes(index_type: str, docs_bytes: bytes, freqs_bytes: bytes,
 
     if index_type in _BLOCK_CODEC_ID:
         data = np.frombuffer(docs_bytes, dtype=np.uint8)
-        padded = np.empty(len(data) + 8, dtype=np.uint8)
+        # +16: QMX's final byte-aligned chunk may be truncated mid-chunk
+        # and its decoder reads whole 16-byte chunks (qmx.py header)
+        padded = np.empty(len(data) + 16, dtype=np.uint8)
         padded[:len(data)] = data
         padded[len(data):] = 0
         n, pos = vb.decode_single(padded, 0)

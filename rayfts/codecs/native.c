@@ -1155,11 +1155,161 @@ static i64 c_optpfd_decode(const uint8_t *data, i64 pos, i64 sum_known,
     return pos;
 }
 
-/* decode gaps with one codec; tag 0 packed / 1 vbyte / 2 interp / 3 optpfd */
+/* varint-G8IU (g8iu.py): 1 descriptor byte + 8 data bytes per unit,
+ * descriptor bit i set iff data byte i ends an integer; partial
+ * blocks are interpolative (block_codecs.hpp:297-300 semantics) */
+static i64 c_g8iu_decode(const uint8_t *data, i64 pos, i64 sum_known,
+                         i64 n, i64 *out) {
+    if (n < 128) return c_interp_decode(data, pos, sum_known, n, out);
+    i64 got = 0;
+    while (got < n) {
+        uint8_t desc = data[pos];
+        const uint8_t *u = data + pos + 1;
+        pos += 9;
+        int start = 0;
+        for (int b = 0; b < 8; b++) {
+            if ((desc >> b) & 1) {
+                uint64_t v = 0;
+                for (int q = start; q <= b; q++)
+                    v |= (uint64_t)u[q] << (8 * (q - start));
+                out[got++] = (i64)v;
+                start = b + 1;
+            }
+        }
+    }
+    return pos;
+}
+
+/* QMX (qmx.py): striped 128-bit payload words + reversed selector
+ * bytes, vbyte length prefix (block_codecs.hpp:316-350 wrapper).
+ * Width tables indexed by bit width. */
+static const int qmx_ipc_[33] = {256, 128, 64, 40, 32, 24, 20, 36, 16, 28,
+                                 12, 0, 20, 0, 0, 0, 8, 0, 0, 0, 0, 12,
+                                 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4};
+static const int qmx_type_[33] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, -1,
+                                  11, -1, -1, -1, 12, -1, -1, -1, -1, 13,
+                                  -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 14};
+static const int qmx_words_[33] = {0, 1, 1, 1, 1, 1, 1, 2, 1, 2, 1, 0,
+                                   2, 0, 0, 0, 1, 0, 0, 0, 0, 2,
+                                   0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1};
+static const int qmx_next_[33] = {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 0,
+                                  16, 0, 0, 0, 21, 0, 0, 0, 0, 32,
+                                  0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 64};
+static const int qmx_w_of_type_[15] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                       12, 16, 21, 32};
+
+static int qmx_bits_needed(uint64_t v) {
+    if (v == 1) return 0;
+    if (v <= 1) return 1;
+    if (v <= 0x3) return 2;
+    if (v <= 0x7) return 3;
+    if (v <= 0xF) return 4;
+    if (v <= 0x1F) return 5;
+    if (v <= 0x3F) return 6;
+    if (v <= 0x7F) return 7;
+    if (v <= 0xFF) return 8;
+    if (v <= 0x1FF) return 9;
+    if (v <= 0x3FF) return 10;
+    if (v <= 0xFFF) return 12;
+    if (v <= 0xFFFF) return 16;
+    if (v <= 0x1FFFFF) return 21;
+    return 32;
+}
+
+/* decode one chunk of width w at byte p into o[]; returns bytes read */
+static int qmx_unpack_chunk(const uint8_t *data, i64 p, int w, i64 *o) {
+    if (w == 0) { for (int q = 0; q < 256; q++) o[q] = 1; return 0; }
+    if (w == 8) { for (int q = 0; q < 16; q++) o[q] = data[p + q]; return 16; }
+    if (w == 16) {
+        for (int q = 0; q < 8; q++) {
+            uint16_t u; memcpy(&u, data + p + 2 * q, 2); o[q] = u;
+        }
+        return 16;
+    }
+    if (w == 32) {
+        for (int q = 0; q < 4; q++) {
+            uint32_t u; memcpy(&u, data + p + 4 * q, 4); o[q] = u;
+        }
+        return 16;
+    }
+    uint32_t A[4];
+    memcpy(A, data + p, 16);
+    uint32_t mask = (1u << w) - 1u;
+    if (qmx_words_[w] == 1) {
+        int ipc = qmx_ipc_[w];
+        for (int v = 0; v < ipc; v++)
+            o[v] = (A[v & 3] >> ((v >> 2) * w)) & mask;
+        return 16;
+    }
+    uint32_t B[4];
+    memcpy(B, data + p + 16, 16);
+    switch (w) {
+    case 7:
+        for (int v = 0; v < 16; v++)
+            o[v] = (A[v & 3] >> ((v >> 2) * 7)) & mask;
+        for (int v = 16; v < 20; v++)
+            o[v] = ((A[v & 3] >> 28) | ((B[v & 3] & 0x7u) << 4)) & mask;
+        for (int v = 20; v < 36; v++)
+            o[v] = (B[v & 3] >> (((v - 20) >> 2) * 7 + 3)) & mask;
+        break;
+    case 9:
+        for (int v = 0; v < 12; v++)
+            o[v] = (A[v & 3] >> ((v >> 2) * 9)) & mask;
+        for (int v = 12; v < 16; v++)
+            o[v] = ((A[v & 3] >> 27) | ((B[v & 3] & 0xFu) << 5)) & mask;
+        for (int v = 16; v < 28; v++)
+            o[v] = (B[v & 3] >> (((v - 16) >> 2) * 9 + 4)) & mask;
+        break;
+    case 12:
+        for (int v = 0; v < 8; v++)
+            o[v] = (A[v & 3] >> ((v >> 2) * 12)) & mask;
+        for (int v = 8; v < 12; v++)
+            o[v] = ((A[v & 3] >> 24) | ((B[v & 3] & 0xFFu) << 8)) & mask;
+        for (int v = 12; v < 20; v++)
+            o[v] = (B[v & 3] >> (((v - 12) >> 2) * 12 + 8)) & mask;
+        break;
+    case 21:
+        for (int v = 0; v < 4; v++)
+            o[v] = A[v & 3] & mask;
+        for (int v = 4; v < 8; v++)
+            o[v] = ((A[v & 3] >> 21) | ((B[v & 3] & 0x3FFu) << 11)) & mask;
+        for (int v = 8; v < 12; v++)
+            o[v] = (B[v & 3] >> 10) & mask;
+        break;
+    }
+    return 32;
+}
+
+static i64 c_qmx_decode(const uint8_t *data, i64 pos, i64 sum_known,
+                        i64 n, i64 *out) {
+    if (n < 128) return c_interp_decode(data, pos, sum_known, n, out);
+    i64 enc_len;
+    pos = c_vbyte_single(data, pos, &enc_len);
+    i64 p = pos, k = pos + enc_len - 1;
+    i64 tmp[128 + 292];   /* chunks decode whole; w=0 overshoots by 256 */
+    i64 got = 0;
+    while (got < n && p <= k) {
+        uint8_t s = data[k--];
+        int w = qmx_w_of_type_[s >> 4];
+        int batch = 16 - (s & 0xF);
+        for (int c2 = 0; c2 < batch && got < n; c2++) {
+            p += qmx_unpack_chunk(data, p, w, tmp + got);
+            got += qmx_ipc_[w];
+        }
+    }
+    if (got < n) return -1;
+    memcpy(out, tmp, (size_t)n * 8);
+    return pos + enc_len;
+}
+
+/* decode gaps with one codec; tag 0 packed / 1 vbyte / 2 interp /
+ * 3 optpfd / 4 g8iu / 5 qmx */
 static i64 c_blk_codec_decode(i64 tag, const uint8_t *data, i64 pos,
                               i64 sum_known, i64 n, i64 *out) {
     if (tag == 2) return c_interp_decode(data, pos, sum_known, n, out);
     if (tag == 3) return c_optpfd_decode(data, pos, sum_known, n, out);
+    if (tag == 4) return c_g8iu_decode(data, pos, sum_known, n, out);
+    if (tag == 5) return c_qmx_decode(data, pos, sum_known, n, out);
     if (sum_known < 0 && tag != 2) { /* vbyte/packed ignore the sum */ }
     if (tag == 0) return c_packed_decode(data, pos, n, out);
     return c_vbyte_decode(data, pos, n, out);
@@ -1374,9 +1524,175 @@ static i64 c_optpfd_encode(const i64 *ivals, i64 n, i64 sum_known,
     return pos;
 }
 
+/* varint-G8IU encoder (g8iu.py g8iu_encode_full, byte-exact) */
+static i64 c_g8iu_encode(const i64 *ivals, i64 n, i64 sum_known,
+                         uint8_t *out, i64 pos) {
+    if (n < 128) return c_interp_encode(ivals, n, sum_known, out, pos);
+    i64 i = 0;
+    while (i < n) {
+        uint8_t desc = 0;
+        memset(out + pos + 1, 0, 8);
+        int used = 0;
+        while (i < n) {
+            uint64_t v = (uint64_t)ivals[i];
+            if (v > 0xFFFFFFFFULL) return -1;   /* u32 block family */
+            int ln = 1 + (v > 0xFF) + (v > 0xFFFF) + (v > 0xFFFFFF);
+            if (used + ln > 8) break;
+            for (int b = 0; b < ln; b++)
+                out[pos + 1 + used + b] = (uint8_t)(v >> (8 * b));
+            used += ln;
+            desc |= (uint8_t)(1u << (used - 1));
+            i++;
+        }
+        out[pos] = desc;
+        pos += 9;
+    }
+    return pos;
+}
+
+/* pack one striped chunk (non-byte-aligned widths) at dest */
+static void qmx_pack_chunk(const uint64_t *v, int w, uint8_t *dest) {
+    uint32_t A[4] = {0, 0, 0, 0};
+    int ipc = qmx_ipc_[w];
+    if (qmx_words_[w] == 1) {
+        for (int q = 0; q < ipc; q++)
+            A[q & 3] |= (uint32_t)(v[q] << ((q >> 2) * w));
+        memcpy(dest, A, 16);
+        return;
+    }
+    int lo_n = (w == 7) ? 20 : (w == 9) ? 16 : (w == 12) ? 12 : 8;
+    for (int q = 0; q < lo_n; q++)
+        A[q & 3] |= (uint32_t)(v[q] << ((q >> 2) * w));
+    memcpy(dest, A, 16);
+    uint32_t B[4] = {0, 0, 0, 0};
+    switch (w) {
+    case 7:
+        for (int q = 16; q < 20; q++) B[q & 3] |= (uint32_t)(v[q] >> 4);
+        for (int q = 20; q < 36; q++)
+            B[q & 3] |= (uint32_t)(v[q] << (((q - 20) >> 2) * 7 + 3));
+        break;
+    case 9:
+        for (int q = 12; q < 16; q++) B[q & 3] |= (uint32_t)(v[q] >> 5);
+        for (int q = 16; q < 28; q++)
+            B[q & 3] |= (uint32_t)(v[q] << (((q - 16) >> 2) * 9 + 4));
+        break;
+    case 12:
+        for (int q = 8; q < 12; q++) B[q & 3] |= (uint32_t)(v[q] >> 8);
+        for (int q = 12; q < 20; q++)
+            B[q & 3] |= (uint32_t)(v[q] << (((q - 12) >> 2) * 12 + 8));
+        break;
+    case 21:
+        for (int q = 4; q < 8; q++) B[q & 3] |= (uint32_t)(v[q] >> 11);
+        for (int q = 8; q < 12; q++)
+            B[q & 3] |= (uint32_t)(v[q] << 10);
+        break;
+    }
+    memcpy(dest + 16, B, 16);
+}
+
+/* QMX encoder (qmx.py qmx_encode_full + vbyte length prefix,
+ * byte-exact vs the Python reference) */
+static i64 c_qmx_encode(const i64 *ivals, i64 n, i64 sum_known,
+                        uint8_t *out, i64 pos) {
+    if (n < 128) return c_interp_encode(ivals, n, sum_known, out, pos);
+    uint64_t vals[128];
+    int lens[128 + 512];
+    memset(lens, 0, sizeof lens);
+    for (i64 t = 0; t < 128; t++) {
+        vals[t] = (uint64_t)ivals[t];
+        if (vals[t] > 0xFFFFFFFFULL) return -1;
+        lens[t] = qmx_bits_needed(vals[t]);
+    }
+    for (int g = 0; g < 132; g += 4) {
+        int m = lens[g];
+        for (int q = 1; q < 4; q++) if (lens[g + q] > m) m = lens[g + q];
+        for (int q = 0; q < 4; q++) lens[g + q] = m;
+    }
+    int cl = 0;
+    while (cl < 128) {
+        int rem = 128 - cl;
+        if (rem < 4) {
+            int L = 0;
+            for (int q = 0; q < 8; q++) if (lens[cl + q] > L) L = lens[cl + q];
+            int t = L <= 8 ? 8 : (L <= 16 ? 16 : (L <= 32 ? 32 : 0));
+            if (t) for (int q = 0; q < 8; q++) lens[cl + q] = t;
+        } else if (rem < 8) {
+            int L = 0;
+            for (int q = 0; q < 8; q++) if (lens[cl + q] > L) L = lens[cl + q];
+            if (L <= 8) for (int q = 0; q < 8; q++) lens[cl + q] = 8;
+        } else if (rem < 16) {
+            int L = 0;
+            for (int q = 0; q < 16; q++) if (lens[cl + q] > L) L = lens[cl + q];
+            if (L <= 8) for (int q = 0; q < 16; q++) lens[cl + q] = 8;
+        }
+        int w = lens[cl];
+        int cap = qmx_ipc_[w];
+        int promoted = 0;
+        for (int b = 0; b < cap; b += 4) {
+            if (lens[cl + b] > w) {
+                for (int q = 0; q < 4; q++) lens[cl + q] = qmx_next_[w];
+                promoted = 1;
+                break;
+            }
+        }
+        if (promoted) continue;
+        for (int q = 0; q < cap; q++) lens[cl + q] = w;
+        cl += cap;
+    }
+    uint8_t stream[1024];
+    uint8_t sel[96];
+    int nsel = 0;
+    i64 p = 0;
+    int i = 0;
+    while (i < 128) {
+        int w = lens[i], j = i;
+        while (j < 128 && lens[j] == w) j++;
+        int raw = j - i;
+        int t = qmx_type_[w], ipc = qmx_ipc_[w];
+        int count = (raw + ipc - 1) / ipc;
+        uint64_t run[192];
+        if (t != 0) {
+            memcpy(run, vals + i, (size_t)raw * 8);
+            for (int q = raw; q < count * ipc; q++) run[q] = 0;
+        }
+        int ci = 0, left = count;
+        while (left > 0) {
+            int batch = left > 16 ? 16 : left;
+            sel[nsel++] = (uint8_t)((t << 4) | (~(batch - 1) & 0xF));
+            left -= batch;
+            for (int c2 = 0; c2 < batch; c2++) {
+                if (w == 8 || w == 16 || w == 32) {
+                    int m = ipc;
+                    if (ci + m > raw) m = raw - ci;
+                    for (int q = 0; q < m; q++) {
+                        if (w == 8) stream[p++] = (uint8_t)run[ci + q];
+                        else if (w == 16) {
+                            uint16_t u = (uint16_t)run[ci + q];
+                            memcpy(stream + p, &u, 2); p += 2;
+                        } else {
+                            uint32_t u = (uint32_t)run[ci + q];
+                            memcpy(stream + p, &u, 4); p += 4;
+                        }
+                    }
+                } else if (w) {
+                    qmx_pack_chunk(run + ci, w, stream + p);
+                    p += 16 * qmx_words_[w];
+                }
+                ci += ipc;
+            }
+        }
+        i = j;
+    }
+    for (int q = nsel - 1; q >= 0; q--) stream[p++] = sel[q];
+    pos = vb_enc1(out, pos, (uint64_t)p);
+    memcpy(out + pos, stream, (size_t)p);
+    return pos + p;
+}
+
 /* encode one block with codec `tag` (0 packed / 1 vbyte / 2 interp /
- * 3 optpfd) into out (caller provides >= 2048 bytes); returns bytes
- * written, -1 => caller must fall back to the Python encoder */
+ * 3 optpfd / 4 g8iu / 5 qmx) into out (caller provides >= 2048
+ * bytes); returns bytes written, -1 => caller must fall back to the
+ * Python encoder */
 i64 blk_codec_encode_one(i64 tag, const i64 *vals, i64 n, i64 sum_known,
                          uint8_t *out) {
     if (n <= 0 || n > 128) return -1;
@@ -1389,6 +1705,8 @@ i64 blk_codec_encode_one(i64 tag, const i64 *vals, i64 n, i64 sum_known,
     }
     if (tag == 2) return c_interp_encode(vals, n, sum_known, out, 0);
     if (tag == 3) return c_optpfd_encode(vals, n, sum_known, out, 0);
+    if (tag == 4) return c_g8iu_encode(vals, n, sum_known, out, 0);
+    if (tag == 5) return c_qmx_encode(vals, n, sum_known, out, 0);
     return -1;
 }
 
@@ -1417,6 +1735,8 @@ static int blk_load(lzdesc *d, i64 b) {
     i64 block_max = (i64)d->blk_maxs[b];
     i64 dtag = d->codec, ftag = d->codec;
     if (d->codec == 4) { dtag = 3; ftag = 3; }   /* block_optpfd index */
+    if (d->codec == 5) { dtag = 4; ftag = 4; }   /* block_g8iu index */
+    if (d->codec == 6) { dtag = 5; ftag = 5; }   /* block_qmx index */
     if (d->codec == 3) { dtag = d->bdata[pos++]; }
     pos = c_blk_codec_decode(dtag, d->bdata, pos,
                              block_max - block_base - (cur - 1), cur, d->dbuf);

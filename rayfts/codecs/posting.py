@@ -28,8 +28,9 @@ import numpy as np
 from ..params import GlobalParameters, PARAMS, ceil_log2
 from .bits import BitReader, BitWriter, read_gamma_nonzero, words_from_bytes, write_gamma_nonzero
 from .blocks import (
-    BLOCK_CODECS, BlockPostingListReader, InterpolativeBlock, OptPfdBlock,
-    PackedBlock, VByteBlock, write_block_posting_list,
+    BLOCK_CODECS, BlockPostingListReader, G8IUBlock, InterpolativeBlock,
+    OptPfdBlock, PackedBlock, QmxBlock, VByteBlock,
+    write_block_posting_list,
 )
 from .ef import ef_decode, ef_write
 from .partitioned import pef_decode, pef_write, uniform_pef_decode, uniform_pef_write
@@ -87,6 +88,10 @@ BLOCK_INDEX_TYPES = {
     # exact OptPFD (block_codecs.hpp:150-227 semantics; rayfts/codecs/
     # optpfd.py) — block_packed remains as the simpler FOR variant
     "block_optpfd": OptPfdBlock,
+    # real varint-G8IU and QMX scalar re-implementations (g8iu.py,
+    # qmx.py) — block_vbyte/block_packed remain as the simpler variants
+    "block_g8iu": G8IUBlock,
+    "block_qmx": QmxBlock,
 }
 
 INDEX_TYPES = list(FREQ_INDEX_TYPES) + list(BLOCK_INDEX_TYPES) + ["block_mixed"]

@@ -1,0 +1,315 @@
+"""QMX 128-integer block codec — the reference's `qmx_block`
+(block_codecs.hpp:316-350 wrapping qmx_codec.hpp, Trotman's
+COMPRESS_INTEGER_QMX_IMPROVED) re-implemented scalar from the
+published format (Trotman, "Compression, SIMD, and Postings Lists",
+ADCS 2014), behavior-matched to the vendored SSE header without
+copying its code.
+
+Format ("Quantities, Multipliers, eXtractor"):
+
+* values are packed into 128-bit payload words, striped 4-way: value
+  v of a chunk lands in 32-bit lane ``v & 3`` at bit ``(v >> 2) * w``
+  (so each SSE lane decodes every 4th value);
+* the width ladder is 0,1,2,3,4,5,6,7,8,9,10,12,16,21,32 bits with
+  per-chunk capacities 256,128,64,40,32,24,20,36,16,28,12,20,8,12,4 —
+  widths 7/9/12/21 span TWO 128-bit words, widths 8/16/32 are plain
+  byte-aligned arrays; width 0 encodes a run of the literal value 1
+  (``bits_needed(1) == 0`` — the quirk that makes dense docID-gap
+  streams nearly free);
+* a selector byte stores the width's type in the top nibble and a
+  run of 1-16 chunks as ``~(batch-1) & 0xF`` in the bottom nibble;
+* the stream is payload words first, then the selector bytes in
+  REVERSE order — the decoder walks payload forward and selectors
+  backward until the pointers cross;
+* per-value widths are smoothed before encoding: 4-aligned groups take
+  the group max, short tails promote to the byte-aligned widths, and a
+  chunk only keeps width w if a full capacity of values fits in w
+  (otherwise the first 4-group promotes to the next ladder width).
+
+Reference wrapper semantics kept (block_codecs.hpp:316-350): full
+128-value blocks only (partial blocks fall back to interpolative
+coding), stream prefixed with vbyte(stream length), decoder may
+overshoot the output (the WASTAGE=512 slack).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import vbyte as vb
+
+BLOCK_SIZE = 128
+_WASTAGE = 512
+
+#: ladder width -> (type nibble, integers per chunk, payload words)
+_TABLE = {
+    0: (0, 256, 0), 1: (1, 128, 1), 2: (2, 64, 1), 3: (3, 40, 1),
+    4: (4, 32, 1), 5: (5, 24, 1), 6: (6, 20, 1), 7: (7, 36, 2),
+    8: (8, 16, 1), 9: (9, 28, 2), 10: (10, 12, 1), 12: (11, 20, 2),
+    16: (12, 8, 1), 21: (13, 12, 2), 32: (14, 4, 1),
+}
+_WIDTH_OF_TYPE = {t: w for w, (t, _, _) in _TABLE.items()}
+_NEXT_W = {0: 1, 1: 2, 2: 3, 3: 4, 4: 5, 5: 6, 6: 7, 7: 8, 8: 9,
+           9: 10, 10: 12, 12: 16, 16: 21, 21: 32}
+
+_LADDER_BOUNDS = np.array(
+    [0x1, 0x3, 0x7, 0xF, 0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF,
+     0xFFF, 0xFFFF, 0x1FFFFF, 0xFFFFFFFF], dtype=np.uint64)
+_LADDER_WIDTH = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 16, 21, 32],
+                         dtype=np.int64)
+
+
+def _bits_needed(vals: np.ndarray) -> np.ndarray:
+    """QMX width per value: 1 -> 0 bits, 0 -> 1 bit, else the ladder."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    w = _LADDER_WIDTH[np.searchsorted(_LADDER_BOUNDS, vals)]
+    return np.where(vals == 1, 0, w).astype(np.int64)
+
+
+_M32 = (1 << 32) - 1
+
+
+def _pack_striped(vals, w: int) -> bytes:
+    """One 128-bit word: value v -> lane v&3, bit (v>>2)*w (mod 2^32)."""
+    lanes = [0, 0, 0, 0]
+    for v in range(len(vals)):
+        lanes[v & 3] |= (int(vals[v]) << ((v >> 2) * w)) & _M32
+    return b"".join(int(x).to_bytes(4, "little") for x in lanes)
+
+
+def _pack_chunk(vals, w: int) -> bytes:
+    """Payload of one chunk (vals has the chunk's capacity, zero-padded;
+    byte-aligned widths may pass fewer values — end-of-stream truncation)."""
+    if w == 0:
+        return b""
+    if w == 8:
+        return bytes(int(v) & 0xFF for v in vals)
+    if w == 16:
+        return b"".join((int(v) & 0xFFFF).to_bytes(2, "little") for v in vals)
+    if w == 32:
+        return b"".join((int(v) & _M32).to_bytes(4, "little") for v in vals)
+    if w in (1, 2, 3, 4, 5, 6, 10):
+        return _pack_striped(vals, w)
+    # double-word widths: low word takes the first values striped, the
+    # carry bits of the split 4-group, then the rest striped with offset
+    if w == 7:   # 36 values: 0-19 | split 16-19 | 20-35 at bit 3
+        lo = _pack_striped(vals[:20], 7)
+        lanes = [0, 0, 0, 0]
+        for v in range(16, 20):
+            lanes[v & 3] |= int(vals[v]) >> 4
+        for v in range(20, 36):
+            lanes[v & 3] |= (int(vals[v]) << (((v - 20) >> 2) * 7 + 3)) & _M32
+        return lo + b"".join(int(x).to_bytes(4, "little") for x in lanes)
+    if w == 9:   # 28 values: 0-15 | split 12-15 | 16-27 at bit 4
+        lo = _pack_striped(vals[:16], 9)
+        lanes = [0, 0, 0, 0]
+        for v in range(12, 16):
+            lanes[v & 3] |= int(vals[v]) >> 5
+        for v in range(16, 28):
+            lanes[v & 3] |= (int(vals[v]) << (((v - 16) >> 2) * 9 + 4)) & _M32
+        return lo + b"".join(int(x).to_bytes(4, "little") for x in lanes)
+    if w == 12:  # 20 values: 0-11 | split 8-11 | 12-19 at bit 8
+        lo = _pack_striped(vals[:12], 12)
+        lanes = [0, 0, 0, 0]
+        for v in range(8, 12):
+            lanes[v & 3] |= int(vals[v]) >> 8
+        for v in range(12, 20):
+            lanes[v & 3] |= (int(vals[v]) << (((v - 12) >> 2) * 12 + 8)) & _M32
+        return lo + b"".join(int(x).to_bytes(4, "little") for x in lanes)
+    if w == 21:  # 12 values: 0-7 | split 4-7 | 8-11 at bit 10
+        lo = _pack_striped(vals[:8], 21)
+        lanes = [0, 0, 0, 0]
+        for v in range(4, 8):
+            lanes[v & 3] |= int(vals[v]) >> 11
+        for v in range(8, 12):
+            lanes[v & 3] |= (int(vals[v]) << 10) & _M32
+        return lo + b"".join(int(x).to_bytes(4, "little") for x in lanes)
+    raise ValueError(f"bad QMX width {w}")
+
+
+def _smooth_widths(lens: np.ndarray) -> np.ndarray:
+    """The reference's width-smoothing passes over the per-value widths
+    (qmx_codec.hpp encode steps 3-4): 4-group max alignment, short-tail
+    byte promotion, then per-chunk promotion until a full capacity of
+    values fits the chunk's width."""
+    n = BLOCK_SIZE
+    buf = np.zeros(n + _WASTAGE, dtype=np.int64)
+    buf[:n] = lens
+    for g in range(0, n + 4, 4):
+        buf[g:g + 4] = buf[g:g + 4].max()
+    cl = 0
+    while cl < n:
+        rem = n - cl
+        if rem < 4:
+            largest = buf[cl:cl + 8].max()
+            for cap_bits in (8, 16, 32):
+                if largest <= cap_bits:
+                    buf[cl:cl + 8] = cap_bits
+                    break
+        elif rem < 8:
+            # (the reference's duplicated <=8 arm makes 16 unreachable
+            # here; keep the same effect)
+            if buf[cl:cl + 8].max() <= 8:
+                buf[cl:cl + 8] = 8
+        elif rem < 16:
+            if buf[cl:cl + 16].max() <= 8:
+                buf[cl:cl + 16] = 8
+        w = int(buf[cl])
+        cap = _TABLE[w][1]
+        if (buf[cl:cl + cap:4] > w).any():
+            buf[cl:cl + 4] = _NEXT_W[w]
+            continue
+        buf[cl:cl + cap] = w
+        cl += cap
+    return buf[:n]
+
+
+def qmx_encode_full(vals: np.ndarray) -> bytes:
+    """Encode exactly one 128-value block -> payload + reversed selectors
+    (no vbyte length prefix)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    assert len(vals) == BLOCK_SIZE
+    widths = _smooth_widths(_bits_needed(vals))
+    payload = bytearray()
+    selectors = bytearray()
+    i = 0
+    while i < BLOCK_SIZE:
+        j = i
+        w = int(widths[i])
+        while j < BLOCK_SIZE and widths[j] == w:
+            j += 1
+        raw = j - i
+        t, ipc, _ = _TABLE[w]
+        count = (raw + ipc - 1) // ipc
+        run = vals[i:j]
+        if t != 0 and count * ipc != raw:
+            run = np.concatenate([run, np.zeros(count * ipc - raw,
+                                                dtype=np.uint64)])
+        ci = 0
+        left = count
+        while left > 0:
+            batch = min(16, left)
+            selectors.append((t << 4) | (~(batch - 1) & 0xF))
+            left -= batch
+            for _ in range(batch):
+                if w in (8, 16, 32):
+                    # byte-aligned chunks truncate at the run's real end
+                    payload += _pack_chunk(run[ci:min(ci + ipc, raw)], w)
+                else:
+                    payload += _pack_chunk(run[ci:ci + ipc], w)
+                ci += ipc
+        i = j
+    return bytes(payload) + bytes(selectors[::-1])
+
+
+def _lanes_at(data: np.ndarray, pos: int) -> list[int]:
+    b = data[pos:pos + 16]
+    return [int(b[k]) | (int(b[k + 1]) << 8) | (int(b[k + 2]) << 16)
+            | (int(b[k + 3]) << 24) for k in (0, 4, 8, 12)]
+
+
+def _unpack_chunk(data: np.ndarray, pos: int, w: int, out: np.ndarray,
+                  got: int) -> int:
+    """Decode one chunk at byte `pos` into out[got:]; returns bytes read."""
+    t, ipc, words = _TABLE[w]
+    if w == 0:
+        out[got:got + 256] = 1
+        return 0
+    if w == 8:
+        out[got:got + 16] = data[pos:pos + 16]
+        return 16
+    if w == 16:
+        out[got:got + 8] = np.ascontiguousarray(
+            data[pos:pos + 16]).view("<u2").astype(np.int64)
+        return 16
+    if w == 32:
+        out[got:got + 4] = np.ascontiguousarray(
+            data[pos:pos + 16]).view("<u4").astype(np.int64)
+        return 16
+    A = _lanes_at(data, pos)
+    mask = (1 << w) - 1
+    if words == 1:
+        for v in range(ipc):
+            out[got + v] = (A[v & 3] >> ((v >> 2) * w)) & mask
+        return 16
+    B = _lanes_at(data, pos + 16)
+    if w == 7:
+        for v in range(16):
+            out[got + v] = (A[v & 3] >> ((v >> 2) * 7)) & mask
+        for v in range(16, 20):
+            out[got + v] = ((A[v & 3] >> 28) | ((B[v & 3] & 0x7) << 4)) & mask
+        for v in range(20, 36):
+            out[got + v] = (B[v & 3] >> (((v - 20) >> 2) * 7 + 3)) & mask
+    elif w == 9:
+        for v in range(12):
+            out[got + v] = (A[v & 3] >> ((v >> 2) * 9)) & mask
+        for v in range(12, 16):
+            out[got + v] = ((A[v & 3] >> 27) | ((B[v & 3] & 0xF) << 5)) & mask
+        for v in range(16, 28):
+            out[got + v] = (B[v & 3] >> (((v - 16) >> 2) * 9 + 4)) & mask
+    elif w == 12:
+        for v in range(8):
+            out[got + v] = (A[v & 3] >> ((v >> 2) * 12)) & mask
+        for v in range(8, 12):
+            out[got + v] = ((A[v & 3] >> 24) | ((B[v & 3] & 0xFF) << 8)) & mask
+        for v in range(12, 20):
+            out[got + v] = (B[v & 3] >> (((v - 12) >> 2) * 12 + 8)) & mask
+    elif w == 21:
+        for v in range(4):
+            out[got + v] = A[v & 3] & mask
+        for v in range(4, 8):
+            out[got + v] = ((A[v & 3] >> 21) | ((B[v & 3] & 0x3FF) << 11)) & mask
+        for v in range(8, 12):
+            out[got + v] = (B[v & 3] >> 10) & mask
+    return 32
+
+
+def qmx_decode_full(data: np.ndarray, pos: int, enc_len: int, n: int
+                    ) -> np.ndarray:
+    """Decode n values from the QMX stream data[pos:pos+enc_len]."""
+    # chunks always decode whole (truncation only at stream end), so
+    # give the walk slack on both buffers
+    buf = np.zeros(enc_len + 32, dtype=np.uint8)
+    buf[:enc_len] = data[pos:pos + enc_len]
+    out = np.empty(n + 256 + 36, dtype=np.int64)
+    p, k, got = 0, enc_len - 1, 0
+    while got < n and p <= k:
+        sel = int(buf[k])
+        k -= 1
+        w = _WIDTH_OF_TYPE[sel >> 4]
+        batch = 16 - (sel & 0xF)
+        for _ in range(batch):
+            p += _unpack_chunk(buf, p, w, out, got)
+            got += _TABLE[w][1]
+            if got >= n:
+                break
+    return out[:n]
+
+
+class QmxBlock:
+    name = "qmx"
+    block_size = BLOCK_SIZE
+
+    @staticmethod
+    def encode(values: np.ndarray, sum_of_values, out: bytearray) -> None:
+        n = len(values)
+        assert 0 < n <= BLOCK_SIZE
+        from .blocks import InterpolativeBlock, native_block_encode
+        if native_block_encode(5, values, sum_of_values, out):
+            return
+        if n < BLOCK_SIZE:
+            # reference semantics: partial blocks are interpolative
+            InterpolativeBlock.encode(values, sum_of_values, out)
+            return
+        stream = qmx_encode_full(values)
+        out += vb.encode_single(len(stream))
+        out += stream
+
+    @staticmethod
+    def decode(data: np.ndarray, pos: int, sum_of_values, n: int):
+        if n < BLOCK_SIZE:
+            from .blocks import InterpolativeBlock
+            return InterpolativeBlock.decode(data, pos, sum_of_values, n)
+        enc_len, pos = vb.decode_single(data, pos)
+        vals = qmx_decode_full(data, pos, enc_len, n)
+        return vals.astype(np.uint32), pos + enc_len

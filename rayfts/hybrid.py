@@ -45,7 +45,7 @@ import ray.data as rd
 
 from .codecs import vbyte as vb
 from .codecs.blocks import (
-    BLOCK_CODECS, BLOCK_SIZE, InterpolativeBlock, OptPfdBlock, PackedBlock,
+    BLOCK_SIZE, InterpolativeBlock, OptPfdBlock, PackedBlock,
     SUM_UNKNOWN, VByteBlock,
 )
 
@@ -54,6 +54,12 @@ from .codecs.blocks import (
 TAGS = {0: PackedBlock, 1: VByteBlock, 2: InterpolativeBlock,
         3: OptPfdBlock}
 TAG_OF = {c.name: t for t, c in TAGS.items()}
+
+#: the mixed family is pinned to these four (the reference's
+#: mixed_block spans optpfor/varint/interpolative and excludes QMX,
+#: index_types.hpp:41-42); BLOCK_CODECS also carries g8iu/qmx for the
+#: standalone block_g8iu / block_qmx index types
+MIXED_CODECS = {c.name: c for c in TAGS.values()}
 
 #: decode-time model ns = alpha + beta * n — fallback constants, used
 #: only when a measured model is not supplied
@@ -100,7 +106,7 @@ def profile_decode_times(index_dir: str, fraction: float = 0.1,
     rng = np.random.RandomState(seed)
     shards_dir = os.path.join(index_dir, "shards")
     samples: dict[str, list[tuple[int, float]]] = {
-        name: [] for name in BLOCK_CODECS}
+        name: [] for name in MIXED_CODECS}
     n_sampled = 0
     for fname in sorted(os.listdir(shards_dir)):
         if not fname.endswith(".parquet") or n_sampled >= max_blocks:
@@ -117,7 +123,7 @@ def profile_decode_times(index_dir: str, fraction: float = 0.1,
                 if rng.rand() >= fraction or n_sampled >= max_blocks:
                     continue
                 n_sampled += 1
-                for name, codec in BLOCK_CODECS.items():
+                for name, codec in MIXED_CODECS.items():
                     buf = bytearray()
                     codec.encode(vals, sov, buf)
                     arr = np.zeros(len(buf) + 8, dtype=np.uint8)
@@ -273,9 +279,9 @@ def _block_candidates(values: np.ndarray, sum_of_values,
               sizes.ctypes.data) == 0:
             return [(TAG_OF[name], int(sizes[TAG_OF[name]]) + 1,
                      _time_ns(name, n, model))          # +1 tag
-                    for name in BLOCK_CODECS]
+                    for name in MIXED_CODECS]
     out = []
-    for name, codec in BLOCK_CODECS.items():
+    for name, codec in MIXED_CODECS.items():
         buf = bytearray()
         codec.encode(values, sum_of_values, buf)
         out.append((TAG_OF[name], len(buf) + 1,

@@ -101,6 +101,11 @@ def test_native_encoders_byte_identical_to_python():
     v[rng.choice(128, 9, replace=False)] = (1 << 27)       # sparse exceptions
     cases.append(v)
     cases.append(np.full(128, (1 << 31) + 7, dtype=np.uint64))  # b=32 path
+    cases.append(np.ones(128, dtype=np.uint64))   # qmx 0-bit (value 1) runs
+    v = np.ones(128, dtype=np.uint64)             # qmx mixed-width runs with
+    v[40:80] = rng.randint(0, 1 << 16, 40)        # tail promotion
+    v[120:] = rng.randint(0, 1 << 9, 8)
+    cases.append(v)
 
     saved = list(blk._enc_state)
     try:
