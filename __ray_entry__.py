@@ -218,6 +218,82 @@ def _postings_table_hybrid(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
 
 
+def _sharded_for(sf_dir: str):
+    """Doc-partitioned build (3 partitions) over `documents` with the
+    global-stats handshake (rayfts/sharded.py); cached + resumable."""
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:sharded".encode()).hexdigest()[:12]
+    parent = os.path.join(_IDX_ROOT, tag + "_sharded")
+    si = _INDEX_CACHE.get(parent)
+    if si is None:
+        if not os.path.exists(os.path.join(parent, "sharded.json")):
+            build_sharded_index(src, parent, num_doc_shards=3,
+                                index_type="opt", key_cols=["doc_id"],
+                                text_col="text", salt_threshold=1 << 17,
+                                num_shards=5)
+        si = ShardedIndex(parent)
+        # global docid -> source doc_id, assembled once from the
+        # partitions' docs-meta checkpoints (same mmap discipline as
+        # _index_for's sidecar)
+        sid_path = os.path.join(parent, "src_doc_ids.i64")
+        if not os.path.exists(sid_path):
+            arr = np.zeros(si.num_docs, dtype=np.int64)
+            for sub in si.meta["subs"]:
+                dm = pq.read_table(os.path.join(parent, sub["dir"], "docs"),
+                                   columns=["doc_id", "src_doc_id"])
+                arr[dm.column("doc_id").to_numpy() + int(sub["doc_base"])] = \
+                    dm.column("src_doc_id").to_numpy()
+            with open(sid_path + ".tmp", "wb") as f:
+                f.write(arr.tobytes())
+            os.replace(sid_path + ".tmp", sid_path)
+        si.src_doc_ids = np.memmap(sid_path, dtype=np.int64, mode="r")
+        _INDEX_CACHE[parent] = si
+    return si
+
+
+def _topk_table_sharded(sf_dir: str) -> pd.DataFrame:
+    """Doc-partitioned scatter-gather BM25: every partition answers
+    over its slice with COLLECTION-wide (N, df, avg_len), the broker
+    merges by (score desc, docid asc) — rank- and score-identical to
+    the monolithic bm25_topk, checked by the same SQL oracle."""
+    from rayfts import search as S
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = si.topk(terms, k=K, op="ranked_or", prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(si.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
+
+
+def _postings_table_merged(sf_dir: str) -> pd.DataFrame:
+    """Decode the MERGED index — the doc-partitioned builds folded back
+    into one monolithic term-sharded index (sharded.merge_sharded_index,
+    byte-identical to a direct build) — against the same SQL term/doc
+    oracle: the posting-list merge correctness gate."""
+    from rayfts.index import InvertedIndex
+    from rayfts.sharded import merge_sharded_index
+    si = _sharded_for(sf_dir)
+    out_dir = si.parent_dir.rstrip("/") + "_merged"
+    idx = _INDEX_CACHE.get(out_dir)
+    if idx is None:
+        if not os.path.exists(os.path.join(out_dir, "meta.json")):
+            merge_sharded_index(si.parent_dir, out_dir, num_shards=5)
+        idx = InvertedIndex(out_dir)
+        idx.src_doc_ids = si.src_doc_ids
+        _INDEX_CACHE[out_dir] = idx
+    rows_t, rows_d, rows_f = [], [], []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -411,11 +487,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_optpfd": _postings_for("block_optpfd"),
         "postings_block_g8iu": _postings_for("block_g8iu"),
         "postings_block_qmx": _postings_for("block_qmx"),
+        "postings_merged": _postings_table_merged,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
         # query engine
         "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
+        "bm25_topk_sharded": _topk_table_sharded,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
         "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
@@ -532,6 +610,7 @@ SELECT term, doc_id, tf FROM tf"""
     for _t in ("ef", "single", "uniform", "block_interp", "block_vbyte",
                "block_mixed", "block_optpfd", "block_g8iu", "block_qmx"):
         sqls[f"postings_{_t}"] = postings_sql
+    sqls["postings_merged"] = postings_sql
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}
@@ -546,6 +625,7 @@ WITH {_TOK.strip()}
 SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id FROM dfs"""
 
     sqls["bm25_topk"] = _topk_sql(False)
+    sqls["bm25_topk_sharded"] = _topk_sql(False)
     sqls["wand_topk"] = _topk_sql(False)
     sqls["maxscore_topk"] = _topk_sql(False)
     sqls["block_max_wand_topk"] = _topk_sql(False)

@@ -411,7 +411,15 @@ def _stage_sidecar(index_dir: str, num_docs: int, avg_len: float,
     sdir = os.path.join(index_dir, "sidecar")
     marker = os.path.join(sdir, "sidecar.done.json")
     if os.path.exists(marker):
-        return
+        with open(marker) as f:
+            done = json.load(f)
+        # a sidecar built under a different avg_len (e.g. a standalone
+        # build later re-finished with a sharded avg_len_override) is
+        # stale: its norms — and any shards encoded from them — are wrong
+        if abs(float(done.get("avg_len", avg_len)) - float(avg_len)) \
+                <= 1e-12 * max(1.0, abs(avg_len)):
+            return
+        shutil.rmtree(sdir)
     os.makedirs(sdir, exist_ok=True)
     lengths_path = os.path.join(index_dir, "lengths.parquet")
     nranges = max(1, -(-num_docs // range_size))
@@ -454,7 +462,7 @@ def _stage_sidecar(index_dir: str, num_docs: int, avg_len: float,
                 pass
     with open(marker + ".tmp", "w") as f:
         json.dump({"num_docs": num_docs, "range_size": range_size,
-                   "ranges": nranges}, f)
+                   "ranges": nranges, "avg_len": float(avg_len)}, f)
     os.replace(marker + ".tmp", marker)
 
 
@@ -702,16 +710,16 @@ class _ShardEncoder:
             docs_bits=docs_bits, freqs_bits=freqs_bits)
 
 
-def _stage_shards(index_dir: str, index_type: str, num_docs: int,
-                  dfs: pd.DataFrame,
-                  salt_threshold: int, num_shards: int | None) -> list[dict]:
-    dfs_sorted = dfs.sort_values("term", kind="mergesort").reset_index(drop=True)
+def _term_shard_plan(dfs_sorted: pd.DataFrame, num_shards: int | None
+                     ) -> tuple[list, np.ndarray]:
+    """Term-range shard boundaries (equal-term-count split of the sorted
+    lexicon) + exact term-rank offsets per shard.  Shared by the direct
+    build and by merge_sharded_index so a merged index gets the identical
+    shard layout as a direct build with the same num_shards."""
     num_terms = len(dfs_sorted)
     if num_shards is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_shards = max(1, min(num_terms, 4 * cpus))
-
-    # term-range shard boundaries: equal-term-count split of the sorted lexicon
     cut = [num_terms * i // num_shards for i in range(1, num_shards)]
     boundaries = [str(dfs_sorted["term"].iloc[c]) for c in cut]
     bnd = []
@@ -719,13 +727,20 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         if not bnd or q > bnd[-1]:
             bnd.append(q)
     num_shards = len(bnd) + 1
-    # exact term-rank offsets per shard
     buckets_of_terms = np.searchsorted(np.array(bnd, dtype=object),
                                        dfs_sorted["term"].to_numpy(), side="right")
     counts = np.bincount(buckets_of_terms, minlength=num_shards)
     offsets = np.zeros(num_shards, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
+    return bnd, offsets
 
+
+def _stage_shards(index_dir: str, index_type: str, num_docs: int,
+                  dfs: pd.DataFrame,
+                  salt_threshold: int, num_shards: int | None) -> list[dict]:
+    dfs_sorted = dfs.sort_values("term", kind="mergesort").reset_index(drop=True)
+    num_terms = len(dfs_sorted)
+    bnd, offsets = _term_shard_plan(dfs_sorted, num_shards)
     # salt plan: split terms with df > threshold into ceil(df/threshold)
     # parts — dense per-term-rank array (no string dict crosses the wire)
     df_arr = dfs_sorted["df"].to_numpy()
@@ -857,8 +872,17 @@ def build_index(source_path: str, index_dir: str, *,
                 key_cols: list[str] | None = None,
                 text_col: str = "content",
                 salt_threshold: int = 1 << 17,
-                num_shards: int | None = None) -> dict:
-    """End-to-end build; resumable per stage and per shard. Returns meta."""
+                num_shards: int | None = None,
+                avg_len_override: float | None = None) -> dict:
+    """End-to-end build; resumable per stage and per shard. Returns meta.
+
+    ``avg_len_override`` replaces the corpus-local average document
+    length in every norm-dependent computation (sidecar norms, BM25
+    max-weight / block-max metadata).  A doc-partitioned cooperative
+    build (sharded.py) passes the GLOBAL average here so each
+    partition's WAND bounds stay safe upper bounds under global-stat
+    scoring — the same agree-on-global-stats-first handshake a
+    multi-node engine does before building per-node indexes."""
     os.makedirs(index_dir, exist_ok=True)
     key_cols = key_cols or ["repo", "path", "commit"]
 
@@ -870,6 +894,8 @@ def build_index(source_path: str, index_dir: str, *,
     stage_secs["docs_tokens"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
     avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
+    if avg_len_override is not None:
+        avg_len = float(avg_len_override)
     _stage_sidecar(index_dir, num_docs, avg_len)
     stage_secs["lengths_dfs"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
@@ -899,7 +925,9 @@ def build_index(source_path: str, index_dir: str, *,
               "postings": int(m["postings"])} for m in manifest),
             key=lambda m: m["shard"]),
         "lineage": {"input": source_path, "key_cols": key_cols,
-                    "text_col": text_col, "salt_threshold": salt_threshold},
+                    "text_col": text_col, "salt_threshold": salt_threshold,
+                    **({"avg_len_override": float(avg_len_override)}
+                       if avg_len_override is not None else {})},
         # per-stage wall seconds (stats_line / construction_time parity,
         # util.hpp:148-255, create_freq_index.cpp:87-97)
         "stage_secs": stage_secs,

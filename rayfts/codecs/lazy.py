@@ -83,7 +83,10 @@ class EncodedList:
     __slots__ = ("term", "term_id", "n", "occurrences", "max_weight",
                  "block_max_docs", "block_max_scores", "desc", "_keep",
                  # serving hot-path constants cached by InvertedIndex
-                 "desc_addr", "bd_addr", "bs_addr", "nbm", "qw1", "bound1")
+                 # (df = collection-wide document frequency; equals n
+                 # except in a doc-partitioned sub-index, sharded.py)
+                 "desc_addr", "bd_addr", "bs_addr", "nbm", "qw1", "bound1",
+                 "df")
 
     def __init__(self):
         self.desc = LZDesc()

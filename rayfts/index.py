@@ -118,6 +118,14 @@ class InvertedIndex:
         # approximate LRU is fine; entries are dropped on eviction)
         self._enc_by_term: dict[str, object] = {}
         self._enc_by_tid: dict[int, object] = {}
+        # global-statistics hooks for doc-partitioned serving
+        # (sharded.py): a sub-index scores with the WHOLE collection's
+        # N / df / avg_len so every partition produces the same BM25
+        # value the monolithic index would.  Defaults = this index IS
+        # the whole collection.  num_docs itself stays the LOCAL
+        # universe (enumerator sentinel / decode semantics).
+        self.score_num_docs = self.num_docs
+        self.score_dfs = None   # None, or callable term -> global df
 
     def _shard_of_term(self, term: str) -> int | None:
         import bisect
@@ -222,7 +230,12 @@ class InvertedIndex:
         el.bd_addr = bmd.ctypes.data
         el.bs_addr = bms.ctypes.data
         el.nbm = len(bmd)
-        _qw1 = _bm25.query_term_weight(1, el.n, self.num_docs)
+        # df defaults to the local list length; a sharded sub-index
+        # overrides it with the collection-wide df so the idf (and the
+        # cached m=1 weight / score bound) match the monolithic index
+        el.df = (self.score_dfs(el.term) or el.n) if self.score_dfs \
+            else el.n
+        _qw1 = _bm25.query_term_weight(1, el.df, self.score_num_docs)
         el.qw1 = float(_qw1)
         el.bound1 = float(np.float32(_qw1 * el.max_weight))
         self._enc_cache[loc] = el

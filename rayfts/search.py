@@ -84,7 +84,12 @@ def _lists(index: InvertedIndex, terms: list, prec: _Prec = P32
         pl = index.get(term) if isinstance(term, str) else index.get_by_id(term)
         if pl is None:
             continue
-        qw = prec.qtw(mult, pl.n, index.num_docs)
+        # df/N default to this index's own counts; a doc-partitioned
+        # sub-index (sharded.py) overrides them with collection-wide
+        # stats so per-partition scores equal the monolithic scores
+        df = (index.score_dfs(pl.term) or pl.n) if index.score_dfs \
+            else pl.n
+        qw = prec.qtw(mult, df, index.score_num_docs)
         out.append((pl, prec.dtype(qw)))
     return out
 
@@ -582,7 +587,7 @@ def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
         if mult == 1:
             qw, bound = el.qw1, el.bound1
         else:
-            qwf = bm25.query_term_weight(mult, el.n, index.num_docs)
+            qwf = bm25.query_term_weight(mult, el.df, index.score_num_docs)
             qw, bound = float(qwf), float(F32(qwf * el.max_weight))
         descp[L] = el.desc_addr
         bd_p[L] = el.bd_addr

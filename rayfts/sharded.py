@@ -1,0 +1,649 @@
+"""Doc-partitioned builds, scatter-gather serving, and index merge.
+
+The term-sharded index (build.py) is one logical index; at 10^12-doc
+scale the collection itself is partitioned across nodes and each node
+holds a COMPLETE index over its document slice — the classic
+doc-partitioned ("local index") architecture every large search
+cluster serves from.  This module provides the three pieces:
+
+* :func:`build_sharded_index` — range-partition the corpus by the same
+  deterministic (repo, path, commit) order that assigns docIDs, then
+  run the standard build per partition.  The builds cooperate on
+  GLOBAL statistics: after per-partition tokenize/length stages, the
+  collection-wide average document length is computed and every
+  partition's norms + WAND/BMW metadata are built against it
+  (``avg_len_override``), and a collection-wide ``term -> df`` table
+  is published.  With global (N, df, avg_len), every partition scores
+  a document exactly as the monolithic index would — so per-partition
+  top-k lists merge into the rank-identical global top-k.
+* :class:`ShardedIndex` / :class:`ShardedSearcher` — serve a query by
+  scatter-gather: every sub-index answers over its slice (the C
+  encoded-domain kernels, unchanged), the broker merges the k best by
+  (score desc, global docid asc).  Because range partitioning follows
+  the docID sort order, global docid = partition base + local docid.
+* :func:`merge_sharded_index` — fold the partitions back into one
+  term-sharded monolithic index: decode each sub-list, shift by the
+  partition's docID base, exchange by term range, and re-encode
+  through the SAME `_ShardEncoder` stage the direct build uses.  The
+  result is byte-identical to a direct monolithic build of the same
+  corpus (asserted in tests/test_sharded.py) — the reference's
+  posting-list merge semantics (freq_index.hpp:18-104 accumulates
+  per-term sequences in docID order) at partition granularity.
+
+Scale notes: the partition pass reads the corpus once and writes it
+once (hive-partitioned parquet); each partition build then touches
+only its own slice.  The merge exchange ships delta+vbyte-packed
+payloads (1-2 B/posting), same as the build shuffle.  No stage holds
+an O(num_docs) or O(vocab) driver structure except the global df
+table, which is the same driver-resident lexicon the direct build
+already materializes for its shard plan (build.py:_stage_shards).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from . import bm25
+from .build import (SIDECAR_RANGE, _add_sortkey, _bucket_of, _named,
+                    _parquet_num_rows, _sample_boundaries, _ShardEncoder,
+                    _stage_docs, _stage_lengths, _term_shard_plan,
+                    build_index)
+from .codecs.posting import decode_posting_list
+from .index import InvertedIndex
+
+SHARDED_META = "sharded.json"
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def _partition_corpus(source_path: str, parent_dir: str,
+                      num_doc_shards: int, key_cols: list[str]) -> list[str]:
+    """Range-partition the corpus into hive dirs ``corpus/dshard=i`` by
+    the deterministic key order.  One corpus read + one write; the
+    partition column is stripped from the files.  Returns the partition
+    dirs in docID order."""
+    part_root = os.path.join(parent_dir, "corpus")
+    marker = os.path.join(parent_dir, "partition.done.json")
+    if not os.path.exists(marker):
+        if os.path.exists(part_root):
+            shutil.rmtree(part_root)   # stale files from an aborted write
+
+        def add_sortkey(t: pa.Table) -> pa.Table:
+            return _add_sortkey(t, key_cols)
+
+        keys_ds = rd.read_parquet(source_path, columns=key_cols) \
+            .map_batches(add_sortkey, batch_size=None, batch_format="pyarrow")
+        bnds = _sample_boundaries(keys_ds, "sortkey", num_doc_shards)
+
+        def tag(t: pa.Table) -> pa.Table:
+            t = _add_sortkey(t, key_cols)
+            b = _bucket_of(t.column("sortkey").to_pandas(), bnds)
+            t = t.drop_columns(["sortkey"])
+            return t.append_column("dshard", pa.array(b, type=pa.int64()))
+
+        num_docs = _parquet_num_rows(source_path)
+        (rd.read_parquet(source_path,
+                         override_num_blocks=max(
+                             16, min(num_docs // 2048, 4096)))
+         .map_batches(tag, batch_size=None, batch_format="pyarrow")
+         # small row groups so each partition build can split its reads
+         .write_parquet(part_root, partition_cols=["dshard"],
+                        row_group_size=2048))
+        dirs = sorted((d for d in os.listdir(part_root)
+                       if d.startswith("dshard=")),
+                      key=lambda d: int(d.split("=")[1]))
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"input": source_path, "dirs": dirs,
+                       "boundaries_n": len(bnds)}, f)
+        os.replace(marker + ".tmp", marker)
+    with open(marker) as f:
+        dirs = json.load(f)["dirs"]
+    return [os.path.join(part_root, d) for d in dirs]
+
+
+def _exact_total_len(sub_dir: str) -> int:
+    import pyarrow.compute as pc
+    t = pq.read_table(os.path.join(sub_dir, "lengths.parquet"),
+                      columns=["length"])
+    return int(pc.sum(t.column("length").cast(pa.int64())).as_py() or 0)
+
+
+def build_sharded_index(source_path: str, parent_dir: str, *,
+                        num_doc_shards: int = 4,
+                        index_type: str = "opt",
+                        key_cols: list[str] | None = None,
+                        text_col: str = "content",
+                        salt_threshold: int = 1 << 17,
+                        num_shards: int | None = None) -> dict:
+    """Partition the corpus, build one full index per partition with
+    global statistics, publish the collection-wide df table.  Resumable
+    at every level (partition marker, per-sub build stages/shards)."""
+    os.makedirs(parent_dir, exist_ok=True)
+    key_cols = key_cols or ["repo", "path", "commit"]
+    meta_path = os.path.join(parent_dir, SHARDED_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+
+    part_dirs = _partition_corpus(source_path, parent_dir,
+                                  num_doc_shards, key_cols)
+
+    # phase 1 per partition: docID assignment + tokenize + lengths —
+    # everything that does NOT depend on collection-wide statistics
+    sub_dirs, counts, totals = [], [], []
+    for i, pdir in enumerate(part_dirs):
+        sub_dir = os.path.join(parent_dir, f"sub_{i:03d}")
+        n_i = _stage_docs(pdir, sub_dir, list(key_cols), text_col)
+        _stage_lengths(sub_dir, n_i)
+        sub_dirs.append(sub_dir)
+        counts.append(n_i)
+        totals.append(_exact_total_len(sub_dir))
+
+    num_docs = int(sum(counts))
+    total_len = int(sum(totals))
+    # the global-stats handshake: every partition's norms and WAND/BMW
+    # bounds are built against the COLLECTION average — without this a
+    # partition with shorter-than-average docs would store max-score
+    # bounds below the true global-normed weights (unsafe pruning)
+    global_avg = total_len / num_docs if num_docs else 1.0
+
+    # phase 2: finish each partition's build under the global avg_len
+    # (resumes phase-1 stages from their markers)
+    bases, sub_meta = [], []
+    base = 0
+    for i, (pdir, sub_dir) in enumerate(zip(part_dirs, sub_dirs)):
+        m = build_index(pdir, sub_dir, index_type=index_type,
+                        key_cols=list(key_cols), text_col=text_col,
+                        salt_threshold=salt_threshold,
+                        num_shards=num_shards,
+                        avg_len_override=global_avg)
+        bases.append(base)
+        base += int(m["num_docs"])
+        sub_meta.append({"dir": os.path.basename(sub_dir),
+                         "num_docs": int(m["num_docs"]),
+                         "doc_base": bases[i],
+                         "num_terms": int(m["num_terms"]),
+                         "total_postings": int(m["total_postings"])})
+
+    # collection-wide df table, term-sorted with small row groups so
+    # readers page in one term-range at a time (GlobalDfs) — the same
+    # driver-resident lexicon scale as the direct build's shard plan
+    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
+    if not os.path.exists(dfs_path):
+        parts = [pq.read_table(os.path.join(d, "dfs.parquet"))
+                 for d in sub_dirs]
+        merged = (pa.concat_tables(parts)
+                  .group_by("term").aggregate([("df", "sum")])
+                  .rename_columns(["term", "df"]))
+        # sort in pandas, exactly like _stage_shards' shard plan, so the
+        # merged index's term_id ranks are identical to a direct build's
+        mdf = merged.to_pandas().sort_values(
+            "term", kind="mergesort").reset_index(drop=True)
+        merged = pa.table({"term": pa.array(mdf["term"].to_numpy(),
+                                            type=pa.string()),
+                           "df": pa.array(mdf["df"].to_numpy(),
+                                          type=pa.int64())})
+        pq.write_table(merged, dfs_path + ".tmp", row_group_size=8192)
+        os.replace(dfs_path + ".tmp", dfs_path)
+
+    meta = {
+        "num_docs": num_docs,
+        "avg_len": global_avg,
+        "total_len": total_len,
+        "index_type": index_type,
+        "num_doc_shards": len(sub_dirs),
+        "subs": sub_meta,
+        "lineage": {"input": source_path, "key_cols": key_cols,
+                    "text_col": text_col,
+                    "salt_threshold": salt_threshold},
+    }
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(meta_path + ".tmp", meta_path)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# global df lookup (lazy, row-group granular)
+# ---------------------------------------------------------------------------
+
+class GlobalDfs:
+    """term -> collection-wide df over the term-sorted global df
+    parquet.  Loads one row group per lookup miss (binary search on
+    row-group minima), keeps an LRU of loaded groups — a query actor
+    pages in only the term ranges its queries touch, never the whole
+    lexicon."""
+
+    def __init__(self, path: str, max_groups: int = 64):
+        self._pf = pq.ParquetFile(path)
+        md = self._pf.metadata
+        term_idx = md.schema.to_arrow_schema().get_field_index("term")
+        mins = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(term_idx).statistics
+            if st is not None and st.has_min_max:
+                mn = st.min
+                mins.append(mn.decode() if isinstance(mn, bytes) else mn)
+            else:   # stats absent: read the group's first term
+                t = self._pf.read_row_group(g, columns=["term"])
+                mins.append(t.column("term")[0].as_py())
+        self._mins = mins
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._max_groups = max_groups
+
+    def __call__(self, term: str) -> int | None:
+        import bisect
+        g = bisect.bisect_right(self._mins, term) - 1
+        if g < 0:
+            return None
+        d = self._cache.get(g)
+        if d is None:
+            t = self._pf.read_row_group(g, columns=["term", "df"])
+            d = dict(zip(t.column("term").to_pylist(),
+                         t.column("df").to_pylist()))
+            self._cache[g] = d
+            while len(self._cache) > self._max_groups:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(g)
+        return d.get(term)
+
+
+#: per-process cache: every sub-searcher in a worker shares one GlobalDfs
+_GLOBAL_DFS: dict[str, GlobalDfs] = {}
+
+
+def open_sub(parent_dir: str, i: int) -> InvertedIndex:
+    """Open partition ``i`` configured for global-stat scoring: its own
+    num_docs stays the decode universe, but idf and score bounds use
+    the collection-wide N and df."""
+    with open(os.path.join(parent_dir, SHARDED_META)) as f:
+        meta = json.load(f)
+    sub = meta["subs"][i]
+    idx = InvertedIndex(os.path.join(parent_dir, sub["dir"]))
+    idx.score_num_docs = int(meta["num_docs"])
+    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
+    gd = _GLOBAL_DFS.get(dfs_path)
+    if gd is None:
+        gd = _GLOBAL_DFS[dfs_path] = GlobalDfs(dfs_path)
+    idx.score_dfs = gd
+    idx.doc_base = int(sub["doc_base"])
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# serving: in-process broker + scatter-gather actor pool
+# ---------------------------------------------------------------------------
+
+def _merge_topk(per_sub: list[list], k: int) -> list:
+    """k best by (score desc, global docid asc) from per-partition
+    top-k lists — exact: any global top-k member is in its own
+    partition's top-k."""
+    merged = [p for res in per_sub for p in res]
+    merged.sort(key=lambda x: (-float(x[0]), x[1]))
+    return merged[:k]
+
+
+class ShardedIndex:
+    """In-process broker over the partition sub-indexes (the
+    conformance surface; ShardedSearcher is the distributed pool)."""
+
+    def __init__(self, parent_dir: str):
+        self.parent_dir = parent_dir
+        with open(os.path.join(parent_dir, SHARDED_META)) as f:
+            self.meta = json.load(f)
+        self.num_docs = int(self.meta["num_docs"])
+        self.avg_len = float(self.meta["avg_len"])
+        self.bases = [int(s["doc_base"]) for s in self.meta["subs"]]
+        self._subs: dict[int, InvertedIndex] = {}
+
+    def __len__(self):
+        return len(self.meta["subs"])
+
+    def sub(self, i: int) -> InvertedIndex:
+        idx = self._subs.get(i)
+        if idx is None:
+            idx = self._subs[i] = open_sub(self.parent_dir, i)
+        return idx
+
+    def topk(self, terms: list, k: int = 10, op: str = "ranked_or",
+             prec=None):
+        from . import search as S
+        prec = prec or S.P32
+        fn = {"ranked_or": S.ranked_or_fast, "ranked_and": S.ranked_and_fast,
+              "wand": S.wand_fast, "maxscore": S.maxscore_fast,
+              "block_max_wand": S.block_max_wand_fast}[op]
+        per_sub = []
+        for i, base in enumerate(self.bases):
+            res = fn(self.sub(i), terms, k, prec)
+            per_sub.append([(s, base + d) for s, d in res])
+        return _merge_topk(per_sub, k)
+
+    def and_docs(self, terms: list) -> np.ndarray:
+        from . import search as S
+        out = [S.and_query(self.sub(i), terms) + base
+               for i, base in enumerate(self.bases)]
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    def or_docs(self, terms: list) -> np.ndarray:
+        from . import search as S
+        out = [S.or_query(self.sub(i), terms) + base
+               for i, base in enumerate(self.bases)]
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+class _SubSearcher:
+    """One partition's resident query actor: holds the encoded-domain
+    reader, answers batches over its slice, returns global docids."""
+
+    def __init__(self, parent_dir: str, i: int, op: str, k: int):
+        from . import search as S
+        self.idx = open_sub(parent_dir, i)
+        self.base = self.idx.doc_base
+        self.fn = {"ranked_or": S.ranked_or_fast,
+                   "ranked_and": S.ranked_and_fast,
+                   "wand": S.wand_fast, "maxscore": S.maxscore_fast,
+                   "block_max_wand": S.block_max_wand_fast}[op]
+        self.k = k
+
+    def run(self, qids: list, terms_list: list):
+        out = []
+        for qid, terms in zip(qids, terms_list):
+            res = self.fn(self.idx, terms, self.k)
+            out.append((qid, [(float(s), self.base + d) for s, d in res]))
+        return out
+
+
+class ShardedSearcher:
+    """Scatter-gather serving pool: one resident actor per partition
+    (at cluster scale: one per node, co-located with its shard's
+    files).  Every query fans out to all partitions — the
+    doc-partitioned contract — and the driver merges per-query top-k."""
+
+    def __init__(self, parent_dir: str, op: str = "block_max_wand",
+                 k: int = 10, num_cpus: float = 1.0):
+        with open(os.path.join(parent_dir, SHARDED_META)) as f:
+            meta = json.load(f)
+        actor = ray.remote(_SubSearcher).options(num_cpus=num_cpus)
+        self.actors = [actor.remote(parent_dir, i, op, k)
+                       for i in range(len(meta["subs"]))]
+        self.k = k
+
+    def warm(self, queries=None) -> None:
+        qs = queries or [(0, ["warm"])]
+        qids = [q[0] for q in qs]
+        terms = [q[1] for q in qs]
+        ray.get([a.run.remote(qids, terms) for a in self.actors])
+
+    def run(self, queries: list, chunk: int = 64) -> list:
+        """queries: [(qid, terms)]; returns [(qid, [(score, gdoc)...])]
+        in input order."""
+        futures = []
+        for lo in range(0, len(queries), chunk):
+            part = queries[lo:lo + chunk]
+            qids = [q[0] for q in part]
+            terms = [q[1] for q in part]
+            futures.append([a.run.remote(qids, terms) for a in self.actors])
+        results: dict = {}
+        for group in futures:
+            for sub_res in ray.get(group):
+                for qid, res in sub_res:
+                    results.setdefault(qid, []).append(res)
+        return [(qid, _merge_topk(results.get(qid, []), self.k))
+                for qid, _ in queries]
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+# ---------------------------------------------------------------------------
+# merge: partitions -> one monolithic term-sharded index
+# ---------------------------------------------------------------------------
+
+def _merge_sidecars(parent_dir: str, subs: list[dict], out_dir: str,
+                    num_docs: int, avg_len: float) -> None:
+    """Concatenate the partitions' dense sidecars into the monolithic
+    ones — per-partition Ray tasks each write their disjoint doc-range
+    slice of the preallocated files (norms are already global-normed
+    thanks to avg_len_override, so this is a byte copy)."""
+    sdir = os.path.join(out_dir, "sidecar")
+    marker = os.path.join(sdir, "sidecar.done.json")
+    if os.path.exists(marker):
+        return
+    os.makedirs(sdir, exist_ok=True)
+    specs = (("norms.f32", np.float32), ("lengths.i64", np.int64))
+    tmps = {}
+    for name, dtype in specs:
+        tmp = os.path.join(sdir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.truncate(num_docs * np.dtype(dtype).itemsize)
+        tmps[name] = tmp
+
+    @ray.remote
+    def copy_slice(i: int) -> int:
+        sub = subs[i]
+        base, n = int(sub["doc_base"]), int(sub["num_docs"])
+        for name, dtype in specs:
+            src = np.memmap(os.path.join(parent_dir, sub["dir"],
+                                         "sidecar", name),
+                            dtype=dtype, mode="r")
+            dst = np.memmap(tmps[name], dtype=dtype, mode="r+")
+            dst[base:base + n] = src[:n]
+            dst.flush()
+        return i
+
+    ray.get([copy_slice.remote(i) for i in range(len(subs))])
+    for name, _ in specs:
+        os.replace(tmps[name], os.path.join(sdir, name))
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"num_docs": num_docs, "range_size": SIDECAR_RANGE,
+                   "ranges": -(-num_docs // SIDECAR_RANGE),
+                   "avg_len": float(avg_len), "merged": True}, f)
+    os.replace(marker + ".tmp", marker)
+
+
+class _DecodeShift:
+    """Per-partition merge mapper: decode each sub posting list, shift
+    docids by the partition base, re-pack as the delta+vbyte exchange
+    payload the shard encoder consumes (same wire format as the build
+    shuffle — 1-2 B/posting crosses the merge exchange, not 16)."""
+
+    def __init__(self, sub_type: str, sub_num_docs: int, base: int,
+                 vocab_ref, offsets: np.ndarray, global_num_docs: int):
+        self.sub_type = sub_type
+        self.sub_num_docs = sub_num_docs
+        self.base = base
+        self.vocab_ref = vocab_ref
+        self.offsets = offsets
+        self.packed = global_num_docs < (1 << 31)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .codecs import vbyte
+        if self.packed:
+            empty = pa.table({
+                "term_id": pa.array([], type=pa.int64()),
+                "salt": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "docs_vb": pa.array([], type=pa.binary()),
+                "freqs_vb": pa.array([], type=pa.binary())})
+        else:
+            empty = pa.table({
+                "term_id": pa.array([], type=pa.int64()),
+                "salt": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.int64()),
+                "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                "freqs": pa.array([], type=pa.list_(pa.int64()))})
+        if t.num_rows == 0:
+            return empty
+        vocab = ray.get(self.vocab_ref)
+        tid_arr = pc.index_in(t.column("term").combine_chunks(),
+                              value_set=vocab)
+        assert tid_arr.null_count == 0, "merge term missing from lexicon"
+        g_tids = tid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("docs_bytes").to_pylist()
+        fb = t.column("freqs_bytes").to_pylist()
+        docs_parts, freqs_parts, lens = [], [], np.empty(len(db), np.int64)
+        for r in range(len(db)):
+            d, f = decode_posting_list(self.sub_type, db[r], fb[r],
+                                       self.sub_num_docs)
+            d = np.asarray(d, dtype=np.int64) + self.base
+            docs_parts.append(d)
+            freqs_parts.append(np.asarray(f, dtype=np.int64))
+            lens[r] = len(d)
+        doc_ids = np.concatenate(docs_parts) if docs_parts else \
+            np.empty(0, np.int64)
+        tfs = np.concatenate(freqs_parts) if freqs_parts else \
+            np.empty(0, np.int64)
+        starts = np.zeros(len(db), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        bucket = np.searchsorted(self.offsets, g_tids, side="right") - 1
+        base_cols = {
+            "term_id": pa.array(g_tids, type=pa.int64()),
+            "salt": pa.array(np.zeros(len(db), np.int64), type=pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
+        }
+        if not self.packed:
+            loffsets = np.append(starts, len(doc_ids)).astype(np.int32)
+            return pa.table({**base_cols,
+                "doc_ids": pa.ListArray.from_arrays(
+                    loffsets, pa.array(doc_ids, type=pa.int64())),
+                "freqs": pa.ListArray.from_arrays(
+                    loffsets, pa.array(tfs, type=pa.int64()))})
+        # delta+vbyte pack (row-first values absolute — the encoder's
+        # packed branch rebuilds absolutes by per-row prefix sums)
+        deltas = doc_ids.copy()
+        deltas[1:] -= doc_ids[:-1]
+        deltas[starts] = doc_ids[starts]
+        dv = vbyte.encode(deltas)
+        fv = vbyte.encode(tfs)
+        dends = np.cumsum(vbyte.value_lengths(deltas))
+        fends = np.cumsum(vbyte.value_lengths(tfs))
+        bnds = np.append(starts, len(doc_ids))
+        d_off = np.zeros(len(db) + 1, dtype=np.int32)
+        f_off = np.zeros(len(db) + 1, dtype=np.int32)
+        nz = lens > 0
+        d_off[1:][nz] = dends[bnds[1:][nz] - 1]
+        f_off[1:][nz] = fends[bnds[1:][nz] - 1]
+        np.maximum.accumulate(d_off, out=d_off)
+        np.maximum.accumulate(f_off, out=f_off)
+        docs_vb = pa.Array.from_buffers(
+            pa.binary(), len(db),
+            [None, pa.py_buffer(d_off.tobytes()),
+             pa.py_buffer(dv.tobytes())])
+        freqs_vb = pa.Array.from_buffers(
+            pa.binary(), len(db),
+            [None, pa.py_buffer(f_off.tobytes()),
+             pa.py_buffer(fv.tobytes())])
+        return pa.table({**base_cols,
+                         "n": pa.array(lens, type=pa.int64()),
+                         "docs_vb": docs_vb, "freqs_vb": freqs_vb})
+
+
+def merge_sharded_index(parent_dir: str, out_dir: str, *,
+                        index_type: str | None = None,
+                        num_shards: int | None = None) -> dict:
+    """Merge the doc-partitioned sub-indexes into one monolithic
+    term-sharded index, byte-identical to a direct build with the same
+    parameters (same docids, same global norms, same shard plan, same
+    encoder).  Per-shard resumable via _ShardEncoder's done markers."""
+    with open(os.path.join(parent_dir, SHARDED_META)) as f:
+        smeta = json.load(f)
+    subs = smeta["subs"]
+    num_docs = int(smeta["num_docs"])
+    avg_len = float(smeta["avg_len"])
+    index_type = index_type or smeta["index_type"]
+
+    out_meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(out_meta_path):
+        with open(out_meta_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    import time as _time
+    t0 = _time.perf_counter()
+    _merge_sidecars(parent_dir, subs, out_dir, num_docs, avg_len)
+
+    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
+    dfs_sorted = pq.read_table(dfs_path).to_pandas()   # already term-sorted
+    out_dfs = os.path.join(out_dir, "dfs.parquet")
+    if not os.path.exists(out_dfs):
+        shutil.copyfile(dfs_path, out_dfs)
+
+    _, offsets = _term_shard_plan(dfs_sorted, num_shards)
+    vocab_pa = pa.array(dfs_sorted["term"].to_numpy(), type=pa.string())
+    vocab_ref = ray.put(vocab_pa)
+
+    pipelines = []
+    for i, sub in enumerate(subs):
+        sub_dir = os.path.join(parent_dir, sub["dir"])
+        with open(os.path.join(sub_dir, "meta.json")) as f:
+            sm = json.load(f)
+        shards_dir = os.path.join(sub_dir, "shards")
+        files = sorted(os.path.join(shards_dir, f)
+                       for f in os.listdir(shards_dir)
+                       if f.endswith(".parquet"))
+        ds = rd.read_parquet(
+            files, columns=["term", "docs_bytes", "freqs_bytes"])
+        mapper = _DecodeShift(sm["index_type"], int(sm["num_docs"]),
+                              int(sub["doc_base"]), vocab_ref, offsets,
+                              num_docs)
+        pipelines.append(ds.map_batches(mapper, batch_size=None,
+                                        batch_format="pyarrow"))
+    merged = pipelines[0]
+    if len(pipelines) > 1:
+        merged = merged.union(*pipelines[1:])
+
+    manifest = (merged.groupby("bucket")
+                .map_groups(_named(_ShardEncoder(out_dir, index_type,
+                                                 num_docs, vocab_ref),
+                                   "encode_shard"),
+                            batch_format="pyarrow")).take_all()
+    stage_secs = {"merge": round(_time.perf_counter() - t0, 3)}
+
+    meta = {
+        "num_docs": num_docs,
+        "avg_len": avg_len,
+        "num_terms": int(sum(m["num_terms"] for m in manifest)),
+        "total_postings": int(sum(m["postings"] for m in manifest)),
+        "index_type": index_type,
+        "docs_bits": int(sum(m.get("docs_bits", 0) for m in manifest)),
+        "freqs_bits": int(sum(m.get("freqs_bits", 0) for m in manifest)),
+        "bits_per_doc": round(sum(m.get("docs_bits", 0) for m in manifest)
+                              / max(1, sum(m["postings"] for m in manifest)), 3),
+        "bits_per_freq": round(sum(m.get("freqs_bits", 0) for m in manifest)
+                               / max(1, sum(m["postings"] for m in manifest)), 3),
+        "shards": sorted(
+            ({"shard": int(m["shard"]), "num_terms": int(m["num_terms"]),
+              "term_id_lo": int(m["term_id_lo"]),
+              "term_lo": str(m["term_lo"]), "term_hi": str(m["term_hi"]),
+              "postings": int(m["postings"])} for m in manifest),
+            key=lambda m: m["shard"]),
+        "lineage": {"merged_from": parent_dir,
+                    "num_doc_shards": len(subs)},
+        "stage_secs": stage_secs,
+    }
+    with open(out_meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(out_meta_path + ".tmp", out_meta_path)
+    return meta

@@ -1,0 +1,205 @@
+"""Doc-partitioned build / scatter-gather serving / index merge
+(rayfts/sharded.py) against the monolithic build as the oracle:
+
+* global-stat scoring makes every partition's BM25 bit-identical to
+  the monolithic index, so merged per-partition top-k == monolithic
+  top-k exactly (scores AND docids), for every ranked operator, in
+  both f32 (serving) and f64 (driver-oracle) precision;
+* merging the partitions back produces a byte-identical index to a
+  direct build (the posting-list merge correctness gate — same
+  docids, same norms, same shard plan, same encoder bytes).
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 240
+NUM_TERM_SHARDS = 5
+K = 10
+OPS = ["ranked_or", "ranked_and", "wand", "maxscore", "block_max_wand"]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    src = corpus_parquet(NUM_DOCS, seed=11)
+    mono_dir = str(tmp_path_factory.mktemp("mono"))
+    parent_dir = str(tmp_path_factory.mktemp("sharded"))
+    mono_meta = build_index(src, mono_dir, index_type="opt",
+                            salt_threshold=64, num_shards=NUM_TERM_SHARDS)
+    sh_meta = build_sharded_index(src, parent_dir, num_doc_shards=3,
+                                  index_type="opt", salt_threshold=64,
+                                  num_shards=NUM_TERM_SHARDS)
+    return (src, mono_dir, parent_dir, mono_meta, sh_meta,
+            InvertedIndex(mono_dir), ShardedIndex(parent_dir))
+
+
+def _queries(mono):
+    rng = np.random.RandomState(7)
+    vocab = mono.all_terms()
+    qs = []
+    for qi in range(40):
+        nt = int(rng.randint(1, 5))
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=nt)]
+        if qi % 10 == 3:
+            terms.append(terms[0])            # duplicate term
+        if qi % 10 == 7:
+            terms.append("zz_unknown_term")   # unknown term
+        qs.append(terms)
+    return qs
+
+
+def test_global_stats_match(built):
+    _, _, parent_dir, mono_meta, sh_meta, mono, sharded = built
+    assert sh_meta["num_docs"] == mono_meta["num_docs"]
+    assert sh_meta["avg_len"] == mono_meta["avg_len"]
+    assert sum(s["num_docs"] for s in sh_meta["subs"]) == mono.num_docs
+    assert len(sh_meta["subs"]) == 3
+
+
+def test_global_df_lookup(built):
+    from rayfts.sharded import GlobalDfs
+    _, _, parent_dir, _, _, mono, sharded = built
+    gd = GlobalDfs(os.path.join(parent_dir, "global_dfs.parquet"))
+    terms = mono.all_terms()
+    for t in terms[:: max(1, len(terms) // 25)]:
+        assert gd(t) == mono.get(t).n, t
+    assert gd("zz_unknown_term") is None
+
+
+def test_docid_bases_follow_global_order(built):
+    """Range partitioning follows the docID sort order: partition i's
+    local docid d is global docid base_i + d, verified via the sha256
+    column of the docs-meta checkpoints."""
+    _, mono_dir, parent_dir, _, sh_meta, mono, sharded = built
+    mono_sha = pq.read_table(os.path.join(mono_dir, "docs"),
+                             columns=["doc_id", "sha256"])
+    by_gid = dict(zip(mono_sha.column("doc_id").to_pylist(),
+                      mono_sha.column("sha256").to_pylist()))
+    for sub in sh_meta["subs"]:
+        t = pq.read_table(os.path.join(parent_dir, sub["dir"], "docs"),
+                          columns=["doc_id", "sha256"])
+        for local, sha in zip(t.column("doc_id").to_pylist(),
+                              t.column("sha256").to_pylist()):
+            assert by_gid[sub["doc_base"] + local] == sha
+
+
+def _assert_topk_equiv(got, expect, ctx, tol=5e-6):
+    """Same top-k to f32 summation-order tolerance: shared docids score
+    within tol; a docid present in only one list sits at the k-th score
+    boundary (the reference's own cross-operator contract — its DAAT
+    sums differ in the last ulp when accumulation order differs,
+    test_ranked_queries.cpp:50-53)."""
+    gd = {d: s for s, d in got}
+    ed = {d: s for s, d in expect}
+    for d in gd.keys() & ed.keys():
+        assert abs(gd[d] - ed[d]) <= tol * max(1.0, abs(ed[d])), (ctx, d)
+    kth = min((s for s, _ in expect), default=0.0)
+    for d in gd.keys() ^ ed.keys():
+        s = gd.get(d, ed.get(d))
+        assert abs(s - kth) <= tol * max(1.0, abs(kth)), (ctx, d)
+
+
+def test_topk_parity_f32(built):
+    from rayfts import search as S
+    _, _, _, _, _, mono, sharded = built
+    fns = {"ranked_or": S.ranked_or_fast, "ranked_and": S.ranked_and_fast,
+           "wand": S.wand_fast, "maxscore": S.maxscore_fast,
+           "block_max_wand": S.block_max_wand_fast}
+    for terms in _queries(mono):
+        for op in OPS:
+            expect = [(float(s), int(d)) for s, d in fns[op](mono, terms, K)]
+            got = [(float(s), int(d)) for s, d in sharded.topk(terms, K, op)]
+            if op in ("ranked_or", "ranked_and"):
+                # fixed ascending-term accumulation order on both sides:
+                # scores must be BIT-identical, ranking too
+                assert got == expect, (op, terms)
+            else:
+                # wand/maxscore/BMW order lists by (per-partition) max
+                # weight, so the f32 sum order may differ by partition —
+                # same docids and scores to summation-order tolerance
+                _assert_topk_equiv(got, expect, (op, terms))
+
+
+def test_topk_parity_f64_oracle_mode(built):
+    from rayfts import search as S
+    _, _, _, _, _, mono, sharded = built
+    for terms in _queries(mono)[:15]:
+        expect = [(float(s), int(d))
+                  for s, d in S.ranked_or_exact(mono, terms, K, S.P64)]
+        got = [(float(s), int(d))
+               for s, d in sharded.topk(terms, K, "ranked_or", S.P64)]
+        assert got == expect, terms
+
+
+def test_boolean_parity(built):
+    from rayfts import search as S
+    _, _, _, _, _, mono, sharded = built
+    for terms in _queries(mono)[:15]:
+        np.testing.assert_array_equal(sharded.and_docs(terms),
+                                      S.and_query(mono, terms))
+        np.testing.assert_array_equal(sharded.or_docs(terms),
+                                      S.or_query(mono, terms))
+
+
+def test_merge_byte_parity(built, tmp_path_factory):
+    from rayfts.index import InvertedIndex
+    from rayfts.sharded import merge_sharded_index
+    _, mono_dir, parent_dir, mono_meta, _, mono, _ = built
+    out_dir = str(tmp_path_factory.mktemp("merged"))
+    m = merge_sharded_index(parent_dir, out_dir,
+                            num_shards=NUM_TERM_SHARDS)
+    for k in ("num_docs", "avg_len", "num_terms", "total_postings",
+              "docs_bits", "freqs_bits", "shards"):
+        assert m[k] == mono_meta[k], k
+    for sh in m["shards"]:
+        name = f"shard_{sh['shard']:05d}.parquet"
+        a = pq.read_table(os.path.join(mono_dir, "shards", name))
+        b = pq.read_table(os.path.join(out_dir, "shards", name))
+        assert a.equals(b), name
+    # sidecars byte-equal
+    for name in ("norms.f32", "lengths.i64"):
+        with open(os.path.join(mono_dir, "sidecar", name), "rb") as f:
+            x = f.read()
+        with open(os.path.join(out_dir, "sidecar", name), "rb") as f:
+            y = f.read()
+        assert x == y, name
+    # and the merged index serves identically
+    from rayfts import search as S
+    merged = InvertedIndex(out_dir)
+    for terms in _queries(mono)[:10]:
+        assert S.block_max_wand_fast(merged, terms, K) == \
+            S.block_max_wand_fast(mono, terms, K)
+
+
+def test_distributed_searcher_matches_inprocess(built):
+    from rayfts.sharded import ShardedSearcher
+    _, _, parent_dir, _, _, mono, sharded = built
+    queries = [(i, t) for i, t in enumerate(_queries(mono)[:12])]
+    svc = ShardedSearcher(parent_dir, op="maxscore", k=K)
+    try:
+        svc.warm()
+        got = svc.run(queries, chunk=5)
+        for qid, res in got:
+            expect = sharded.topk(queries[qid][1], K, "maxscore")
+            assert [(float(s), int(d)) for s, d in res] == \
+                [(float(s), int(d)) for s, d in expect], qid
+    finally:
+        svc.shutdown()
+
+
+def test_sharded_build_resume(built):
+    from rayfts.sharded import build_sharded_index
+    src, _, parent_dir, _, sh_meta, _, _ = built
+    again = build_sharded_index(src, parent_dir, num_doc_shards=3,
+                                index_type="opt", salt_threshold=64,
+                                num_shards=NUM_TERM_SHARDS)
+    assert again == sh_meta
