@@ -126,10 +126,20 @@ def run_reference_protocol(num_cpus: int) -> dict:
     if not os.path.exists(os.path.join(optpfd_dir, "meta.json")):
         build_index(src, optpfd_dir, index_type="block_optpfd",
                     num_shards=64)
+    # the reference's remaining block family members (block_codecs.hpp
+    # varint-G8IU, qmx_codec.hpp QMX) — scalar re-implementations,
+    # measured on the same protocol for size/latency context
+    g8iu_dir = "/tmp/rayfts_bench/refcol_block_g8iu"
+    if not os.path.exists(os.path.join(g8iu_dir, "meta.json")):
+        build_index(src, g8iu_dir, index_type="block_g8iu", num_shards=64)
+    qmx_dir = "/tmp/rayfts_bench/refcol_block_qmx"
+    if not os.path.exists(os.path.join(qmx_dir, "meta.json")):
+        build_index(src, qmx_dir, index_type="block_qmx", num_shards=64)
 
     out: dict = {"reference_published_ranked_and_us": REF_PUBLISHED_US}
     for name, d in (("block_mixed", mixed_dir), ("block_packed", base_dir),
-                    ("block_optpfd", optpfd_dir)):
+                    ("block_optpfd", optpfd_dir), ("block_g8iu", g8iu_dir),
+                    ("block_qmx", qmx_dir)):
         idx = InvertedIndex(d)
         queries = _ref_queries(idx.num_terms)
         if "collection" not in out:
