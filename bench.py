@@ -183,6 +183,101 @@ def run_reference_protocol(num_cpus: int) -> dict:
     return out
 
 
+def run_sharded(sf_dir: str, num_cpus: int,
+                corpus_docs: int | None = None,
+                num_doc_shards: int = 4) -> dict:
+    """Doc-partitioned layout (sharded.py): partition + per-partition
+    builds with the global-stats handshake, scatter-gather serving
+    (resident actor per partition), and the merge back into one
+    monolithic index."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as _rd
+
+    from rayfts.corpus import corpus_parquet
+    from rayfts.sharded import (ShardedIndex, ShardedSearcher,
+                                build_sharded_index, merge_sharded_index)
+
+    sf = _sf_of(sf_dir)
+    n_docs = corpus_docs or _corpus_docs(sf)
+    src = corpus_parquet(n_docs)
+
+    def _warm(batch):
+        import rayfts.build  # noqa: F401
+        return batch
+    _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
+       .map_batches(_warm, batch_size=None).count()
+
+    parent = f"/tmp/rayfts_bench/sharded_n{n_docs}_c{num_cpus}"
+    shutil.rmtree(parent, ignore_errors=True)
+    shutil.rmtree(parent + "_merged", ignore_errors=True)
+    t0 = time.perf_counter()
+    smeta = build_sharded_index(src, parent,
+                                num_doc_shards=num_doc_shards,
+                                index_type="opt",
+                                num_shards=max(8, 128 // num_doc_shards))
+    build_s = time.perf_counter() - t0
+    out: dict = {
+        "metric": "rayfts doc-partitioned build+serve+merge (sharded.py)",
+        "unit": "sec",
+        "sf": sf, "num_cpus": num_cpus,
+        "num_docs": smeta["num_docs"],
+        "num_doc_shards": smeta["num_doc_shards"],
+        "total_postings": int(sum(s["total_postings"]
+                                  for s in smeta["subs"])),
+        "sharded_build_s": round(build_s, 3),
+        "sharded_build_docs_per_sec": round(smeta["num_docs"] / build_s, 2),
+    }
+
+    si = ShardedIndex(parent)
+    queries = _gen_queries(si.sub(0))
+
+    # in-process scatter-gather latency (1 untimed warm + 2 timed)
+    lat = {}
+    for op in ("maxscore", "block_max_wand"):
+        for _, terms in queries:
+            si.topk(terms, K, op)
+        per_q = []
+        for _ in range(2):
+            for _, terms in queries:
+                tq = time.perf_counter()
+                si.topk(terms, K, op)
+                per_q.append(time.perf_counter() - tq)
+        pq_ms = np.asarray(per_q) * 1e3
+        lat[op] = {"p50_ms": round(float(np.percentile(pq_ms, 50)), 3),
+                   "p99_ms": round(float(np.percentile(pq_ms, 99)), 3)}
+    out["latency_inprocess"] = lat
+
+    # distributed scatter-gather throughput (resident actor pool, one
+    # actor per partition; warm pass + 2 timed passes)
+    svc = ShardedSearcher(parent, op="block_max_wand", k=K)
+    try:
+        svc.warm(queries)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            svc.run(queries)
+        svc_s = time.perf_counter() - t0
+        out["scatter_gather_qps"] = round(2 * len(queries) / svc_s, 1)
+    finally:
+        svc.shutdown()
+
+    t0 = time.perf_counter()
+    mmeta = merge_sharded_index(parent, parent + "_merged", num_shards=128)
+    merge_s = time.perf_counter() - t0
+    out["merge_s"] = round(merge_s, 3)
+    out["merge_postings_per_sec"] = round(
+        mmeta["total_postings"] / merge_s, 1)
+    out["value"] = round(build_s + merge_s, 3)
+    out["queries"] = {"sharded_build": out["sharded_build_s"],
+                      "merge": out["merge_s"]}
+    return out
+
+
 def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
                corpus_docs: int | None = None) -> dict:
     import ray
@@ -355,6 +450,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--reference-only", action="store_true",
                     help="run just the reference query protocol")
+    ap.add_argument("--sharded", action="store_true",
+                    help="benchmark the doc-partitioned build/serve/merge")
     ap.add_argument("--corpus-docs", type=int, default=None,
                     help="override the sf-derived synthetic corpus size")
     ap.add_argument("--scaling-docs", type=int, default=200_000)
@@ -373,6 +470,13 @@ def main() -> None:
         DataContext.get_current().enable_progress_bars = False
         result = run_reference_protocol(args.cpus)
         print(json.dumps(result))
+        ray.shutdown()
+        return
+    if args.sharded:
+        result = run_sharded(args.sf_dir, args.cpus,
+                             corpus_docs=args.corpus_docs)
+        print(json.dumps(result))
+        import ray
         ray.shutdown()
         return
     if args.scaling:
