@@ -349,6 +349,43 @@ def _ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     return ngram_jaccard_pairs(docs, tau=0.2, k=3)
 
 
+def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Pairs -> clusters -> keeper: distributed connected components
+    (hash-min label propagation, rayfts/ops/dedup.py) over the exact
+    Jaccard>=0.2 pair graph.  cluster = the component's min doc_id.
+    At corpus scale the pair input comes from MinHash-LSH + partitioned
+    verify; the exact pair set here keeps the SQL oracle applicable
+    (a recursive-CTE transitive closure)."""
+    from rayfts.ops.dedup import connected_components
+    pairs = _ngram_jaccard(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster": pd.Series([], dtype=np.int64)})
+    ds = rd.from_pandas(pairs[["a", "b"]])
+    out = connected_components(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+#: per-lang sampling rates for the stratified entry (training-mix
+#: rebalance shape); non-listed langs get the default 1/16
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.125}
+SAMPLE_DEFAULT_RATE = 0.0625
+
+
+def _hash_sample(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.sample import hash_sample
+    out = hash_sample(_docs_ds(sf_dir), 0.25).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _stratified_sample(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.sample import stratified_hash_sample
+    out = stratified_hash_sample(
+        _docs_ds(sf_dir), SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_dups(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.dedup import minhash_candidate_pairs, verify_jaccard
     cand = minhash_candidate_pairs(_docs_ds(sf_dir))
@@ -503,6 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
+        "hash_sample": _hash_sample,
+        "stratified_sample": _stratified_sample,
         "minhash_dups": _minhash_dups,
         "simhash_dups": _simhash_dups,
         "simhash_fingerprints": _simhash,
@@ -650,13 +690,23 @@ FROM (SELECT DISTINCT query_id FROM q) qq
 LEFT JOIN m ON m.query_id = qq.query_id
 GROUP BY 1"""
 
+    from rayfts.ops.sample import _thr_hex
+    _md5k = "substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    sqls["hash_sample"] = f"""
+SELECT doc_id, lang FROM documents WHERE {_md5k} < '{_thr_hex(0.25)}'"""
+    _cases = " ".join(
+        f"WHEN '{k}' THEN '{_thr_hex(v)}'" for k, v in SAMPLE_RATES.items())
+    sqls["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_md5k} < CASE lang {_cases}
+                ELSE '{_thr_hex(SAMPLE_DEFAULT_RATE)}' END"""
+
     sqls["dedup_exact"] = """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keeper,
        count(*)::BIGINT AS n_dups
 FROM documents GROUP BY 1"""
 
-    sqls["ngram_jaccard_pairs"] = f"""
-WITH toks AS (
+    ngram_cte = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL_RE}') AS ts
   FROM documents),
 sh AS (
@@ -670,9 +720,25 @@ pairs AS (
          len(a.shingles) + len(b.shingles)
            - len(list_intersect(a.shingles, b.shingles)) AS uni
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) > 0)
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0)"""
+
+    sqls["ngram_jaccard_pairs"] = f"""
+WITH {ngram_cte}
 SELECT a, b, CAST(floor(inter / uni * 10000 + 0.5) AS BIGINT) AS jaccard_q
 FROM pairs WHERE inter / uni >= 0.2"""
+
+    # transitive closure over the same pair graph: cluster = min doc_id
+    # reachable (the connected component's keeper)
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {ngram_cte},
+dup AS (SELECT a, b FROM pairs WHERE inter / uni >= 0.2),
+edges AS (SELECT a AS src, b AS dst FROM dup
+          UNION SELECT b, a FROM dup),
+walk(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.node = e.dst)
+SELECT node AS doc_id, min(lab) AS cluster FROM walk GROUP BY node"""
 
     sqls["ann_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

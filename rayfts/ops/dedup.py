@@ -415,6 +415,79 @@ def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
             .groupby(["a", "b"]).map_groups(dedup, batch_format="pandas"))
 
 
+def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 25, num_partitions: int = 2):
+    """Duplicate-pair clustering: connected components over the pair
+    graph by distributed hash-min label propagation — the pairs ->
+    clusters -> keeper step every dedup pipeline ends with.
+
+    Every iteration is one candidate-scale join + one groupby-min (the
+    volumes are pair-scale, never corpus-scale — same bound as
+    verify_jaccard above); labels decrease monotonically, so the sum of
+    labels is a convergence witness (fixed point iff unchanged).
+    Near-duplicate clusters are near-cliques, so propagation converges
+    in 1-3 rounds; max_iters bounds pathological chains.
+
+    Returns a Dataset(doc_id, cluster) for every doc appearing in a
+    pair; cluster = the component's minimum doc_id (the conventional
+    keeper)."""
+    import ray.data as rd  # noqa: F401  (pairs_ds may be from_pandas)
+
+    agg_args = {"num_cpus": 0.25}
+
+    def to_msgs(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy().astype(np.int64)
+        b = t.column(b_col).to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), type=pa.int64())})
+
+    msgs = (pairs_ds.select_columns([a_col, b_col])
+            .map_batches(to_msgs, batch_format="pyarrow").materialize())
+
+    # round 0 folded into initialization: label = min(self, neighbors)
+    def with_self(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy()
+        nbr = t.column("nbr").to_numpy()
+        return pa.table({
+            "node": pa.array(node, type=pa.int64()),
+            "lab": pa.array(np.minimum(node, nbr), type=pa.int64())})
+
+    labels = (msgs.map_batches(with_self, batch_format="pyarrow")
+              .groupby("node").min("lab")
+              .map_batches(lambda t: t.rename_columns(["node", "lab"]),
+                           batch_format="pyarrow")
+              .materialize())
+    prev_sum = labels.sum("lab")
+
+    for _ in range(max_iters):
+        nbr_labels = labels.map_batches(
+            lambda t: t.rename_columns(["nbr", "nbr_lab"]),
+            batch_format="pyarrow")
+        # neighbor's current label reaches me through the edge
+        prop = msgs.join(nbr_labels, "inner", num_partitions,
+                         on=("nbr",),
+                         aggregator_ray_remote_args=agg_args) \
+            .map_batches(lambda t: pa.table({
+                "node": t.column("node").cast(pa.int64()),
+                "lab": t.column("nbr_lab").cast(pa.int64())}),
+                batch_format="pyarrow")
+        labels = (labels.union(prop)
+                  .groupby("node").min("lab")
+                  .map_batches(lambda t: t.rename_columns(["node", "lab"]),
+                               batch_format="pyarrow")
+                  .materialize())
+        cur_sum = labels.sum("lab")
+        if cur_sum == prev_sum:   # monotone-decreasing fixed point
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node").cast(pa.int64()),
+                            "cluster": t.column("lab").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(docs_df: pd.DataFrame, tau: float, k: int = 3,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> pd.DataFrame:

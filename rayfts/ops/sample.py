@@ -1,0 +1,64 @@
+"""Deterministic corpus sampling.
+
+Drawing a fixed fraction of a 100-TB corpus must be reproducible
+(re-runs and downstream stages see the same sample), coordination-free
+(no global counter or shuffle — each batch decides for its own rows),
+and composable (a 10% sample of a 25% sample is the 2.5% sample when
+thresholds nest).  Hash-threshold sampling gives all three: keep a row
+iff the first 8 hex digits of ``md5(salt || doc_id)`` fall below the
+rate threshold.  The md5 stays a per-row C call for the same reason as
+exact_duplicates (the DuckDB oracle's md5() must be reproduced
+bit-for-bit); everything else is a vectorized mask.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _thr_hex(rate: float) -> str:
+    """8-hex-digit threshold; lexicographic compare on lowercase hex ==
+    numeric compare, so engines only need string md5 + substr."""
+    return format(min(16 ** 8, max(0, int(rate * 16 ** 8))), "08x")
+
+
+def hash_sample(docs_ds, rate: float, *, id_col: str = "doc_id",
+                salt: str = "s1", keep_cols: tuple = ("doc_id", "lang")):
+    """Uniform deterministic sample: keep ~rate of all docs."""
+    thr = _thr_hex(rate)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hs = [hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8]
+              for i in ids]
+        mask = pa.array(np.array(hs) < thr)
+        return t.select(list(keep_cols)).filter(mask)
+
+    return docs_ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_hash_sample(docs_ds, rates: dict, *,
+                           strat_col: str = "lang",
+                           id_col: str = "doc_id", salt: str = "s1",
+                           default_rate: float = 0.0,
+                           keep_cols: tuple = ("doc_id", "lang")):
+    """Per-stratum deterministic sample (e.g. rebalance languages when
+    assembling a training mix): each stratum gets its own threshold,
+    rows outside ``rates`` get ``default_rate``.  Same hash stream as
+    hash_sample, so nested/uniform samples compose."""
+    thr = {k: _thr_hex(v) for k, v in rates.items()}
+    thr_default = _thr_hex(default_rate)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        strata = t.column(strat_col).to_pylist()
+        hs = [hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8]
+              for i in ids]
+        mask = pa.array([h < thr.get(s, thr_default)
+                         for h, s in zip(hs, strata)])
+        return t.select(list(keep_cols)).filter(mask)
+
+    return docs_ds.map_batches(pick, batch_format="pyarrow")

@@ -244,3 +244,68 @@ def test_ivf_recall_on_clustered_data(ray_session):
         g = set(got[got.query_id == qi]["vec_id"])
         r += len(e & g) / max(1, len(e))
     assert r / 3 >= 0.8, r / 3
+
+
+def test_connected_components_clusters(ray_session):
+    """Hash-min label propagation vs a brute-force union-find, on a
+    graph with a long chain (forces multiple propagation rounds), a
+    triangle, an isolated pair, and disjoint components."""
+    import ray.data as rd
+
+    from rayfts.ops.dedup import connected_components
+
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # chain
+             (20, 21), (21, 22), (20, 22),                      # triangle
+             (30, 31),                                          # pair
+             (40, 41), (41, 42), (5, 40)]                       # tree
+    pairs = pd.DataFrame(edges, columns=["a", "b"])
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == expect
+
+
+def test_hash_sample_deterministic_and_nested(ray_session):
+    """Hash-threshold sampling: deterministic across runs, and nested
+    thresholds compose (the 10% sample is a subset of the 25% one)."""
+    import ray.data as rd
+
+    from rayfts.ops.sample import hash_sample, stratified_hash_sample
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "lang": np.where(np.arange(2000) % 3 == 0, "en", "de"),
+    })
+    ds = rd.from_pandas(docs)
+    s25a = set(hash_sample(ds, 0.25).to_pandas()["doc_id"])
+    s25b = set(hash_sample(ds, 0.25).to_pandas()["doc_id"])
+    s10 = set(hash_sample(ds, 0.10).to_pandas()["doc_id"])
+    assert s25a == s25b
+    assert s10 <= s25a
+    assert abs(len(s25a) / 2000 - 0.25) < 0.05
+    assert abs(len(s10) / 2000 - 0.10) < 0.04
+
+    st = stratified_hash_sample(ds, {"en": 0.5}, default_rate=0.1) \
+        .to_pandas()
+    en = st[st["lang"] == "en"]; de = st[st["lang"] == "de"]
+    n_en = (docs["lang"] == "en").sum(); n_de = 2000 - n_en
+    assert abs(len(en) / n_en - 0.5) < 0.08
+    assert abs(len(de) / n_de - 0.1) < 0.05
+    # same hash stream: stratified 'en' rows at 0.5 contain the uniform
+    # 0.25 sample's en rows
+    assert {d for d in s25a if docs["lang"][d] == "en"} <= set(en["doc_id"])
