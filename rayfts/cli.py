@@ -67,6 +67,52 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_shard_build(args) -> int:
+    """Doc-partitioned cooperative build (sharded.py): one submit-able
+    job that partitions the corpus, builds one full index per partition
+    under the global-stats handshake, and publishes the collection df
+    table — the per-node build a multi-node deployment runs."""
+    _ensure_ray(args.num_cpus)
+    from .sharded import build_sharded_index
+    t0 = time.perf_counter()
+    meta = build_sharded_index(
+        args.input, args.output,
+        num_doc_shards=args.num_doc_shards,
+        index_type=args.index_type,
+        key_cols=args.key_cols.split(",") if args.key_cols else None,
+        text_col=args.text_col,
+        salt_threshold=args.salt_threshold,
+        num_shards=args.num_shards)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "event": "shard_build_done", "construction_time": round(dt, 3),
+        "num_docs": meta["num_docs"],
+        "num_doc_shards": meta["num_doc_shards"],
+        "avg_len": round(meta["avg_len"], 3),
+        "docs_per_sec": round(meta["num_docs"] / dt, 2),
+    }))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Fold a doc-partitioned build back into one monolithic index
+    (byte-identical to a direct build with the same parameters)."""
+    _ensure_ray(args.num_cpus)
+    from .sharded import merge_sharded_index
+    t0 = time.perf_counter()
+    meta = merge_sharded_index(args.sharded, args.output,
+                               index_type=args.index_type,
+                               num_shards=args.num_shards)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "event": "merge_done", "wall_sec": round(dt, 3),
+        "num_docs": meta["num_docs"], "num_terms": meta["num_terms"],
+        "total_postings": meta["total_postings"],
+        "postings_per_sec": round(meta["total_postings"] / dt, 1),
+    }))
+    return 0
+
+
 def cmd_hybrid(args) -> int:
     _ensure_ray(args.num_cpus)
     from .hybrid import build_hybrid
@@ -178,6 +224,27 @@ def main(argv=None) -> int:
     b.add_argument("--check", action="store_true",
                    help="verify the index after building (--check parity)")
     b.set_defaults(fn=cmd_build)
+
+    sb = sub.add_parser("shard-build", parents=[common])
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--output", required=True,
+                    help="parent dir: sub_NNN indexes + sharded.json")
+    sb.add_argument("--num-doc-shards", type=int, default=4)
+    sb.add_argument("--index-type", default="opt")
+    sb.add_argument("--key-cols", default=None)
+    sb.add_argument("--text-col", default="content")
+    sb.add_argument("--salt-threshold", type=int, default=1 << 17)
+    sb.add_argument("--num-shards", type=int, default=None,
+                    help="term shards PER PARTITION")
+    sb.set_defaults(fn=cmd_shard_build)
+
+    mg = sub.add_parser("merge", parents=[common])
+    mg.add_argument("--sharded", required=True,
+                    help="parent dir of a shard-build")
+    mg.add_argument("--output", required=True)
+    mg.add_argument("--index-type", default=None)
+    mg.add_argument("--num-shards", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
 
     h = sub.add_parser("hybrid", parents=[common])
     h.add_argument("--index", required=True)

@@ -78,3 +78,25 @@ def test_cli_profile_decoding(cli_index, ray_session, capsys):
     model = ev[-1]["model_ns"]
     assert set(model) == {"packed", "vbyte", "interpolative", "optpfd"}
     assert all(v["alpha"] >= 0 and v["beta"] >= 0 for v in model.values())
+
+
+def test_cli_shard_build_and_merge(ray_session, capsys, tmp_path_factory):
+    """shard-build -> merge round-trip through the CLI surface; the
+    merged index must serve (deep parity is in tests/test_sharded.py)."""
+    from rayfts import search
+    from rayfts.index import InvertedIndex
+    src = corpus_parquet(150, seed=33)
+    parent = str(tmp_path_factory.mktemp("cli_sharded"))
+    merged = str(tmp_path_factory.mktemp("cli_merged"))
+    ev = _run_cli(capsys, ["shard-build", "--input", src,
+                           "--output", parent, "--num-doc-shards", "2",
+                           "--index-type", "opt", "--num-shards", "3",
+                           "--salt-threshold", "64"])
+    done = [e for e in ev if e["event"] == "shard_build_done"][0]
+    assert done["num_docs"] == 150 and done["num_doc_shards"] == 2
+    ev = _run_cli(capsys, ["merge", "--sharded", parent,
+                           "--output", merged, "--num-shards", "3"])
+    mdone = [e for e in ev if e["event"] == "merge_done"][0]
+    assert mdone["num_docs"] == 150 and mdone["total_postings"] > 0
+    idx = InvertedIndex(merged)
+    assert len(search.block_max_wand_fast(idx, ["def", "return"], 10)) == 10

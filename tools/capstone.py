@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--index-dir", default=None)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--sharded", action="store_true",
+                    help="doc-partitioned capstone: sharded build, "
+                         "scatter-gather serving, merge back")
     args = ap.parse_args()
 
     import ray
@@ -49,6 +52,48 @@ def main() -> None:
     index_dir = args.index_dir or f"/tmp/rayfts_capstone/idx_n{args.docs}"
     out: dict = {"metric": "1M-doc capstone build + cold/warm latency",
                  "unit": "sec", "num_cpus": args.cpus, "docs": args.docs}
+
+    if args.sharded:
+        from rayfts.sharded import (ShardedIndex, ShardedSearcher,
+                                    build_sharded_index,
+                                    merge_sharded_index)
+        out["metric"] = "1M-doc doc-partitioned capstone (sharded.py)"
+        src = corpus_parquet_sharded(args.docs)
+        parent = f"/tmp/rayfts_capstone/sharded_n{args.docs}"
+        t0 = time.perf_counter()
+        smeta = build_sharded_index(src, parent, num_doc_shards=4,
+                                    index_type="opt", num_shards=64)
+        build_s = time.perf_counter() - t0
+        tp = int(sum(s["total_postings"] for s in smeta["subs"]))
+        out["sharded_build_sec"] = round(build_s, 1)
+        out["total_postings"] = tp
+        out["build_postings_per_sec"] = round(tp / build_s, 0)
+
+        si = ShardedIndex(parent)
+        queries = _gen_queries(si.sub(0))
+        svc = ShardedSearcher(parent, op="maxscore", k=10)
+        try:
+            svc.warm(queries)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                svc.run(queries)
+            svc_s = time.perf_counter() - t0
+            out["scatter_gather_qps"] = round(2 * len(queries) / svc_s, 1)
+        finally:
+            svc.shutdown()
+
+        t0 = time.perf_counter()
+        mmeta = merge_sharded_index(parent, parent + "_merged",
+                                    num_shards=256)
+        merge_s = time.perf_counter() - t0
+        out["merge_sec"] = round(merge_s, 1)
+        out["merge_postings_per_sec"] = round(
+            mmeta["total_postings"] / merge_s, 0)
+        out["merged_bits_per_doc"] = mmeta["bits_per_doc"]
+        out["value"] = round(build_s + merge_s, 1)
+        print(json.dumps(out))
+        ray.shutdown()
+        return
 
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         src = corpus_parquet_sharded(args.docs)
