@@ -1,0 +1,160 @@
+"""Collection of independent monotone sequences with per-sequence headers.
+
+Re-expresses the reference's `sequence_collection` + the slice of
+`bitvector_collection` it needs (sequence_collection.hpp:11-127,
+bitvector_collection.hpp): each added sequence is written as
+
+    gamma(universe_bits) gamma_nonzero(n) <base-sequence payload>
+
+where ``universe_bits = ceil_log2(last_element)`` and the payload is
+encoded against the power-of-two approximated universe
+``2**universe_bits + 1`` (sequence_collection.hpp:60-68).  Sequence
+start offsets (in bits) are kept as an Elias-Fano-coded endpoints
+sequence exactly like bitvector_collection does, so ``coll[i]`` is an
+O(1) select on the endpoints followed by a header parse.
+
+The container is a byte-serializable value (``to_bytes``/``from_bytes``
+mirror mapper::freeze / mapper::map), independent of the posting-list
+index: the reference uses it only from tests and auxiliary tools, but
+it is the generic "bag of compressed sequences" building block.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+from ..params import GlobalParameters, PARAMS, ceil_log2
+from .bits import (
+    BitReader,
+    BitWriter,
+    read_gamma,
+    read_gamma_nonzero,
+    write_gamma,
+    write_gamma_nonzero,
+)
+from .ef import ef_write, ef_decode
+from .sequences import indexed_write, indexed_decode
+from .partitioned import (
+    pef_write,
+    pef_decode,
+    uniform_pef_write,
+    uniform_pef_decode,
+)
+
+_BASES = {
+    # name -> (write(bw, values, universe, n, params), decode(words, offset, universe, n, params))
+    "indexed": (indexed_write, indexed_decode),
+    "opt": (pef_write, pef_decode),
+    "uniform": (uniform_pef_write, uniform_pef_decode),
+}
+
+_MAGIC = 0x5351434C  # "SQCL"
+
+
+class SequenceCollectionBuilder:
+    """builder analogue (sequence_collection.hpp:19-86).
+
+    The reference funnels `add_sequence` jobs through a semiasync_queue
+    (encode in worker threads, commit in insertion order); in Ray the
+    natural equivalent is encoding inside `map_batches` tasks and
+    concatenating per-block collections in order, so this local builder
+    stays deliberately sequential — parallelism lives a level up.
+    """
+
+    def __init__(self, base: str = "indexed",
+                 params: GlobalParameters = PARAMS):
+        if base not in _BASES:
+            raise ValueError(f"unknown base sequence {base!r}")
+        self.base = base
+        self.params = params
+        self._bw = BitWriter()
+        self._endpoints: list[int] = []  # bit offset of each sequence
+
+    def add_sequence(self, values: Iterable[int],
+                     last_element: int | None = None) -> int:
+        """Append one strictly-monotone sequence; returns its index."""
+        arr = np.asarray(list(values) if not isinstance(values, np.ndarray)
+                         else values, dtype=np.int64)
+        if arr.size == 0:
+            raise ValueError("Sequence must be nonempty")
+        if last_element is None:
+            last_element = int(arr[-1]) + 1
+        write_fn, _ = _BASES[self.base]
+        self._endpoints.append(self._bw.size)
+        universe_bits = ceil_log2(int(last_element))
+        write_gamma(self._bw, universe_bits)
+        write_gamma_nonzero(self._bw, int(arr.size))
+        write_fn(self._bw, arr, (1 << universe_bits) + 1, int(arr.size),
+                 self.params)
+        return len(self._endpoints) - 1
+
+    def build(self) -> "SequenceCollection":
+        return SequenceCollection(self.base, self.params,
+                                  np.array(self._endpoints, dtype=np.int64),
+                                  self._bw.words[: (self._bw.size + 63) >> 6]
+                                  .copy(),
+                                  self._bw.size)
+
+
+class SequenceCollection:
+    """Read side: ``len(coll)``, ``coll[i]`` -> np.ndarray of values."""
+
+    def __init__(self, base: str, params: GlobalParameters,
+                 endpoints: np.ndarray, words: np.ndarray, nbits: int):
+        self.base = base
+        self.params = params
+        self._endpoints = endpoints
+        self._words = words
+        self._nbits = nbits
+
+    def __len__(self) -> int:
+        return len(self._endpoints)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if not 0 <= i < len(self._endpoints):
+            raise IndexError(i)
+        br = BitReader(self._words, int(self._endpoints[i]))
+        universe_bits = read_gamma(br)
+        n = read_gamma_nonzero(br)
+        _, decode_fn = _BASES[self.base]
+        return decode_fn(self._words, br.pos, (1 << universe_bits) + 1, n,
+                         self.params)
+
+    # -- freeze / map (mapper parity) ------------------------------------
+    def to_bytes(self) -> bytes:
+        """Serialize: header + EF(endpoints) + payload words."""
+        n_seq = len(self._endpoints)
+        ebw = BitWriter()
+        if n_seq:
+            # endpoints are non-decreasing bit offsets < nbits
+            ef_write(ebw, self._endpoints, max(self._nbits, 1) + 1, n_seq,
+                     self.params)
+        ewords = ebw.words[: (ebw.size + 63) >> 6]
+        base_id = list(_BASES).index(self.base)
+        header = np.array(
+            [_MAGIC, base_id, n_seq, self._nbits, ebw.size, len(ewords),
+             len(self._words)],
+            dtype=np.int64)
+        return (header.tobytes() + ewords.astype(np.uint64).tobytes()
+                + self._words.astype(np.uint64).tobytes())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes,
+                   params: GlobalParameters = PARAMS) -> "SequenceCollection":
+        header = np.frombuffer(buf[: 7 * 8], dtype=np.int64)
+        if header[0] != _MAGIC:
+            raise ValueError("not a SequenceCollection buffer")
+        base = list(_BASES)[int(header[1])]
+        n_seq, nbits, _ebits, n_ewords, n_words = (int(x) for x in header[2:])
+        off = 7 * 8
+        ewords = np.frombuffer(buf[off: off + n_ewords * 8], dtype=np.uint64)
+        off += n_ewords * 8
+        words = np.frombuffer(buf[off: off + n_words * 8], dtype=np.uint64)
+        if n_seq:
+            endpoints = ef_decode(ewords, 0, max(nbits, 1) + 1, n_seq, params)
+        else:
+            endpoints = np.empty(0, dtype=np.int64)
+        return cls(base, params, np.asarray(endpoints, dtype=np.int64),
+                   words.copy(), nbits)

@@ -1,0 +1,65 @@
+"""sequence_collection parity (test_sequence_collection.cpp).
+
+The reference test builds 30 random monotone sequences over universe
+10000 (avg gap 1.1-11.1), freezes the collection to disk, maps it back
+and checks every sequence reads back element-for-element, for each of
+indexed_sequence / partitioned_sequence / uniform_partitioned_sequence.
+"""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs.collection import (
+    SequenceCollection,
+    SequenceCollectionBuilder,
+)
+
+
+def _random_sequence(rng, universe, n):
+    return np.sort(rng.choice(universe, size=n, replace=False)).astype(np.int64)
+
+
+@pytest.mark.parametrize("base", ["indexed", "opt", "uniform"])
+def test_sequence_collection_roundtrip(base):
+    rng = np.random.default_rng(1729)
+    universe = 10_000
+    seqs = []
+    b = SequenceCollectionBuilder(base=base)
+    for _ in range(30):
+        avg_gap = 1.1 + rng.random() * 10
+        n = max(1, int(universe / avg_gap))
+        seq = _random_sequence(rng, universe, n)
+        idx = b.add_sequence(seq, int(seq[-1]) + 1)
+        assert idx == len(seqs)
+        seqs.append(seq)
+    coll = b.build()
+    assert len(coll) == 30
+    for i, seq in enumerate(seqs):
+        np.testing.assert_array_equal(coll[i], seq)
+
+    # freeze -> map (mapper::freeze / mapper::map analogue)
+    buf = coll.to_bytes()
+    coll2 = SequenceCollection.from_bytes(buf)
+    assert len(coll2) == 30
+    for i, seq in enumerate(seqs):
+        np.testing.assert_array_equal(coll2[i], seq)
+
+
+def test_sequence_collection_edge_cases():
+    b = SequenceCollectionBuilder(base="indexed")
+    b.add_sequence(np.array([0], dtype=np.int64))          # singleton, value 0
+    b.add_sequence(np.array([7], dtype=np.int64))          # singleton
+    b.add_sequence(np.arange(100, dtype=np.int64))         # dense run (all-ones range)
+    b.add_sequence(np.array([1, 2, 3, 1_000_000], dtype=np.int64))  # huge tail gap
+    coll = SequenceCollection.from_bytes(b.build().to_bytes())
+    np.testing.assert_array_equal(coll[0], [0])
+    np.testing.assert_array_equal(coll[1], [7])
+    np.testing.assert_array_equal(coll[2], np.arange(100))
+    np.testing.assert_array_equal(coll[3], [1, 2, 3, 1_000_000])
+
+    with pytest.raises(ValueError):
+        b.add_sequence(np.array([], dtype=np.int64))
+
+    empty = SequenceCollection.from_bytes(
+        SequenceCollectionBuilder().build().to_bytes())
+    assert len(empty) == 0
