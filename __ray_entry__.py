@@ -395,7 +395,31 @@ def _minhash_dups(sf_dir: str) -> pd.DataFrame:
 
 def _simhash(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.dedup import simhash_fingerprints
-    return simhash_fingerprints(_docs_ds(sf_dir)).to_pandas()
+    out = simhash_fingerprints(_docs_ds(sf_dir)).to_pandas()
+    # signed two's-complement view so the int64-only driver compare
+    # (and the SQL oracle's BIGINT) hold the same bit pattern
+    out["simhash"] = out["simhash"].to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _minhash_sigs(sf_dir: str) -> pd.DataFrame:
+    """The raw minhash signature matrix, unnested to (doc_id, perm,
+    sig) rows — the sketch itself under the driver's hash check (the
+    LSH pair entries are downstream consumers)."""
+    from rayfts.ops.dedup import MinHasher
+    sigs = (_docs_ds(sf_dir)
+            .map_batches(MinHasher, fn_constructor_kwargs={"num_perm": 64},
+                         batch_format="pyarrow", concurrency=2)
+            .to_pandas())
+    ids = sigs["doc_id"].to_numpy()
+    sig = np.array(sigs["sig"].tolist(), dtype=np.uint64)
+    n, m = sig.shape if len(sigs) else (0, 64)
+    return (pd.DataFrame({
+        "doc_id": np.repeat(ids.astype(np.int64), m),
+        "perm": np.tile(np.arange(m, dtype=np.int64), n),
+        "sig": sig.reshape(-1).astype(np.int64)})
+        .sort_values(["doc_id", "perm"]).reset_index(drop=True))
 
 
 def _simhash_dups(sf_dir: str) -> pd.DataFrame:
@@ -543,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "hash_sample": _hash_sample,
         "stratified_sample": _stratified_sample,
+        "minhash_sigs": _minhash_sigs,
         "minhash_dups": _minhash_dups,
         "simhash_dups": _simhash_dups,
         "simhash_fingerprints": _simhash,
@@ -793,8 +818,169 @@ FROM documents"""
     sqls["byte_stats"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents"""
 
-    # minhash_dups / simhash_fingerprints / ann_lsh_topk / ann_ivf_topk /
-    # lang_id /
-    # doc_fingerprints / multimodal_decode: deliberately no SQL oracle
-    # (sketch/model ops) -> driver records the weaker rows-only check.
+    # --- sketch/heuristic ops: every deterministic one gets an exact
+    # SQL oracle via the md5-prefix interop hash ------------------------
+
+    from rayfts.ops.textstats import LANG_MARKERS, FP_BASE
+    _word = "[A-Za-z0-9_]+"
+    mk = {lang: ", ".join(f"'{w}'" for w in sorted(ws))
+          for lang, ws in LANG_MARKERS.items()}
+    sqls["lang_id"] = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(coalesce(text, '')), '{_word}') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> x IN ({mk['de']}))) AS s_de,
+         len(list_filter(words, x -> x IN ({mk['en']}))) AS s_en,
+         len(list_filter(words, x -> x IN ({mk['es']}))) AS s_es,
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS cjk
+  FROM w)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+            WHEN s_en >= s_es THEN 'en'
+            ELSE 'es' END AS pred_lang
+FROM s"""
+
+    b2 = FP_BASE * FP_BASE
+    sqls["doc_fingerprints"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_SQL_RE}')
+           AS ts0
+  FROM documents),
+padded AS (
+  SELECT doc_id, CASE WHEN len(ts0) >= 3 THEN ts0
+                 ELSE ts0 || ['_','_','_'][1:3-len(ts0)] END AS ts
+  FROM toks)
+SELECT doc_id,
+       list_min([(('0x'||substr(md5(ts[i]),1,8))::BIGINT * {b2}
+                 + ('0x'||substr(md5(ts[i+1]),1,8))::BIGINT * {FP_BASE}
+                 + ('0x'||substr(md5(ts[i+2]),1,8))::BIGINT)
+                 for i in range(1, len(ts)-1)]) AS fingerprint
+FROM padded"""
+
+    _simhash_fp_cte = f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '{TOKEN_SQL_RE}')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h FROM toks),
+bv AS (SELECT doc_id, r.b AS b,
+              sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       FROM th CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+                       ELSE 0::HUGEINT END) AS uf
+       FROM bv GROUP BY 1),
+allfp AS (
+  SELECT d.doc_id, coalesce(fp.uf, 0::HUGEINT) AS uf
+  FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id)
+"""
+    _signed = ("(CASE WHEN {x} >= 9223372036854775808::HUGEINT "
+               "THEN {x} - 18446744073709551616::HUGEINT "
+               "ELSE {x} END)::BIGINT")
+    sqls["simhash_fingerprints"] = f"""
+WITH {_simhash_fp_cte.strip()}
+SELECT doc_id, {_signed.format(x='uf')} AS simhash FROM allfp"""
+
+    # banded-Hamming pairs (bands=4 x 16 bits, radius=8): band-key
+    # equality generates candidates (pigeonhole-complete), exact
+    # popcount verifies
+    sqls["simhash_dups"] = f"""
+WITH {_simhash_fp_cte.strip()},
+bands AS (
+  SELECT doc_id, uf, r.b AS band,
+         ((uf // (1::HUGEINT << (16 * r.b))) % 65536)::BIGINT AS key
+  FROM allfp CROSS JOIN range(4) r(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.uf AS fa, y.uf AS fb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+SELECT a, b,
+       bit_count(xor({_signed.format(x='fa')}, {_signed.format(x='fb')}))
+         ::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor({_signed.format(x='fa')}, {_signed.format(x='fb')})) <= 8"""
+
+    # minhash: same permutation family as rayfts.ops.dedup.MinHasher
+    # (seed 7), shingle hash = md5 prefix, uint64-wraparound then
+    # mod-Mersenne exactly as numpy computes it
+    from rayfts.ops.dedup import MinHasher, _MERSENNE
+    mh = MinHasher(num_perm=64, seed=7)
+    perm_vals = ", ".join(f"({i}, {int(a)}, {int(b)})"
+                          for i, (a, b) in enumerate(zip(mh.a, mh.b)))
+    _u64 = 18446744073709551616
+    _minhash_cte = f"""
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_SQL_RE}')
+           AS ts0
+  FROM documents),
+padded AS (
+  SELECT doc_id, CASE WHEN len(ts0) >= 3 THEN ts0
+                 ELSE ts0 || ['_','_','_'][1:3-len(ts0)] END AS ts
+  FROM toks),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i]||' '||ts[i+1]||' '||ts[i+2]
+                        for i in range(1, len(ts)-1)]) AS shingles
+  FROM padded),
+hh AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(unnest(shingles)),1,8))::UBIGINT::HUGEINT AS h
+  FROM sh),
+perm(pid, pa, pb) AS (VALUES {perm_vals}),
+sig AS (
+  SELECT doc_id, pid,
+         min((((pa::HUGEINT * h) % {_u64} + pb) % {_u64})
+             % {_MERSENNE}) AS sg
+  FROM hh CROSS JOIN perm GROUP BY 1, 2)
+"""
+    sqls["minhash_sigs"] = f"""
+WITH {_minhash_cte.strip()}
+SELECT doc_id, pid AS perm, sg::BIGINT AS sig FROM sig"""
+
+    # the full LSH dedup pipeline: 16 bands x 4 rows, candidates by
+    # exact band equality, verified at jaccard >= 0.5 over the hashed
+    # shingle sets (identical to rayfts.ops.dedup.verify_jaccard)
+    sqls["minhash_dups"] = f"""
+WITH {_minhash_cte.strip()},
+bands AS (
+  SELECT doc_id, pid // 4 AS band, list(sg ORDER BY pid) AS key
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+hsets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           shingles, s -> ('0x'||substr(md5(s),1,8))::UBIGINT)) AS hs
+  FROM sh),
+jac AS (
+  SELECT cand.a, cand.b,
+         len(list_intersect(ha.hs, hb.hs))::DOUBLE AS inter,
+         (len(ha.hs) + len(hb.hs)
+          - len(list_intersect(ha.hs, hb.hs)))::DOUBLE AS uni
+  FROM cand JOIN hsets ha ON ha.doc_id = cand.a
+            JOIN hsets hb ON hb.doc_id = cand.b)
+SELECT a, b, CAST(floor(inter / uni * 10000 + 0.5) AS BIGINT) AS jaccard_q
+FROM jac WHERE inter / uni >= 0.5"""
+
+    sqls["multimodal_decode"] = """
+WITH c AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(coalesce(text, '')),1,8))::BIGINT AS c
+  FROM documents)
+SELECT doc_id, 64 + c % 1024 AS width, 64 + (c // 1024) % 1024 AS height,
+       1 + c % 4 AS channels
+FROM c"""
+
+    # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
+    # deliberately no SQL oracle (recall < 1 by design) -> driver
+    # records the weaker rows-only check.
     return sqls

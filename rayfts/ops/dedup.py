@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -34,17 +33,45 @@ try:
 except ImportError:          # pragma: no cover - polars is baked in here
     _pl = None
 
-#: per-worker crc32 memo (shingles repeat heavily across near-dup docs)
-_SH_CRC: dict = {}
+#: per-worker md5-prefix memos (shingles/tokens repeat heavily)
+_SH_MD5_32: dict = {}
+_SH_MD5_64: dict = {}
 
 
-def _crc_u64(strs: np.ndarray) -> np.ndarray:
+def _pool_size(default: int = 4) -> int:
+    """Sketch-stage actor-pool size: half the cluster's CPUs (the other
+    half stays free for the shuffle/groupby stages downstream), floor 2."""
+    try:
+        import ray as _ray
+        return max(2, int(_ray.cluster_resources().get("CPU", default * 2))
+                   // 2)
+    except Exception:        # pragma: no cover - ray not initialised
+        return default
+
+
+def _md5_u32(strs: np.ndarray) -> np.ndarray:
+    """First 32 md5 bits per UNIQUE string — the interop hash the
+    DuckDB oracle reproduces as ('0x'||substr(md5(s),1,8))::UBIGINT."""
     out = np.empty(len(strs), dtype=np.uint64)
-    memo = _SH_CRC
+    memo = _SH_MD5_32
     for i, s in enumerate(strs):
         h = memo.get(s)
         if h is None:
-            h = zlib.crc32(s.encode())
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            if len(memo) < (1 << 20):
+                memo[s] = h
+        out[i] = h
+    return out
+
+
+def _md5_u64(strs: np.ndarray) -> np.ndarray:
+    """First 64 md5 bits per UNIQUE string (simhash token hash)."""
+    out = np.empty(len(strs), dtype=np.uint64)
+    memo = _SH_MD5_64
+    for i, s in enumerate(strs):
+        h = memo.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
             if len(memo) < (1 << 20):
                 memo[s] = h
         out[i] = h
@@ -56,13 +83,12 @@ def _token_shingles(text: str, k: int = 3) -> np.ndarray:
     if len(toks) < k:
         toks = toks + ["_"] * (k - len(toks))
     sh = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-    return np.array([zlib.crc32(s.encode()) for s in sorted(sh)],
-                    dtype=np.uint64)
+    return _md5_u32(np.array(sorted(sh), dtype=object))
 
 
 def _batch_shingles(texts: list, k: int = 3):
     """Whole-batch shingling: tokens + k-gram string concat run in
-    polars (Rust); crc32 runs once per UNIQUE shingle string.  Returns
+    polars (Rust); md5 runs once per UNIQUE shingle string.  Returns
     (flat uint64 shingle-hash stream, per-doc shingle counts) with
     per-doc-unique shingles — the exact sets `_token_shingles` builds
     per doc, without its per-doc Python loops."""
@@ -101,7 +127,7 @@ def _batch_shingles(texts: list, k: int = 3):
         docs_a = np.concatenate([docs_a, np.array(pad_docs, dtype=np.int64)])
         strs = np.concatenate([strs, np.array(pad_strs, dtype=object)])
 
-    hs = _crc_u64(strs)
+    hs = _md5_u32(strs)
     order = np.argsort(docs_a, kind="stable")
     docs_a, hs = docs_a[order], hs[order]
     counts = np.bincount(docs_a, minlength=len(texts)).astype(np.int64)
@@ -181,23 +207,30 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     sigs = docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=4)
+        batch_format="pyarrow", concurrency=(2, _pool_size()))
 
     def explode_bands(t: pa.Table) -> pa.Table:
+        """Bucket key = the band's EXACT signature slice (one int64
+        column per row-in-band), not a Python hash of it: equality
+        classes are then reproducible by any other engine (the DuckDB
+        oracle joins on the same slice), and hash collisions can't
+        manufacture candidates."""
         ids = t.column(id_col).to_numpy()
         sig = np.array(t.column("sig").to_pylist(), dtype=np.uint64)
-        out_band, out_hash, out_id = [], [], []
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            hs = [hash(tuple(row)) & 0x7FFFFFFFFFFFFFFF for row in chunk]
-            out_band.extend([b] * len(ids))
-            out_hash.extend(hs)
-            out_id.extend(ids.tolist())
-        return pa.table({
-            "band": pa.array(out_band, type=pa.int64()),
-            "bucket": pa.array(out_hash, type=pa.int64()),
-            id_col: pa.array(out_id, type=pa.int64()),
-        })
+        n = len(ids)
+        cols: dict = {
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
+            id_col: pa.array(np.tile(ids.astype(np.int64), bands)),
+        }
+        for r in range(rows_per_band):
+            # signatures are < 2^61 (mod-Mersenne), so int64-safe
+            vals = np.concatenate([
+                sig[:, b * rows_per_band + r].astype(np.int64)
+                for b in range(bands)])
+            cols[f"k{r}"] = pa.array(vals)
+        return pa.table(cols)
+
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g[id_col].tolist())
@@ -209,7 +242,7 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         return pd.DataFrame(out, columns=["a", "b"])
 
     cand = (sigs.map_batches(explode_bands, batch_format="pyarrow")
-            .groupby(["band", "bucket"])
+            .groupby(key_cols)
             .map_groups(pairs, batch_format="pandas"))
     return cand
 
@@ -263,9 +296,15 @@ def verify_jaccard(pairs_ds, docs_ds, tau: float, k: int = 3,
 
     def shingle_batch(t: pa.Table) -> pa.Table:
         # shingle sets ship as binary blobs: Acero hash joins reject
-        # list-typed non-key columns but pass binary payloads through
-        shs = [_token_shingles(x, k).tobytes()
-               for x in t.column(text_col).to_pylist()]
+        # list-typed non-key columns but pass binary payloads through.
+        # Shingling runs on the vectorized batch path (polars + unique-
+        # string md5); only the per-doc blob slicing is a Python loop.
+        texts = t.column(text_col).to_pylist()
+        hs, counts = _batch_shingles(texts, k)
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        shs = [hs[starts[i]:starts[i + 1]].tobytes()
+               for i in range(len(texts))]
         return pa.table({
             id_col: t.column(id_col).cast(pa.int64()),
             "sh": pa.array(shs, type=pa.binary()),
@@ -296,7 +335,9 @@ def verify_jaccard(pairs_ds, docs_ds, tau: float, k: int = 3,
 
 
 class SimHasher:
-    """64-bit SimHash over token crc32 hashes (stateful actor stage)."""
+    """64-bit SimHash over md5-prefix token hashes (stateful actor
+    stage).  md5's 64-bit prefix is uniform, so no extra mixing is
+    needed — and the DuckDB oracle reproduces it exactly."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
@@ -306,16 +347,14 @@ class SimHasher:
         toks = _WORD.findall((text or "").lower())
         if not toks:
             return 0
-        hs = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-        # extend 32-bit crc to 64 via multiply mix
-        hs = hs * np.uint64(0x9E3779B97F4A7C15)
+        hs = _md5_u64(np.asarray(toks, dtype=object))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         return int((self.bit_weights[v > 0]).sum())
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        """Whole-batch simhash: flat token stream (polars), crc once per
+        """Whole-batch simhash: flat token stream (polars), md5 once per
         unique token, per-doc bit-count via add.reduceat — bit-identical
         to `fingerprint` per doc."""
         ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -338,7 +377,7 @@ class SimHasher:
                     all_toks.extend(tk)
                 flat = np.asarray(all_toks, dtype=object)
             if len(flat):
-                hs = _crc_u64(flat) * np.uint64(0x9E3779B97F4A7C15)
+                hs = _md5_u64(flat)
                 bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                         & np.uint64(1)).astype(np.int64)
                 starts = np.zeros(n, dtype=np.int64)
@@ -359,7 +398,7 @@ def simhash_fingerprints(docs_ds, text_col: str = "text",
     return docs_ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col,
                                           "id_col": id_col},
-        batch_format="pyarrow", concurrency=4)
+        batch_format="pyarrow", concurrency=(2, _pool_size()))
 
 
 def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,

@@ -11,7 +11,7 @@ is a one-function change.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -49,8 +49,10 @@ class ImageDecodeStage:
         if self.have_real_decoder:
             raise NotImplementedError(
                 "real image decode is stubbed in this environment")
-        # deterministic fake: dimensions derived from the payload crc
-        c = zlib.crc32(payload)
+        # deterministic fake: dimensions derived from the payload's
+        # md5 prefix — reproducible by the driver's DuckDB oracle
+        # (payloads are utf-8 text bytes, so md5(text) matches)
+        c = int(hashlib.md5(payload).hexdigest()[:8], 16)
         return 64 + c % 1024, 64 + (c >> 10) % 1024, 1 + c % 4
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -90,8 +92,13 @@ def decode_pipeline(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     payloads = docs_ds.map_batches(
         lambda t: to_binary_payloads(t, text_col, id_col),
         batch_format="pyarrow")
+    try:
+        import ray as _ray
+        pool = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:        # pragma: no cover - ray not initialised
+        pool = 2
     decoded = payloads.map_batches(
         ImageDecodeStage, fn_constructor_kwargs={"id_col": id_col},
-        batch_format="pyarrow", batch_size=256, concurrency=2)
+        batch_format="pyarrow", batch_size=256, concurrency=(2, pool))
     meta = payloads.select_columns([id_col, "n_bytes"])
     return decoded, meta

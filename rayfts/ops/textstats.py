@@ -9,8 +9,8 @@ Regexes compile at module import = once per worker process."""
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -164,19 +164,55 @@ def langid_batch(t: pa.Table, text_col: str = "text",
     })
 
 
-_CRC_CACHE: dict = {}
+#: per-worker md5-prefix memo (tokens repeat heavily across a corpus)
+_MD5_CACHE: dict = {}
+
+#: rolling-window base; 33331 is prime and (2^32-1)*(B^2+B+1) < 2^63,
+#: so the 3-token window hash fits both int64 and DuckDB BIGINT exactly
+FP_BASE = 33331
+FP_WINDOW = 3
+
+
+def _md5_u32(strs: np.ndarray) -> np.ndarray:
+    """First-32-bits-of-md5 token hash: the one hash both numpy and the
+    DuckDB oracle (`('0x'||substr(md5(t),1,8))::UBIGINT`) can compute
+    bit-identically; runs once per UNIQUE string via the memo."""
+    out = np.empty(len(strs), dtype=np.uint64)
+    memo = _MD5_CACHE
+    for i, s in enumerate(strs):
+        h = memo.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            if len(memo) < (1 << 20):
+                memo[s] = h
+        out[i] = h
+    return out
+
+
+def fingerprint_one(text: str) -> int:
+    """Per-doc reference for fingerprint_batch (kept for tests): min
+    over rolling 3-token windows of the polynomial window hash."""
+    toks = TOKEN_RE.findall((text or "").lower())
+    if len(toks) < FP_WINDOW:
+        toks = toks + ["_"] * (FP_WINDOW - len(toks))
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in toks]
+    b2, b1 = FP_BASE * FP_BASE, FP_BASE
+    return min(hs[i] * b2 + hs[i + 1] * b1 + hs[i + 2]
+               for i in range(len(hs) - FP_WINDOW + 1))
 
 
 def fingerprint_batch(t: pa.Table, text_col: str = "text",
-                      id_col: str = "doc_id", window: int = 8) -> pa.Table:
-    """Min-rolling-crc document fingerprint (deterministic; rows-only
-    check).  The window-min-of-mins reduces to the per-doc min over all
-    token crcs (every token is in some window), computed as one
-    segment-min over the batch's flat token stream; crc32 runs once per
-    UNIQUE token in the batch, not once per occurrence."""
+                      id_col: str = "doc_id") -> pa.Table:
+    """Rolling-hash document fingerprint: min over all 3-token windows
+    of the polynomial hash h0*B^2 + h1*B + h2 (h = md5-prefix token
+    hash, B = FP_BASE).  Docs with < 3 tokens are padded with '_' so
+    every doc (even empty) has exactly one window.  Reproducible in
+    SQL via a list comprehension over regexp_extract_all — the driver
+    hash-checks this entry."""
     ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
     texts = t.column(text_col).to_pylist()
+    n = len(texts)
     if _pl is not None:
         s = _pl.Series("t", texts, dtype=_pl.Utf8)
         toks = s.fill_null("").str.to_lowercase().str.extract_all(
@@ -184,7 +220,7 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
         doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
         flat = toks.explode().drop_nulls().to_numpy()
     else:                     # pragma: no cover - semantic fallback
-        doc_lens = np.zeros(len(texts), dtype=np.int64)
+        doc_lens = np.zeros(n, dtype=np.int64)
         all_toks: list = []
         for i, text in enumerate(texts):
             tk = TOKEN_RE.findall((text or "").lower())
@@ -192,26 +228,40 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text",
             all_toks.extend(tk)
         flat = np.asarray(all_toks, dtype=object)
 
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    if len(flat):
-        uniq, inv = np.unique(flat, return_inverse=True)
-        uh = np.empty(len(uniq), dtype=np.uint64)
-        for i, u in enumerate(uniq):
-            h = _CRC_CACHE.get(u)
-            if h is None:
-                h = zlib.crc32(u.encode())
-                if len(_CRC_CACHE) < (1 << 20):
-                    _CRC_CACHE[u] = h
-            uh[i] = h
-        hs = uh[inv]
-        starts = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum(doc_lens[:-1], out=starts[1:])
-        nonempty = doc_lens > 0
-        if nonempty.any():
-            # empty docs contribute zero length, so consecutive nonempty
-            # starts delimit exactly the per-doc token runs
-            fps[nonempty] = np.minimum.reduceat(hs, starts[nonempty])
+    # pad short docs to exactly FP_WINDOW tokens, re-splicing the flat
+    # token stream so every doc contributes >= 1 window
+    short = np.flatnonzero(doc_lens < FP_WINDOW)
+    if len(short):
+        starts0 = np.zeros(n, dtype=np.int64)
+        np.cumsum(doc_lens[:-1], out=starts0[1:])
+        pieces, prev = [], 0
+        for d in short:
+            end = starts0[d] + doc_lens[d]
+            pieces.append(flat[prev:end])
+            pieces.append(np.array(["_"] * (FP_WINDOW - doc_lens[d]),
+                                   dtype=object))
+            prev = end
+        pieces.append(flat[prev:])
+        flat = np.concatenate(pieces) if pieces else flat
+        doc_lens = doc_lens.copy()
+        doc_lens[short] = FP_WINDOW
+
+    hs = _md5_u32(flat)
+    # window hashes as three shifted views over the flat token stream;
+    # a window is valid iff its first and last token are in the SAME
+    # doc (windows never span docs)
+    w0 = hs[:-2] * np.uint64(FP_BASE * FP_BASE) \
+        + hs[1:-1] * np.uint64(FP_BASE) + hs[2:]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), doc_lens)
+    valid = doc_of[:-2] == doc_of[2:]
+    wv = w0[valid]
+    # valid-window starts: doc d's windows begin after sum(len_i - 2)
+    # of all earlier docs (every doc has >= FP_WINDOW tokens)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(doc_lens[:-1] - (FP_WINDOW - 1), out=starts[1:])
+    fps = np.minimum.reduceat(wv, starts) if len(wv) else \
+        np.zeros(n, dtype=np.uint64)
     return pa.table({
         id_col: pa.array(ids_a, type=pa.int64()),
-        "fingerprint": pa.array(fps, type=pa.uint64()),
+        "fingerprint": pa.array(fps.astype(np.int64), type=pa.int64()),
     })
