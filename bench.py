@@ -122,19 +122,24 @@ def run_reference_protocol(num_cpus: int) -> dict:
     mixed_dir = "/tmp/rayfts_bench/refcol_mixed"
     if not os.path.exists(os.path.join(mixed_dir, "meta.json")):
         build_hybrid(base_dir, mixed_dir, budget_factor=1.15)
+    # further index types share the base build's tokenize/docID stage
+    # (reuse_stage1_from): the reference likewise builds every type from
+    # ONE pre-tokenized collection — only the encoder stage differs
     optpfd_dir = "/tmp/rayfts_bench/refcol_block_optpfd"
     if not os.path.exists(os.path.join(optpfd_dir, "meta.json")):
         build_index(src, optpfd_dir, index_type="block_optpfd",
-                    num_shards=64)
+                    num_shards=64, reuse_stage1_from=base_dir)
     # the reference's remaining block family members (block_codecs.hpp
     # varint-G8IU, qmx_codec.hpp QMX) — scalar re-implementations,
     # measured on the same protocol for size/latency context
     g8iu_dir = "/tmp/rayfts_bench/refcol_block_g8iu"
     if not os.path.exists(os.path.join(g8iu_dir, "meta.json")):
-        build_index(src, g8iu_dir, index_type="block_g8iu", num_shards=64)
+        build_index(src, g8iu_dir, index_type="block_g8iu", num_shards=64,
+                    reuse_stage1_from=base_dir)
     qmx_dir = "/tmp/rayfts_bench/refcol_block_qmx"
     if not os.path.exists(os.path.join(qmx_dir, "meta.json")):
-        build_index(src, qmx_dir, index_type="block_qmx", num_shards=64)
+        build_index(src, qmx_dir, index_type="block_qmx", num_shards=64,
+                    reuse_stage1_from=base_dir)
 
     out: dict = {"reference_published_ranked_and_us": REF_PUBLISHED_US}
     for name, d in (("block_mixed", mixed_dir), ("block_packed", base_dir),

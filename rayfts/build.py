@@ -293,7 +293,9 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     # os.replace(tmp, tokens_dir) and the markers would otherwise make
     # the rerun's os.replace fail with ENOTEMPTY (ADVICE r01)
     for d in (docs_dir, tokens_dir + ".tmp", tokens_dir, lengths_parts):
-        if os.path.exists(d):
+        if os.path.islink(d):
+            os.unlink(d)    # stage-1 share from reuse_stage1_from
+        elif os.path.exists(d):
             _sh.rmtree(d)   # clear partial outputs from an aborted run
     os.makedirs(docs_dir, exist_ok=True)
     os.makedirs(lengths_parts, exist_ok=True)
@@ -867,13 +869,65 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
 # driver
 # ---------------------------------------------------------------------------
 
+def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
+                 key_cols: list[str]) -> None:
+    """Share another index's tokenize/docID stage instead of re-scanning
+    the corpus: symlink the content-derived checkpoints (docs, docidmap,
+    tokens, lengths_parts — plus the lengths/dfs aggregates, all pure
+    functions of the source) and copy the stage markers.  The reference
+    builds every index TYPE from one pre-tokenized collection
+    (create_freq_index.cpp reads the same binary_freq_collection for
+    each type); this is that workflow — an N-codec build pays the corpus
+    scan once.  No-op if this index already has its own stage 1."""
+    marker = os.path.join(index_dir, "docs.done.json")
+    if os.path.exists(marker):
+        return
+    src_marker = os.path.join(src_index_dir, "docs.done.json")
+    src_tokens_marker = os.path.join(src_index_dir, "tokens.done.json")
+    if not (os.path.exists(src_marker)
+            and os.path.exists(src_tokens_marker)):
+        raise ValueError(
+            f"reuse_stage1_from={src_index_dir!r}: stage 1 incomplete "
+            "there (docs/tokens markers missing)")
+    with open(src_marker) as f:
+        src_meta = json.load(f)
+    if (os.path.abspath(src_meta.get("input", "")) !=
+            os.path.abspath(source_path)
+            or src_meta.get("key_cols") != key_cols):
+        raise ValueError(
+            "reuse_stage1_from lineage mismatch: source index was built "
+            f"from {src_meta.get('input')!r} key_cols="
+            f"{src_meta.get('key_cols')}, this build asked for "
+            f"{source_path!r} key_cols={key_cols}")
+    import shutil as _sh
+    for d in ("docs", "docidmap", "tokens", "lengths_parts"):
+        src_d = os.path.join(src_index_dir, d)
+        dst_d = os.path.join(index_dir, d)
+        if os.path.islink(dst_d):
+            os.unlink(dst_d)
+        elif os.path.exists(dst_d):
+            _sh.rmtree(dst_d)
+        os.symlink(os.path.abspath(src_d), dst_d)
+    for fn in ("lengths.parquet", "dfs.parquet"):
+        src_f = os.path.join(src_index_dir, fn)
+        dst_f = os.path.join(index_dir, fn)
+        if os.path.exists(src_f) and not os.path.exists(dst_f):
+            os.symlink(os.path.abspath(src_f), dst_f)
+    # markers are COPIED (not linked): invalidating this index later
+    # must never touch the source index's state
+    _sh.copyfile(src_tokens_marker,
+                 os.path.join(index_dir, "tokens.done.json"))
+    _sh.copyfile(src_marker, marker)
+
+
 def build_index(source_path: str, index_dir: str, *,
                 index_type: str = "opt",
                 key_cols: list[str] | None = None,
                 text_col: str = "content",
                 salt_threshold: int = 1 << 17,
                 num_shards: int | None = None,
-                avg_len_override: float | None = None) -> dict:
+                avg_len_override: float | None = None,
+                reuse_stage1_from: str | None = None) -> dict:
     """End-to-end build; resumable per stage and per shard. Returns meta.
 
     ``avg_len_override`` replaces the corpus-local average document
@@ -882,9 +936,17 @@ def build_index(source_path: str, index_dir: str, *,
     build (sharded.py) passes the GLOBAL average here so each
     partition's WAND bounds stay safe upper bounds under global-stat
     scoring — the same agree-on-global-stats-first handshake a
-    multi-node engine does before building per-node indexes."""
+    multi-node engine does before building per-node indexes.
+
+    ``reuse_stage1_from``: path of an already-built index over the SAME
+    source; its tokenize/docID checkpoints are shared (symlinked) so
+    only the encoder stage runs — the codec-migration / N-codec-build
+    workflow (the reference re-reads one pre-tokenized collection per
+    index type the same way)."""
     os.makedirs(index_dir, exist_ok=True)
     key_cols = key_cols or ["repo", "path", "commit"]
+    if reuse_stage1_from:
+        _link_stage1(reuse_stage1_from, index_dir, source_path, key_cols)
 
     import time as _time
     stage_secs = {}

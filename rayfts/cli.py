@@ -49,7 +49,8 @@ def cmd_build(args) -> int:
                        key_cols=args.key_cols.split(",") if args.key_cols else None,
                        text_col=args.text_col,
                        salt_threshold=args.salt_threshold,
-                       num_shards=args.num_shards)
+                       num_shards=args.num_shards,
+                       reuse_stage1_from=args.reuse_stage1_from)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "event": "build_done", "construction_time": round(dt, 3),
@@ -221,6 +222,10 @@ def main(argv=None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--salt-threshold", type=int, default=1 << 17)
     b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--reuse-stage1-from", default=None,
+                   help="path of an existing index over the same input: "
+                        "share its tokenize/docID checkpoints and run "
+                        "only the encoder stage (codec migration)")
     b.add_argument("--check", action="store_true",
                    help="verify the index after building (--check parity)")
     b.set_defaults(fn=cmd_build)

@@ -232,6 +232,40 @@ def test_resume_skips_done_shards(built_index, ray_session):
             f"finished shard {f} was rewritten on resume"
 
 
+def test_reuse_stage1_codec_migration(built_index, ray_session,
+                                      tmp_path_factory):
+    """reuse_stage1_from shares the tokenize/docID checkpoints of an
+    existing index: the derived build runs only the encoder stage, and
+    its shards are byte-identical to a from-scratch build of the same
+    type (deterministic encoders over identical tokens)."""
+    from rayfts.build import build_index
+    src, base_dir, _ = built_index
+
+    scratch = str(tmp_path_factory.mktemp("mig_scratch"))
+    derived = str(tmp_path_factory.mktemp("mig_derived"))
+    m1 = build_index(src, scratch, index_type="block_vbyte",
+                     salt_threshold=64, num_shards=5)
+    m2 = build_index(src, derived, index_type="block_vbyte",
+                     salt_threshold=64, num_shards=5,
+                     reuse_stage1_from=base_dir)
+    # stage 1 was shared, not rebuilt
+    assert os.path.islink(os.path.join(derived, "tokens"))
+    assert m2["stage_secs"]["docs_tokens"] < m1["stage_secs"]["docs_tokens"]
+    assert (m1["num_terms"], m1["total_postings"], m1["docs_bits"]) == \
+           (m2["num_terms"], m2["total_postings"], m2["docs_bits"])
+    for f in sorted(os.listdir(os.path.join(scratch, "shards"))):
+        if not f.endswith(".parquet"):
+            continue
+        with open(os.path.join(scratch, "shards", f), "rb") as a, \
+                open(os.path.join(derived, "shards", f), "rb") as b:
+            assert a.read() == b.read(), f"shard {f} differs"
+    # lineage mismatch is rejected
+    other_src = corpus_parquet(50, seed=11)
+    with pytest.raises(ValueError):
+        build_index(other_src, str(tmp_path_factory.mktemp("mig_bad")),
+                    index_type="block_vbyte", reuse_stage1_from=base_dir)
+
+
 def test_list_cache_lru_bound(built_index):
     """The decoded-list cache evicts LRU entries once the posting bound
     is exceeded (long-lived query actors must not grow unboundedly)."""
