@@ -504,6 +504,42 @@ def _fingerprints(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
+def _repetition(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.textstats import repetition_batch
+    return (_docs_ds(sf_dir)
+            .map_batches(lambda t: repetition_batch(t),
+                         batch_format="pyarrow")
+            .to_pandas())
+
+
+#: quality-filter thresholds (Gopher-rule shape; mirrored in the oracle)
+QF_MIN_WORDS = 30
+QF_MAX_STOP_Q = 1000
+QF_MAX_DUP3_Q = 500
+
+
+def _quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Composite training-data quality filter: keep docs with enough
+    words, a sane stopword ratio and low 3-gram repetition.  All
+    features are per-doc, so the whole filter is ONE map_batches (no
+    shuffle); returns the surviving (doc_id, lang)."""
+    from rayfts.ops.textstats import quality_batch, repetition_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        r = repetition_batch(t)
+        keep = ((q.column("n_words").to_numpy() >= QF_MIN_WORDS)
+                & (q.column("stop_ratio_q").to_numpy() <= QF_MAX_STOP_Q)
+                & (r.column("dup_3gram_frac_q").to_numpy() <= QF_MAX_DUP3_Q))
+        m = pa.array(keep)
+        return pa.table({"doc_id": t.column("doc_id").filter(m),
+                         "lang": t.column("lang").filter(m)})
+
+    out = (_docs_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _token_counts(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.textstats import token_counts_batch
     return (_docs_ds(sf_dir)
@@ -579,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
         "text_quality": _quality,
+        "repetition_stats": _repetition,
+        "quality_filter": _quality_filter,
         "token_counts": _token_counts,
         "lang_id": _langid,
         "doc_fingerprints": _fingerprints,
@@ -807,6 +845,64 @@ SELECT doc_id, n_words, n_stop, n_chars_py,
                        THEN n_stop::DOUBLE / n_words ELSE 0 END
                   * 10000 + 0.5) AS BIGINT) AS stop_ratio_q
 FROM base"""
+
+    _rep_cte = f"""
+rtoks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_SQL_RE}')
+           AS ts
+  FROM documents),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN [ts[i]||' '||ts[i+1]||' '||ts[i+2]
+                    for i in range(1, len(ts)-1)]
+              ELSE [] END AS gs
+  FROM rtoks),
+lns AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> x <> '') AS ls
+  FROM documents),
+rep AS (
+  SELECT tri.doc_id,
+         len(gs)::BIGINT AS n_3grams,
+         CAST(floor(CASE WHEN len(gs) > 0
+                    THEN (len(gs) - len(list_distinct(gs)))::DOUBLE
+                         / len(gs) ELSE 0 END * 10000 + 0.5) AS BIGINT)
+           AS dup_3gram_frac_q,
+         len(ls)::BIGINT AS n_lines,
+         CAST(floor(CASE WHEN len(ls) > 0
+                    THEN (len(ls) - len(list_distinct(ls)))::DOUBLE
+                         / len(ls) ELSE 0 END * 10000 + 0.5) AS BIGINT)
+           AS dup_line_frac_q
+  FROM tri JOIN lns ON lns.doc_id = tri.doc_id)
+"""
+    sqls["repetition_stats"] = f"""
+WITH {_rep_cte.strip()}
+SELECT doc_id, n_3grams, dup_3gram_frac_q, n_lines, dup_line_frac_q
+FROM rep"""
+
+    sqls["quality_filter"] = f"""
+WITH {_rep_cte.strip()},
+w AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS words
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CAST(floor(CASE WHEN len(words) > 0
+              THEN len(list_filter(words,
+                       x -> lower(x) IN ({stop_list})))::DOUBLE / len(words)
+              ELSE 0 END * 10000 + 0.5) AS BIGINT) AS stop_ratio_q
+  FROM w)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN q   ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE q.n_words >= {QF_MIN_WORDS}
+  AND q.stop_ratio_q <= {QF_MAX_STOP_Q}
+  AND rep.dup_3gram_frac_q <= {QF_MAX_DUP3_Q}"""
 
     from rayfts.ops.textstats import BPE_TOKEN_SQL_RE, WS_TOKEN_SQL_RE
     sqls["token_counts"] = f"""

@@ -164,6 +164,69 @@ def langid_batch(t: pa.Table, text_col: str = "text",
     })
 
 
+def repetition_batch(t: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Repetition features for quality filtering (the Gopher-rule
+    shape): fraction of DUPLICATE 3-grams among all token 3-grams and
+    fraction of duplicate non-empty lines.  Both reproducible in SQL
+    (list comprehension + list_distinct / string_split)."""
+    ids_a = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    n = len(texts)
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_SQL_RE)
+        doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+        flat = toks.explode().drop_nulls().to_numpy()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), doc_lens)
+        df = _pl.DataFrame({"doc": doc_idx, "tok": flat})
+        tri = df.with_columns(
+            g=_pl.concat_str([_pl.col("tok"),
+                              _pl.col("tok").shift(-1),
+                              _pl.col("tok").shift(-2)], separator=" "),
+            ok=(_pl.col("doc") == _pl.col("doc").shift(-2)),
+        ).filter(_pl.col("ok"))
+        agg = (tri.group_by("doc")
+               .agg(total=_pl.len(), uniq=_pl.col("g").n_unique()))
+        n_tri = np.zeros(n, dtype=np.int64)
+        n_uniq_tri = np.zeros(n, dtype=np.int64)
+        d = agg.get_column("doc").to_numpy()
+        n_tri[d] = agg.get_column("total").to_numpy()
+        n_uniq_tri[d] = agg.get_column("uniq").to_numpy()
+
+        lines = (s.str.split("\n")
+                 .list.eval(_pl.element().filter(_pl.element() != "")))
+        n_lines = lines.list.len().cast(_pl.Int64).to_numpy().copy()
+        n_uniq_lines = (lines.list.n_unique().cast(_pl.Int64)
+                        .to_numpy().copy())
+        # n_unique of an empty list is 0 in polars, matching len 0
+    else:                     # pragma: no cover - semantic fallback
+        n_tri = np.zeros(n, dtype=np.int64)
+        n_uniq_tri = np.zeros(n, dtype=np.int64)
+        n_lines = np.zeros(n, dtype=np.int64)
+        n_uniq_lines = np.zeros(n, dtype=np.int64)
+        for i, text in enumerate(texts):
+            tk = TOKEN_RE.findall((text or "").lower())
+            gs = [" ".join(tk[j:j + 3]) for j in range(len(tk) - 2)]
+            n_tri[i], n_uniq_tri[i] = len(gs), len(set(gs))
+            ls = [x for x in (text or "").split("\n") if x != ""]
+            n_lines[i], n_uniq_lines[i] = len(ls), len(set(ls))
+
+    def frac_q(total, uniq):
+        return np.floor(np.where(total > 0,
+                                 (total - uniq) / np.maximum(total, 1),
+                                 0.0) * 10000 + 0.5).astype(np.int64)
+
+    return pa.table({
+        id_col: pa.array(ids_a, type=pa.int64()),
+        "n_3grams": pa.array(n_tri),
+        "dup_3gram_frac_q": pa.array(frac_q(n_tri, n_uniq_tri)),
+        "n_lines": pa.array(n_lines),
+        "dup_line_frac_q": pa.array(frac_q(n_lines, n_uniq_lines)),
+    })
+
+
 #: per-worker md5-prefix memo (tokens repeat heavily across a corpus)
 _MD5_CACHE: dict = {}
 

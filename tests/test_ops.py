@@ -79,6 +79,29 @@ def test_fingerprint_batch_matches_reference():
     assert int(out["fingerprint"][0]) == int(out["fingerprint"][6])
 
 
+def test_repetition_batch_matches_reference():
+    from rayfts.ops import textstats as ts
+    out = ts.repetition_batch(_table()).to_pandas()
+    for i, text in enumerate(TEXTS):
+        tk = ts.TOKEN_RE.findall(text.lower())
+        gs = [" ".join(tk[j:j + 3]) for j in range(len(tk) - 2)]
+        ls = [x for x in text.split("\n") if x != ""]
+        assert out["n_3grams"][i] == len(gs)
+        exp = int(np.floor(((len(gs) - len(set(gs))) / len(gs)
+                            if gs else 0.0) * 10000 + 0.5))
+        assert out["dup_3gram_frac_q"][i] == exp
+        assert out["n_lines"][i] == len(ls)
+        expl = int(np.floor(((len(ls) - len(set(ls))) / len(ls)
+                             if ls else 0.0) * 10000 + 0.5))
+        assert out["dup_line_frac_q"][i] == expl
+    # the repeated-trigram doc is flagged, the distinct one is not
+    rep_doc = "a b c " * 10
+    out2 = ts.repetition_batch(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array([rep_doc])})).to_pandas()
+    assert out2["dup_3gram_frac_q"][0] > 8000
+
+
 # ---------------------------------------------------------------------------
 # minhash / simhash: batch path == per-doc path
 # ---------------------------------------------------------------------------
