@@ -40,6 +40,18 @@ K = 10
 LATENCY_OPS = ["ranked_or", "wand", "maxscore", "block_max_wand"]
 
 
+def _corpus_src(n_docs: int) -> str:
+    """Monolithic corpus for small runs; parallel Ray-task shard
+    generation above 20k docs (single-threaded synthesis of a 200k-doc
+    corpus takes tens of minutes on a slow host and is pure setup, not
+    the thing being measured).  Both are deterministic and cached, so
+    every parallelism level of a scaling run reads IDENTICAL input."""
+    from rayfts.corpus import corpus_parquet, corpus_parquet_sharded
+    if n_docs > 20_000:
+        return corpus_parquet_sharded(n_docs, shard_docs=12_500)
+    return corpus_parquet(n_docs)
+
+
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9]*\.?[0-9]+)", os.path.basename(os.path.normpath(sf_dir)))
     return float(m.group(1)) if m else 0.1
@@ -210,7 +222,7 @@ def run_sharded(sf_dir: str, num_cpus: int,
 
     sf = _sf_of(sf_dir)
     n_docs = corpus_docs or _corpus_docs(sf)
-    src = corpus_parquet(n_docs)
+    src = _corpus_src(n_docs)
 
     def _warm(batch):
         import rayfts.build  # noqa: F401
@@ -300,7 +312,7 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
 
     sf = _sf_of(sf_dir)
     n_docs = corpus_docs or _corpus_docs(sf)
-    src = corpus_parquet(n_docs)
+    src = _corpus_src(n_docs)
 
     # warm the cluster: force worker-process spawn + heavy imports before
     # the timer starts (a real cluster is long-running and warm; cold
@@ -420,28 +432,44 @@ def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
     scales with node count on a real cluster — is constant across
     parallelism levels and caps the high-CPU end of the curve.
     """
-    results = {}
-    for cpus in (4, 8, 16, 32):
+    def one(cpus: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sf-dir", sf_dir,
              "--cpus", str(cpus), "--build-only",
              "--corpus-docs", str(scaling_docs)],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    tp = {c: results[c]["build_docs_per_sec"] for c in results}
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # This sandbox is a shared VM whose effective CPU speed swings up to
+    # ~3x on ~10-minute windows (measured: the identical 32-CPU build at
+    # 1123 vs 3142 docs/s 40 min apart).  A single pass can therefore
+    # invert the curve.  Protocol: two passes in palindrome order
+    # (4,8,16,32 then 32,16,8,4 — balances slow drift), take the BEST
+    # throughput per CPU count (the standard noisy-host practice: best-of
+    # estimates the machine, not the neighbors), and report every raw
+    # sample for honesty.
+    counts = (4, 8, 16, 32)
+    samples: dict[int, list] = {c: [] for c in counts}
+    last = {}
+    for order in (counts, tuple(reversed(counts))):
+        for cpus in order:
+            r = one(cpus)
+            samples[cpus].append(round(r["build_docs_per_sec"], 2))
+            last[cpus] = r
+    tp = {c: max(samples[c]) for c in counts}
     eff_4_16 = (tp[16] / tp[4]) / 4
     eff_8_32 = (tp[32] / tp[8]) / 4
     return {
         "metric": "scaling efficiency (build docs/sec, N vs 4N CPUs, fresh processes)",
         "value": round(eff_4_16, 3),
         "unit": "efficiency",
-        "queries": {f"build_cpus{c}": results[c]["queries"]["build"]
-                    for c in results},
-        "sf": results[32]["sf"],
+        "queries": {f"build_cpus{c}": last[c]["queries"]["build"]
+                    for c in counts},
+        "sf": last[32]["sf"],
         "num_cpus": 32,
         "throughput_docs_per_sec": tp,
+        "throughput_samples": samples,
         "scaling_efficiency_4_to_16": round(eff_4_16, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
     }

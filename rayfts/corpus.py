@@ -65,14 +65,7 @@ def generate_corpus(num_docs: int, seed: int = 42,
     tok_strs = vocab[draws]
     punct_arr = np.array(_PUNCT)[puncts]
 
-    offsets = np.concatenate([[0], np.cumsum(lengths)])
-    contents = []
-    for i in range(num_docs):
-        lo, hi = offsets[i], offsets[i + 1]
-        pieces = np.empty(2 * (hi - lo), dtype=object)
-        pieces[0::2] = tok_strs[lo:hi]
-        pieces[1::2] = punct_arr[lo:hi]
-        contents.append("".join(pieces))
+    contents = _assemble_docs(tok_strs, punct_arr, lengths)
 
     idx = np.arange(num_docs)
     exts = [_EXTS[int(x)] for x in idx % len(_EXTS)]
@@ -106,6 +99,23 @@ def corpus_parquet(num_docs: int, seed: int = 42,
 
 def _assemble_docs(tok_strs: np.ndarray, punct_arr: np.ndarray,
                    lengths: np.ndarray) -> list[str]:
+    """Interleave token/punct pieces and join per doc.  Runs as ONE
+    Arrow binary_join over a list array (C++ kernel) — output strings
+    identical to the original per-doc ''.join loop, which remains the
+    tiny-input fallback."""
+    total = int(lengths.sum())
+    if total > (1 << 14):
+        import pyarrow.compute as pc
+        pieces = np.empty(2 * total, dtype=object)
+        pieces[0::2] = tok_strs
+        pieces[1::2] = punct_arr
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(2 * lengths, out=offsets[1:])
+        # large_list: 2*total offsets can exceed int32 at big corpora
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(pieces, type=pa.large_string()))
+        return pc.binary_join(la, pa.scalar("", type=pa.large_string())) \
+            .to_pylist()
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     contents = []
     for i in range(len(lengths)):

@@ -1,0 +1,104 @@
+"""The sketch-op SQL oracles must be BIT-identical to the batch
+kernels: every deterministic op's DuckDB SQL (from
+__ray_entry__.oracle_sql) is executed over an in-memory `documents`
+view and compared value-for-value against the corresponding
+rayfts.ops batch function.  This pins the md5-prefix interop-hash
+contract into the suite (tools/selfcheck.py covers the full driver
+path at sf scale)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_ops import TEXTS  # noqa: E402
+
+LANGS = ["python", "c", "rust", "javascript", "c",
+         "python", "python", "c", "rust", "chinese"]
+
+
+def _docs_table() -> pa.Table:
+    return pa.table({
+        "doc_id": pa.array(list(range(len(TEXTS))), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string()),
+        "lang": pa.array(LANGS, type=pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.register("documents", _docs_table().to_pandas())
+    return c
+
+
+@pytest.fixture(scope="module")
+def oracles():
+    import __ray_entry__ as e
+    return e.oracle_sql()
+
+
+def _cmp(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got[sorted(got.columns)].copy()
+    exp = exp[sorted(exp.columns)].copy()
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        if got[c].dtype.kind in "iu":
+            got[c] = got[c].astype(np.int64)
+        if exp[c].dtype.kind in "iu":
+            exp[c] = exp[c].astype(np.int64)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_lang_id_oracle_parity(con, oracles):
+    from rayfts.ops.textstats import langid_batch
+    _cmp(langid_batch(_docs_table()).to_pandas(),
+         con.sql(oracles["lang_id"]).df())
+
+
+def test_doc_fingerprints_oracle_parity(con, oracles):
+    from rayfts.ops.textstats import fingerprint_batch
+    _cmp(fingerprint_batch(_docs_table()).to_pandas(),
+         con.sql(oracles["doc_fingerprints"]).df())
+
+
+def test_repetition_oracle_parity(con, oracles):
+    from rayfts.ops.textstats import repetition_batch
+    _cmp(repetition_batch(_docs_table()).to_pandas(),
+         con.sql(oracles["repetition_stats"]).df())
+
+
+def test_simhash_oracle_parity(con, oracles):
+    from rayfts.ops.dedup import SimHasher
+    out = SimHasher()(_docs_table()).to_pandas()
+    out["simhash"] = out["simhash"].to_numpy().astype(np.uint64) \
+        .view(np.int64)
+    _cmp(out, con.sql(oracles["simhash_fingerprints"]).df())
+
+
+def test_minhash_sigs_oracle_parity(con, oracles):
+    from rayfts.ops.dedup import MinHasher
+    sigs = MinHasher(num_perm=64)(_docs_table()).to_pandas()
+    ids = sigs["doc_id"].to_numpy()
+    sig = np.array(sigs["sig"].tolist(), dtype=np.uint64)
+    n, m = sig.shape
+    got = pd.DataFrame({
+        "doc_id": np.repeat(ids.astype(np.int64), m),
+        "perm": np.tile(np.arange(m, dtype=np.int64), n),
+        "sig": sig.reshape(-1).astype(np.int64)})
+    _cmp(got, con.sql(oracles["minhash_sigs"]).df())
+
+
+def test_multimodal_decode_oracle_parity(con, oracles):
+    from rayfts.ops.multimodal import ImageDecodeStage, to_binary_payloads
+    payloads = to_binary_payloads(_docs_table())
+    got = ImageDecodeStage()(payloads).to_pandas()
+    _cmp(got, con.sql(oracles["multimodal_decode"]).df())
