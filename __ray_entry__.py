@@ -59,7 +59,12 @@ _IDX_ROOT = "/tmp/rayfts_driver"
 
 
 def _index_for(sf_dir: str, index_type: str = "opt"):
-    """Build (resumable, cached) the inverted index over `documents`."""
+    """Build (resumable, cached) the inverted index over `documents`.
+
+    Non-base index types share the base ("opt") index's tokenize/docID
+    checkpoints via ``reuse_stage1_from`` — every postings_* entry then
+    exercises the codec-migration path, and the driver's correctness
+    run pays the corpus scan once instead of once per index type."""
     from rayfts.build import build_index
     from rayfts.index import InvertedIndex
 
@@ -70,9 +75,16 @@ def _index_for(sf_dir: str, index_type: str = "opt"):
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            reuse = None
+            if index_type != "opt":
+                _index_for(sf_dir, "opt")  # ensures the base exists
+                reuse = os.path.join(
+                    _IDX_ROOT,
+                    hashlib.md5(f"{src}:opt".encode()).hexdigest()[:12])
             build_index(src, index_dir, index_type=index_type,
                         key_cols=["doc_id"], text_col="text",
-                        salt_threshold=1 << 17, num_shards=8)
+                        salt_threshold=1 << 17, num_shards=8,
+                        reuse_stage1_from=reuse)
         idx = InvertedIndex(index_dir)
         # internal docid -> source doc_id map (identity when the source
         # ids are already dense ranks, but never assumed); materialized

@@ -891,9 +891,13 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
             "there (docs/tokens markers missing)")
     with open(src_marker) as f:
         src_meta = json.load(f)
+    # the marker records key_cols AFTER stage 1's rename (a source
+    # `doc_id` column becomes `src_doc_id`); normalize the request the
+    # same way before comparing
+    want_keys = ["src_doc_id" if c == "doc_id" else c for c in key_cols]
     if (os.path.abspath(src_meta.get("input", "")) !=
             os.path.abspath(source_path)
-            or src_meta.get("key_cols") != key_cols):
+            or src_meta.get("key_cols") not in (key_cols, want_keys)):
         raise ValueError(
             "reuse_stage1_from lineage mismatch: source index was built "
             f"from {src_meta.get('input')!r} key_cols="

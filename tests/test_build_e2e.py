@@ -266,6 +266,34 @@ def test_reuse_stage1_codec_migration(built_index, ray_session,
                     index_type="block_vbyte", reuse_stage1_from=base_dir)
 
 
+def test_link_stage1_normalizes_renamed_key_cols(tmp_path):
+    """A source `doc_id` key column is recorded post-rename
+    (`src_doc_id`) in the stage-1 marker; a reuse request passing the
+    ORIGINAL name must still match (and a truly different key set must
+    not)."""
+    from rayfts.build import _link_stage1
+    src_idx = tmp_path / "src_idx"
+    src_idx.mkdir()
+    for d in ("docs", "docidmap", "tokens", "lengths_parts"):
+        (src_idx / d).mkdir()
+    (src_idx / "docs.done.json").write_text(json.dumps(
+        {"num_docs": 3, "input": str(tmp_path / "in.parquet"),
+         "key_cols": ["src_doc_id"]}))
+    (src_idx / "tokens.done.json").write_text(json.dumps({"text_col": "text"}))
+
+    dst = tmp_path / "dst_idx"
+    dst.mkdir()
+    _link_stage1(str(src_idx), str(dst), str(tmp_path / "in.parquet"),
+                 ["doc_id"])
+    assert os.path.islink(dst / "tokens")
+
+    dst2 = tmp_path / "dst_idx2"
+    dst2.mkdir()
+    with pytest.raises(ValueError):
+        _link_stage1(str(src_idx), str(dst2),
+                     str(tmp_path / "in.parquet"), ["repo", "path"])
+
+
 def test_list_cache_lru_bound(built_index):
     """The decoded-list cache evicts LRU entries once the posting bound
     is exceeded (long-lived query actors must not grow unboundedly)."""
