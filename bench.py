@@ -112,6 +112,70 @@ def _ref_queries(num_terms: int, n_queries: int = NUM_QUERIES,
 #: reference published means on the same-shaped collection (README.md:123-137)
 REF_PUBLISHED_US = {"block_mixed": 9.955, "block_optpfor": 11.125}
 
+#: keys kept verbatim on the compact final stdout line (driver contract)
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "queries", "sf", "num_cpus",
+    "num_docs", "total_postings", "num_terms",
+    "build_docs_per_sec", "build_postings_per_sec",
+    "bits_per_doc", "bits_per_freq",
+    "query_pool_qps", "query_service_qps",
+    # sharded run
+    "num_doc_shards", "sharded_build_s", "sharded_build_docs_per_sec",
+    "scatter_gather_qps", "merge_s", "merge_postings_per_sec",
+    # scaling run
+    "throughput_docs_per_sec", "throughput_samples", "efficiency_samples",
+    "scaling_efficiency_4_to_16", "scaling_efficiency_8_to_32",
+    "scaling_efficiency_4_to_16_best", "scaling_efficiency_8_to_32_best",
+)
+
+
+def _compact(result: dict) -> dict:
+    """Subset a full bench result to a small headline dict.  The driver
+    records only the final stdout line and truncates long lines (round 2's
+    BENCH json came back ``parsed: null`` because the final line embedded
+    the whole reference_protocol section), so the last line must stay
+    well under a few KB."""
+    out = {k: result[k] for k in _COMPACT_KEYS if k in result}
+    lat = result.get("latency")
+    if isinstance(lat, dict):
+        out["latency"] = {op: {k: v[k] for k in ("p50_ms", "p99_ms") if k in v}
+                          for op, v in lat.items()}
+    ref = result.get("reference_protocol")
+    if isinstance(ref, dict):
+        means, bpp = {}, {}
+        for name, ops in ref.items():
+            if isinstance(ops, dict) and "ranked_and" in ops:
+                means[name] = ops["ranked_and"]["mean_us"]
+                bpp[name] = ops.get("bits_per_posting")
+        out["ref_ranked_and_mean_us"] = means
+        out["ref_bits_per_posting"] = bpp
+        out["ref_published_ranked_and_us"] = ref.get(
+            "reference_published_ranked_and_us")
+    return out
+
+
+def _emit(result: dict, tag: str = "single") -> None:
+    """Print the full result on an earlier tagged line + sidecar file;
+    print the compact headline as the FINAL stdout line (driver contract)."""
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"BENCH_FULL_{tag}.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        sidecar = None
+    print("BENCH_FULL " + json.dumps(result))
+    compact = _compact(result)
+    if sidecar:
+        compact["full"] = os.path.basename(sidecar)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 4000:  # hard budget for the driver's line capture
+        for k in ("ref_ranked_and_mean_us", "ref_bits_per_posting",
+                  "latency", "throughput_samples", "efficiency_samples"):
+            compact.pop(k, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
+
 
 def run_reference_protocol(num_cpus: int) -> dict:
     """Reference query protocol on a reference-shaped collection:
@@ -419,7 +483,8 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
     return result
 
 
-def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
+def run_scaling(sf_dir: str, scaling_docs: int = 200_000,
+                reps: int = 2) -> dict:
     """Same build at 4/8/16/32 CPUs in fresh processes (identical
     physical plan; warmed workers); reports the full throughput curve
     plus efficiency for both N->4N pairs (4->16 and 8->32).
@@ -455,8 +520,8 @@ def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
     last: dict[int, dict] = {}
     eff_reps: dict[tuple, list] = {p: [] for p in pairs}
     for lo, hi in pairs:
-        for rep in range(2):
-            order = (lo, hi) if rep == 0 else (hi, lo)
+        for rep in range(reps):
+            order = (lo, hi) if rep % 2 == 0 else (hi, lo)
             tp_rep = {}
             for cpus in order:
                 r = one(cpus)
@@ -466,11 +531,14 @@ def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
             eff_reps[(lo, hi)].append(
                 round((tp_rep[hi] / tp_rep[lo]) / (hi // lo), 3))
     tp = {c: max(samples[c]) for c in samples}
-    eff_4_16 = max(eff_reps[(4, 16)])
-    eff_8_32 = max(eff_reps[(8, 32)])
+    # headline = MEDIAN matched-window efficiency (best-of-N biases the
+    # headline upward; best is still reported alongside, and every raw
+    # sample is in efficiency_samples)
+    med = {p: round(float(np.median(eff_reps[p])), 3) for p in pairs}
+    best = {p: max(eff_reps[p]) for p in pairs}
     return {
         "metric": "scaling efficiency (build docs/sec, N vs 4N CPUs, fresh processes)",
-        "value": round(eff_4_16, 3),
+        "value": med[(4, 16)],
         "unit": "efficiency",
         "queries": {f"build_cpus{c}": last[c]["queries"]["build"]
                     for c in sorted(last)},
@@ -480,8 +548,10 @@ def run_scaling(sf_dir: str, scaling_docs: int = 200_000) -> dict:
         "throughput_samples": samples,
         "efficiency_samples": {f"{lo}_to_{hi}": v
                                for (lo, hi), v in eff_reps.items()},
-        "scaling_efficiency_4_to_16": eff_4_16,
-        "scaling_efficiency_8_to_32": eff_8_32,
+        "scaling_efficiency_4_to_16": med[(4, 16)],
+        "scaling_efficiency_8_to_32": med[(8, 32)],
+        "scaling_efficiency_4_to_16_best": best[(4, 16)],
+        "scaling_efficiency_8_to_32_best": best[(8, 32)],
     }
 
 
@@ -498,6 +568,8 @@ def main() -> None:
     ap.add_argument("--corpus-docs", type=int, default=None,
                     help="override the sf-derived synthetic corpus size")
     ap.add_argument("--scaling-docs", type=int, default=200_000)
+    ap.add_argument("--scaling-reps", type=int, default=2,
+                    help="matched-window (N, 4N) pairs per CPU pair")
     args = ap.parse_args()
 
     if not os.path.isdir(args.sf_dir):
@@ -512,22 +584,28 @@ def main() -> None:
         from ray.data import DataContext
         DataContext.get_current().enable_progress_bars = False
         result = run_reference_protocol(args.cpus)
-        print(json.dumps(result))
+        # wrap so _compact finds the per-type sections
+        _emit({"metric": "reference query protocol (μs/query)",
+               "value": 0.0, "unit": "us", "queries": {},
+               "sf": _sf_of(args.sf_dir), "num_cpus": args.cpus,
+               "reference_protocol": result}, tag="reference")
         ray.shutdown()
         return
     if args.sharded:
         result = run_sharded(args.sf_dir, args.cpus,
                              corpus_docs=args.corpus_docs)
-        print(json.dumps(result))
+        _emit(result, tag="sharded")
         import ray
         ray.shutdown()
         return
     if args.scaling:
-        result = run_scaling(args.sf_dir, args.scaling_docs)
-    else:
-        result = run_single(args.sf_dir, args.cpus, build_only=args.build_only,
-                            corpus_docs=args.corpus_docs)
-    print(json.dumps(result))
+        result = run_scaling(args.sf_dir, args.scaling_docs,
+                             reps=args.scaling_reps)
+        _emit(result, tag="scaling")
+        return
+    result = run_single(args.sf_dir, args.cpus, build_only=args.build_only,
+                        corpus_docs=args.corpus_docs)
+    _emit(result, tag="single")
 
 
 if __name__ == "__main__":

@@ -870,7 +870,7 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
 # ---------------------------------------------------------------------------
 
 def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
-                 key_cols: list[str]) -> None:
+                 key_cols: list[str], text_col: str) -> None:
     """Share another index's tokenize/docID stage instead of re-scanning
     the corpus: symlink the content-derived checkpoints (docs, docidmap,
     tokens, lengths_parts — plus the lengths/dfs aggregates, all pure
@@ -895,14 +895,20 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
     # `doc_id` column becomes `src_doc_id`); normalize the request the
     # same way before comparing
     want_keys = ["src_doc_id" if c == "doc_id" else c for c in key_cols]
+    with open(src_tokens_marker) as f:
+        src_tok_meta = json.load(f)
+    src_text_col = src_tok_meta.get("text_col",
+                                    src_meta.get("text_col"))
     if (os.path.abspath(src_meta.get("input", "")) !=
             os.path.abspath(source_path)
-            or src_meta.get("key_cols") not in (key_cols, want_keys)):
+            or src_meta.get("key_cols") not in (key_cols, want_keys)
+            or src_text_col != text_col):
         raise ValueError(
             "reuse_stage1_from lineage mismatch: source index was built "
             f"from {src_meta.get('input')!r} key_cols="
-            f"{src_meta.get('key_cols')}, this build asked for "
-            f"{source_path!r} key_cols={key_cols}")
+            f"{src_meta.get('key_cols')} text_col={src_text_col!r}, this "
+            f"build asked for {source_path!r} key_cols={key_cols} "
+            f"text_col={text_col!r}")
     import shutil as _sh
     for d in ("docs", "docidmap", "tokens", "lengths_parts"):
         src_d = os.path.join(src_index_dir, d)
@@ -915,7 +921,12 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
     for fn in ("lengths.parquet", "dfs.parquet"):
         src_f = os.path.join(src_index_dir, fn)
         dst_f = os.path.join(index_dir, fn)
-        if os.path.exists(src_f) and not os.path.exists(dst_f):
+        if os.path.exists(src_f):
+            # lexists: a dangling destination symlink (stale link after
+            # the source index was rebuilt) must be repaired, not trip
+            # FileExistsError
+            if os.path.lexists(dst_f):
+                os.unlink(dst_f)
             os.symlink(os.path.abspath(src_f), dst_f)
     # markers are COPIED (not linked): invalidating this index later
     # must never touch the source index's state
@@ -950,7 +961,8 @@ def build_index(source_path: str, index_dir: str, *,
     os.makedirs(index_dir, exist_ok=True)
     key_cols = key_cols or ["repo", "path", "commit"]
     if reuse_stage1_from:
-        _link_stage1(reuse_stage1_from, index_dir, source_path, key_cols)
+        _link_stage1(reuse_stage1_from, index_dir, source_path, key_cols,
+                     text_col)
 
     import time as _time
     stage_secs = {}

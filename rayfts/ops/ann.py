@@ -76,14 +76,25 @@ def embedding_pairs_exact(emb_ds, tau: float, vec_col: str = "embedding",
     driver (VERDICT r01 #4; replaces the all-pairs broadcast).
     Cross-product of blocks is not expressible as a Dataset transform,
     so this is a documented raw-task stage; partitioning assumption:
-    a block pair fits one worker's heap (2·B·dim·8 bytes)."""
-    blocks = []
-    for b in emb_ds.iter_batches(batch_size=block_rows,
-                                 batch_format="pyarrow"):
-        ids = b.column(id_col).to_numpy().astype(np.int64)
-        m = _normalize(np.array(b.column(vec_col).to_pylist(),
+    a block pair fits one worker's heap (2·B·dim·8 bytes).
+
+    Block prep is TASK-SIDE (VERDICT r02 #5): the dataset's own object-
+    store blocks are normalized by one Ray task each — the driver only
+    handles ObjectRefs, never vector data, so the whole table never
+    streams through one process."""
+
+    @ray.remote
+    def prep(t: pa.Table):
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(np.array(t.column(vec_col).to_pylist(),
                                 dtype=np.float64))
-        blocks.append(ray.put((ids, m)))
+        return ids, m
+
+    mat = emb_ds.repartition(
+        target_num_rows_per_block=block_rows).materialize()
+    block_refs = [br for bundle in mat.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+    blocks = [prep.remote(br) for br in block_refs]
 
     @ray.remote
     def sweep(block_a, block_b, same: bool) -> pa.Table:
@@ -117,7 +128,8 @@ def embedding_pairs_exact(emb_ds, tau: float, vec_col: str = "embedding",
 def embedding_pairs_lsh(emb_ds, tau: float, num_planes: int = 16,
                         bands: int = 4, seed: int = 11,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id"):
+                        id_col: str = "vec_id",
+                        max_bucket: int = 1024):
     """Approximate near-dup pair generation, the 100-TB scale path:
     banded random-hyperplane signatures shuffle vectors into buckets
     (minhash-banding shape), pairs are generated + exactly verified
@@ -134,22 +146,25 @@ def embedding_pairs_lsh(emb_ds, tau: float, num_planes: int = 16,
     def band_rows(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = t.column(id_col).to_numpy().astype(np.int64)
+        n = len(ids)
         m = _normalize(np.array(t.column(vec_col).to_pylist(),
-                                dtype=np.float64))
+                                dtype=np.float64).reshape(n, max(1, dim)))
         bits = (m @ pl.T) > 0
-        out = {"band": [], "bucket": [], id_col: [], "vec": []}
-        for b in range(bands):
-            chunk = bits[:, b * rows_per_band:(b + 1) * rows_per_band]
-            sig = (chunk * (1 << np.arange(chunk.shape[1]))).sum(axis=1)
-            out["band"].extend([b] * len(ids))
-            out["bucket"].extend(sig.astype(np.int64).tolist())
-            out[id_col].extend(ids.tolist())
-            out["vec"].extend(m.tolist())
+        # vectorized: (n, bands) bucket signatures, rows tiled x bands
+        # via numpy repeat/tile + one ListArray (no per-row Python)
+        w = 1 << np.arange(rows_per_band)
+        sig = (bits.reshape(n, bands, rows_per_band) * w).sum(axis=2)
+        band_col = np.repeat(np.arange(bands, dtype=np.int64), n)
+        bucket_col = sig.T.reshape(-1).astype(np.int64)  # band-major
+        vec_flat = np.tile(m.reshape(-1), bands)
+        offsets = np.arange(0, (n * bands + 1) * m.shape[1], m.shape[1],
+                            dtype=np.int64)
         return pa.table({
-            "band": pa.array(out["band"], type=pa.int64()),
-            "bucket": pa.array(out["bucket"], type=pa.int64()),
-            id_col: pa.array(out[id_col], type=pa.int64()),
-            "vec": pa.array(out["vec"], type=pa.list_(pa.float64())),
+            "band": pa.array(band_col),
+            "bucket": pa.array(bucket_col),
+            id_col: pa.array(np.tile(ids, bands)),
+            "vec": pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(vec_flat)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -160,6 +175,18 @@ def embedding_pairs_lsh(emb_ds, tau: float, num_planes: int = 16,
             return empty
         ids = g[id_col].to_numpy()
         m = np.array(g["vec"].tolist(), dtype=np.float64)
+        if len(ids) > max_bucket:
+            # degenerate bucket (mass-duplicated embedding): star edges
+            # against the min-id anchor keep it O(n); downstream
+            # clustering recovers full groups from the star set
+            order = np.argsort(ids)
+            ids, m = ids[order], m[order]
+            s = m[1:] @ m[0]
+            keep = s >= tau
+            if not keep.any():
+                return empty
+            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0]),
+                                 "b": ids[1:][keep], "cos": s[keep]})
         sims = m @ m.T
         ii, jj = np.nonzero(sims >= tau)
         keep = ids[ii] < ids[jj]

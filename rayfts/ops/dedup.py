@@ -33,9 +33,10 @@ try:
 except ImportError:          # pragma: no cover - polars is baked in here
     _pl = None
 
-#: per-worker md5-prefix memos (shingles/tokens repeat heavily)
-_SH_MD5_32: dict = {}
-_SH_MD5_64: dict = {}
+# interop md5-prefix hashes (one implementation, shared with textstats —
+# the DuckDB-oracle contract must not drift between modules)
+from rayfts.ops.hashing import md5_u32 as _md5_u32  # noqa: E402
+from rayfts.ops.hashing import md5_u64 as _md5_u64  # noqa: E402
 
 
 def _pool_size(default: int = 4) -> int:
@@ -47,35 +48,6 @@ def _pool_size(default: int = 4) -> int:
                    // 2)
     except Exception:        # pragma: no cover - ray not initialised
         return default
-
-
-def _md5_u32(strs: np.ndarray) -> np.ndarray:
-    """First 32 md5 bits per UNIQUE string — the interop hash the
-    DuckDB oracle reproduces as ('0x'||substr(md5(s),1,8))::UBIGINT."""
-    out = np.empty(len(strs), dtype=np.uint64)
-    memo = _SH_MD5_32
-    for i, s in enumerate(strs):
-        h = memo.get(s)
-        if h is None:
-            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-            if len(memo) < (1 << 20):
-                memo[s] = h
-        out[i] = h
-    return out
-
-
-def _md5_u64(strs: np.ndarray) -> np.ndarray:
-    """First 64 md5 bits per UNIQUE string (simhash token hash)."""
-    out = np.empty(len(strs), dtype=np.uint64)
-    memo = _SH_MD5_64
-    for i, s in enumerate(strs):
-        h = memo.get(s)
-        if h is None:
-            h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
-            if len(memo) < (1 << 20):
-                memo[s] = h
-        out[i] = h
-    return out
 
 
 def _token_shingles(text: str, k: int = 3) -> np.ndarray:
@@ -199,8 +171,19 @@ class MinHasher:
         })
 
 
+#: bucket-size cap for the all-pairs LSH stages: above this a bucket
+#: emits STAR edges (min_id, other) instead of all C(n,2) pairs — a
+#: degenerate bucket (mass-duplicated boilerplate) stays O(n) instead of
+#: quadratic; downstream tau-verification still filters every emitted
+#: pair, and connected_components restores the full duplicate clusters.
+#: The cap is far above any test/gate-scale bucket, so the SQL oracles
+#: (which enumerate all in-bucket pairs) see identical output there.
+LSH_MAX_BUCKET = 1024
+
+
 def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
-                            text_col: str = "text", id_col: str = "doc_id"):
+                            text_col: str = "text", id_col: str = "doc_id",
+                            max_bucket: int = LSH_MAX_BUCKET):
     """LSH banding: -> Dataset(a, b) candidate pairs (a < b)."""
     rows_per_band = num_perm // bands
 
@@ -216,8 +199,11 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         oracle joins on the same slice), and hash collisions can't
         manufacture candidates."""
         ids = t.column(id_col).to_numpy()
-        sig = np.array(t.column("sig").to_pylist(), dtype=np.uint64)
         n = len(ids)
+        # explicit shape: an empty batch must still be (0, num_perm),
+        # not the 1-D (0,) array np.array gives it
+        sig = np.array(t.column("sig").to_pylist(),
+                       dtype=np.uint64).reshape(n, num_perm)
         cols: dict = {
             "band": pa.array(np.repeat(np.arange(bands, dtype=np.int64), n)),
             id_col: pa.array(np.tile(ids.astype(np.int64), bands)),
@@ -233,13 +219,17 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
+        ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64)})
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["a", "b"])
+        if n > max_bucket:
+            # degenerate bucket: star edges, O(n) not O(n^2)
+            return pd.DataFrame({"a": np.full(n - 1, ids[0]),
+                                 "b": ids[1:]})
+        ii, jj = np.triu_indices(n, 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     cand = (sigs.map_batches(explode_bands, batch_format="pyarrow")
             .groupby(key_cols)
@@ -402,7 +392,8 @@ def simhash_fingerprints(docs_ds, text_col: str = "text",
 
 
 def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
-                      id_col: str = "doc_id"):
+                      id_col: str = "doc_id",
+                      max_bucket: int = LSH_MAX_BUCKET):
     """Banded Hamming candidate stage over 64-bit simhash fingerprints:
     the fingerprint splits into `bands` 16-bit band keys; two docs within
     Hamming distance `radius` <= bands-1 must agree exactly on at least
@@ -435,6 +426,20 @@ def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
             return empty
         ids = g[id_col].to_numpy()
         fp = g["fp"].to_numpy().astype(np.uint64)
+        if len(ids) > max_bucket:
+            # degenerate bucket: star edges against the min-id anchor,
+            # O(n) xor-popcounts (connected_components restores clusters)
+            order = np.argsort(ids)
+            ids, fp = ids[order], fp[order]
+            x = fp[0] ^ fp[1:]
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = ham <= radius
+            if not keep.any():
+                return empty
+            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0]),
+                                 "b": ids[1:][keep],
+                                 "hamming": ham[keep].astype(np.int64)})
         x = fp[:, None] ^ fp[None, :]
         ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
                             axis=2).sum(axis=2)

@@ -1,0 +1,52 @@
+"""Interop hash kernels shared by the LLM-ops modules.
+
+These are the ONE place the repo computes the md5-prefix hashes whose
+exact values the DuckDB oracles reproduce
+(``('0x'||substr(md5(s),1,8))::UBIGINT`` / the 16-hex-digit variant) —
+dedup.py and textstats.py import from here so the contract cannot
+drift between modules.  Per-worker memo: tokens/shingles repeat heavily
+across a corpus, so each unique string is hashed once per process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MD5_32: dict = {}
+_MD5_64: dict = {}
+
+#: memo bound per worker process (strings -> int); beyond this the
+#: hash still computes, it just stops caching
+_MEMO_CAP = 1 << 20
+
+
+def md5_u32(strs: np.ndarray) -> np.ndarray:
+    """First 32 md5 bits per string, memoized per unique string — the
+    interop hash the DuckDB oracle reproduces as
+    ``('0x'||substr(md5(s),1,8))::UBIGINT``."""
+    out = np.empty(len(strs), dtype=np.uint64)
+    memo = _MD5_32
+    for i, s in enumerate(strs):
+        h = memo.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            if len(memo) < _MEMO_CAP:
+                memo[s] = h
+        out[i] = h
+    return out
+
+
+def md5_u64(strs: np.ndarray) -> np.ndarray:
+    """First 64 md5 bits per string (simhash token hash), memoized."""
+    out = np.empty(len(strs), dtype=np.uint64)
+    memo = _MD5_64
+    for i, s in enumerate(strs):
+        h = memo.get(s)
+        if h is None:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+            if len(memo) < _MEMO_CAP:
+                memo[s] = h
+        out[i] = h
+    return out

@@ -227,29 +227,15 @@ def repetition_batch(t: pa.Table, text_col: str = "text",
     })
 
 
-#: per-worker md5-prefix memo (tokens repeat heavily across a corpus)
-_MD5_CACHE: dict = {}
-
 #: rolling-window base; 33331 is prime and (2^32-1)*(B^2+B+1) < 2^63,
 #: so the 3-token window hash fits both int64 and DuckDB BIGINT exactly
 FP_BASE = 33331
 FP_WINDOW = 3
 
 
-def _md5_u32(strs: np.ndarray) -> np.ndarray:
-    """First-32-bits-of-md5 token hash: the one hash both numpy and the
-    DuckDB oracle (`('0x'||substr(md5(t),1,8))::UBIGINT`) can compute
-    bit-identically; runs once per UNIQUE string via the memo."""
-    out = np.empty(len(strs), dtype=np.uint64)
-    memo = _MD5_CACHE
-    for i, s in enumerate(strs):
-        h = memo.get(s)
-        if h is None:
-            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-            if len(memo) < (1 << 20):
-                memo[s] = h
-        out[i] = h
-    return out
+# interop md5-prefix hash (one implementation, shared with dedup.py —
+# the DuckDB-oracle contract must not drift between modules)
+from rayfts.ops.hashing import md5_u32 as _md5_u32  # noqa: E402
 
 
 def fingerprint_one(text: str) -> int:

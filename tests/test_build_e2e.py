@@ -284,14 +284,46 @@ def test_link_stage1_normalizes_renamed_key_cols(tmp_path):
     dst = tmp_path / "dst_idx"
     dst.mkdir()
     _link_stage1(str(src_idx), str(dst), str(tmp_path / "in.parquet"),
-                 ["doc_id"])
+                 ["doc_id"], "text")
     assert os.path.islink(dst / "tokens")
 
     dst2 = tmp_path / "dst_idx2"
     dst2.mkdir()
     with pytest.raises(ValueError):
         _link_stage1(str(src_idx), str(dst2),
-                     str(tmp_path / "in.parquet"), ["repo", "path"])
+                     str(tmp_path / "in.parquet"), ["repo", "path"], "text")
+
+    # text_col lineage: a source tokenized over 'text' must not satisfy a
+    # request for 'content' (would silently index the wrong column)
+    dst3 = tmp_path / "dst_idx3"
+    dst3.mkdir()
+    with pytest.raises(ValueError, match="text_col"):
+        _link_stage1(str(src_idx), str(dst3),
+                     str(tmp_path / "in.parquet"), ["doc_id"], "content")
+
+
+def test_link_stage1_repairs_dangling_symlink(tmp_path):
+    """A stale dangling lengths.parquet symlink left from a deleted
+    source index is repaired (lexists + unlink), not FileExistsError."""
+    from rayfts.build import _link_stage1
+    src_idx = tmp_path / "src_idx"
+    src_idx.mkdir()
+    for d in ("docs", "docidmap", "tokens", "lengths_parts"):
+        (src_idx / d).mkdir()
+    (src_idx / "lengths.parquet").write_bytes(b"x")
+    (src_idx / "docs.done.json").write_text(json.dumps(
+        {"num_docs": 3, "input": str(tmp_path / "in.parquet"),
+         "key_cols": ["repo"]}))
+    (src_idx / "tokens.done.json").write_text(
+        json.dumps({"text_col": "content"}))
+    dst = tmp_path / "dst_idx"
+    dst.mkdir()
+    os.symlink(str(tmp_path / "gone" / "lengths.parquet"),
+               dst / "lengths.parquet")  # dangling
+    _link_stage1(str(src_idx), str(dst), str(tmp_path / "in.parquet"),
+                 ["repo"], "content")
+    assert os.path.islink(dst / "lengths.parquet")
+    assert (dst / "lengths.parquet").read_bytes() == b"x"
 
 
 def test_list_cache_lru_bound(built_index):

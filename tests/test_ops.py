@@ -331,3 +331,92 @@ def test_hash_sample_deterministic_and_nested(ray_session):
     # same hash stream: stratified 'en' rows at 0.5 contain the uniform
     # 0.25 sample's en rows
     assert {d for d in s25a if docs["lang"][d] == "en"} <= set(en["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# degenerate-bucket star-edge caps (VERDICT r02 #4): a mass-duplicated
+# bucket must stay O(n) pairs, and connected_components must still
+# recover the full duplicate cluster from the star set
+# ---------------------------------------------------------------------------
+
+def test_minhash_degenerate_bucket_star_edges(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.dedup import connected_components, minhash_candidate_pairs
+    n = 10_000
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["the same boilerplate license header text"] * n),
+    })
+    cand = minhash_candidate_pairs(rd.from_arrow(docs)).to_pandas()
+    uniq = cand.drop_duplicates(["a", "b"])
+    # star edges: exactly n-1 distinct pairs, all anchored at min id
+    assert len(uniq) == n - 1
+    assert (uniq["a"] == 0).all()
+    # clusters recovered from the star set
+    cc = connected_components(
+        rd.from_pandas(uniq[["a", "b"]])).to_pandas()
+    assert (cc["cluster"] == 0).all() and len(cc) == n
+
+
+def test_minhash_small_buckets_still_all_pairs(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.dedup import minhash_candidate_pairs
+    n = 6
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["identical text for an all-pairs bucket"] * n),
+    })
+    cand = minhash_candidate_pairs(rd.from_arrow(docs)).to_pandas()
+    uniq = {(int(a), int(b)) for a, b in
+            zip(cand["a"], cand["b"])}
+    assert uniq == {(i, j) for i in range(n) for j in range(i + 1, n)}
+
+
+def test_simhash_degenerate_bucket_star_edges(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.dedup import simhash_dup_pairs
+    n = 5000
+    fps = np.zeros(n, dtype=np.uint64) + np.uint64(0x0123456789ABCDEF)
+    out = simhash_dup_pairs(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "simhash": pa.array(fps)})),
+        radius=3).to_pandas()
+    assert len(out) == n - 1
+    assert (out["a"] == 0).all() and (out["hamming"] == 0).all()
+
+
+def test_embedding_pairs_lsh_degenerate_bucket(ray_session):
+    import ray.data as rd
+
+    from rayfts.ops.ann import embedding_pairs_lsh
+    rng = np.random.RandomState(7)
+    v = rng.normal(size=16)
+    m = np.tile(v, (300, 1))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    out = embedding_pairs_lsh(ds, tau=0.9, max_bucket=64).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    # star set only: n-1 anchored pairs
+    assert got == {(0, j) for j in range(1, 300)}
+
+
+def test_embedding_pairs_lsh_small_bucket_unchanged(ray_session):
+    """Below the cap the full verified in-bucket pair set is emitted
+    (vectorized band_rows path must not change semantics)."""
+    import ray.data as rd
+
+    from rayfts.ops.ann import embedding_pairs_lsh
+    rng = np.random.RandomState(9)
+    v = rng.normal(size=16)
+    m = np.tile(v, (20, 1)) + rng.normal(scale=0.001, size=(20, 16))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    out = embedding_pairs_lsh(ds, tau=0.99).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert got == {(i, j) for i in range(20) for j in range(i + 1, 20)}
