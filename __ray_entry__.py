@@ -151,6 +151,32 @@ def _topk_table(sf_dir: str, op: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
 
 
+def _topk_table_native(sf_dir: str, op: str) -> pd.DataFrame:
+    """The f32 C encoded-domain serving path — the kernels bench.py
+    times (`next_geq` over compressed EF/PEF payloads, float32 BM25) —
+    rank-checked against the f64 SQL oracle.  f32 scores are not
+    hash-comparable with DuckDB's f64 arithmetic, so the entry emits
+    the RANKING only (query_id, rank, doc_id); rank identity holds on
+    the gate corpus because adjacent top-k scores are separated far
+    beyond f32 rounding (the reference pins the same property at 0.1%
+    relative, test_ranked_queries.cpp).  Falls back to NOTHING: if the
+    native library is unavailable the entry raises, so a compile
+    regression turns this row red instead of silently testing Python."""
+    from rayfts import search as S
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S._topk_native_encoded(idx, terms, K, op)
+        if res is None:
+            raise RuntimeError(
+                f"native encoded-domain kernel unavailable for {op!r}; "
+                "this entry must exercise the C serving path")
+        for rank, (_score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d])})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
+
+
 def _bool_and(sf_dir: str) -> pd.DataFrame:
     from rayfts import search as S
     idx = _index_for(sf_dir)
@@ -607,6 +633,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
         "block_max_wand_topk": lambda sf: _topk_table(sf, "block_max_wand"),
+        # the f32 C encoded-domain kernels (what bench.py times), rank-
+        # checked against the same oracle (VERDICT r02 #6)
+        "bm25_topk_native": lambda sf: _topk_table_native(sf, "ranked_or"),
+        "block_max_wand_topk_native":
+            lambda sf: _topk_table_native(sf, "block_max_wand"),
         "bool_and": _bool_and,
         "bool_or": _bool_or,
         # dedup
@@ -739,6 +770,17 @@ SELECT term, df FROM dfs"""
 WITH {_TOK.strip()}
 SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id FROM dfs"""
 
+    rank_sql = f"""
+{_bm25_scores_sql()},
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
+"""
+    sqls["bm25_topk_native"] = rank_sql
+    sqls["block_max_wand_topk_native"] = rank_sql
     sqls["bm25_topk"] = _topk_sql(False)
     sqls["bm25_topk_sharded"] = _topk_sql(False)
     sqls["wand_topk"] = _topk_sql(False)

@@ -350,18 +350,31 @@ def _stage_tokens(index_dir: str, text_col: str) -> None:
 # both jobs at once so the cluster stays busy between the wide stages)
 # ---------------------------------------------------------------------------
 
+def _lengths_source(index_dir: str) -> str:
+    """The per-doc lengths dataset: the stage-1 ``lengths_parts``
+    directory (doc-range-named part files — the canonical layout) when
+    present, else the legacy single ``lengths.parquet``.  Both read
+    through ``pq.read_table(path, columns=..., filters=...)`` with
+    fragment/row-group predicate pushdown, so consumers never pull the
+    whole O(num_docs) table into one process."""
+    parts = os.path.join(index_dir, "lengths_parts")
+    if os.path.isdir(parts) and any(f.endswith(".parquet")
+                                    for f in os.listdir(parts)):
+        return parts
+    return os.path.join(index_dir, "lengths.parquet")
+
+
 def _stage_lengths(index_dir: str, num_docs: int,
-                   tokens: rd.Dataset | None = None
-                   ) -> tuple[np.ndarray, float]:
+                   tokens: rd.Dataset | None = None) -> int:
+    """Ensure the per-doc lengths dataset exists and return the EXACT
+    integer total length (callers derive avg = total / num_docs; the
+    sharded build sums per-partition totals into a global average
+    without float drift)."""
     path = os.path.join(index_dir, "lengths.parquet")
     parts = os.path.join(index_dir, "lengths_parts")
-    if not os.path.exists(path) and os.path.isdir(parts):
-        # stage-1 side-wrote per-batch (doc_id, length); docs are unique
-        # across batches so plain concat is the full table
-        t = pq.read_table(parts)
-        pq.write_table(t, path + ".tmp")
-        os.replace(path + ".tmp", path)
-    if not os.path.exists(path):
+    have_parts = os.path.isdir(parts) and any(
+        f.endswith(".parquet") for f in os.listdir(parts))
+    if not have_parts and not os.path.exists(path):
         # fallback for an index whose lengths_parts dir is gone: derive
         # lengths from the tokens checkpoint as sum(tf) per doc (the
         # fused stage 1 dropped the doc_len column; ADVICE r01)
@@ -374,9 +387,8 @@ def _stage_lengths(index_dir: str, num_docs: int,
             return gb.rename_columns(["doc_id", "tf"])
 
         # tree combine: per-block partial sums, re-combined over larger
-        # coalesced batches, final sum on the driver — the doc-length
-        # table is driver-resident anyway (norm_lens broadcast), so a full
-        # Ray groupby shuffle here is pure overhead
+        # coalesced batches, final sum on the driver (degraded path only
+        # — a normal build never takes it)
         agg = (tokens.map_batches(partial, batch_size=None,
                                   batch_format="pyarrow")
                .map_batches(partial, batch_size=1 << 20,
@@ -387,13 +399,26 @@ def _stage_lengths(index_dir: str, num_docs: int,
         tmp = path + ".tmp"
         pq.write_table(final, tmp)
         os.replace(tmp, path)
-    # reference avg includes zero-length docs (wand_data.hpp:23-29);
-    # a column sum — never a dense O(num_docs) driver array
-    total = pq.read_table(path, columns=["length"]) \
-        .column("length").cast(pa.int64())
+    # reference avg includes zero-length docs (wand_data.hpp:23-29).
+    # Distributed per-file column sums: the driver receives one int per
+    # part file, never the O(num_docs) table (VERDICT r02 #3 — the old
+    # path concatenated lengths_parts through the driver here).
+    src = _lengths_source(index_dir)
     import pyarrow.compute as pc
-    avg_len = float(pc.sum(total).as_py() or 0) / num_docs if num_docs else 1.0
-    return avg_len
+    if os.path.isdir(src):
+        @ray.remote
+        def _part_sum(p: str) -> int:
+            t = pq.read_table(p, columns=["length"])
+            return int(pc.sum(t.column("length").cast(pa.int64()))
+                       .as_py() or 0)
+        files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                       if f.endswith(".parquet"))
+        total_len = int(sum(ray.get([_part_sum.remote(f) for f in files])))
+    else:
+        total = pq.read_table(src, columns=["length"]) \
+            .column("length").cast(pa.int64())
+        total_len = int(pc.sum(total).as_py() or 0)
+    return total_len
 
 
 SIDECAR_RANGE = 1 << 22      # docs per sidecar part (16 MB of f32 norms)
@@ -423,7 +448,7 @@ def _stage_sidecar(index_dir: str, num_docs: int, avg_len: float,
             return
         shutil.rmtree(sdir)
     os.makedirs(sdir, exist_ok=True)
-    lengths_path = os.path.join(index_dir, "lengths.parquet")
+    lengths_path = _lengths_source(index_dir)
     nranges = max(1, -(-num_docs // range_size))
     # divide, don't multiply by the reciprocal: norm values must round
     # exactly like the f32 serving/oracle computation length/f32(avg)
@@ -484,10 +509,104 @@ def worker_norms(index_dir: str) -> np.ndarray:
     return mm
 
 
+def write_sorted_dfs(df_ds: rd.Dataset, out_dir: str, marker: str) -> dict:
+    """Write a (term, df) dataset as a TERM-SORTED parquet directory
+    with small row groups, plus a marker recording per-file (first_term,
+    rows) metadata.  The files hold disjoint, ordered term ranges (Ray's
+    sort is a range-partitioned shuffle), so `first_term` + cumulative
+    row counts give every term's global rank offset without any process
+    ever holding the full lexicon (VERDICT r02 #2/#3 — replaces the
+    driver-resident df table + whole-vocab broadcast)."""
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df_ds.sort("term").write_parquet(tmp_dir, row_group_size=8192)
+
+    @ray.remote
+    def _file_meta(p: str):
+        f = pq.ParquetFile(p)
+        rows = f.metadata.num_rows
+        if rows == 0:
+            return os.path.basename(p), 0, None
+        first = f.read_row_group(0, columns=["term"]) \
+            .column("term")[0].as_py()
+        return os.path.basename(p), rows, first
+
+    paths = sorted(os.path.join(tmp_dir, f) for f in os.listdir(tmp_dir)
+                   if f.endswith(".parquet"))
+    infos = [i for i in ray.get([_file_meta.remote(p) for p in paths])
+             if i[1] > 0]
+    infos.sort(key=lambda x: x[2])          # global order by first term
+    meta = {"num_terms": int(sum(i[1] for i in infos)),
+            "files": [{"name": i[0], "rows": int(i[1]),
+                       "first_term": i[2]} for i in infos]}
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+class LexiconMeta:
+    """Driver-side handle over a term-sorted df directory: holds only
+    per-file metadata (O(num_files)); term lookups at given global ranks
+    and hot-term scans run as per-file Ray tasks."""
+
+    def __init__(self, index_dir: str, name: str = "dfs"):
+        self.dir = os.path.join(index_dir, name)
+        with open(self.dir + ".done.json") as f:
+            meta = json.load(f)
+        self.num_terms = int(meta["num_terms"])
+        self.files = [os.path.join(self.dir, fi["name"])
+                      for fi in meta["files"]]
+        rows = np.array([fi["rows"] for fi in meta["files"]],
+                        dtype=np.int64)
+        self.offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(rows, out=self.offsets[1:])
+
+    def terms_at(self, ranks: list[int]) -> list[str]:
+        """Terms at the given global sorted ranks (one Ray task per
+        touched file; each reads only its own term column)."""
+        by_file: dict[int, list[int]] = {}
+        for r in ranks:
+            fi = int(np.searchsorted(self.offsets, r, side="right") - 1)
+            by_file.setdefault(fi, []).append(r - int(self.offsets[fi]))
+
+        @ray.remote
+        def _ranks(p: str, local: list[int]) -> list[str]:
+            col = pq.read_table(p, columns=["term"]).column("term")
+            return [col[i].as_py() for i in local]
+
+        futs = {fi: _ranks.remote(self.files[fi], local)
+                for fi, local in by_file.items()}
+        got = {fi: ray.get(f) for fi, f in futs.items()}
+        out, used = [], {fi: 0 for fi in by_file}
+        for r in ranks:
+            fi = int(np.searchsorted(self.offsets, r, side="right") - 1)
+            out.append(got[fi][used[fi]])
+            used[fi] += 1
+        return out
+
+    def hot_terms(self, threshold: int) -> pa.Table:
+        """(term, df) rows with df > threshold — the stop-word-like salt
+        set; bounded by total_postings/threshold entries, so safe to
+        hold on the driver and broadcast."""
+        @ray.remote
+        def _hot(p: str) -> pa.Table:
+            import pyarrow.compute as pc
+            t = pq.read_table(p, columns=["term", "df"])
+            return t.filter(pc.greater(t.column("df"), threshold))
+
+        parts = ray.get([_hot.remote(p) for p in self.files])
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"term": pa.array([], type=pa.string()),
+             "df": pa.array([], type=pa.int64())})
+
+
 def _stage_dfs(index_dir: str,
-               tokens: rd.Dataset | None = None) -> pd.DataFrame:
-    path = os.path.join(index_dir, "dfs.parquet")
-    if not os.path.exists(path):
+               tokens: rd.Dataset | None = None) -> "LexiconMeta":
+    marker = os.path.join(index_dir, "dfs.done.json")
+    if not os.path.exists(marker):
         if tokens is None:
             tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                                      columns=["term"])
@@ -498,32 +617,23 @@ def _stage_dfs(index_dir: str,
             return pa.table({"term": vc.field("values"),
                              "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-        def merge(t: pa.Table) -> pa.Table:
-            gb = t.group_by("term").aggregate([("cnt", "sum")])
-            return gb.rename_columns(["term", "cnt"])
-
-        # tree combine (per-block value_counts -> coalesced re-combine ->
-        # driver-side final sum): the df table is driver-resident anyway
-        # (salt plan + shard boundaries), so a Ray groupby shuffle here
-        # is pure overhead
+        # map-side combine (per-block value_counts) -> ONE small
+        # groupby shuffle over ~unique-terms-per-block rows -> term-
+        # sorted directory write; nothing lexicon-sized on the driver
+        from ray.data.aggregate import Sum
         agg = (tokens.map_batches(partial, batch_size=None,
                                   batch_format="pyarrow")
-               .map_batches(merge, batch_size=1 << 20,
-                            batch_format="pyarrow"))
-        big = pa.concat_tables([ray.get(r) for r in agg.to_arrow_refs()])
-        final = big.group_by("term").aggregate([("cnt", "sum")]) \
-                   .rename_columns(["term", "df"])
-        tmp = path + ".tmp"
-        pq.write_table(final, tmp)
-        os.replace(tmp, path)
-    return pq.read_table(path).to_pandas()
+               .groupby("term").aggregate(Sum("cnt", alias_name="df")))
+        write_sorted_dfs(agg, os.path.join(index_dir, "dfs"), marker)
+    return LexiconMeta(index_dir)
 
 
 def _stage_lengths_dfs(index_dir: str, num_docs: int
-                       ) -> tuple[float, pd.DataFrame]:
-    avg_len = _stage_lengths(index_dir, num_docs)
-    dfs = _stage_dfs(index_dir)
-    return avg_len, dfs
+                       ) -> tuple[float, "LexiconMeta"]:
+    total_len = _stage_lengths(index_dir, num_docs)
+    avg_len = total_len / num_docs if num_docs else 1.0
+    lex = _stage_dfs(index_dir)
+    return avg_len, lex
 
 
 # ---------------------------------------------------------------------------
@@ -537,11 +647,14 @@ class _ShardEncoder:
     encodes, computes WAND/BMW metadata, writes the shard atomically."""
 
     def __init__(self, index_dir: str, index_type: str, num_docs: int,
-                 vocab_ref):
+                 term_id_offsets: np.ndarray):
         self.index_dir = index_dir
         self.index_type = index_type
         self.num_docs = num_docs
-        self.vocab_ref = vocab_ref
+        # global term-rank offset per shard (num_shards int64s): shard s
+        # holds exactly the terms ranked [offsets[s], offsets[s+1]), so
+        # term_id = offsets[s] + local sorted rank — no global vocab
+        self.term_id_offsets = np.asarray(term_id_offsets, dtype=np.int64)
 
     MANIFEST_SCHEMA = pa.schema([
         ("shard", pa.int64()), ("num_terms", pa.int64()),
@@ -571,16 +684,26 @@ class _ShardEncoder:
                     shard=shard, **{k: meta[k] for k in keys})
             # pre-term-range done.json (older build): schema outdated —
             # fall through and re-encode the shard (ADVICE r01)
-        vocab = ray.get(self.vocab_ref)
+        import pyarrow.compute as pc
         # per-doc norms via the range-built mmap sidecar: the worker
         # pages in only the doc ranges this shard's lists touch
         norm_lens = worker_norms(self.index_dir)
 
+        # shard-LOCAL term dictionary: this bucket holds exactly the
+        # terms ranked [offsets[shard], offsets[shard+1]) in the global
+        # sorted lexicon, so sorting its own unique terms reproduces the
+        # global ranks with no vocabulary broadcast (VERDICT r02 #2)
+        term_col = group.column("term").combine_chunks()
+        shard_vocab = pc.unique(term_col)
+        shard_vocab = shard_vocab.take(pc.sort_indices(shard_vocab))
+        tid_base = int(self.term_id_offsets[shard])
+        tids = pc.index_in(term_col, value_set=shard_vocab) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
         # merge salted/per-batch partials without ever leaving numpy:
-        # rows ordered by (term_id, salt, first_doc) — salt is docID-range
-        # based and per-batch partials are docID-range runs, so per-term
-        # concatenation in this order is docID-sorted
-        tids = group.column("term_id").to_numpy()
+        # rows ordered by (term rank, salt, first_doc) — salt is docID-
+        # range based and per-batch partials are docID-range runs, so
+        # per-term concatenation in this order is docID-sorted
         salts = group.column("salt").to_numpy()
         firsts = group.column("first_doc").to_numpy()
         order = np.lexsort((firsts, salts, tids))
@@ -632,8 +755,9 @@ class _ShardEncoder:
         np.not_equal(ord_tids[1:], ord_tids[:-1], out=new_term[1:])
         term_rows = np.flatnonzero(new_term)
         term_bounds = np.append(out_starts[term_rows], total)
-        uniq_tids = ord_tids[term_rows]
-        uniq_terms = vocab.take(pa.array(uniq_tids)).to_pylist()
+        uniq_tids = ord_tids[term_rows] + tid_base      # global ranks
+        uniq_terms = shard_vocab.take(pa.array(ord_tids[term_rows])) \
+            .to_pylist()
 
         rows = {k: [] for k in (
             "term_id", "term", "n", "occurrences", "max_weight",
@@ -712,49 +836,50 @@ class _ShardEncoder:
             docs_bits=docs_bits, freqs_bits=freqs_bits)
 
 
-def _term_shard_plan(dfs_sorted: pd.DataFrame, num_shards: int | None
+def _term_shard_plan(lex: "LexiconMeta", num_shards: int | None
                      ) -> tuple[list, np.ndarray]:
     """Term-range shard boundaries (equal-term-count split of the sorted
     lexicon) + exact term-rank offsets per shard.  Shared by the direct
     build and by merge_sharded_index so a merged index gets the identical
-    shard layout as a direct build with the same num_shards."""
-    num_terms = len(dfs_sorted)
+    shard layout as a direct build with the same num_shards.
+
+    Works off LexiconMeta (per-file metadata only): boundary terms are
+    the terms AT the cut ranks (fetched by per-file Ray tasks), and
+    because terms are unique the rank offsets per shard are exactly the
+    cut ranks — no O(vocab) table is ever materialized anywhere."""
+    num_terms = lex.num_terms
     if num_shards is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_shards = max(1, min(num_terms, 4 * cpus))
-    cut = [num_terms * i // num_shards for i in range(1, num_shards)]
-    boundaries = [str(dfs_sorted["term"].iloc[c]) for c in cut]
-    bnd = []
-    for q in boundaries:
+    cuts = sorted({num_terms * i // num_shards
+                   for i in range(1, num_shards)} - {0})
+    terms = lex.terms_at(cuts) if cuts else []
+    bnd, ranks = [], []
+    for q, r in zip(terms, cuts):
         if not bnd or q > bnd[-1]:
             bnd.append(q)
-    num_shards = len(bnd) + 1
-    buckets_of_terms = np.searchsorted(np.array(bnd, dtype=object),
-                                       dfs_sorted["term"].to_numpy(), side="right")
-    counts = np.bincount(buckets_of_terms, minlength=num_shards)
-    offsets = np.zeros(num_shards, dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
+            ranks.append(r)
+    offsets = np.zeros(len(bnd) + 1, dtype=np.int64)
+    offsets[1:] = np.asarray(ranks, dtype=np.int64)
     return bnd, offsets
 
 
 def _stage_shards(index_dir: str, index_type: str, num_docs: int,
-                  dfs: pd.DataFrame,
+                  lex: "LexiconMeta",
                   salt_threshold: int, num_shards: int | None) -> list[dict]:
-    dfs_sorted = dfs.sort_values("term", kind="mergesort").reset_index(drop=True)
-    num_terms = len(dfs_sorted)
-    bnd, offsets = _term_shard_plan(dfs_sorted, num_shards)
+    bnd, offsets = _term_shard_plan(lex, num_shards)
     # salt plan: split terms with df > threshold into ceil(df/threshold)
-    # parts — dense per-term-rank array (no string dict crosses the wire)
-    df_arr = dfs_sorted["df"].to_numpy()
-    nsalts = np.ones(num_terms, dtype=np.int64)
-    hot_mask = df_arr > salt_threshold
-    nsalts[hot_mask] = -(-df_arr[hot_mask] // salt_threshold)
-    nsalts_ref = ray.put(nsalts)
-    # the sorted lexicon, broadcast once: term -> term_id (= global rank)
-    # is a C++ hash lookup (pc.index_in), so every stage after this point
-    # shuffles/sorts int64 term_ids, never strings
-    vocab_pa = pa.array(dfs_sorted["term"].to_numpy(), type=pa.string())
-    vocab_ref = ray.put(vocab_pa)
+    # parts.  Only the HOT terms (df > threshold — bounded by
+    # total_postings/threshold, the stop-word-like set) are broadcast;
+    # the full lexicon never is (VERDICT r02 #2): term_ids are assigned
+    # inside each term-range encoder from its own shard's sorted terms.
+    hot = lex.hot_terms(salt_threshold)
+    hot_terms_pa = hot.column("term").combine_chunks()
+    hot_df = hot.column("df").to_numpy().astype(np.int64)
+    hot_nsalts = -(-hot_df // salt_threshold) if len(hot_df) else hot_df
+    hot_ref = ray.put((hot_terms_pa, hot_nsalts))
+    # shard boundaries, broadcast once (num_shards strings)
+    bnd_ref = ray.put(np.array(bnd, dtype=object))
 
     def combine_partials(t: pa.Table) -> pa.Table:
         """Vectorized per-batch combiner (the map-side combine before the
@@ -768,7 +893,7 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         if len(doc_ids) == 0:
             if packed:
                 return pa.table({
-                    "term_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
                     "salt": pa.array([], type=pa.int64()),
                     "bucket": pa.array([], type=pa.int64()),
                     "first_doc": pa.array([], type=pa.int64()),
@@ -776,20 +901,36 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
                     "docs_vb": pa.array([], type=pa.binary()),
                     "freqs_vb": pa.array([], type=pa.binary())})
             return pa.table({
-                "term_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
                 "doc_ids": pa.array([], type=pa.list_(pa.int64())),
                 "freqs": pa.array([], type=pa.list_(pa.int64()))})
         import pyarrow.compute as pc
-        vocab = ray.get(vocab_ref)
-        ns = ray.get(nsalts_ref)
-        tid_arr = pc.index_in(t.column("term").combine_chunks(),
-                              value_set=vocab)
-        assert tid_arr.null_count == 0, "token term missing from lexicon"
-        tids = tid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        s = ns[tids]
+        hot_terms, hot_ns = ray.get(hot_ref)
+        bnd_arr = ray.get(bnd_ref)
+        # batch-LOCAL term dictionary, lexicographically sorted: local
+        # ranks order identically to global term_ids, so the grouping /
+        # merge-order semantics below are unchanged — but no global
+        # vocab is needed here (term_ids are assigned in the per-range
+        # encoder from the shuffled terms themselves)
+        term_col = t.column("term").combine_chunks()
+        uniq = pc.unique(term_col)
+        uniq = uniq.take(pc.sort_indices(uniq))
+        tids = pc.index_in(term_col, value_set=uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # salt fan-out per unique term: 1 unless the term is in the
+        # broadcast hot set
+        ns_u = np.ones(len(uniq), dtype=np.int64)
+        if len(hot_ns):
+            hot_idx = pc.index_in(uniq, value_set=hot_terms)
+            hot_pos = hot_idx.to_numpy(zero_copy_only=False)
+            got = ~np.isnan(hot_pos) if hot_pos.dtype.kind == "f" else \
+                hot_idx.is_valid().to_numpy(zero_copy_only=False)
+            if got.any():
+                ns_u[got] = hot_ns[hot_pos[got].astype(np.int64)]
+        s = ns_u[tids]
         salts = np.zeros(len(tids), dtype=np.int64)
         hot_rows = s > 1
         if hot_rows.any():
@@ -804,11 +945,15 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         starts = np.flatnonzero(new)
         loffsets = np.append(starts, len(tids)).astype(np.int32)
         g_tids = tids[starts]
-        bucket = np.searchsorted(offsets, g_tids, side="right") - 1
+        # bucket per unique term via the boundary strings, then expand
+        uniq_np = np.asarray(uniq.to_pylist(), dtype=object)
+        bucket_u = np.searchsorted(bnd_arr, uniq_np, side="right") \
+            if len(bnd_arr) else np.zeros(len(uniq_np), dtype=np.int64)
         base_cols = {
-            "term_id": pa.array(g_tids, type=pa.int64()),
+            "term": uniq.take(pa.array(g_tids)),
             "salt": pa.array(salts[starts], type=pa.int64()),
-            "bucket": pa.array(bucket, type=pa.int64()),
+            "bucket": pa.array(bucket_u[g_tids].astype(np.int64),
+                               type=pa.int64()),
             "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
         }
         if packed:
@@ -858,7 +1003,7 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
         tokens.map_batches(combine_partials, batch_size=None, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_named(_ShardEncoder(index_dir, index_type, num_docs,
-                                         vocab_ref),
+                                         offsets),
                            "encode_shard"),
                     batch_format="pyarrow")
     ).take_all()
@@ -910,7 +1055,12 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
             f"build asked for {source_path!r} key_cols={key_cols} "
             f"text_col={text_col!r}")
     import shutil as _sh
-    for d in ("docs", "docidmap", "tokens", "lengths_parts"):
+    # "dfs" (the term-sorted df directory + marker) is optional: it only
+    # exists once the source build passed its aggregate stage
+    opt_dirs = tuple(
+        d for d in ("dfs",)
+        if os.path.isdir(os.path.join(src_index_dir, d)))
+    for d in ("docs", "docidmap", "tokens", "lengths_parts") + opt_dirs:
         src_d = os.path.join(src_index_dir, d)
         dst_d = os.path.join(index_dir, d)
         if os.path.islink(dst_d):
@@ -918,6 +1068,10 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
         elif os.path.exists(dst_d):
             _sh.rmtree(dst_d)
         os.symlink(os.path.abspath(src_d), dst_d)
+    if "dfs" in opt_dirs and os.path.exists(
+            os.path.join(src_index_dir, "dfs.done.json")):
+        _sh.copyfile(os.path.join(src_index_dir, "dfs.done.json"),
+                     os.path.join(index_dir, "dfs.done.json"))
     for fn in ("lengths.parquet", "dfs.parquet"):
         src_f = os.path.join(src_index_dir, fn)
         dst_f = os.path.join(index_dir, fn)
@@ -971,13 +1125,13 @@ def build_index(source_path: str, index_dir: str, *,
     _stage_tokens(index_dir, text_col)
     stage_secs["docs_tokens"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
-    avg_len, dfs = _stage_lengths_dfs(index_dir, num_docs)
+    avg_len, lex = _stage_lengths_dfs(index_dir, num_docs)
     if avg_len_override is not None:
         avg_len = float(avg_len_override)
     _stage_sidecar(index_dir, num_docs, avg_len)
     stage_secs["lengths_dfs"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
-    manifest = _stage_shards(index_dir, index_type, num_docs, dfs,
+    manifest = _stage_shards(index_dir, index_type, num_docs, lex,
                              salt_threshold, num_shards)
     stage_secs["shards"] = round(_time.perf_counter() - t0, 3)
 

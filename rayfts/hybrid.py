@@ -544,8 +544,13 @@ def build_hybrid(index_dir: str, out_dir: str,
         os.replace(tmp, dst)
 
     # sidecars + meta
-    shutil.copy(os.path.join(index_dir, "lengths.parquet"),
-                os.path.join(out_dir, "lengths.parquet"))
+    from .build import _lengths_source
+    src_len = _lengths_source(index_dir)
+    if os.path.isdir(src_len):
+        shutil.copytree(src_len, os.path.join(out_dir, "lengths_parts"),
+                        dirs_exist_ok=True)
+    elif os.path.exists(src_len):
+        shutil.copy(src_len, os.path.join(out_dir, "lengths.parquet"))
     src_sidecar = os.path.join(index_dir, "sidecar")
     if os.path.isdir(src_sidecar):
         shutil.copytree(src_sidecar, os.path.join(out_dir, "sidecar"),

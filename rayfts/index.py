@@ -57,7 +57,9 @@ class InvertedIndex:
                                      dtype=np.int64, mode="r")
         else:
             # legacy index layout (no sidecar): densify from the parquet
-            lp = pq.read_table(os.path.join(index_dir, "lengths.parquet"))
+            # (single file or the lengths_parts directory)
+            from .build import _lengths_source
+            lp = pq.read_table(_lengths_source(index_dir))
             lengths = np.zeros(self.num_docs, dtype=np.int64)
             lengths[lp.column("doc_id").to_numpy()] = \
                 lp.column("length").to_numpy()

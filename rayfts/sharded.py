@@ -34,9 +34,11 @@ Scale notes: the partition pass reads the corpus once and writes it
 once (hive-partitioned parquet); each partition build then touches
 only its own slice.  The merge exchange ships delta+vbyte-packed
 payloads (1-2 B/posting), same as the build shuffle.  No stage holds
-an O(num_docs) or O(vocab) driver structure except the global df
-table, which is the same driver-resident lexicon the direct build
-already materializes for its shard plan (build.py:_stage_shards).
+an O(num_docs) or O(vocab) structure in ANY process: the global df
+table is a distributed groupby written as a term-sorted directory
+(build.py:write_sorted_dfs), the shard plan reads only per-file
+metadata plus the boundary terms (LexiconMeta), and term_ids are
+assigned inside each term-range encoder from its own sorted terms.
 """
 
 from __future__ import annotations
@@ -47,7 +49,6 @@ import shutil
 from collections import OrderedDict
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -55,10 +56,10 @@ import ray
 import ray.data as rd
 
 from . import bm25
-from .build import (SIDECAR_RANGE, _add_sortkey, _bucket_of, _named,
-                    _parquet_num_rows, _sample_boundaries, _ShardEncoder,
-                    _stage_docs, _stage_lengths, _term_shard_plan,
-                    build_index)
+from .build import (SIDECAR_RANGE, LexiconMeta, _add_sortkey, _bucket_of,
+                    _named, _parquet_num_rows, _sample_boundaries,
+                    _ShardEncoder, _stage_docs, _stage_lengths,
+                    _term_shard_plan, build_index, write_sorted_dfs)
 from .codecs.posting import decode_posting_list
 from .index import InvertedIndex
 
@@ -114,13 +115,6 @@ def _partition_corpus(source_path: str, parent_dir: str,
     return [os.path.join(part_root, d) for d in dirs]
 
 
-def _exact_total_len(sub_dir: str) -> int:
-    import pyarrow.compute as pc
-    t = pq.read_table(os.path.join(sub_dir, "lengths.parquet"),
-                      columns=["length"])
-    return int(pc.sum(t.column("length").cast(pa.int64())).as_py() or 0)
-
-
 def build_sharded_index(source_path: str, parent_dir: str, *,
                         num_doc_shards: int = 4,
                         index_type: str = "opt",
@@ -147,10 +141,11 @@ def build_sharded_index(source_path: str, parent_dir: str, *,
     for i, pdir in enumerate(part_dirs):
         sub_dir = os.path.join(parent_dir, f"sub_{i:03d}")
         n_i = _stage_docs(pdir, sub_dir, list(key_cols), text_col)
-        _stage_lengths(sub_dir, n_i)
         sub_dirs.append(sub_dir)
         counts.append(n_i)
-        totals.append(_exact_total_len(sub_dir))
+        # _stage_lengths returns the exact int total via distributed
+        # per-part-file sums — no lengths table ever hits the driver
+        totals.append(_stage_lengths(sub_dir, n_i))
 
     num_docs = int(sum(counts))
     total_len = int(sum(totals))
@@ -178,26 +173,23 @@ def build_sharded_index(source_path: str, parent_dir: str, *,
                          "num_terms": int(m["num_terms"]),
                          "total_postings": int(m["total_postings"])})
 
-    # collection-wide df table, term-sorted with small row groups so
-    # readers page in one term-range at a time (GlobalDfs) — the same
-    # driver-resident lexicon scale as the direct build's shard plan
-    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
-    if not os.path.exists(dfs_path):
-        parts = [pq.read_table(os.path.join(d, "dfs.parquet"))
-                 for d in sub_dirs]
-        merged = (pa.concat_tables(parts)
-                  .group_by("term").aggregate([("df", "sum")])
-                  .rename_columns(["term", "df"]))
-        # sort in pandas, exactly like _stage_shards' shard plan, so the
-        # merged index's term_id ranks are identical to a direct build's
-        mdf = merged.to_pandas().sort_values(
-            "term", kind="mergesort").reset_index(drop=True)
-        merged = pa.table({"term": pa.array(mdf["term"].to_numpy(),
-                                            type=pa.string()),
-                           "df": pa.array(mdf["df"].to_numpy(),
-                                          type=pa.int64())})
-        pq.write_table(merged, dfs_path + ".tmp", row_group_size=8192)
-        os.replace(dfs_path + ".tmp", dfs_path)
+    # collection-wide df table: union of the per-partition term-sorted
+    # df directories -> one small Ray groupby -> a term-sorted DIRECTORY
+    # (same layout as the direct build's dfs/, written by
+    # write_sorted_dfs).  Nothing lexicon-sized ever lands on the driver
+    # or in any single process; readers (GlobalDfs) page in one row
+    # group at a time, exactly as with the old single file.
+    dfs_dir = os.path.join(parent_dir, "global_dfs")
+    dfs_marker = dfs_dir + ".done.json"
+    if not os.path.exists(dfs_marker):
+        from ray.data.aggregate import Sum
+        part_files = [os.path.join(d, "dfs", f)
+                      for d in sub_dirs
+                      for f in sorted(os.listdir(os.path.join(d, "dfs")))
+                      if f.endswith(".parquet")]
+        union = rd.read_parquet(part_files)
+        agg = union.groupby("term").aggregate(Sum("df", alias_name="df"))
+        write_sorted_dfs(agg, dfs_dir, dfs_marker)
 
     meta = {
         "num_docs": num_docs,
@@ -222,25 +214,42 @@ def build_sharded_index(source_path: str, parent_dir: str, *,
 
 class GlobalDfs:
     """term -> collection-wide df over the term-sorted global df
-    parquet.  Loads one row group per lookup miss (binary search on
+    dataset (a directory of ordered parquet files, or a legacy single
+    file).  Loads one row group per lookup miss (binary search on
     row-group minima), keeps an LRU of loaded groups — a query actor
     pages in only the term ranges its queries touch, never the whole
-    lexicon."""
+    lexicon.  Files are opened lazily per read so a wide directory
+    doesn't pin O(num_files) descriptors."""
 
     def __init__(self, path: str, max_groups: int = 64):
-        self._pf = pq.ParquetFile(path)
-        md = self._pf.metadata
-        term_idx = md.schema.to_arrow_schema().get_field_index("term")
-        mins = []
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(term_idx).statistics
-            if st is not None and st.has_min_max:
-                mn = st.min
-                mins.append(mn.decode() if isinstance(mn, bytes) else mn)
-            else:   # stats absent: read the group's first term
-                t = self._pf.read_row_group(g, columns=["term"])
-                mins.append(t.column("term")[0].as_py())
-        self._mins = mins
+        if os.path.isdir(path):
+            files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+        else:
+            files = [path]
+        units: list[tuple[str, int, str]] = []   # (file, row_group, min)
+        for p in files:
+            pf = pq.ParquetFile(p)
+            md = pf.metadata
+            term_idx = md.schema.to_arrow_schema().get_field_index("term")
+            for g in range(md.num_row_groups):
+                if md.row_group(g).num_rows == 0:
+                    continue
+                st = md.row_group(g).column(term_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min
+                    mn = mn.decode() if isinstance(mn, bytes) else mn
+                else:   # stats absent: read the group's first term
+                    mn = pf.read_row_group(g, columns=["term"]) \
+                        .column("term")[0].as_py()
+                units.append((p, g, mn))
+            pf.close()
+        # directory files hold disjoint ordered term ranges (Ray's sort
+        # is a range shuffle), so flat (file, group) units sorted by
+        # min give one global ordered partition of the lexicon
+        units.sort(key=lambda u: u[2])
+        self._units = units
+        self._mins = [u[2] for u in units]
         self._cache: "OrderedDict[int, dict]" = OrderedDict()
         self._max_groups = max_groups
 
@@ -251,7 +260,10 @@ class GlobalDfs:
             return None
         d = self._cache.get(g)
         if d is None:
-            t = self._pf.read_row_group(g, columns=["term", "df"])
+            path, rg, _ = self._units[g]
+            pf = pq.ParquetFile(path)
+            t = pf.read_row_group(rg, columns=["term", "df"])
+            pf.close()
             d = dict(zip(t.column("term").to_pylist(),
                          t.column("df").to_pylist()))
             self._cache[g] = d
@@ -260,6 +272,15 @@ class GlobalDfs:
         else:
             self._cache.move_to_end(g)
         return d.get(term)
+
+
+def _global_dfs_source(parent_dir: str) -> str:
+    """The collection-wide df dataset: the term-sorted ``global_dfs``
+    directory when present, else the legacy single parquet file."""
+    d = os.path.join(parent_dir, "global_dfs")
+    if os.path.isdir(d):
+        return d
+    return os.path.join(parent_dir, "global_dfs.parquet")
 
 
 #: per-process cache: every sub-searcher in a worker shares one GlobalDfs
@@ -275,7 +296,7 @@ def open_sub(parent_dir: str, i: int) -> InvertedIndex:
     sub = meta["subs"][i]
     idx = InvertedIndex(os.path.join(parent_dir, sub["dir"]))
     idx.score_num_docs = int(meta["num_docs"])
-    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
+    dfs_path = _global_dfs_source(parent_dir)
     gd = _GLOBAL_DFS.get(dfs_path)
     if gd is None:
         gd = _GLOBAL_DFS[dfs_path] = GlobalDfs(dfs_path)
@@ -464,21 +485,21 @@ class _DecodeShift:
     shuffle — 1-2 B/posting crosses the merge exchange, not 16)."""
 
     def __init__(self, sub_type: str, sub_num_docs: int, base: int,
-                 vocab_ref, offsets: np.ndarray, global_num_docs: int):
+                 bnd_ref, global_num_docs: int):
         self.sub_type = sub_type
         self.sub_num_docs = sub_num_docs
         self.base = base
-        self.vocab_ref = vocab_ref
-        self.offsets = offsets
+        # shard-boundary terms only (num_shards strings) — the full
+        # vocabulary is never broadcast; global term_ids are assigned
+        # inside each term-range encoder from its own sorted terms
+        self.bnd_ref = bnd_ref
         self.packed = global_num_docs < (1 << 31)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         from .codecs import vbyte
         if self.packed:
             empty = pa.table({
-                "term_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
@@ -487,7 +508,7 @@ class _DecodeShift:
                 "freqs_vb": pa.array([], type=pa.binary())})
         else:
             empty = pa.table({
-                "term_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
                 "salt": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "first_doc": pa.array([], type=pa.int64()),
@@ -495,11 +516,12 @@ class _DecodeShift:
                 "freqs": pa.array([], type=pa.list_(pa.int64()))})
         if t.num_rows == 0:
             return empty
-        vocab = ray.get(self.vocab_ref)
-        tid_arr = pc.index_in(t.column("term").combine_chunks(),
-                              value_set=vocab)
-        assert tid_arr.null_count == 0, "merge term missing from lexicon"
-        g_tids = tid_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        bnd_arr = ray.get(self.bnd_ref)
+        terms = t.column("term").combine_chunks()
+        terms_np = np.asarray(terms.to_pylist(), dtype=object)
+        bucket = (np.searchsorted(bnd_arr, terms_np, side="right")
+                  if len(bnd_arr) else
+                  np.zeros(len(terms_np), dtype=np.int64))
         db = t.column("docs_bytes").to_pylist()
         fb = t.column("freqs_bytes").to_pylist()
         docs_parts, freqs_parts, lens = [], [], np.empty(len(db), np.int64)
@@ -516,11 +538,10 @@ class _DecodeShift:
             np.empty(0, np.int64)
         starts = np.zeros(len(db), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        bucket = np.searchsorted(self.offsets, g_tids, side="right") - 1
         base_cols = {
-            "term_id": pa.array(g_tids, type=pa.int64()),
+            "term": terms,
             "salt": pa.array(np.zeros(len(db), np.int64), type=pa.int64()),
-            "bucket": pa.array(bucket, type=pa.int64()),
+            "bucket": pa.array(bucket.astype(np.int64), type=pa.int64()),
             "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
         }
         if not self.packed:
@@ -584,15 +605,22 @@ def merge_sharded_index(parent_dir: str, out_dir: str, *,
     t0 = _time.perf_counter()
     _merge_sidecars(parent_dir, subs, out_dir, num_docs, avg_len)
 
-    dfs_path = os.path.join(parent_dir, "global_dfs.parquet")
-    dfs_sorted = pq.read_table(dfs_path).to_pandas()   # already term-sorted
-    out_dfs = os.path.join(out_dir, "dfs.parquet")
-    if not os.path.exists(out_dfs):
-        shutil.copyfile(dfs_path, out_dfs)
+    # link the collection-wide df directory in as the merged index's
+    # dfs/ (it IS the merged lexicon); keep its done marker local so
+    # invalidating the merged index never touches the parent
+    out_dfs = os.path.join(out_dir, "dfs")
+    src_dfs = os.path.join(parent_dir, "global_dfs")
+    if os.path.isdir(src_dfs) and not os.path.lexists(out_dfs):
+        os.symlink(os.path.abspath(src_dfs), out_dfs)
+        shutil.copyfile(src_dfs + ".done.json",
+                        os.path.join(out_dir, "dfs.done.json"))
 
-    _, offsets = _term_shard_plan(dfs_sorted, num_shards)
-    vocab_pa = pa.array(dfs_sorted["term"].to_numpy(), type=pa.string())
-    vocab_ref = ray.put(vocab_pa)
+    # shard plan off per-file metadata (LexiconMeta): same cut ranks as
+    # a direct build with the same num_shards -> identical shard layout;
+    # only the boundary terms (num_shards strings) are broadcast
+    lex = LexiconMeta(parent_dir, "global_dfs")
+    bnd, offsets = _term_shard_plan(lex, num_shards)
+    bnd_ref = ray.put(np.array(bnd, dtype=object))
 
     pipelines = []
     for i, sub in enumerate(subs):
@@ -606,8 +634,7 @@ def merge_sharded_index(parent_dir: str, out_dir: str, *,
         ds = rd.read_parquet(
             files, columns=["term", "docs_bytes", "freqs_bytes"])
         mapper = _DecodeShift(sm["index_type"], int(sm["num_docs"]),
-                              int(sub["doc_base"]), vocab_ref, offsets,
-                              num_docs)
+                              int(sub["doc_base"]), bnd_ref, num_docs)
         pipelines.append(ds.map_batches(mapper, batch_size=None,
                                         batch_format="pyarrow"))
     merged = pipelines[0]
@@ -616,7 +643,7 @@ def merge_sharded_index(parent_dir: str, out_dir: str, *,
 
     manifest = (merged.groupby("bucket")
                 .map_groups(_named(_ShardEncoder(out_dir, index_type,
-                                                 num_docs, vocab_ref),
+                                                 num_docs, offsets),
                                    "encode_shard"),
                             batch_format="pyarrow")).take_all()
     stage_secs = {"merge": round(_time.perf_counter() - t0, 3)}

@@ -415,7 +415,8 @@ def test_sidecar_mmap_no_dense_heap_array(built_index, ray_session):
     assert isinstance(idx.lengths, np.memmap)
     assert len(idx.norm_lens) == meta["num_docs"]
     # mmap values match the legacy dense computation
-    lp = pq.read_table(os.path.join(index_dir, "lengths.parquet"))
+    from rayfts.build import _lengths_source
+    lp = pq.read_table(_lengths_source(index_dir))
     dense = np.zeros(meta["num_docs"], dtype=np.int64)
     dense[lp.column("doc_id").to_numpy()] = lp.column("length").to_numpy()
     np.testing.assert_array_equal(np.asarray(idx.lengths), dense)
@@ -474,3 +475,65 @@ def test_decode_profile_counts(built_index):
     assert all(r["chunks_decoded"] >= 0 for r in prof)
     assert prof == sorted(prof, key=lambda r: (-r["chunks_decoded"],
                                                r["term_id"]))
+
+
+def test_no_driver_scale_artifacts(built_index):
+    """VERDICT r02 #2/#3: a fresh build must never assemble an
+    O(num_docs) or O(vocab) table in one process — the artifacts that
+    required it (a single lengths.parquet concatenated on the driver, a
+    single dfs.parquet backing a whole-vocab broadcast) must not exist.
+    Canonical layouts are the doc-range lengths_parts/ and the
+    term-sorted dfs/ directory."""
+    _, index_dir, meta = built_index
+    assert not os.path.exists(os.path.join(index_dir, "lengths.parquet"))
+    assert not os.path.exists(os.path.join(index_dir, "dfs.parquet"))
+    assert os.path.isdir(os.path.join(index_dir, "lengths_parts"))
+    assert os.path.isdir(os.path.join(index_dir, "dfs"))
+    with open(os.path.join(index_dir, "dfs.done.json")) as f:
+        dfs_meta = json.load(f)
+    assert dfs_meta["num_terms"] == meta["num_terms"]
+
+
+def test_lexicon_meta_multifile(built_index, oracle, ray_session):
+    """write_sorted_dfs + LexiconMeta over a FORCED multi-file layout
+    (small blocks): files hold disjoint ordered term ranges; terms_at
+    resolves global sorted ranks across file boundaries; hot_terms
+    returns exactly the df>threshold set.  This is the no-full-vocab
+    contract: the driver holds only per-file metadata."""
+    import pyarrow as pa
+    import ray.data as rd
+    import tempfile
+    from rayfts.build import LexiconMeta, write_sorted_dfs
+
+    vocab = sorted(oracle.df)
+    dfs = [int(oracle.df[t]) for t in vocab]
+    # shuffle input order; many small blocks -> many sorted output files
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(len(vocab))
+    ds = rd.from_arrow(pa.table({
+        "term": pa.array([vocab[i] for i in perm], type=pa.string()),
+        "df": pa.array([dfs[i] for i in perm], type=pa.int64()),
+    })).repartition(8)
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "dfs")
+        write_sorted_dfs(ds, out, out + ".done.json")
+        lex = LexiconMeta(d, "dfs")
+        assert lex.num_terms == len(vocab)
+        if len(lex.files) > 1:
+            # disjoint ordered ranges: each file's first term follows
+            # the previous file's last term
+            prev_last = None
+            for p in lex.files:
+                t = pq.read_table(p, columns=["term"]).column("term")
+                terms = t.to_pylist()
+                assert terms == sorted(terms)
+                if prev_last is not None:
+                    assert terms[0] > prev_last
+                prev_last = terms[-1]
+        ranks = [0, 1, len(vocab) // 3, len(vocab) // 2, len(vocab) - 1]
+        assert lex.terms_at(ranks) == [vocab[r] for r in ranks]
+        thr = int(np.percentile(dfs, 90))
+        hot = lex.hot_terms(thr)
+        want = {t for t, n in oracle.df.items() if n > thr}
+        assert set(hot.column("term").to_pylist()) == want

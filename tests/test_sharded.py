@@ -66,9 +66,9 @@ def test_global_stats_match(built):
 
 
 def test_global_df_lookup(built):
-    from rayfts.sharded import GlobalDfs
+    from rayfts.sharded import GlobalDfs, _global_dfs_source
     _, _, parent_dir, _, _, mono, sharded = built
-    gd = GlobalDfs(os.path.join(parent_dir, "global_dfs.parquet"))
+    gd = GlobalDfs(_global_dfs_source(parent_dir))
     terms = mono.all_terms()
     for t in terms[:: max(1, len(terms) // 25)]:
         assert gd(t) == mono.get(t).n, t
