@@ -509,33 +509,55 @@ def worker_norms(index_dir: str) -> np.ndarray:
     return mm
 
 
-def write_sorted_dfs(df_ds: rd.Dataset, out_dir: str, marker: str) -> dict:
+def write_sorted_dfs(df_ds: rd.Dataset, out_dir: str, marker: str, *,
+                     presorted: bool = False) -> dict:
     """Write a (term, df) dataset as a TERM-SORTED parquet directory
     with small row groups, plus a marker recording per-file (first_term,
     rows) metadata.  The files hold disjoint, ordered term ranges (Ray's
     sort is a range-partitioned shuffle), so `first_term` + cumulative
     row counts give every term's global rank offset without any process
     ever holding the full lexicon (VERDICT r02 #2/#3 — replaces the
-    driver-resident df table + whole-vocab broadcast)."""
+    driver-resident df table + whole-vocab broadcast).
+
+    ``presorted=True`` skips the explicit sort shuffle: Ray Data's
+    ``groupby`` is a sort-based shuffle aggregate whose output blocks
+    are already globally key-ordered, so re-sorting a groupby("term")
+    result would pay a second all-to-all exchange for nothing.  The
+    assumption is VERIFIED, not trusted: the metadata pass below checks
+    every file is internally sorted and the files' [first, last] ranges
+    are disjoint and ordered, and raises if a Ray upgrade ever changes
+    the groupby implementation."""
     tmp_dir = out_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    df_ds.sort("term").write_parquet(tmp_dir, row_group_size=8192)
+    if not presorted:
+        df_ds = df_ds.sort("term")
+    df_ds.write_parquet(tmp_dir, row_group_size=8192)
 
     @ray.remote
     def _file_meta(p: str):
         f = pq.ParquetFile(p)
         rows = f.metadata.num_rows
         if rows == 0:
-            return os.path.basename(p), 0, None
-        first = f.read_row_group(0, columns=["term"]) \
-            .column("term")[0].as_py()
-        return os.path.basename(p), rows, first
+            return os.path.basename(p), 0, None, None
+        col = f.read(columns=["term"]).column("term")
+        arr = col.combine_chunks()
+        import pyarrow.compute as pc
+        if rows > 1 and not pc.all(
+                pc.less(arr.slice(0, rows - 1), arr.slice(1))).as_py():
+            raise ValueError(f"dfs part {p} is not strictly term-sorted")
+        return (os.path.basename(p), rows, arr[0].as_py(),
+                arr[rows - 1].as_py())
 
     paths = sorted(os.path.join(tmp_dir, f) for f in os.listdir(tmp_dir)
                    if f.endswith(".parquet"))
     infos = [i for i in ray.get([_file_meta.remote(p) for p in paths])
              if i[1] > 0]
     infos.sort(key=lambda x: x[2])          # global order by first term
+    for a, b in zip(infos, infos[1:]):      # disjoint ordered ranges
+        if not a[3] < b[2]:
+            raise ValueError(
+                f"dfs parts overlap: {a[0]} [..{a[3]!r}] vs "
+                f"{b[0]} [{b[2]!r}..] — groupby output not range-sorted")
     meta = {"num_terms": int(sum(i[1] for i in infos)),
             "files": [{"name": i[0], "rows": int(i[1]),
                        "first_term": i[2]} for i in infos]}
@@ -617,14 +639,24 @@ def _stage_dfs(index_dir: str,
             return pa.table({"term": vc.field("values"),
                              "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-        # map-side combine (per-block value_counts) -> ONE small
-        # groupby shuffle over ~unique-terms-per-block rows -> term-
-        # sorted directory write; nothing lexicon-sized on the driver
+        def merge(t: pa.Table) -> pa.Table:
+            gb = t.group_by("term").aggregate([("cnt", "sum")])
+            return gb.rename_columns(["term", "cnt"])
+
+        # map-side combine (per-block value_counts), then a COALESCING
+        # re-combine (batch_size coalesces many small partial blocks
+        # into few large ones — the groupby shuffle that follows moves
+        # far fewer rows AND far fewer blocks), then ONE small groupby
+        # -> term-sorted directory write; nothing lexicon-sized on the
+        # driver or in any worker
         from ray.data.aggregate import Sum
         agg = (tokens.map_batches(partial, batch_size=None,
                                   batch_format="pyarrow")
+               .map_batches(merge, batch_size=1 << 20,
+                            batch_format="pyarrow")
                .groupby("term").aggregate(Sum("cnt", alias_name="df")))
-        write_sorted_dfs(agg, os.path.join(index_dir, "dfs"), marker)
+        write_sorted_dfs(agg, os.path.join(index_dir, "dfs"), marker,
+                         presorted=True)
     return LexiconMeta(index_dir)
 
 

@@ -189,7 +189,7 @@ def build_sharded_index(source_path: str, parent_dir: str, *,
                       if f.endswith(".parquet")]
         union = rd.read_parquet(part_files)
         agg = union.groupby("term").aggregate(Sum("df", alias_name="df"))
-        write_sorted_dfs(agg, dfs_dir, dfs_marker)
+        write_sorted_dfs(agg, dfs_dir, dfs_marker, presorted=True)
 
     meta = {
         "num_docs": num_docs,
