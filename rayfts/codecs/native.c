@@ -10,7 +10,34 @@
 #include <stdint.h>
 #include <string.h>
 
+/* SIMD (AVX2) variants of the block decoders, runtime-detected; the
+ * scalar paths below remain the semantic reference (the reference's
+ * SSE shuffle tables, block_codecs.hpp:238-258 / qmx SIMD, are the
+ * point of the G8IU/QMX formats — this is that speed path).  Tests
+ * force scalar via rayfts_simd_set(0) and assert identical output. */
+#if (defined(__x86_64__) || defined(__i386__)) && defined(__GNUC__)
+#define RAYFTS_X86 1
+#include <immintrin.h>
+#endif
+
 typedef int64_t i64;
+
+static int g_simd = -1;   /* -1 unprobed, 0 scalar, 1 avx2 */
+
+int rayfts_simd_mode(void) {
+#ifdef RAYFTS_X86
+    if (g_simd < 0) g_simd = __builtin_cpu_supports("avx2") ? 1 : 0;
+#else
+    g_simd = 0;
+#endif
+    return g_simd;
+}
+
+void rayfts_simd_set(int on) {
+    if (!on) { g_simd = 0; return; }
+    g_simd = -1;
+    rayfts_simd_mode();
+}
 
 static inline int floor_log2_u(i64 x) {
     /* x > 0 */
@@ -1155,12 +1182,92 @@ static i64 c_optpfd_decode(const uint8_t *data, i64 pos, i64 sum_known,
     return pos;
 }
 
+#ifdef RAYFTS_X86
+/* G8IU SIMD decode: the descriptor-indexed pshufb table the format was
+ * designed for (Stepanov et al. CIKM'11; block_codecs.hpp:238-258).
+ * Entry d holds two 16-byte shuffle masks expanding the unit's 8 data
+ * bytes into up to 8 little-endian u32 lanes (0x80 = zero lane), plus
+ * the integer count.  Built once per process; the benign multi-thread
+ * race writes identical bytes.  Only 1-4 byte spans are mapped — the
+ * only spans the encoder emits (c_g8iu_encode rejects v > 2^32-1). */
+static uint8_t g8_shuf_lo[256][16];
+static uint8_t g8_shuf_hi[256][16];
+static uint8_t g8_cnt_tab[256];
+static int g8_tab_ready = 0;
+
+static void g8_build_tab(void) {
+    for (int d = 0; d < 256; d++) {
+        uint8_t *lo = g8_shuf_lo[d], *hi = g8_shuf_hi[d];
+        memset(lo, 0x80, 16);
+        memset(hi, 0x80, 16);
+        int k = 0, start = 0;
+        for (int i = 0; i < 8; i++) {
+            if ((d >> i) & 1) {
+                int len = i - start + 1;
+                for (int b = 0; b < len && b < 4; b++) {
+                    if (k < 4) lo[4 * k + b] = (uint8_t)(start + b);
+                    else       hi[4 * (k - 4) + b] = (uint8_t)(start + b);
+                }
+                start = i + 1;
+                k++;
+            }
+        }
+        g8_cnt_tab[d] = (uint8_t)k;
+    }
+    g8_tab_ready = 1;
+}
+
+__attribute__((target("avx2")))
+static i64 c_g8iu_decode_avx2(const uint8_t *data, i64 pos, i64 n,
+                              i64 *out) {
+    if (!g8_tab_ready) g8_build_tab();
+    i64 got = 0;
+    while (got < n) {
+        uint8_t desc = data[pos];
+        __m128i bytes = _mm_loadl_epi64((const __m128i *)(data + pos + 1));
+        pos += 9;
+        int cnt = g8_cnt_tab[desc];
+        __m128i lo = _mm_shuffle_epi8(
+            bytes, _mm_loadu_si128((const __m128i *)g8_shuf_lo[desc]));
+        if (got + 8 <= n) {
+            /* over-store 8 lanes; lanes past cnt are rewritten by the
+             * next unit (out has >= got+8 slots here) */
+            _mm256_storeu_si256((__m256i *)(out + got),
+                                _mm256_cvtepu32_epi64(lo));
+            if (cnt > 4) {
+                __m128i hi = _mm_shuffle_epi8(
+                    bytes,
+                    _mm_loadu_si128((const __m128i *)g8_shuf_hi[desc]));
+                _mm256_storeu_si256((__m256i *)(out + got + 4),
+                                    _mm256_cvtepu32_epi64(hi));
+            }
+            got += cnt;
+        } else {            /* tail: bounce through a scratch buffer */
+            i64 tmp[8];
+            _mm256_storeu_si256((__m256i *)tmp, _mm256_cvtepu32_epi64(lo));
+            __m128i hi = _mm_shuffle_epi8(
+                bytes, _mm_loadu_si128((const __m128i *)g8_shuf_hi[desc]));
+            _mm256_storeu_si256((__m256i *)(tmp + 4),
+                                _mm256_cvtepu32_epi64(hi));
+            i64 take = n - got < cnt ? n - got : cnt;
+            memcpy(out + got, tmp, (size_t)take * 8);
+            got += take;
+        }
+    }
+    return pos;
+}
+#endif  /* RAYFTS_X86 */
+
 /* varint-G8IU (g8iu.py): 1 descriptor byte + 8 data bytes per unit,
  * descriptor bit i set iff data byte i ends an integer; partial
  * blocks are interpolative (block_codecs.hpp:297-300 semantics) */
 static i64 c_g8iu_decode(const uint8_t *data, i64 pos, i64 sum_known,
                          i64 n, i64 *out) {
     if (n < 128) return c_interp_decode(data, pos, sum_known, n, out);
+#ifdef RAYFTS_X86
+    if (rayfts_simd_mode() == 1)
+        return c_g8iu_decode_avx2(data, pos, n, out);
+#endif
     i64 got = 0;
     while (got < n) {
         uint8_t desc = data[pos];
@@ -1280,6 +1387,109 @@ static int qmx_unpack_chunk(const uint8_t *data, i64 p, int w, i64 *o) {
     return 32;
 }
 
+#ifdef RAYFTS_X86
+/* QMX SIMD unpack: the striped layout exists exactly so that lane v of
+ * each 128-bit payload word feeds output slot v&3 — one 4-lane shift/
+ * mask per output quad, widened 4-at-a-time to i64 (the scalar loops
+ * above are the per-lane transcription of the same formulas). */
+__attribute__((target("avx2"), always_inline)) inline
+static int qmx_unpack_chunk_avx2(const uint8_t *data, i64 p, int w,
+                                 i64 *o) {
+    if (w == 0) {
+        __m256i one = _mm256_set1_epi64x(1);
+        for (int q = 0; q < 256; q += 4)
+            _mm256_storeu_si256((__m256i *)(o + q), one);
+        return 0;
+    }
+    __m128i A = _mm_loadu_si128((const __m128i *)(data + p));
+#define QMX_ST4(dst, vec) \
+    _mm256_storeu_si256((__m256i *)(dst), _mm256_cvtepu32_epi64(vec))
+#define QMX_SRL(vec, s) _mm_srl_epi32((vec), _mm_cvtsi32_si128(s))
+    if (w == 32) { QMX_ST4(o, A); return 16; }
+    if (w == 16) {
+        QMX_ST4(o, _mm_cvtepu16_epi32(A));
+        QMX_ST4(o + 4, _mm_cvtepu16_epi32(_mm_srli_si128(A, 8)));
+        return 16;
+    }
+    if (w == 8) {
+        QMX_ST4(o, _mm_cvtepu8_epi32(A));
+        QMX_ST4(o + 4, _mm_cvtepu8_epi32(_mm_srli_si128(A, 4)));
+        QMX_ST4(o + 8, _mm_cvtepu8_epi32(_mm_srli_si128(A, 8)));
+        QMX_ST4(o + 12, _mm_cvtepu8_epi32(_mm_srli_si128(A, 12)));
+        return 16;
+    }
+    __m128i maskv = _mm_set1_epi32((1 << w) - 1);
+    if (qmx_words_[w] == 1) {
+        int ipc = qmx_ipc_[w];
+        for (int v = 0; v < ipc; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(QMX_SRL(A, (v >> 2) * w), maskv));
+        return 16;
+    }
+    __m128i B = _mm_loadu_si128((const __m128i *)(data + p + 16));
+    switch (w) {
+    case 7:
+        for (int v = 0; v < 16; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(QMX_SRL(A, (v >> 2) * 7), maskv));
+        QMX_ST4(o + 16, _mm_and_si128(
+            _mm_or_si128(QMX_SRL(A, 28),
+                         _mm_slli_epi32(_mm_and_si128(
+                             B, _mm_set1_epi32(0x7)), 4)), maskv));
+        for (int v = 20; v < 36; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(
+                QMX_SRL(B, ((v - 20) >> 2) * 7 + 3), maskv));
+        break;
+    case 9:
+        for (int v = 0; v < 12; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(QMX_SRL(A, (v >> 2) * 9), maskv));
+        QMX_ST4(o + 12, _mm_and_si128(
+            _mm_or_si128(QMX_SRL(A, 27),
+                         _mm_slli_epi32(_mm_and_si128(
+                             B, _mm_set1_epi32(0xF)), 5)), maskv));
+        for (int v = 16; v < 28; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(
+                QMX_SRL(B, ((v - 16) >> 2) * 9 + 4), maskv));
+        break;
+    case 12:
+        for (int v = 0; v < 8; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(QMX_SRL(A, (v >> 2) * 12), maskv));
+        QMX_ST4(o + 8, _mm_and_si128(
+            _mm_or_si128(QMX_SRL(A, 24),
+                         _mm_slli_epi32(_mm_and_si128(
+                             B, _mm_set1_epi32(0xFF)), 8)), maskv));
+        for (int v = 12; v < 20; v += 4)
+            QMX_ST4(o + v, _mm_and_si128(
+                QMX_SRL(B, ((v - 12) >> 2) * 12 + 8), maskv));
+        break;
+    case 21:
+        QMX_ST4(o, _mm_and_si128(A, maskv));
+        QMX_ST4(o + 4, _mm_and_si128(
+            _mm_or_si128(QMX_SRL(A, 21),
+                         _mm_slli_epi32(_mm_and_si128(
+                             B, _mm_set1_epi32(0x3FF)), 11)), maskv));
+        QMX_ST4(o + 8, _mm_and_si128(QMX_SRL(B, 10), maskv));
+        break;
+    }
+#undef QMX_ST4
+#undef QMX_SRL
+    return 32;
+}
+
+/* whole selector-batch loop inside one avx2-target function so the
+ * per-chunk unpack inlines (a cross-target call per 4-int chunk would
+ * cost more than the w=32 chunk itself) */
+__attribute__((target("avx2")))
+static i64 qmx_unpack_batch_avx2(const uint8_t *data, i64 p, int w,
+                                 int batch, i64 got, i64 n, i64 *tmp,
+                                 i64 *got_out) {
+    for (int c2 = 0; c2 < batch && got < n; c2++) {
+        p += qmx_unpack_chunk_avx2(data, p, w, tmp + got);
+        got += qmx_ipc_[w];
+    }
+    *got_out = got;
+    return p;
+}
+#endif  /* RAYFTS_X86 */
+
 static i64 c_qmx_decode(const uint8_t *data, i64 pos, i64 sum_known,
                         i64 n, i64 *out) {
     if (n < 128) return c_interp_decode(data, pos, sum_known, n, out);
@@ -1288,6 +1498,20 @@ static i64 c_qmx_decode(const uint8_t *data, i64 pos, i64 sum_known,
     i64 p = pos, k = pos + enc_len - 1;
     i64 tmp[128 + 292];   /* chunks decode whole; w=0 overshoots by 256 */
     i64 got = 0;
+#ifdef RAYFTS_X86
+    if (rayfts_simd_mode() == 1) {
+        while (got < n && p <= k) {
+            uint8_t s = data[k--];
+            int w = qmx_w_of_type_[s >> 4];
+            int batch = 16 - (s & 0xF);
+            p = qmx_unpack_batch_avx2(data, p, w, batch, got, n, tmp,
+                                      &got);
+        }
+        if (got < n) return -1;
+        memcpy(out, tmp, (size_t)n * 8);
+        return pos + enc_len;
+    }
+#endif
     while (got < n && p <= k) {
         uint8_t s = data[k--];
         int w = qmx_w_of_type_[s >> 4];
@@ -1320,6 +1544,16 @@ static i64 c_blk_codec_decode(i64 tag, const uint8_t *data, i64 pos,
 i64 blk_codec_decode_one(i64 tag, const uint8_t *data, i64 pos,
                          i64 sum_known, i64 n, i64 *out) {
     return c_blk_codec_decode(tag, data, pos, sum_known, n, out);
+}
+
+/* repeat-decode loop for microbenchmarks: amortizes the FFI call so
+ * timings measure the decoder, not ctypes overhead */
+i64 blk_codec_decode_reps(i64 tag, const uint8_t *data, i64 pos,
+                          i64 sum_known, i64 n, i64 *out, i64 reps) {
+    i64 r = 0;
+    for (i64 i = 0; i < reps; i++)
+        r = c_blk_codec_decode(tag, data, pos, sum_known, n, out);
+    return r;
 }
 
 /* ======================================================================

@@ -139,12 +139,25 @@ def _build_and_load():
     bcs.restype = ctypes.c_int64
     bcs.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_void_p]
+    bcr = lib.blk_codec_decode_reps
+    bcr.restype = ctypes.c_int64
+    bcr.argtypes = [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_int64]
+    smode = lib.rayfts_simd_mode
+    smode.restype = ctypes.c_int
+    smode.argtypes = []
+    sset = lib.rayfts_simd_set
+    sset.restype = None
+    sset.argtypes = [ctypes.c_int]
     return {"dp": dp, "topk": topk, "select": sel,
+            "simd_mode": smode, "simd_set": sset,
             "read_fields": rfb, "read_fields_strided": rfs, "pef": pef,
             "pef_part_count": ppc, "pef_parse": pparse,
             "topk_lazy": tql, "and_lazy": aql,
             "lz_decode_all": lzd, "lz_probe_geq": lzp,
             "blk_codec_decode": bcd, "blk_codec_encode": bce,
+            "blk_codec_decode_reps": bcr,
             "blk_candidate_sizes": bcs}
 
 
@@ -152,6 +165,21 @@ def native_blk_codec_decode():
     """The C single-block codec decoder (profiling), or None."""
     lib = _lib_handle()
     return lib["blk_codec_decode"] if lib else None
+
+
+def simd_mode() -> int:
+    """0 = scalar decode paths, 1 = AVX2 G8IU/QMX decoders active;
+    -1 if the native library is unavailable."""
+    lib = _lib_handle()
+    return int(lib["simd_mode"]()) if lib else -1
+
+
+def simd_set(on: bool) -> None:
+    """Force-disable (False) or re-probe (True) the SIMD decode paths —
+    the scalar/SIMD identity tests' switch.  No-op without the lib."""
+    lib = _lib_handle()
+    if lib:
+        lib["simd_set"](1 if on else 0)
 
 
 def native_blk_codec_encode():

@@ -1,0 +1,94 @@
+"""SIMD (AVX2) G8IU/QMX decoders vs the scalar reference paths.
+
+The scalar C decoders are the semantic reference (they are themselves
+pinned bit-identical to the Python ports in test_native_kernels.py);
+the AVX2 variants must produce IDENTICAL output bytes and consumed
+lengths on encoder-produced streams across every width class the
+encoders emit (reference SSE parity goal, block_codecs.hpp:238-258,
+qmx_codec.hpp)."""
+
+import numpy as np
+import pytest
+
+from rayfts.codecs import nativelib as nl
+
+_lib = nl._lib_handle()
+
+pytestmark = pytest.mark.skipif(_lib is None,
+                                reason="native library unavailable")
+
+#: gap magnitudes covering every QMX width class (0/1..6/7/9/10/12/16/
+#: 21/32 bits) and every G8IU byte length (1-4)
+MAGNITUDES = [1, 2, 3, 8, 30, 60, 120, 200, 900, 4000, 70_000,
+              1 << 20, 1 << 22, 1 << 24, (1 << 31) - 1]
+
+
+@pytest.fixture(autouse=True)
+def _restore_simd():
+    yield
+    nl.simd_set(True)
+
+
+def _roundtrip_identity(tag: str | int, seed: int) -> None:
+    bce = _lib["blk_codec_encode"]
+    bcd = _lib["blk_codec_decode"]
+    rng = np.random.RandomState(seed)
+    n = 128
+    for mag in MAGNITUDES:
+        for _ in range(20):
+            vals = rng.randint(1, mag + 1, size=n).astype(np.int64)
+            sk = int(vals.sum())
+            buf = np.zeros(1 << 14, dtype=np.uint8)
+            end = bce(tag, vals.ctypes.data, n, sk, buf.ctypes.data)
+            assert end > 0
+            a = np.zeros(n, dtype=np.int64)
+            b = np.zeros(n, dtype=np.int64)
+            nl.simd_set(True)
+            e1 = bcd(tag, buf.ctypes.data, 0, sk, n, a.ctypes.data)
+            nl.simd_set(False)
+            e2 = bcd(tag, buf.ctypes.data, 0, sk, n, b.ctypes.data)
+            assert e1 == e2 == end
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, vals)
+
+
+def test_simd_mode_probed():
+    mode = nl.simd_mode()
+    assert mode in (0, 1)
+    nl.simd_set(False)
+    assert nl.simd_mode() == 0
+    nl.simd_set(True)
+    assert nl.simd_mode() == mode    # re-probe restores hardware truth
+
+
+def test_g8iu_simd_scalar_identity():
+    _roundtrip_identity(4, seed=11)
+
+
+def test_qmx_simd_scalar_identity():
+    _roundtrip_identity(5, seed=13)
+
+
+def test_mixed_magnitude_blocks():
+    """One block mixing all magnitudes — exercises width transitions
+    inside a single QMX stream and G8IU incomplete units."""
+    bce = _lib["blk_codec_encode"]
+    bcd = _lib["blk_codec_decode"]
+    rng = np.random.RandomState(29)
+    n = 128
+    for tag in (4, 5):
+        for _ in range(50):
+            mags = rng.choice(MAGNITUDES, size=n)
+            vals = (rng.randint(1, 1 << 31, size=n) % mags + 1).astype(np.int64)
+            sk = int(vals.sum())
+            buf = np.zeros(1 << 14, dtype=np.uint8)
+            end = bce(tag, vals.ctypes.data, n, sk, buf.ctypes.data)
+            a = np.zeros(n, dtype=np.int64)
+            b = np.zeros(n, dtype=np.int64)
+            nl.simd_set(True)
+            e1 = bcd(tag, buf.ctypes.data, 0, sk, n, a.ctypes.data)
+            nl.simd_set(False)
+            e2 = bcd(tag, buf.ctypes.data, 0, sk, n, b.ctypes.data)
+            assert e1 == e2 == end
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, vals)

@@ -1,0 +1,65 @@
+"""Decode microbenchmark: ns/posting for each block codec, scalar vs
+SIMD (AVX2) where a SIMD path exists (G8IU/QMX).  Uses the C-side
+repeat loop (blk_codec_decode_reps) so the numbers measure the decoder,
+not ctypes FFI overhead.  No Ray session — pure single-core kernels.
+
+    python tools/decode_micro.py [reps]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from rayfts.codecs import nativelib as nl  # noqa: E402
+
+TAGS = [(0, "packed"), (2, "interp"), (3, "optpfd"), (4, "g8iu"),
+        (5, "qmx")]
+SIMD_TAGS = {4, 5}
+MAGS = [(15, "small-gaps"), (5000, "medium"), (1 << 22, "large")]
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    lib = nl._lib_handle()
+    if lib is None:
+        print("native library unavailable")
+        return
+    bcr = lib["blk_codec_decode_reps"]
+    bce = lib["blk_codec_encode"]
+    print(f"simd_mode={nl.simd_mode()} (1=avx2)  reps={reps}  n=128")
+    rng = np.random.RandomState(7)
+    n = 128
+    rows = []
+    for tag, name in TAGS:
+        for mag, lab in MAGS:
+            vals = rng.randint(1, mag + 1, size=n).astype(np.int64)
+            sk = int(vals.sum())
+            buf = np.zeros(1 << 14, dtype=np.uint8)
+            end = bce(tag, vals.ctypes.data, n, sk, buf.ctypes.data)
+            out = np.zeros(n, dtype=np.int64)
+            res = {}
+            modes = (True, False) if tag in SIMD_TAGS else (True,)
+            for simd in modes:
+                nl.simd_set(simd)
+                bcr(tag, buf.ctypes.data, 0, sk, n, out.ctypes.data, 2000)
+                t0 = time.perf_counter()
+                bcr(tag, buf.ctypes.data, 0, sk, n, out.ctypes.data, reps)
+                dt = time.perf_counter() - t0
+                res["simd" if simd else "scalar"] = dt / (reps * n) * 1e9
+            nl.simd_set(True)
+            bpp = end * 8.0 / n
+            if tag in SIMD_TAGS:
+                rows.append(f"{name:7s} {lab:11s} {bpp:6.2f} b/p  "
+                            f"scalar {res['scalar']:6.2f}  "
+                            f"simd {res['simd']:6.2f} ns/int  "
+                            f"{res['scalar'] / res['simd']:.2f}x")
+            else:
+                rows.append(f"{name:7s} {lab:11s} {bpp:6.2f} b/p  "
+                            f"       {res['simd']:6.2f} ns/int")
+    print("\n".join(rows))
+
+
+if __name__ == "__main__":
+    main()
