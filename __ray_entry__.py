@@ -600,6 +600,57 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return decoded.to_pandas()
 
 
+def _aug_docs_ds(sf_dir: str):
+    """documents with the deterministic PII fixture applied (the synth
+    corpus has no PII; codescan.augment_pii_batch injects doc_id-keyed
+    hits the SQL oracle rebuilds with string concat)."""
+    from rayfts.ops.codescan import augment_pii_batch
+    return _docs_ds(sf_dir).map_batches(augment_pii_batch,
+                                        batch_format="pyarrow")
+
+
+def _pii_scan(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.codescan import pii_scan_batch
+    return (_aug_docs_ds(sf_dir)
+            .map_batches(pii_scan_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
+def _pii_redact(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.codescan import pii_redact_batch
+    return (_aug_docs_ds(sf_dir)
+            .map_batches(pii_redact_batch, batch_format="pyarrow")
+            .to_pandas())
+
+
+#: decontamination fixture: docs with doc_id % DECON_MOD == 0 play the
+#: held-out benchmark; 4-token grams are the contamination unit
+DECON_MOD = 7
+DECON_N = 4
+
+
+def _decontaminate(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.decontam import decontaminate
+
+    def _part(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % DECON_MOD == 0) == keep_bench
+            return t.filter(pa.array(m))
+        return f
+
+    bench = _docs_ds(sf_dir).map_batches(_part(True),
+                                         batch_format="pyarrow")
+    corpus = _docs_ds(sf_dir).map_batches(_part(False),
+                                          batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=DECON_N).to_pandas()
+
+
+def _dup_spans(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.spandedup import dup_spans
+    return dup_spans(_docs_ds(sf_dir), window=8).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -665,6 +716,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _fingerprints,
         "byte_stats": _byte_stats,
         "multimodal_decode": _multimodal_decode,
+        # code-corpus scrubbing / decontamination / span dedup
+        "pii_scan": _pii_scan,
+        "pii_redact": _pii_redact,
+        "decontaminate": _decontaminate,
+        "dup_spans": _dup_spans,
     }
 
 
@@ -1129,6 +1185,84 @@ WITH c AS (
 SELECT doc_id, 64 + c % 1024 AS width, 64 + (c // 1024) % 1024 AS height,
        1 + c % 4 AS channels
 FROM c"""
+
+    # --- code-corpus scrubbing ops -------------------------------------
+    from rayfts.ops.codescan import (PII_AUGMENT_SQL, PII_SQL_RE,
+                                     REDACT_ORDER, REDACT_TOKEN)
+    _aug = f"aug AS (SELECT doc_id, {PII_AUGMENT_SQL.strip()} AS text FROM documents)"
+    _cnt = {k: f"len(regexp_extract_all(text, '{v}'))::BIGINT"
+            for k, v in PII_SQL_RE.items()}
+    sqls["pii_scan"] = f"""
+WITH {_aug}
+SELECT doc_id,
+       {_cnt['email']} AS n_emails,
+       {_cnt['ipv4']} AS n_ipv4,
+       {_cnt['url']} AS n_urls,
+       {_cnt['aws_key']} AS n_keys,
+       ({_cnt['email']} + {_cnt['ipv4']} + {_cnt['url']}
+        + {_cnt['aws_key']}) AS pii_total
+FROM aug"""
+
+    # staged replace: each pattern counts + redacts over the output of
+    # the previous stage, exactly like codescan.pii_redact_batch
+    stages, prev = [], "text"
+    for i, name in enumerate(REDACT_ORDER):
+        cur = f"r{i}"
+        stages.append(
+            f"{cur} AS (SELECT doc_id, "
+            f"regexp_replace({prev}, '{PII_SQL_RE[name]}', "
+            f"'{REDACT_TOKEN[name]}', 'g') AS text, "
+            f"n + len(regexp_extract_all({prev}, '{PII_SQL_RE[name]}')) "
+            f"AS n FROM {'aug0' if i == 0 else f'r{i-1}'})")
+        prev = "text"
+    sqls["pii_redact"] = f"""
+WITH {_aug},
+aug0 AS (SELECT doc_id, text, 0::BIGINT AS n FROM aug),
+{', '.join(stages)}
+SELECT doc_id, n AS n_redactions,
+       ('0x'||substr(md5(text),1,8))::BIGINT AS red_hash
+FROM r{len(REDACT_ORDER) - 1}"""
+
+    # --- decontamination / duplicated spans ----------------------------
+    _w_toks = (f"toks AS (SELECT doc_id, regexp_extract_all("
+               f"lower(coalesce(text, '')), '{TOKEN_SQL_RE}') AS ts "
+               f"FROM documents)")
+    n = DECON_N
+    sqls["decontaminate"] = f"""
+WITH {_w_toks},
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= {n}
+                THEN list_distinct([array_to_string(ts[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(ts)-{n - 2})])
+                ELSE [] END) AS gram
+  FROM toks),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0)
+SELECT g.doc_id, count(*)::BIGINT AS n_hits
+FROM g JOIN b USING(gram)
+WHERE g.doc_id % {DECON_MOD} <> 0
+GROUP BY 1"""
+
+    w = 8
+    sqls["dup_spans"] = f"""
+WITH {_w_toks},
+w AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= {w}
+                THEN [array_to_string(ts[i:i+{w - 1}], ' ')
+                      for i in range(1, len(ts)-{w - 2})]
+                ELSE [] END) AS gram
+  FROM toks),
+tot AS (SELECT gram, count(*) AS tot FROM w GROUP BY 1),
+pd AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN tot >= 2 THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_windows
+  FROM w JOIN tot USING(gram) GROUP BY 1)
+SELECT doc_id, n_windows, n_dup_windows,
+       CAST(floor(n_dup_windows::DOUBLE / n_windows * 10000 + 0.5)
+            AS BIGINT) AS dup_frac_q
+FROM pd"""
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

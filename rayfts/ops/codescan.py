@@ -1,0 +1,165 @@
+"""PII / secret scanning and redaction for code-corpus pipelines.
+
+A training-data pipeline over source-code repositories (the north-star
+input shape) must strip credentials and personal data before anything
+else sees the text.  These stages are shuffle-free ``map_batches``
+transforms: every pattern is a compiled regex applied whole-batch in
+polars (Rust); per-doc Python loops exist only in the semantic-fallback
+path.  The pattern set is the classic quartet — emails, IPv4 literals,
+URLs, AWS-style access keys — each kept RE2-compatible so the DuckDB
+oracle evaluates the very same expressions.
+
+Scan and redact are pure per-row transforms: at 100 TB they pipeline
+behind the parquet read with zero shuffle and no per-batch state, so no
+actor pool is needed (nothing to initialize).
+
+Oracle fixture: the synthetic ``documents`` table contains no PII, so
+the driver gate augments it with DETERMINISTIC doc_id-keyed PII lines
+(``augment_pii_batch``) that the SQL oracle reproduces with string
+concatenation — the kernels themselves are generic over any text
+column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import md5_u32
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+# RE2-compatible (DuckDB regexp_*), rust-regex-compatible (polars) and
+# Python-re-compatible pattern strings.  No backrefs, no lookaround.
+PII_SQL_RE = {
+    "email": r"[A-Za-z0-9_.+\-]+@[A-Za-z0-9\-]+\.[A-Za-z0-9.\-]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "url": r"https?://[^\s]+",
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+}
+PII_RE = {k: re.compile(v) for k, v in PII_SQL_RE.items()}
+
+#: redaction applies in this exact order (url before email/ipv4 so an
+#: address inside a URL is consumed by the URL token, never split) —
+#: the SQL oracle chains regexp_replace in the same order.
+REDACT_ORDER = ("aws_key", "url", "email", "ipv4")
+REDACT_TOKEN = {"email": "<EMAIL>", "ipv4": "<IP>",
+                "url": "<URL>", "aws_key": "<KEY>"}
+
+
+def pii_scan_batch(t: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Per-doc PII hit counts: n_emails, n_ipv4, n_urls, n_keys and the
+    total.  Whole-batch polars ``count_matches`` per pattern."""
+    ids = t.column(id_col).cast(pa.int64())
+    texts = t.column(text_col).to_pylist()
+    counts: dict[str, np.ndarray] = {}
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        for name, pat in PII_SQL_RE.items():
+            counts[name] = (s.str.count_matches(pat)
+                            .cast(_pl.Int64).to_numpy().copy())
+    else:                     # pragma: no cover - semantic fallback
+        for name, rx in PII_RE.items():
+            counts[name] = np.array(
+                [len(rx.findall(x or "")) for x in texts], dtype=np.int64)
+    total = sum(counts.values())
+    return pa.table({
+        id_col: ids,
+        "n_emails": pa.array(counts["email"], type=pa.int64()),
+        "n_ipv4": pa.array(counts["ipv4"], type=pa.int64()),
+        "n_urls": pa.array(counts["url"], type=pa.int64()),
+        "n_keys": pa.array(counts["aws_key"], type=pa.int64()),
+        "pii_total": pa.array(total, type=pa.int64()),
+    })
+
+
+def pii_redact_batch(t: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Redact every PII hit (REDACT_ORDER) and emit
+    (doc_id, n_redactions, red_hash) where red_hash is the md5-prefix
+    interop hash of the redacted text — compact enough to hash-compare
+    against the oracle without shipping full redacted bodies."""
+    ids = t.column(id_col).cast(pa.int64())
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        n_red = np.zeros(len(texts), dtype=np.int64)
+        for name in REDACT_ORDER:
+            n_red += (s.str.count_matches(PII_SQL_RE[name])
+                      .cast(_pl.Int64).to_numpy())
+            s = s.str.replace_all(PII_SQL_RE[name], REDACT_TOKEN[name])
+        red = s.to_list()
+    else:                     # pragma: no cover - semantic fallback
+        red, n_red_l = [], []
+        for x in texts:
+            x = x or ""
+            n = 0
+            for name in REDACT_ORDER:
+                x, k = PII_RE[name].subn(REDACT_TOKEN[name], x)
+                n += k
+            red.append(x)
+            n_red_l.append(n)
+        n_red = np.array(n_red_l, dtype=np.int64)
+    rh = md5_u32(np.asarray(red, dtype=object)).astype(np.int64)
+    return pa.table({
+        id_col: ids,
+        "n_redactions": pa.array(n_red, type=pa.int64()),
+        "red_hash": pa.array(rh, type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# deterministic PII fixture (driver gate + tests)
+# ---------------------------------------------------------------------------
+
+def _aws_suffix(doc_id: int) -> str:
+    """upper(substr(md5(doc_id::VARCHAR),1,16)) — hex is [0-9A-F], a
+    subset of the AKIA key alphabet [0-9A-Z]."""
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[:16].upper()
+
+
+def augment_pii_text(doc_id: int, text: str) -> str:
+    """doc_id-keyed deterministic PII injection; the SQL oracle rebuilds
+    the same string with ``||`` concatenation (see __ray_entry__)."""
+    out = text or ""
+    if doc_id % 3 == 0:
+        out += f" contact user{doc_id}@example.com"
+    if doc_id % 5 == 0:
+        out += f" server 192.168.{doc_id % 256}.{doc_id % 100}"
+    if doc_id % 7 == 0:
+        out += f" key AKIA{_aws_suffix(doc_id)}"
+    if doc_id % 11 == 0:
+        out += f" see https://example.com/x{doc_id}"
+    return out
+
+
+def augment_pii_batch(t: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    ids = t.column(id_col).to_pylist()
+    texts = t.column(text_col).to_pylist()
+    aug = [augment_pii_text(i, x) for i, x in zip(ids, texts)]
+    return t.set_column(t.schema.get_field_index(text_col), text_col,
+                        pa.array(aug, type=pa.string()))
+
+
+#: SQL expression rebuilding augment_pii_text over a documents row
+PII_AUGMENT_SQL = """
+text
+|| CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+|| CASE WHEN doc_id % 5 = 0
+        THEN ' server 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+        ELSE '' END
+|| CASE WHEN doc_id % 7 = 0
+        THEN ' key AKIA' || upper(substr(md5(doc_id::VARCHAR), 1, 16))
+        ELSE '' END
+|| CASE WHEN doc_id % 11 = 0
+        THEN ' see https://example.com/x' || doc_id ELSE '' END
+"""

@@ -1,0 +1,106 @@
+"""Benchmark decontamination: flag corpus documents that share token
+n-grams with a held-out benchmark/eval set.
+
+The standard LLM-pipeline shape (GPT-3 appendix C / PaLM 13-gram
+decontamination): the benchmark side is tiny (MBs of eval sets) while
+the corpus side is the 100-TB stream, so the right architecture is a
+BROADCAST membership test, not a shuffle join:
+
+  1. build the benchmark n-gram hash set — distributed explode of the
+     (small) benchmark docs, distinct per doc, collected ONCE to a
+     sorted uint64 array; the collect is benchmark-scale by
+     construction, never corpus-scale
+  2. ``ray.put`` the sorted array once; a stateful actor pool holds the
+     ``ray.get`` result per worker (zero-copy shared-memory view —
+     nothing is re-shipped per batch)
+  3. one shuffle-free ``map_batches`` pass over the corpus: per-doc
+     DISTINCT window hashes (polars gramming) -> ``np.searchsorted``
+     membership -> per-doc hit count; only contaminated docs are
+     emitted
+
+A contaminated doc's n_hits counts its DISTINCT contaminating n-grams,
+matching the SQL oracle's join-on-distinct-grams semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import md5_u64
+from .spandedup import window_grams
+
+
+def benchmark_ngram_hashes(bench_ds, n: int = 4, text_col: str = "text",
+                           id_col: str = "doc_id") -> np.ndarray:
+    """Distributed n-gram explode of the benchmark docs -> sorted
+    distinct uint64 (as int64) hash array.  Collects benchmark-scale
+    data only (the eval sets a pipeline decontaminates against are
+    MBs; the corpus never flows through here)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        _, grams = window_grams(texts, n, unique=True)
+        if len(grams) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        hs = np.unique(md5_u64(grams).view(np.int64))
+        return pa.table({"h": pa.array(hs, type=pa.int64())})
+
+    parts = [b.column("h").to_numpy()
+             for b in bench_ds.map_batches(explode, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+class Decontaminator:
+    """Actor-pool stage: benchmark hash set fetched once per actor."""
+
+    def __init__(self, bench_ref, n: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+        self.bench = (ray.get(bench_ref)
+                      if not isinstance(bench_ref, np.ndarray)
+                      else bench_ref)
+        self.n, self.text_col, self.id_col = n, text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(self.id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        texts = t.column(self.text_col).to_pylist()
+        doc_idx, grams = window_grams(texts, self.n, unique=True)
+        empty = pa.table({self.id_col: pa.array([], type=pa.int64()),
+                          "n_hits": pa.array([], type=pa.int64())})
+        if len(grams) == 0 or len(self.bench) == 0:
+            return empty
+        hs = md5_u64(grams).view(np.int64)
+        pos = np.searchsorted(self.bench, hs)
+        pos[pos == len(self.bench)] = 0
+        hit = self.bench[pos] == hs
+        if not hit.any():
+            return empty
+        hits_per_doc = np.bincount(doc_idx[hit], minlength=len(texts))
+        nz = np.flatnonzero(hits_per_doc)
+        return pa.table({
+            self.id_col: pa.array(ids[nz], type=pa.int64()),
+            "n_hits": pa.array(hits_per_doc[nz].astype(np.int64),
+                               type=pa.int64()),
+        })
+
+
+def decontaminate(corpus_ds, bench_ds, n: int = 4, text_col: str = "text",
+                  id_col: str = "doc_id", concurrency: int | None = None):
+    """-> Dataset(doc_id, n_hits) of corpus docs sharing >= 1 distinct
+    token n-gram with the benchmark set.  Caller excludes benchmark
+    docs from corpus_ds if they overlap."""
+    import ray
+
+    bench = benchmark_ngram_hashes(bench_ds, n, text_col, id_col)
+    ref = ray.put(bench)
+    if concurrency is None:
+        from .dedup import _pool_size
+        concurrency = _pool_size()
+    return corpus_ds.map_batches(
+        Decontaminator, fn_constructor_args=(ref, n, text_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,201 @@
+"""Exact duplicated-span detection (window dedup) for training corpora.
+
+Finds token windows of width W that occur at more than one position in
+the corpus (same or another document) — the exact-substring analogue of
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.
+2021), expressed over rolling token windows so the whole thing is a
+Ray Data aggregate/join plan with NO per-group Python:
+
+  1. explode: map_batches -> one row per (doc_id, window-hash) with its
+     within-doc multiplicity m (polars shift-concat gramming, md5-prefix
+     interop hashes, Arrow all the way)
+  2. totals:  groupby(whash).sum(m); windows with total >= 2 are
+     duplicated -> a candidate-scale (whash) table, materialized
+  3. attribute: inner-join the exploded stream against the dup-hash
+     table (hash keys, uniform -> no skew) and sum m per doc
+  4. merge with the shuffle-free per-doc window counts via a tagged
+     union + one groupby(doc_id) -- no driver-side assembly anywhere
+
+The explode runs twice (steps 2 and 3 each consume it) — two streaming
+scans instead of materializing a windows-x-corpus intermediate; the
+only materialized table is the duplicated-hash set, which is
+answer-scale.  Every shuffle key is a 64-bit hash or a doc_id.
+
+The md5-prefix window hash (hashing.md5_u64) is the same value the
+DuckDB oracle can compute, but the oracle joins on the gram STRINGS —
+the hash is internal, so a 64-bit collision (~1e-9 at 1e9 windows) is
+the only approximation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import md5_u64
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+import re
+
+#: tokenizer shared with the index/oracles (rayfts/tokenizer.py)
+_TOKEN = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+TOKEN_SQL_RE = "[a-z_][a-z0-9_]*|[0-9]+"
+
+
+def _py_window_grams(texts, w: int, unique: bool):
+    """Semantic fallback: per-doc rolling w-gram strings."""
+    docs, grams = [], []
+    for d, text in enumerate(texts):
+        toks = _TOKEN.findall((text or "").lower())
+        gs = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+        if unique:
+            gs = sorted(set(gs))
+        docs.extend([d] * len(gs))
+        grams.extend(gs)
+    return (np.array(docs, dtype=np.int64),
+            np.array(grams, dtype=object))
+
+
+def window_grams(texts, w: int, unique: bool = False):
+    """Whole-batch rolling token w-grams.
+
+    Returns (doc_idx int64 array, gram object array) — one entry per
+    window position (or per distinct per-doc gram when unique=True).
+    Tokenizing, shifting and string concat all run in polars (Rust)."""
+    if _pl is None:           # pragma: no cover - semantic fallback
+        return _py_window_grams(texts, w, unique)
+    s = _pl.Series("t", texts, dtype=_pl.Utf8)
+    toks = s.fill_null("").str.to_lowercase().str.extract_all(TOKEN_SQL_RE)
+    doc_lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+    flat = toks.explode().drop_nulls()
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doc_lens)
+    df = _pl.DataFrame({"doc": doc_idx, "tok": flat})
+    parts = [_pl.col("tok").shift(-i) for i in range(w)]
+    out = df.with_columns(
+        s=_pl.concat_str(parts, separator=" "),
+        ok=(_pl.col("doc") == _pl.col("doc").shift(-(w - 1))),
+    ).filter(_pl.col("ok")).select(["doc", "s"])
+    if unique:
+        out = out.unique()
+    return (out.get_column("doc").to_numpy().copy(),
+            out.get_column("s").to_numpy())
+
+
+def window_hash_batch(t: pa.Table, w: int, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """-> (doc_id, whash, m): within-doc multiplicity per distinct
+    window hash.  md5 runs once per unique gram string per worker."""
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    texts = t.column(text_col).to_pylist()
+    doc_idx, grams = window_grams(texts, w, unique=False)
+    if len(grams) == 0:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "whash": pa.array([], type=pa.int64()),
+                         "m": pa.array([], type=pa.int64())})
+    hs = md5_u64(grams).view(np.int64)
+    # per-(doc, hash) multiplicity via lexsort + run-length encoding
+    order = np.lexsort((hs, doc_idx))
+    d, h = doc_idx[order], hs[order]
+    new = np.empty(len(d), dtype=bool)
+    new[0] = True
+    np.not_equal(d[1:], d[:-1], out=new[1:])
+    np.logical_or(new[1:], h[1:] != h[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    m = np.diff(np.append(starts, len(d))).astype(np.int64)
+    return pa.table({id_col: pa.array(ids[d[starts]], type=pa.int64()),
+                     "whash": pa.array(h[starts], type=pa.int64()),
+                     "m": pa.array(m, type=pa.int64())})
+
+
+def window_count_batch(t: pa.Table, w: int, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Shuffle-free per-doc window count: max(0, n_tokens - w + 1).
+    Cheap (no gram concat, no hashing)."""
+    ids = t.column(id_col).cast(pa.int64())
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8)
+        n = (s.fill_null("").str.to_lowercase()
+             .str.extract_all(TOKEN_SQL_RE).list.len()
+             .cast(_pl.Int64).to_numpy().copy())
+    else:                     # pragma: no cover - semantic fallback
+        n = np.array([len(_TOKEN.findall((x or "").lower()))
+                      for x in texts], dtype=np.int64)
+    nw = np.maximum(n - w + 1, 0)
+    return pa.table({id_col: ids,
+                     "n_windows": pa.array(nw, type=pa.int64())})
+
+
+def dup_spans(docs_ds, window: int = 8, text_col: str = "text",
+              id_col: str = "doc_id", num_partitions: int = 2):
+    """-> Dataset(doc_id, n_windows, n_dup_windows, dup_frac_q) over
+    docs with >= 1 window.  A window position is duplicated when its
+    w-gram occurs >= 2 times corpus-wide (any doc, any position)."""
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        return window_hash_batch(t, window, text_col, id_col)
+
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t.column("sum(m)"), 2))
+        return keep.select(["whash"])
+
+    # answer-scale (distinct duplicated hashes); materialized so the
+    # join below doesn't re-run the aggregation per consumer
+    dup_hashes = (exploded.groupby("whash").aggregate(Sum("m"))
+                  .map_batches(only_dup, batch_format="pyarrow")
+                  .materialize())
+
+    # fractional-CPU join aggregators (same rationale as
+    # dedup.verify_jaccard: full-weight join actors deadlock scheduling
+    # on small clusters)
+    dups = exploded.join(dup_hashes, "inner", num_partitions,
+                         on=("whash",),
+                         aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(t), dtype=np.int64))
+        return pa.table({id_col: t.column(id_col),
+                         "n_windows": z,
+                         "dup_m": t.column("m")})
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater(t.column("n_windows"), 0))
+        z = pa.array(np.zeros(len(keep), dtype=np.int64))
+        return pa.table({id_col: keep.column(id_col),
+                         "n_windows": keep.column("n_windows"),
+                         "dup_m": z})
+
+    counts = (docs_ds
+              .map_batches(lambda t: window_count_batch(
+                  t, window, text_col, id_col), batch_format="pyarrow")
+              .map_batches(tag_counts, batch_format="pyarrow"))
+
+    merged = (counts.union(dups.map_batches(tag_dup,
+                                            batch_format="pyarrow"))
+              .groupby(id_col)
+              .aggregate(Sum("n_windows"), Sum("dup_m")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = np.asarray(t.column("sum(n_windows)").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        nd = np.asarray(t.column("sum(dup_m)").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        frac = np.floor(nd / np.maximum(nw, 1) * 10000 + 0.5).astype(
+            np.int64)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "n_windows": pa.array(nw, type=pa.int64()),
+            "n_dup_windows": pa.array(nd, type=pa.int64()),
+            "dup_frac_q": pa.array(frac, type=pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
