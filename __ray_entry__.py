@@ -651,6 +651,17 @@ def _dup_spans(sf_dir: str) -> pd.DataFrame:
     return dup_spans(_docs_ds(sf_dir), window=8).to_pandas()
 
 
+#: unigram-LM vocab cutoff for the driver gate — deliberately smaller
+#: than the fixture vocabulary (31 terms at sf0.01) so the OOV path is
+#: exercised by the oracle
+LM_V = 16
+
+
+def _lm_score(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.lmscore import lm_score
+    return lm_score(_docs_ds(sf_dir), vocab_size=LM_V).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -721,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         "decontaminate": _decontaminate,
         "dup_spans": _dup_spans,
+        "lm_score": _lm_score,
     }
 
 
@@ -1263,6 +1275,34 @@ SELECT doc_id, n_windows, n_dup_windows,
        CAST(floor(n_dup_windows::DOUBLE / n_windows * 10000 + 0.5)
             AS BIGINT) AS dup_frac_q
 FROM pd"""
+
+    # unigram-LM scoring: per-term log-probs quantized ONCE to int64
+    # (libm log == DuckDB ln), per-doc scores are exact integer sums —
+    # order-independent, so the hashes match bit-for-bit
+    from rayfts.ops.lmscore import LP_SCALE
+    sqls["lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '{TOKEN_SQL_RE}')) AS t
+  FROM documents),
+cnt AS (SELECT t, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM cnt),
+vocab AS (SELECT t, n FROM cnt ORDER BY n DESC, t LIMIT {LM_V}),
+lp AS (
+  SELECT t, CAST(floor(ln(n / (SELECT total FROM tot)) * {LP_SCALE}
+                       + 0.5) AS BIGINT) AS lpq
+  FROM vocab),
+scored AS (
+  SELECT toks.doc_id,
+         coalesce(lp.lpq,
+                  (SELECT CAST(floor(ln(1.0 / total) * {LP_SCALE} + 0.5)
+                               AS BIGINT) FROM tot)) AS lpq,
+         CASE WHEN lp.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks LEFT JOIN lp ON lp.t = toks.t)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+       sum(lpq)::BIGINT AS logprob_q
+FROM scored GROUP BY 1"""
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

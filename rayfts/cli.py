@@ -155,6 +155,87 @@ def cmd_verify(args) -> int:
     return 0
 
 
+#: scrub-op registry: name -> (needs_benchmark, builder(ds, args) -> Dataset)
+def _scrub_ops():
+    from .ops import codescan, decontam, dedup, lmscore, spandedup, textstats
+
+    def mb(fn):
+        return lambda ds, a: ds.map_batches(
+            lambda t: fn(t, text_col=a.text_col, id_col=a.id_col),
+            batch_format="pyarrow")
+
+    def _minhash_dups(ds, a):
+        cand = dedup.minhash_candidate_pairs(ds, text_col=a.text_col,
+                                             id_col=a.id_col)
+        return dedup.verify_jaccard(cand, ds, tau=a.tau,
+                                    text_col=a.text_col, id_col=a.id_col)
+
+    def _decontaminate(ds, a):
+        import ray.data as rd
+        if not a.benchmark:
+            raise SystemExit("--benchmark <parquet> required for "
+                             "the decontaminate op")
+        bench = rd.read_parquet(a.benchmark)
+        return decontam.decontaminate(ds, bench, n=a.ngram,
+                                      text_col=a.text_col,
+                                      id_col=a.id_col)
+
+    return {
+        "pii_scan": mb(codescan.pii_scan_batch),
+        "pii_redact": mb(codescan.pii_redact_batch),
+        "quality": mb(textstats.quality_batch),
+        "lang_id": mb(textstats.langid_batch),
+        "token_counts": mb(textstats.token_counts_batch),
+        "repetition": mb(textstats.repetition_batch),
+        "fingerprints": mb(textstats.fingerprint_batch),
+        "dedup_exact": lambda ds, a: dedup.exact_duplicates(
+            ds, text_col=a.text_col, id_col=a.id_col),
+        "minhash_dups": _minhash_dups,
+        "dup_spans": lambda ds, a: spandedup.dup_spans(
+            ds, window=a.window, text_col=a.text_col, id_col=a.id_col),
+        "decontaminate": _decontaminate,
+        "lm_score": lambda ds, a: lmscore.lm_score(
+            ds, vocab_size=a.vocab_size, text_col=a.text_col,
+            id_col=a.id_col),
+    }
+
+
+def cmd_scrub(args) -> int:
+    """Run the LLM-data-pipeline ops over a documents parquet as one
+    submit-able job.  Each op streams to its own partitioned parquet
+    directory under --output and drops a done.json marker, so a failed
+    multi-op run resumes by skipping finished ops."""
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+    ops = _scrub_ops()
+    names = args.ops.split(":")
+    unknown = [n for n in names if n not in ops]
+    if unknown:
+        raise SystemExit(f"unknown scrub ops {unknown}; "
+                         f"available: {sorted(ops)}")
+    for name in names:
+        out_dir = os.path.join(args.output, name)
+        marker = os.path.join(out_dir, "done.json")
+        if os.path.exists(marker):
+            print(json.dumps({"event": "scrub_skip", "op": name,
+                              "reason": "done marker"}))
+            continue
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(args.input)
+        res = ops[name](ds, args)
+        os.makedirs(out_dir, exist_ok=True)
+        res.write_parquet(out_dir)
+        rows = rd.read_parquet(out_dir).count()
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"op": name, "rows": rows,
+                       "wall_sec": round(time.perf_counter() - t0, 3)}, f)
+        os.replace(marker + ".tmp", marker)
+        print(json.dumps({"event": "scrub_done", "op": name,
+                          "rows": rows,
+                          "wall_sec": round(time.perf_counter() - t0, 3)}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from .engine import BOOL_OPS, RANKED_OPS, run_queries
@@ -286,6 +367,29 @@ def main(argv=None) -> int:
                    help="also dump the merged per-term chunk-decode "
                         "profile (block_profiler analogue)")
     q.set_defaults(fn=cmd_query)
+
+    sc = sub.add_parser("scrub", parents=[common])
+    sc.add_argument("--input", required=True,
+                    help="documents parquet file or directory")
+    sc.add_argument("--output", required=True,
+                    help="one partitioned parquet dir per op is "
+                         "written under this root")
+    sc.add_argument("--ops", required=True,
+                    help="colon-separated op names, e.g. "
+                         "pii_scan:dedup_exact:lm_score")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--tau", type=float, default=0.5,
+                    help="jaccard threshold for minhash_dups")
+    sc.add_argument("--ngram", type=int, default=4,
+                    help="contamination n-gram size for decontaminate")
+    sc.add_argument("--window", type=int, default=8,
+                    help="token window for dup_spans")
+    sc.add_argument("--vocab-size", type=int, default=65536,
+                    help="unigram-LM vocabulary size for lm_score")
+    sc.add_argument("--benchmark", default=None,
+                    help="benchmark parquet (required by decontaminate)")
+    sc.set_defaults(fn=cmd_scrub)
 
     args = ap.parse_args(argv)
     return args.fn(args)

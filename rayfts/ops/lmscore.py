@@ -1,0 +1,182 @@
+"""Corpus-trained unigram language-model scoring — the CCNet-style
+perplexity-proxy quality signal, reduced to exactly-reproducible
+integer arithmetic.
+
+Two phases, mirroring how LM quality filters run at scale:
+
+  1. TRAIN (corpus pass + one vocab-scale shuffle): per-batch polars
+     token value-counts -> groupby(term).sum -> global term
+     frequencies; the model is the top-V terms by (count desc, term
+     asc) — a FIXED-SIZE table (V is the model size, not corpus size),
+     so collecting it to the driver and broadcasting via ``ray.put``
+     is the right architecture at 100 TB, same as shipping a trained
+     KenLM binary to every worker.
+  2. SCORE (shuffle-free actor-pool pass): per-actor the model arrives
+     once as a zero-copy object-store read; per batch a vectorized
+     polars ``replace_strict`` maps tokens -> quantized log-probs and
+     a groupby-sum folds them per doc.
+
+Exact-parity arithmetic: each distinct term's log-prob is quantized
+ONCE to int64 (``floor(ln(count/total) * 1e6 + 0.5)``, libm ``log`` =
+DuckDB ``ln``); per-doc scores are int64 SUMS of those quanta, so the
+result is independent of summation order and float round-off — the
+DuckDB oracle reproduces it bit-for-bit.  OOV tokens score
+``ln(1/total)``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+import re
+
+_TOKEN = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+TOKEN_SQL_RE = "[a-z_][a-z0-9_]*|[0-9]+"
+
+#: log-prob quantization scale (int64 quanta per nat)
+LP_SCALE = 1_000_000
+
+
+def _batch_token_counts(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch partial term counts (map-side combine before the
+    vocab-scale groupby)."""
+    texts = t.column(text_col).to_pylist()
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8)
+        vc = (s.fill_null("").str.to_lowercase()
+              .str.extract_all(TOKEN_SQL_RE)
+              .explode().drop_nulls().value_counts())
+        # value_counts columns: ("t", "count")
+        return pa.table({
+            "term": pa.array(vc.get_column("t").to_list(),
+                             type=pa.string()),
+            "n": pa.array(vc.get_column("count").cast(_pl.Int64)
+                          .to_numpy().copy(), type=pa.int64()),
+        })
+    counts: dict = {}           # pragma: no cover - semantic fallback
+    for x in texts:
+        for tok in _TOKEN.findall((x or "").lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    return pa.table({"term": pa.array(list(counts), type=pa.string()),
+                     "n": pa.array(list(counts.values()),
+                                   type=pa.int64())})
+
+
+def train_unigram_lm(docs_ds, vocab_size: int = 65536,
+                     text_col: str = "text"):
+    """-> (terms: list[str], lp_q: int64 array, lp_oov: int, total).
+
+    Distributed count + top-V selection; only the model (V rows) ever
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    counts = (docs_ds
+              .map_batches(lambda t: _batch_token_counts(t, text_col),
+                           batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("n")))
+    total = int(counts.sum("sum(n)"))
+    top = (counts.sort(["sum(n)", "term"], descending=[True, False])
+           .limit(vocab_size).to_pandas())
+    terms = top["term"].tolist()
+    lp_q = np.array(
+        [int(math.floor(math.log(int(n) / total) * LP_SCALE + 0.5))
+         for n in top["sum(n)"]], dtype=np.int64)
+    lp_oov = int(math.floor(math.log(1.0 / total) * LP_SCALE + 0.5))
+    return terms, lp_q, lp_oov, total
+
+
+class UnigramScorer:
+    """Actor-pool stage: the broadcast model is fetched once per actor."""
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+        terms, lp_q, lp_oov = (ray.get(model_ref)
+                               if not isinstance(model_ref, tuple)
+                               else model_ref)
+        self.terms, self.lp_q, self.lp_oov = list(terms), lp_q, lp_oov
+        self.text_col, self.id_col = text_col, id_col
+        self.vocab = {t: int(q) for t, q in zip(self.terms, lp_q)}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(self.id_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        texts = t.column(self.text_col).to_pylist()
+        empty = pa.table({
+            self.id_col: pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_oov": pa.array([], type=pa.int64()),
+            "logprob_q": pa.array([], type=pa.int64())})
+        if not texts:
+            return empty
+        if _pl is not None:
+            s = _pl.Series("t", texts, dtype=_pl.Utf8)
+            toks = (s.fill_null("").str.to_lowercase()
+                    .str.extract_all(TOKEN_SQL_RE))
+            lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+            flat = toks.explode().drop_nulls()
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64),
+                                lens)
+            lp = flat.replace_strict(
+                self.terms, [int(x) for x in self.lp_q],
+                default=self.lp_oov,
+                return_dtype=_pl.Int64).to_numpy()
+            oov = (~flat.is_in(self.terms)).to_numpy()
+        else:                 # pragma: no cover - semantic fallback
+            doc_l, lp_l, oov_l, lens = [], [], [], np.zeros(
+                len(texts), dtype=np.int64)
+            for d, x in enumerate(texts):
+                tk = _TOKEN.findall((x or "").lower())
+                lens[d] = len(tk)
+                for tok in tk:
+                    doc_l.append(d)
+                    q = self.vocab.get(tok)
+                    lp_l.append(self.lp_oov if q is None else q)
+                    oov_l.append(q is None)
+            doc_idx = np.array(doc_l, dtype=np.int64)
+            lp = np.array(lp_l, dtype=np.int64)
+            oov = np.array(oov_l, dtype=bool)
+        nz = np.flatnonzero(lens)
+        if len(nz) == 0:
+            return empty
+        sums = np.bincount(doc_idx, weights=lp.astype(np.float64),
+                           minlength=len(texts))
+        # int64-exact: bincount weights are float64, fine below 2^53;
+        # per-doc |sum| <= n_tokens * |lp_oov| ~ 1e4 * 2e7 = 2e11 << 2^53
+        oovs = np.bincount(doc_idx, weights=oov.astype(np.float64),
+                           minlength=len(texts))
+        return pa.table({
+            self.id_col: pa.array(ids[nz], type=pa.int64()),
+            "n_tokens": pa.array(lens[nz], type=pa.int64()),
+            "n_oov": pa.array(oovs[nz].astype(np.int64),
+                              type=pa.int64()),
+            "logprob_q": pa.array(sums[nz].astype(np.int64),
+                                  type=pa.int64()),
+        })
+
+
+def lm_score(docs_ds, vocab_size: int = 65536, text_col: str = "text",
+             id_col: str = "doc_id", concurrency: int | None = None):
+    """-> Dataset(doc_id, n_tokens, n_oov, logprob_q) over docs with
+    >= 1 token.  Train on docs_ds, then score docs_ds (self-scoring,
+    the usual corpus-quality setup; pass a different trained model via
+    UnigramScorer directly for cross-corpus scoring)."""
+    import ray
+
+    terms, lp_q, lp_oov, _ = train_unigram_lm(docs_ds, vocab_size,
+                                              text_col)
+    ref = ray.put((terms, lp_q, lp_oov))
+    if concurrency is None:
+        from .dedup import _pool_size
+        concurrency = _pool_size()
+    return docs_ds.map_batches(
+        UnigramScorer, fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,104 @@
+"""Unigram-LM scoring: exact integer-quantized log-probs, vectorized
+scorer vs per-row reference, end-to-end pipeline vs brute force."""
+
+import math
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "cat dog cat dog cat",
+    "zebra quagga xylophone",      # all rare -> OOV under small V
+    "",                            # no tokens -> excluded
+    "the the the the the the",
+]
+IDS = list(range(len(TEXTS)))
+TOK = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+
+
+def _table():
+    return pa.table({"doc_id": pa.array(IDS, type=pa.int64()),
+                     "text": pa.array(TEXTS, type=pa.string())})
+
+
+def _brute_model(texts, v):
+    counts: dict = {}
+    for x in texts:
+        for t in TOK.findall((x or "").lower()):
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    lp = {t: int(math.floor(math.log(n / total) * 1_000_000 + 0.5))
+          for t, n in top}
+    lp_oov = int(math.floor(math.log(1.0 / total) * 1_000_000 + 0.5))
+    return lp, lp_oov, total
+
+
+def _brute_scores(texts, ids, lp, lp_oov):
+    out = {}
+    for i, x in zip(ids, texts):
+        toks = TOK.findall((x or "").lower())
+        if not toks:
+            continue
+        s = sum(lp.get(t, lp_oov) for t in toks)
+        oov = sum(t not in lp for t in toks)
+        out[i] = (len(toks), oov, s)
+    return out
+
+
+def test_train_unigram_lm_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.lmscore import train_unigram_lm
+    ds = rd.from_arrow(_table())
+    terms, lp_q, lp_oov, total = train_unigram_lm(ds, vocab_size=3)
+    lp_exp, lp_oov_exp, total_exp = _brute_model(TEXTS, 3)
+    assert total == total_exp
+    assert lp_oov == lp_oov_exp
+    assert dict(zip(terms, lp_q.tolist())) == lp_exp
+    # deterministic tie-break: count desc then term asc
+    assert terms == sorted(terms, key=lambda t: (-lp_exp[t], t))[:3] \
+        or len(terms) == 3
+
+
+def test_scorer_vectorized_matches_per_row(ray_session):
+    from rayfts.ops.lmscore import UnigramScorer
+    lp, lp_oov, _ = _brute_model(TEXTS, 3)
+    terms = list(lp)
+    model = (terms, np.array([lp[t] for t in terms], dtype=np.int64),
+             lp_oov)
+    out = UnigramScorer(model)(_table()).to_pandas().set_index("doc_id")
+    exp = _brute_scores(TEXTS, IDS, lp, lp_oov)
+    assert set(out.index) == set(exp)
+    for i, (nt, oov, s) in exp.items():
+        assert int(out.loc[i, "n_tokens"]) == nt
+        assert int(out.loc[i, "n_oov"]) == oov
+        assert int(out.loc[i, "logprob_q"]) == s
+
+
+def test_lm_score_end_to_end(ray_session):
+    import ray.data as rd
+    from rayfts.ops.lmscore import lm_score
+    ds = rd.from_arrow(_table())
+    got = lm_score(ds, vocab_size=3, concurrency=2).to_pandas() \
+        .set_index("doc_id")
+    lp, lp_oov, _ = _brute_model(TEXTS, 3)
+    exp = _brute_scores(TEXTS, IDS, lp, lp_oov)
+    assert set(got.index) == set(exp)
+    for i, (nt, oov, s) in exp.items():
+        assert (int(got.loc[i, "n_tokens"]),
+                int(got.loc[i, "n_oov"]),
+                int(got.loc[i, "logprob_q"])) == (nt, oov, s)
+    # doc 3 is fully OOV; doc 5 is fully in-vocab ("the" is top term)
+    assert int(got.loc[3, "n_oov"]) == int(got.loc[3, "n_tokens"])
+    assert int(got.loc[5, "n_oov"]) == 0
+    # rarer docs score lower per token
+    mean3 = got.loc[3, "logprob_q"] / got.loc[3, "n_tokens"]
+    mean5 = got.loc[5, "logprob_q"] / got.loc[5, "n_tokens"]
+    assert mean3 < mean5
