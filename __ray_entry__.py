@@ -651,6 +651,16 @@ def _dup_spans(sf_dir: str) -> pd.DataFrame:
     return dup_spans(_docs_ds(sf_dir), window=8).to_pandas()
 
 
+TOPNGRAM_N = 3
+TOPNGRAM_K = 25
+
+
+def _top_ngrams(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.spandedup import top_ngrams
+    return top_ngrams(_docs_ds(sf_dir), n=TOPNGRAM_N,
+                      k=TOPNGRAM_K).to_pandas()
+
+
 #: unigram-LM vocab cutoff for the driver gate — deliberately smaller
 #: than the fixture vocabulary (31 terms at sf0.01) so the OOV path is
 #: exercised by the oracle
@@ -660,6 +670,82 @@ LM_V = 16
 def _lm_score(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.lmscore import lm_score
     return lm_score(_docs_ds(sf_dir), vocab_size=LM_V).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# positional sidecar: phrase / proximity queries (beyond the reference —
+# ds2i freq indexes carry no positions)
+# ---------------------------------------------------------------------------
+
+#: fixed phrase workload (embedded verbatim in the SQL oracle); the
+#: fixture text is a token stream over a ~31-word vocab, so these
+#: bigrams/trigram occur by chance at a useful rate
+PHRASES: list[tuple[int, list[str]]] = [
+    (0, ["table", "table"]),
+    (1, ["fast", "key"]),
+    (2, ["value", "table"]),
+    (3, ["scan", "query"]),
+    (4, ["data", "window"]),
+    (5, ["window", "stream", "merge"]),
+    (6, ["customer", "order"]),
+    (7, ["qqqq_unknown_term", "data"]),     # unknown first term
+]
+
+#: fixed proximity workload: (pair_id, term_a, term_b), window in tokens
+PROX_PAIRS: list[tuple[int, str, str]] = [
+    (0, "join", "hash"),
+    (1, "sort", "shuffle"),
+    (2, "big", "query"),
+    (3, "vector", "column"),
+]
+PROX_W = 3
+
+
+def _positions_for(sf_dir: str):
+    """Positional sidecar over the base index (cached + resumable)."""
+    from rayfts.positions import PositionalIndex, build_positions
+
+    idx = _index_for(sf_dir)           # base index owns the docID map
+    src = os.path.join(sf_dir, "documents.parquet")
+    index_dir = os.path.join(
+        _IDX_ROOT, hashlib.md5(f"{src}:opt".encode()).hexdigest()[:12])
+    pos_dir = index_dir + "_pos"
+    build_positions(index_dir, pos_dir, num_shards=8)
+    return PositionalIndex(pos_dir), idx
+
+
+def _phrase_counts(sf_dir: str) -> pd.DataFrame:
+    from rayfts.positions import phrase_doc_counts
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    pids, docs, occs = [], [], []
+    for pid, terms in PHRASES:
+        d, c = phrase_doc_counts(pidx, terms)
+        pids.extend([pid] * len(d))
+        docs.extend(sid[d].tolist())
+        occs.extend(c.tolist())
+    out = pd.DataFrame({"phrase_id": pd.Series(pids, dtype=np.int64),
+                        "doc_id": pd.Series(docs, dtype=np.int64),
+                        "n_occ": pd.Series(occs, dtype=np.int64)})
+    return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
+def _proximity_counts(sf_dir: str) -> pd.DataFrame:
+    from rayfts.positions import proximity_doc_counts
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    pids, docs, near = [], [], []
+    for pid, a, b in PROX_PAIRS:
+        d, c = proximity_doc_counts(pidx, a, b, PROX_W)
+        pids.extend([pid] * len(d))
+        docs.extend(sid[d].tolist())
+        near.extend(c.tolist())
+    out = pd.DataFrame({"pair_id": pd.Series(pids, dtype=np.int64),
+                        "doc_id": pd.Series(docs, dtype=np.int64),
+                        "n_near": pd.Series(near, dtype=np.int64)})
+    return out.sort_values(["pair_id", "doc_id"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -732,7 +818,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _pii_redact,
         "decontaminate": _decontaminate,
         "dup_spans": _dup_spans,
+        "top_ngrams": _top_ngrams,
         "lm_score": _lm_score,
+        # positional sidecar (beyond-reference full-text ops)
+        "phrase_counts": _phrase_counts,
+        "proximity_counts": _proximity_counts,
     }
 
 
@@ -1276,6 +1366,20 @@ SELECT doc_id, n_windows, n_dup_windows,
             AS BIGINT) AS dup_frac_q
 FROM pd"""
 
+    tn = TOPNGRAM_N
+    sqls["top_ngrams"] = f"""
+WITH {_w_toks},
+w AS (
+  SELECT unnest(CASE WHEN len(ts) >= {tn}
+                THEN [array_to_string(ts[i:i+{tn - 1}], ' ')
+                      for i in range(1, len(ts)-{tn - 2})]
+                ELSE [] END) AS gram
+  FROM toks)
+SELECT gram, count(*)::BIGINT AS n
+FROM w GROUP BY 1
+ORDER BY n DESC, gram
+LIMIT {TOPNGRAM_K}"""
+
     # unigram-LM scoring: per-term log-probs quantized ONCE to int64
     # (libm log == DuckDB ln), per-doc scores are exact integer sums —
     # order-independent, so the hashes match bit-for-bit
@@ -1303,6 +1407,42 @@ scored AS (
 SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
        sum(lpq)::BIGINT AS logprob_q
 FROM scored GROUP BY 1"""
+
+    # phrase / proximity over the positional sidecar: DuckDB recomputes
+    # positions from the raw text with list comprehensions (1-based; the
+    # engine is 0-based — counts are index-origin-invariant)
+    _w_toks_d = (f"toks AS (SELECT doc_id, regexp_extract_all("
+                 f"lower(coalesce(text, '')), '{TOKEN_SQL_RE}') AS ts "
+                 f"FROM documents)")
+    ph_parts = []
+    for pid, ws in PHRASES:
+        L = len(ws)
+        cond = " AND ".join(
+            (f"ts[i] = '{w}'" if j == 0 else f"ts[i+{j}] = '{w}'")
+            for j, w in enumerate(ws))
+        ph_parts.append(
+            f"SELECT {pid} AS phrase_id, doc_id, "
+            f"len([i for i in range(1, len(ts) - {L - 2}) if {cond}])"
+            f"::BIGINT AS n_occ FROM toks")
+    sqls["phrase_counts"] = f"""
+WITH {_w_toks_d},
+u AS ({' UNION ALL '.join(ph_parts)})
+SELECT phrase_id, doc_id, n_occ FROM u WHERE n_occ > 0"""
+
+    px_parts = []
+    for pid, a, b in PROX_PAIRS:
+        px_parts.append(f"""
+SELECT {pid} AS pair_id, doc_id,
+       len([p for p in [i for i in range(1, len(ts) + 1)
+                        if ts[i] = '{a}']
+            if len([q for q in [j for j in range(1, len(ts) + 1)
+                                if ts[j] = '{b}']
+                    if abs(p - q) <= {PROX_W}]) > 0])::BIGINT AS n_near
+FROM toks""")
+    sqls["proximity_counts"] = f"""
+WITH {_w_toks_d},
+u AS ({' UNION ALL '.join(px_parts)})
+SELECT pair_id, doc_id, n_near FROM u WHERE n_near > 0"""
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

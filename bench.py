@@ -126,6 +126,8 @@ _COMPACT_KEYS = (
     "throughput_docs_per_sec", "throughput_samples", "efficiency_samples",
     "scaling_efficiency_4_to_16", "scaling_efficiency_8_to_32",
     "scaling_efficiency_4_to_16_best", "scaling_efficiency_8_to_32_best",
+    # positional sidecar
+    "positions",
 )
 
 
@@ -464,6 +466,49 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
         stage_secs["query_service"] = round(svc_s, 3)
         extra["query_service_qps"] = round(2 * len(queries) / svc_s, 1)
         svc.shutdown()
+
+        # ---- positional sidecar: one extra content pass (replayed docID
+        # map) + phrase / proximity query latency.  Timed under `extra`,
+        # not stage_secs, so the headline `value` stays comparable across
+        # rounds.
+        from rayfts.positions import (PositionalIndex, build_positions,
+                                      phrase_doc_counts,
+                                      proximity_doc_counts)
+        pos_dir = index_dir + "_pos"
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pmeta = build_positions(index_dir, pos_dir, num_shards=128)
+        pos_s = time.perf_counter() - t0
+        pidx = PositionalIndex(pos_dir)
+        phrases = [["def", "return"], ["if", "else"], ["for", "while"],
+                   ["return", "if"], ["import", "class"],
+                   ["int", "void"], ["let", "var"]]
+        pairs = [("def", "if"), ("for", "let"), ("class", "struct")]
+        for ph in phrases:                    # untimed warm-up (IO+decode)
+            phrase_doc_counts(pidx, ph)
+        samples = []
+        for _ in range(3):
+            for ph in phrases:
+                tq = time.perf_counter()
+                phrase_doc_counts(pidx, ph)
+                samples.append(time.perf_counter() - tq)
+        prox_samples = []
+        for a, b in pairs:
+            proximity_doc_counts(pidx, a, b, 3)
+        for _ in range(3):
+            for a, b in pairs:
+                tq = time.perf_counter()
+                proximity_doc_counts(pidx, a, b, 3)
+                prox_samples.append(time.perf_counter() - tq)
+        extra["positions"] = {
+            "build_sec": round(pos_s, 3),
+            "pos_per_sec": round(pmeta["total_pos"] / pos_s, 1),
+            "total_pos": pmeta["total_pos"],
+            "phrase_p50_ms": round(
+                float(np.percentile(np.asarray(samples) * 1e3, 50)), 3),
+            "prox_p50_ms": round(
+                float(np.percentile(np.asarray(prox_samples) * 1e3, 50)), 3),
+        }
 
         # ---- reference protocol on the reference-shaped collection
         t0 = time.perf_counter()

@@ -236,6 +236,39 @@ def cmd_scrub(args) -> int:
     return 0
 
 
+def cmd_positions(args) -> int:
+    """Build the positional sidecar for an existing index."""
+    _ensure_ray(args.num_cpus)
+    from .positions import build_positions
+    meta = build_positions(args.index, args.output,
+                           num_shards=args.num_shards)
+    print(json.dumps({"event": "positions_done", **meta}))
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    """Phrase / proximity lookups over a positional sidecar.  Queries:
+    one per line; words separated by spaces.  With --window W, each
+    2-word query runs as a proximity query instead of an exact phrase."""
+    from .positions import (PositionalIndex, phrase_doc_counts,
+                            proximity_doc_counts)
+    pidx = PositionalIndex(args.positions)
+    with open(args.queries) as f:
+        lines = [ln.strip().split() for ln in f if ln.strip()]
+    for qid, words in enumerate(lines):
+        if args.window is not None:
+            if len(words) != 2:
+                raise SystemExit("--window requires 2-word queries")
+            docs, counts = proximity_doc_counts(
+                pidx, words[0], words[1], args.window)
+        else:
+            docs, counts = phrase_doc_counts(pidx, words)
+        print(json.dumps({"query": qid, "terms": words,
+                          "n_docs": int(len(docs)),
+                          "total_matches": int(counts.sum())}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _ensure_ray(args.num_cpus)
     from .engine import BOOL_OPS, RANKED_OPS, run_queries
@@ -390,6 +423,23 @@ def main(argv=None) -> int:
     sc.add_argument("--benchmark", default=None,
                     help="benchmark parquet (required by decontaminate)")
     sc.set_defaults(fn=cmd_scrub)
+
+    po = sub.add_parser("positions", parents=[common])
+    po.add_argument("--index", required=True,
+                    help="an existing index dir (owns the docID map)")
+    po.add_argument("--output", required=True)
+    po.add_argument("--num-shards", type=int, default=16)
+    po.set_defaults(fn=cmd_positions)
+
+    phq = sub.add_parser("phrase", parents=[common])
+    phq.add_argument("--positions", required=True,
+                     help="positional sidecar dir")
+    phq.add_argument("--queries", required=True,
+                     help="one space-separated phrase per line")
+    phq.add_argument("--window", type=int, default=None,
+                     help="proximity window (2-word queries only); "
+                          "omit for exact phrase")
+    phq.set_defaults(fn=cmd_phrase)
 
     args = ap.parse_args(argv)
     return args.fn(args)

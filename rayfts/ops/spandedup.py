@@ -199,3 +199,33 @@ def dup_spans(docs_ds, window: int = 8, text_col: str = "text",
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def top_ngrams(docs_ds, n: int = 3, k: int = 20, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Corpus-wide most-frequent token n-grams — the boilerplate /
+    template detector (the candidate list an operator reviews before
+    adding removal rules).  Map-side combine (per-batch gram
+    value-counts) keeps the one wide exchange at vocab scale, not
+    corpus scale; the sort/limit runs on the aggregated gram table.
+    -> Dataset(gram, n) of the top k by (count desc, gram asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        _, grams = window_grams(texts, n, unique=False)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(grams, return_counts=True)
+        return pa.table({"gram": pa.array(uniq, type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    return (docs_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("gram").aggregate(Sum("n"))
+            .sort(["sum(n)", "gram"], descending=[True, False])
+            .limit(k)
+            .map_batches(lambda t: pa.table(
+                {"gram": t.column("gram"),
+                 "n": t.column("sum(n)").cast(pa.int64())}),
+                batch_format="pyarrow"))

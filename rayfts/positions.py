@@ -1,0 +1,389 @@
+"""Positional sidecar index + phrase / proximity queries.
+
+Beyond the reference: ds2i freq indexes store (docs, freqs) only —
+`binary_freq_collection` has no position stream (reference
+binary_freq_collection.hpp) — so phrase and proximity queries are
+impossible there.  This module adds a POSITIONAL SIDECAR next to an
+existing index: one extra content pass (re-using the main build's
+persisted docID map, so the assignment is bit-identical and the key
+columns never shuffle again) producing term-sharded posting lists that
+carry, per (term, doc), the strictly-increasing token positions as
+delta+vbyte payloads.
+
+Scale notes (the partitioning assumptions, per the custom-operator
+contract):
+  * The content pass streams the corpus ONCE through `map_batches`;
+    emitted rows are (term, doc_id, packed positions) — the payload is
+    O(total token occurrences) which is the information-theoretic floor
+    for a positional index; rows never carry raw text.
+  * The one wide exchange is a `groupby(shard)` where
+    shard = md5(term) % num_shards: position lookups know the shard
+    without any lexicon broadcast.  A stop-word term concentrates its
+    payload in one shard group — acceptable for a sidecar used by
+    selective phrase queries; raise `num_shards` for web-scale vocabs.
+  * Serving reads one shard parquet with a `term ==` predicate
+    (row-group pruning; rows are written term-sorted with small row
+    groups), decodes with the vectorized vbyte kernels, and never
+    materializes any O(corpus) structure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .codecs import vbyte
+from .ops.hashing import md5_u64
+from .tokenizer import _flat_tokens
+
+_POS_SCHEMA = pa.schema([
+    ("term", pa.string()), ("doc_id", pa.int64()),
+    ("npos", pa.int64()), ("pos_vb", pa.binary()),
+    ("shard", pa.int64()),
+])
+
+
+# ---------------------------------------------------------------------------
+# docID-map recovery (the main build's assignment, replayed)
+# ---------------------------------------------------------------------------
+
+def _docidmap_meta(index_dir: str):
+    """-> (map_dir, last_keys, offsets): per-bucket last sortkey + docID
+    offsets, recovered from the persisted docidmap bucket files.  The
+    bucket files partition the sorted key space, so
+    ``searchsorted(last_keys, key)`` reproduces the original bucket
+    assignment exactly for every key present in the corpus."""
+    import ray
+
+    map_dir = os.path.join(index_dir, "docidmap")
+    files = sorted(f for f in os.listdir(map_dir) if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"{index_dir}: no docidmap bucket files")
+
+    @ray.remote
+    def _meta(path: str):
+        t = pq.read_table(path, columns=["sortkey"])
+        col = t.column("sortkey")
+        return len(col), col[-1].as_py() if len(col) else ""
+
+    metas = ray.get([_meta.remote(os.path.join(map_dir, f)) for f in files])
+    counts = np.array([m[0] for m in metas], dtype=np.int64)
+    last_keys = np.array([m[1] for m in metas], dtype=object)
+    offsets = np.zeros(len(files), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return map_dir, files, last_keys, offsets
+
+
+_MAP_CACHE: dict[str, np.ndarray] = {}
+
+
+def _assign_doc_ids(t: pa.Table, *, map_dir: str, files: list,
+                    last_keys: np.ndarray, offsets: np.ndarray,
+                    key_cols: list[str]) -> np.ndarray:
+    """Replay the main build's docID assignment for one batch (same
+    sortkey construction, same bucket files; per-worker bucket cache)."""
+    from .build import _add_sortkey
+
+    sk = _add_sortkey(t, key_cols).column("sortkey") \
+        .to_numpy(zero_copy_only=False)
+    buckets = np.searchsorted(last_keys, sk, side="left")
+    doc_ids = np.empty(len(sk), dtype=np.int64)
+    for b in np.unique(buckets):
+        sel = buckets == b
+        path = os.path.join(map_dir, files[int(b)])
+        keys = _MAP_CACHE.get(path)
+        if keys is None:
+            keys = pq.read_table(path).column("sortkey") \
+                     .to_numpy(zero_copy_only=False)
+            _MAP_CACHE[path] = keys
+        doc_ids[sel] = offsets[int(b)] + np.searchsorted(keys, sk[sel])
+    return doc_ids
+
+
+# ---------------------------------------------------------------------------
+# content pass: tokenize with positions, pack per (term, doc)
+# ---------------------------------------------------------------------------
+
+def positions_batch(t: pa.Table, *, text_col: str, doc_ids: np.ndarray,
+                    num_shards: int) -> pa.Table:
+    """One batch of docs -> (term, doc_id, npos, pos_vb, shard) rows.
+    Positions are 0-based token indices; pos_vb = vbyte of
+    [p0, p1-p0, p2-p1, ...] (first absolute, then gaps)."""
+    texts = t.column(text_col).to_pylist()
+    toks, doc_lens = _flat_tokens(texts, doc_ids)
+    total = int(doc_lens.sum())
+    if total == 0:
+        return _POS_SCHEMA.empty_table()
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doc_lens)
+    starts_of_doc = np.cumsum(doc_lens) - doc_lens
+    pos = np.arange(total, dtype=np.int64) - starts_of_doc[doc_idx]
+
+    uniq, codes = np.unique(np.asarray(toks, dtype=object),
+                            return_inverse=True)
+    order = np.lexsort((pos, codes, doc_idx))
+    d, c, p = doc_idx[order], codes[order], pos[order]
+    new = np.empty(total, dtype=bool)
+    new[0] = True
+    np.logical_or(d[1:] != d[:-1], c[1:] != c[:-1], out=new[1:])
+    g_start = np.flatnonzero(new)
+    g_len = np.diff(np.append(g_start, total))
+    # delta within each (doc, term) group, first element absolute
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    deltas[g_start] = p[g_start]
+    payload = vbyte.encode(deltas)
+    blens = vbyte.value_lengths(deltas)
+    bends = np.cumsum(blens)
+    bstarts = bends - blens
+    g_b0 = bstarts[g_start]
+    g_b1 = bends[g_start + g_len - 1]
+    buf = payload.tobytes()
+    g_codes = c[g_start]
+    uniq_shards = (md5_u64(uniq) % np.uint64(num_shards)).astype(np.int64)
+    return pa.table({
+        "term": pa.array(uniq[g_codes], type=pa.string()),
+        "doc_id": pa.array(d[g_start], type=pa.int64()),
+        "npos": pa.array(g_len, type=pa.int64()),
+        "pos_vb": pa.array([buf[a:b] for a, b in zip(g_b0, g_b1)],
+                           type=pa.binary()),
+        "shard": pa.array(uniq_shards[g_codes], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# encode stage: per-shard term-sorted positional posting lists
+# ---------------------------------------------------------------------------
+
+def _encode_shard(group: pa.Table, *, pos_dir: str) -> pa.Table:
+    empty = pa.table({"shard": pa.array([], type=pa.int64()),
+                      "num_terms": pa.array([], type=pa.int64()),
+                      "total_pos": pa.array([], type=pa.int64())})
+    if group.num_rows == 0:
+        return empty
+    shard = int(group.column("shard")[0].as_py())
+    idx = pc.sort_indices(group, sort_keys=[("term", "ascending"),
+                                            ("doc_id", "ascending")])
+    g = group.take(idx)
+    terms = g.column("term").to_pylist()
+    docs = g.column("doc_id").to_numpy()
+    npos = g.column("npos").to_numpy()
+    pos_bufs = g.column("pos_vb").to_pylist()
+    n = len(terms)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    tarr = np.asarray(terms, dtype=object)
+    new[1:] = tarr[1:] != tarr[:-1]
+    t_start = np.flatnonzero(new)
+    t_len = np.diff(np.append(t_start, n))
+    out_terms, out_nd, out_np = [], [], []
+    out_docs, out_cnts, out_pos = [], [], []
+    for s, ln in zip(t_start, t_len):
+        dd = docs[s:s + ln]
+        out_terms.append(tarr[s])
+        out_nd.append(int(ln))
+        out_np.append(int(npos[s:s + ln].sum()))
+        gaps = dd.copy()
+        gaps[1:] -= dd[:-1]
+        out_docs.append(vbyte.encode(gaps).tobytes())
+        out_cnts.append(vbyte.encode(npos[s:s + ln]).tobytes())
+        out_pos.append(b"".join(pos_bufs[s:s + ln]))
+    table = pa.table({
+        "term": pa.array(out_terms, type=pa.string()),
+        "n_docs": pa.array(out_nd, type=pa.int64()),
+        "n_pos": pa.array(out_np, type=pa.int64()),
+        "docs_vb": pa.array(out_docs, type=pa.binary()),
+        "cnts_vb": pa.array(out_cnts, type=pa.binary()),
+        "pos_vb": pa.array(out_pos, type=pa.binary()),
+    })
+    path = os.path.join(pos_dir, f"shard_{shard:05d}.parquet")
+    pq.write_table(table, path + ".tmp", row_group_size=512)
+    os.replace(path + ".tmp", path)
+    return pa.table({"shard": pa.array([shard], type=pa.int64()),
+                     "num_terms": pa.array([len(out_terms)],
+                                           type=pa.int64()),
+                     "total_pos": pa.array([int(sum(out_np))],
+                                           type=pa.int64())})
+
+
+def build_positions(index_dir: str, pos_dir: str, *,
+                    num_shards: int = 16) -> dict:
+    """Build the positional sidecar for an existing index.  Source path,
+    key columns and text column come from the index's own lineage
+    markers (docs.done.json / tokens.done.json) so the docID space is
+    guaranteed to match.  Resumable via positions.done.json."""
+    import ray.data as rd
+
+    marker = os.path.join(pos_dir, "positions.done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    with open(os.path.join(index_dir, "docs.done.json")) as f:
+        docs_meta = json.load(f)
+    with open(os.path.join(index_dir, "tokens.done.json")) as f:
+        text_col = json.load(f)["text_col"]
+    source_path, key_cols = docs_meta["input"], docs_meta["key_cols"]
+    map_dir, files, last_keys, offsets = _docidmap_meta(index_dir)
+    os.makedirs(pos_dir, exist_ok=True)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        if "doc_id" in t.column_names:
+            t = t.rename_columns(["src_doc_id" if c == "doc_id" else c
+                                  for c in t.column_names])
+        return t
+
+    def _row_fn(t: pa.Table) -> pa.Table:
+        t = _rename(t)
+        if t.num_rows == 0:
+            return _POS_SCHEMA.empty_table()
+        ids = _assign_doc_ids(t, map_dir=map_dir, files=files,
+                              last_keys=last_keys, offsets=offsets,
+                              key_cols=key_cols)
+        return positions_batch(t, text_col=text_col, doc_ids=ids,
+                               num_shards=num_shards)
+
+    num_docs = int(docs_meta["num_docs"])
+    rows = (rd.read_parquet(source_path,
+                            override_num_blocks=max(
+                                64, min(num_docs // 2048, 4096)))
+            .map_batches(_row_fn, batch_size=2048, batch_format="pyarrow"))
+    manifest = (rows.groupby("shard")
+                .map_groups(lambda g: _encode_shard(g, pos_dir=pos_dir),
+                            batch_format="pyarrow")
+                .to_pandas())
+    meta = {"num_shards": num_shards,
+            "num_terms": int(manifest["num_terms"].sum()),
+            "total_pos": int(manifest["total_pos"].sum()),
+            "index_dir": os.path.abspath(index_dir)}
+    pq.write_table(pa.Table.from_pandas(manifest),
+                   os.path.join(pos_dir, "manifest.parquet"))
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# serving
+# ---------------------------------------------------------------------------
+
+class PositionalIndex:
+    """Lazy positional lookups: one predicate-pushdown parquet read per
+    term, vectorized vbyte decode, small per-term LRU."""
+
+    def __init__(self, pos_dir: str):
+        with open(os.path.join(pos_dir, "positions.done.json")) as f:
+            self.meta = json.load(f)
+        self.pos_dir = pos_dir
+        self.num_shards = int(self.meta["num_shards"])
+        self._cache: dict[str, tuple] = {}
+
+    def postings(self, term: str):
+        """-> (doc_ids, starts, flat_positions): doc i's positions are
+        flat_positions[starts[i]:starts[i+1]], strictly increasing."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        # int() BEFORE %: np.uint64 % python-int promotes to float64
+        shard = int(md5_u64(np.array([term], dtype=object))[0]) \
+            % self.num_shards
+        path = os.path.join(self.pos_dir, f"shard_{shard:05d}.parquet")
+        empty = (np.empty(0, dtype=np.int64),
+                 np.zeros(1, dtype=np.int64),
+                 np.empty(0, dtype=np.int64))
+        if not os.path.exists(path):
+            return empty
+        t = pq.read_table(path, filters=[("term", "==", term)])
+        if t.num_rows == 0:
+            self._cache[term] = empty
+            return empty
+        n_docs = int(t.column("n_docs")[0].as_py())
+        n_pos = int(t.column("n_pos")[0].as_py())
+        dbuf = np.frombuffer(t.column("docs_vb")[0].as_py(), dtype=np.uint8)
+        cbuf = np.frombuffer(t.column("cnts_vb")[0].as_py(), dtype=np.uint8)
+        pbuf = np.frombuffer(t.column("pos_vb")[0].as_py(), dtype=np.uint8)
+        gaps, _ = vbyte.decode(dbuf, 0, n_docs)
+        docs = np.cumsum(gaps.astype(np.int64))
+        cnts, _ = vbyte.decode(cbuf, 0, n_docs)
+        cnts = cnts.astype(np.int64)
+        deltas, _ = vbyte.decode(pbuf, 0, n_pos)
+        deltas = deltas.astype(np.int64)
+        seg_start = np.cumsum(cnts) - cnts
+        c = np.cumsum(deltas)
+        base = np.repeat(c[seg_start] - deltas[seg_start], cnts)
+        flat = c - base
+        starts = np.append(seg_start, n_pos)
+        out = (docs, starts, flat)
+        if len(self._cache) > 4096:
+            self._cache.clear()
+        self._cache[term] = out
+        return out
+
+
+#: doc-key stride: positions fit 32 bits (a doc's token count bounds
+#: them), the extra bit absorbs small negative phrase shifts / window
+#: probes without crossing into a neighbor doc's key range
+_STRIDE = np.int64(1) << np.int64(33)
+
+
+def _doc_keyed(docs, starts, flat, cand, shift=0):
+    """Positions of candidate docs as strictly-increasing doc-offset
+    keys ``doc * STRIDE + pos + shift``."""
+    ix = np.searchsorted(docs, cand)
+    lens = starts[ix + 1] - starts[ix]
+    doc_rep = np.repeat(cand, lens)
+    take = np.concatenate(
+        [np.arange(starts[i], starts[i + 1]) for i in ix]) if len(ix) \
+        else np.empty(0, dtype=np.int64)
+    return doc_rep * _STRIDE + (flat[take] + shift), doc_rep
+
+
+def phrase_doc_counts(pidx: PositionalIndex, terms: list[str]):
+    """Exact phrase occurrence counts: -> (doc_ids, counts), docs with
+    >= 1 occurrence of terms appearing consecutively, fully vectorized
+    (multi-way sorted intersection over doc-offset position keys)."""
+    if len(terms) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    posts = [pidx.postings(t) for t in terms]
+    cand = posts[0][0]
+    for d, _, _ in posts[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    keys, _ = _doc_keyed(*posts[0], cand, shift=0)
+    for i, (d, s, f) in enumerate(posts[1:], start=1):
+        k_i, _ = _doc_keyed(d, s, f, cand, shift=-i)
+        keys = keys[np.isin(keys, k_i, assume_unique=True)]
+        if len(keys) == 0:
+            break
+    if len(keys) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    hit_docs = keys // _STRIDE
+    uniq, counts = np.unique(hit_docs, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)
+
+
+def proximity_doc_counts(pidx: PositionalIndex, t1: str, t2: str,
+                         window: int):
+    """-> (doc_ids, counts): per doc, the number of t1 occurrences with
+    a t2 occurrence within ``window`` tokens (|p1 - p2| <= window)."""
+    d1, s1, f1 = pidx.postings(t1)
+    d2, s2, f2 = pidx.postings(t2)
+    cand = d1[np.isin(d1, d2, assume_unique=True)]
+    if len(cand) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    k1, doc_rep = _doc_keyed(d1, s1, f1, cand, shift=0)
+    k2, _ = _doc_keyed(d2, s2, f2, cand, shift=0)
+    # a window around p1 stays inside the same doc's key range because
+    # positions sit in the low 32 bits and window << 2**32
+    lo = np.searchsorted(k2, k1 - window)
+    hi = np.searchsorted(k2, k1 + window, side="right")
+    near = hi > lo
+    if not near.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    uniq, counts = np.unique(doc_rep[near], return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int64)

@@ -218,3 +218,20 @@ def test_decontaminate_vs_bruteforce(ray_session):
     hs = benchmark_ngram_hashes(bench, n=4)
     assert len(hs) == len(bset)
     assert (np.diff(hs) > 0).all()
+
+
+def test_top_ngrams_vs_bruteforce(ray_session):
+    import re
+
+    import ray.data as rd
+    from rayfts.ops.spandedup import top_ngrams
+    tok = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+    counts: dict = {}
+    for text in SPAN_TEXTS:
+        ts = tok.findall((text or "").lower())
+        for j in range(len(ts) - 2):
+            g = " ".join(ts[j:j + 3])
+            counts[g] = counts.get(g, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = top_ngrams(rd.from_arrow(_span_table()), n=3, k=10).to_pandas()
+    assert list(zip(got["gram"], got["n"].astype(int))) == want

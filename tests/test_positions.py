@@ -1,0 +1,157 @@
+"""Positional sidecar index: build over a real (small) corpus via the
+main build's docID map, then check phrase / proximity counts against a
+brute-force token-list reference."""
+
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOK = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "quick brown quick brown quick brown",
+    "fox dog fox dog the fox the dog",
+    "lazy lazy lazy dog jumps",
+    "",                                   # empty doc
+    "brown fox , brown fox ; brown fox",  # punctuation split
+    "one two three four five six seven",
+    "the fox",                            # phrase at the very end
+]
+
+
+def _brute_positions(text):
+    toks = TOK.findall(text.lower())
+    pos: dict = {}
+    for i, t in enumerate(toks):
+        pos.setdefault(t, []).append(i)
+    return pos
+
+
+def _brute_phrase(terms):
+    out = {}
+    for d, x in enumerate(TEXTS):
+        toks = TOK.findall(x.lower())
+        n = sum(1 for i in range(len(toks) - len(terms) + 1)
+                if toks[i:i + len(terms)] == terms)
+        if n:
+            out[d] = n
+    return out
+
+
+def _brute_prox(a, b, w):
+    out = {}
+    for d, x in enumerate(TEXTS):
+        toks = TOK.findall(x.lower())
+        pa_ = [i for i, t in enumerate(toks) if t == a]
+        pb = [i for i, t in enumerate(toks) if t == b]
+        n = sum(1 for p in pa_ if any(abs(p - q) <= w for q in pb))
+        if n:
+            out[d] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.positions import PositionalIndex, build_positions
+
+    root = tmp_path_factory.mktemp("posidx")
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+        "text": pa.array(TEXTS, type=pa.string())}), src)
+    index_dir = str(root / "idx")
+    build_index(src, index_dir, index_type="opt", key_cols=["doc_id"],
+                text_col="text", num_shards=2)
+    pos_dir = str(root / "pos")
+    meta = build_positions(index_dir, pos_dir, num_shards=4)
+    assert meta["total_pos"] == sum(
+        len(TOK.findall(x.lower())) for x in TEXTS)
+    return PositionalIndex(pos_dir), index_dir
+
+
+def test_postings_positions_exact(pos_index):
+    pidx, _ = pos_index
+    for term in ("the", "quick", "brown", "fox", "dog", "lazy", "seven"):
+        docs, starts, flat = pidx.postings(term)
+        got = {int(d): flat[starts[i]:starts[i + 1]].tolist()
+               for i, d in enumerate(docs)}
+        want = {d: bp[term] for d, x in enumerate(TEXTS)
+                if term in (bp := _brute_positions(x))}
+        assert got == want, term
+
+
+def test_unknown_term_empty(pos_index):
+    pidx, _ = pos_index
+    docs, starts, flat = pidx.postings("zzz_never_seen")
+    assert len(docs) == 0 and len(flat) == 0
+
+
+@pytest.mark.parametrize("terms", [
+    ["quick", "brown"],
+    ["the", "fox"],
+    ["brown", "fox"],
+    ["lazy", "lazy"],
+    ["the", "lazy", "dog"],
+    ["fox", "dog", "fox"],
+    ["one", "two", "three", "four"],
+    ["zzz_never_seen", "fox"],
+])
+def test_phrase_counts(pos_index, terms):
+    from rayfts.positions import phrase_doc_counts
+    pidx, _ = pos_index
+    docs, counts = phrase_doc_counts(pidx, terms)
+    got = dict(zip(docs.tolist(), counts.tolist()))
+    assert got == _brute_phrase(terms), terms
+
+
+@pytest.mark.parametrize("pair,w", [
+    (("fox", "dog"), 1),
+    (("fox", "dog"), 3),
+    (("quick", "brown"), 1),
+    (("the", "dog"), 2),
+    (("lazy", "jumps"), 4),
+    (("zzz_never_seen", "dog"), 2),
+])
+def test_proximity_counts(pos_index, pair, w):
+    from rayfts.positions import proximity_doc_counts
+    pidx, _ = pos_index
+    docs, counts = proximity_doc_counts(pidx, pair[0], pair[1], w)
+    got = dict(zip(docs.tolist(), counts.tolist()))
+    assert got == _brute_prox(pair[0], pair[1], w), (pair, w)
+
+
+def test_build_resumes_from_marker(pos_index, tmp_path):
+    """A second build_positions call must be a no-op (marker hit)."""
+    from rayfts.positions import build_positions
+    pidx, index_dir = pos_index
+    meta2 = build_positions(pidx.pos_dir, pidx.pos_dir)  # wrong arg order
+    # intentionally exercises the marker short-circuit: pos_dir already
+    # has positions.done.json, so index_dir is never touched
+    assert meta2 == pidx.meta
+
+
+def test_docidmap_replay_matches_index(pos_index):
+    """The sidecar's replayed docIDs must match the main index's
+    assignment: every doc's token count equals the index doc length."""
+    from rayfts.index import InvertedIndex
+    pidx, index_dir = pos_index
+    idx = InvertedIndex(index_dir)
+    sid = np.zeros(idx.num_docs, dtype=np.int64)
+    dm = pq.read_table(os.path.join(index_dir, "docs"),
+                       columns=["doc_id", "src_doc_id"])
+    sid[dm.column("doc_id").to_numpy()] = dm.column("src_doc_id").to_numpy()
+    for term in ("fox", "the", "brown"):
+        docs, starts, flat = pidx.postings(term)
+        for i, d in enumerate(docs):
+            src = int(sid[int(d)])
+            want = _brute_positions(TEXTS[src]).get(term, [])
+            assert flat[starts[i]:starts[i + 1]].tolist() == want
