@@ -145,9 +145,10 @@ def positions_batch(t: pa.Table, *, text_col: str, doc_ids: np.ndarray,
     buf = payload.tobytes()
     g_codes = c[g_start]
     uniq_shards = (md5_u64(uniq) % np.uint64(num_shards)).astype(np.int64)
+    ids_arr = np.asarray(doc_ids, dtype=np.int64)
     return pa.table({
         "term": pa.array(uniq[g_codes], type=pa.string()),
-        "doc_id": pa.array(d[g_start], type=pa.int64()),
+        "doc_id": pa.array(ids_arr[d[g_start]], type=pa.int64()),
         "npos": pa.array(g_len, type=pa.int64()),
         "pos_vb": pa.array([buf[a:b] for a, b in zip(g_b0, g_b1)],
                            type=pa.binary()),
@@ -211,7 +212,7 @@ def _encode_shard(group: pa.Table, *, pos_dir: str) -> pa.Table:
 
 
 def build_positions(index_dir: str, pos_dir: str, *,
-                    num_shards: int = 16) -> dict:
+                    num_shards: int = 16, batch_size: int = 2048) -> dict:
     """Build the positional sidecar for an existing index.  Source path,
     key columns and text column come from the index's own lineage
     markers (docs.done.json / tokens.done.json) so the docID space is
@@ -250,7 +251,8 @@ def build_positions(index_dir: str, pos_dir: str, *,
     rows = (rd.read_parquet(source_path,
                             override_num_blocks=max(
                                 64, min(num_docs // 2048, 4096)))
-            .map_batches(_row_fn, batch_size=2048, batch_format="pyarrow"))
+            .map_batches(_row_fn, batch_size=batch_size,
+                         batch_format="pyarrow"))
     manifest = (rows.groupby("shard")
                 .map_groups(lambda g: _encode_shard(g, pos_dir=pos_dir),
                             batch_format="pyarrow")
@@ -281,6 +283,7 @@ class PositionalIndex:
         self.pos_dir = pos_dir
         self.num_shards = int(self.meta["num_shards"])
         self._cache: dict[str, tuple] = {}
+        self._keyed_cache: dict[str, np.ndarray] = {}
 
     def postings(self, term: str):
         """-> (doc_ids, starts, flat_positions): doc i's positions are
@@ -323,6 +326,22 @@ class PositionalIndex:
         self._cache[term] = out
         return out
 
+    def keyed(self, term: str) -> np.ndarray:
+        """The term's full doc-keyed position array
+        (``doc * STRIDE + pos``, strictly increasing) — computed once
+        per term and cached; the query kernels binary-search it instead
+        of re-gathering millions of positions per query."""
+        hit = self._keyed_cache.get(term)
+        if hit is not None:
+            return hit
+        docs, starts, flat = self.postings(term)
+        cnts = starts[1:] - starts[:-1]
+        keys = np.repeat(docs, cnts) * _STRIDE + flat
+        if len(self._keyed_cache) > 4096:
+            self._keyed_cache.clear()
+        self._keyed_cache[term] = keys
+        return keys
+
 
 #: doc-key stride: positions fit 32 bits (a doc's token count bounds
 #: them), the extra bit absorbs small negative phrase shifts / window
@@ -330,60 +349,73 @@ class PositionalIndex:
 _STRIDE = np.int64(1) << np.int64(33)
 
 
-def _doc_keyed(docs, starts, flat, cand, shift=0):
-    """Positions of candidate docs as strictly-increasing doc-offset
-    keys ``doc * STRIDE + pos + shift``."""
-    ix = np.searchsorted(docs, cand)
-    lens = starts[ix + 1] - starts[ix]
-    doc_rep = np.repeat(cand, lens)
-    take = np.concatenate(
-        [np.arange(starts[i], starts[i + 1]) for i in ix]) if len(ix) \
-        else np.empty(0, dtype=np.int64)
-    return doc_rep * _STRIDE + (flat[take] + shift), doc_rep
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of sorted-unique ``a`` in sorted-unique ``b`` —
+    one binary search instead of np.isin's concat+re-sort (both inputs
+    are already sorted here; hot phrase terms carry millions of keys)."""
+    if len(b) == 0 or len(a) == 0:
+        return np.zeros(len(a), dtype=bool)
+    pos = np.minimum(np.searchsorted(b, a), len(b) - 1)
+    return b[pos] == a
+
+
+def _runlength_counts(sorted_vals: np.ndarray):
+    """(unique values, run lengths) of an already-sorted array — skips
+    np.unique's redundant sort on multi-million-entry key sets."""
+    n = len(sorted_vals)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    np.not_equal(sorted_vals[1:], sorted_vals[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    return (sorted_vals[starts].astype(np.int64),
+            np.diff(np.append(starts, n)).astype(np.int64))
 
 
 def phrase_doc_counts(pidx: PositionalIndex, terms: list[str]):
     """Exact phrase occurrence counts: -> (doc_ids, counts), docs with
-    >= 1 occurrence of terms appearing consecutively, fully vectorized
-    (multi-way sorted intersection over doc-offset position keys)."""
+    >= 1 occurrence of terms appearing consecutively.
+
+    DAAT-style cost ordering on positions: the probe set starts as the
+    RAREST term's cached doc-keyed array and each other term is tested
+    by binary search into ITS cached array — per query the work is
+    O(rarest * sum(log n_i)); no per-query multi-million-entry gathers
+    (the arrays are built once in PositionalIndex.keyed)."""
     if len(terms) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    posts = [pidx.postings(t) for t in terms]
-    cand = posts[0][0]
-    for d, _, _ in posts[1:]:
-        cand = cand[np.isin(cand, d, assume_unique=True)]
-    if len(cand) == 0:
+    keyed = [pidx.keyed(t) for t in terms]
+    if any(len(k) == 0 for k in keyed):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    keys, _ = _doc_keyed(*posts[0], cand, shift=0)
-    for i, (d, s, f) in enumerate(posts[1:], start=1):
-        k_i, _ = _doc_keyed(d, s, f, cand, shift=-i)
-        keys = keys[np.isin(keys, k_i, assume_unique=True)]
-        if len(keys) == 0:
-            break
+    j0 = int(np.argmin([len(k) for k in keyed]))
+    # candidate phrase-START keys, anchored at the rarest term: its
+    # occurrence at doc-key k means the phrase would start at k - j0
+    keys = keyed[j0] - j0
+    order = np.argsort([len(k) for k in keyed], kind="stable")
+    for j in order:
+        j = int(j)
+        if j == j0 or len(keys) == 0:
+            continue
+        keys = keys[_in_sorted(keys + j, keyed[j])]
     if len(keys) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    hit_docs = keys // _STRIDE
-    uniq, counts = np.unique(hit_docs, return_counts=True)
-    return uniq.astype(np.int64), counts.astype(np.int64)
+    return _runlength_counts(keys // _STRIDE)
 
 
 def proximity_doc_counts(pidx: PositionalIndex, t1: str, t2: str,
                          window: int):
     """-> (doc_ids, counts): per doc, the number of t1 occurrences with
-    a t2 occurrence within ``window`` tokens (|p1 - p2| <= window)."""
-    d1, s1, f1 = pidx.postings(t1)
-    d2, s2, f2 = pidx.postings(t2)
-    cand = d1[np.isin(d1, d2, assume_unique=True)]
-    if len(cand) == 0:
+    a t2 occurrence within ``window`` tokens (|p1 - p2| <= window).
+    Probes t1's cached doc-keyed array directly against t2's — t1
+    occurrences in docs without t2 simply find no neighbor, so no
+    document-intersection pass is needed; a window probe cannot cross
+    into a neighboring doc's key range (positions occupy the low 32
+    bits of the 2^33 stride)."""
+    k1 = pidx.keyed(t1)
+    k2 = pidx.keyed(t2)
+    if len(k1) == 0 or len(k2) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    k1, doc_rep = _doc_keyed(d1, s1, f1, cand, shift=0)
-    k2, _ = _doc_keyed(d2, s2, f2, cand, shift=0)
-    # a window around p1 stays inside the same doc's key range because
-    # positions sit in the low 32 bits and window << 2**32
     lo = np.searchsorted(k2, k1 - window)
     hi = np.searchsorted(k2, k1 + window, side="right")
     near = hi > lo
     if not near.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    uniq, counts = np.unique(doc_rep[near], return_counts=True)
-    return uniq.astype(np.int64), counts.astype(np.int64)
+    return _runlength_counts(k1[near] // _STRIDE)

@@ -100,3 +100,44 @@ def test_cli_shard_build_and_merge(ray_session, capsys, tmp_path_factory):
     assert mdone["num_docs"] == 150 and mdone["total_postings"] > 0
     idx = InvertedIndex(merged)
     assert len(search.block_max_wand_fast(idx, ["def", "return"], 10)) == 10
+
+
+def test_cli_scrub_runs_and_resumes(ray_session, capsys, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(["the cat sat", "the cat sat", "dog runs fast",
+                          "", "cat cat cat", "one two three"])}), src)
+    out = str(tmp_path / "scrub")
+    ev = _run_cli(capsys, ["scrub", "--input", src, "--output", out,
+                           "--ops", "token_counts:dedup_exact"])
+    assert [e["event"] for e in ev] == ["scrub_done", "scrub_done"]
+    assert all(e["rows"] > 0 for e in ev)
+    # second run: done markers short-circuit every op
+    ev2 = _run_cli(capsys, ["scrub", "--input", src, "--output", out,
+                            "--ops", "token_counts:dedup_exact"])
+    assert [e["event"] for e in ev2] == ["scrub_skip", "scrub_skip"]
+
+
+def test_cli_positions_and_phrase(cli_index, ray_session, capsys,
+                                  tmp_path):
+    pos_dir = str(tmp_path / "pos")
+    ev = _run_cli(capsys, ["positions", "--index", cli_index,
+                           "--output", pos_dir, "--num-shards", "4"])
+    assert ev[-1]["event"] == "positions_done"
+    assert ev[-1]["total_pos"] > 0
+    qf = str(tmp_path / "q.txt")
+    with open(qf, "w") as f:
+        f.write("def return\nreturn if\n")
+    out = _run_cli(capsys, ["phrase", "--positions", pos_dir,
+                            "--queries", qf])
+    assert len(out) == 2
+    assert all(o["n_docs"] >= 0 and o["total_matches"] >= o["n_docs"] * 0
+               for o in out)
+    prox = _run_cli(capsys, ["phrase", "--positions", pos_dir,
+                             "--queries", qf, "--window", "3"])
+    # a proximity match set always contains the exact-phrase matches
+    for o, p in zip(out, prox):
+        assert p["n_docs"] >= o["n_docs"]

@@ -72,7 +72,10 @@ def pos_index(ray_session, tmp_path_factory):
     build_index(src, index_dir, index_type="opt", key_cols=["doc_id"],
                 text_col="text", num_shards=2)
     pos_dir = str(root / "pos")
-    meta = build_positions(index_dir, pos_dir, num_shards=4)
+    # batch_size=3: multiple content batches, so batch-LOCAL doc indices
+    # differ from global docIDs (regression: r3 bug where positions_batch
+    # emitted the local index)
+    meta = build_positions(index_dir, pos_dir, num_shards=4, batch_size=3)
     assert meta["total_pos"] == sum(
         len(TOK.findall(x.lower())) for x in TEXTS)
     return PositionalIndex(pos_dir), index_dir
