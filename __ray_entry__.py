@@ -651,6 +651,34 @@ def _dup_spans(sf_dir: str) -> pd.DataFrame:
     return dup_spans(_docs_ds(sf_dir), window=8).to_pandas()
 
 
+def _decontaminate_clean(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.decontam import decontaminate
+
+    def _part(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = (ids % DECON_MOD == 0) == keep_bench
+            return t.filter(pa.array(m))
+        return f
+
+    bench = _docs_ds(sf_dir).map_batches(_part(True),
+                                         batch_format="pyarrow")
+    corpus = _docs_ds(sf_dir).map_batches(_part(False),
+                                          batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=DECON_N,
+                         emit="clean").to_pandas()
+
+
+COLLOC_K = 20
+COLLOC_MIN = 5
+
+
+def _collocations(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.collocations import top_collocations
+    return top_collocations(_docs_ds(sf_dir), k=COLLOC_K,
+                            min_count=COLLOC_MIN).to_pandas()
+
+
 TOPNGRAM_N = 3
 TOPNGRAM_K = 25
 
@@ -820,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _dup_spans,
         "top_ngrams": _top_ngrams,
         "lm_score": _lm_score,
+        "decontaminate_clean": _decontaminate_clean,
+        "collocations": _collocations,
         # positional sidecar (beyond-reference full-text ops)
         "phrase_counts": _phrase_counts,
         "proximity_counts": _proximity_counts,
@@ -1344,6 +1374,47 @@ SELECT g.doc_id, count(*)::BIGINT AS n_hits
 FROM g JOIN b USING(gram)
 WHERE g.doc_id % {DECON_MOD} <> 0
 GROUP BY 1"""
+
+    sqls["decontaminate_clean"] = f"""
+WITH {_w_toks},
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= {n}
+                THEN list_distinct([array_to_string(ts[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(ts)-{n - 2})])
+                ELSE [] END) AS gram
+  FROM toks),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {DECON_MOD} <> 0
+  AND d.doc_id NOT IN (SELECT g.doc_id FROM g JOIN b USING(gram))"""
+
+    sqls["collocations"] = f"""
+WITH {_w_toks},
+p AS (
+  SELECT unnest(CASE WHEN len(ts) >= 2
+                THEN [ts[i] || ' ' || ts[i+1]
+                      for i in range(1, len(ts))]
+                ELSE [] END) AS pg
+  FROM toks),
+c2 AS (SELECT split_part(pg, ' ', 1) AS w1, split_part(pg, ' ', 2) AS w2,
+              count(*)::BIGINT AS n_pair
+       FROM p GROUP BY 1, 2),
+c1 AS (SELECT unnest(ts) AS term FROM toks),
+u AS (SELECT term, count(*)::BIGINT AS n1 FROM c1 GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c1)::DOUBLE AS T,
+               (SELECT sum(n_pair) FROM c2)::DOUBLE AS B)
+SELECT w1, w2, n_pair,
+       CAST(floor(ln(((n_pair::DOUBLE / B) / (ua.n1::DOUBLE / T))
+                     / (ub.n1::DOUBLE / T)) * 1000000 + 0.5)
+            AS BIGINT) AS pmi_q
+FROM c2
+JOIN u ua ON ua.term = c2.w1
+JOIN u ub ON ub.term = c2.w2
+CROSS JOIN tot
+WHERE n_pair >= {COLLOC_MIN}
+ORDER BY pmi_q DESC, w1, w2
+LIMIT {COLLOC_K}"""
 
     w = 8
     sqls["dup_spans"] = f"""

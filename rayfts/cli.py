@@ -157,7 +157,8 @@ def cmd_verify(args) -> int:
 
 #: scrub-op registry: name -> (needs_benchmark, builder(ds, args) -> Dataset)
 def _scrub_ops():
-    from .ops import codescan, decontam, dedup, lmscore, spandedup, textstats
+    from .ops import (codescan, collocations, decontam, dedup, lmscore,
+                      spandedup, textstats)
 
     def mb(fn):
         return lambda ds, a: ds.map_batches(
@@ -170,15 +171,17 @@ def _scrub_ops():
         return dedup.verify_jaccard(cand, ds, tau=a.tau,
                                     text_col=a.text_col, id_col=a.id_col)
 
-    def _decontaminate(ds, a):
-        import ray.data as rd
-        if not a.benchmark:
-            raise SystemExit("--benchmark <parquet> required for "
-                             "the decontaminate op")
-        bench = rd.read_parquet(a.benchmark)
-        return decontam.decontaminate(ds, bench, n=a.ngram,
-                                      text_col=a.text_col,
-                                      id_col=a.id_col)
+    def _decontaminate(emit):
+        def f(ds, a):
+            import ray.data as rd
+            if not a.benchmark:
+                raise SystemExit("--benchmark <parquet> required for "
+                                 "the decontaminate ops")
+            bench = rd.read_parquet(a.benchmark)
+            return decontam.decontaminate(ds, bench, n=a.ngram,
+                                          text_col=a.text_col,
+                                          id_col=a.id_col, emit=emit)
+        return f
 
     return {
         "pii_scan": mb(codescan.pii_scan_batch),
@@ -193,7 +196,13 @@ def _scrub_ops():
         "minhash_dups": _minhash_dups,
         "dup_spans": lambda ds, a: spandedup.dup_spans(
             ds, window=a.window, text_col=a.text_col, id_col=a.id_col),
-        "decontaminate": _decontaminate,
+        "top_ngrams": lambda ds, a: spandedup.top_ngrams(
+            ds, n=a.ngram, k=a.topk, text_col=a.text_col,
+            id_col=a.id_col),
+        "collocations": lambda ds, a: collocations.top_collocations(
+            ds, k=a.topk, min_count=a.min_count, text_col=a.text_col),
+        "decontaminate": _decontaminate("hits"),
+        "decontaminate_clean": _decontaminate("clean"),
         "lm_score": lambda ds, a: lmscore.lm_score(
             ds, vocab_size=a.vocab_size, text_col=a.text_col,
             id_col=a.id_col),
@@ -420,6 +429,10 @@ def main(argv=None) -> int:
                     help="token window for dup_spans")
     sc.add_argument("--vocab-size", type=int, default=65536,
                     help="unigram-LM vocabulary size for lm_score")
+    sc.add_argument("--topk", type=int, default=20,
+                    help="result size for top_ngrams / collocations")
+    sc.add_argument("--min-count", type=int, default=5,
+                    help="minimum bigram count for collocations")
     sc.add_argument("--benchmark", default=None,
                     help="benchmark parquet (required by decontaminate)")
     sc.set_defaults(fn=cmd_scrub)

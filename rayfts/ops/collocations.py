@@ -1,0 +1,155 @@
+"""Collocation mining: top-k adjacent-token bigrams by PMI.
+
+The corpus-analysis companion to `top_ngrams`: pointwise mutual
+information ``ln( p(ab) / (p(a) p(b)) )`` surfaces genuinely associated
+pairs instead of merely frequent ones (Church & Hanks 1990).  Plan
+shape — three streaming aggregates and one vocab-scale join chain, no
+broadcast of anything larger than two scalars:
+
+  1. bigram counts: per-batch polars shift-concat value-counts (map-side
+     combine) -> groupby(w1, w2).sum
+  2. unigram counts: per-batch token value-counts -> groupby(term).sum
+  3. totals T (tokens) and B (bigrams): two scalar aggregates
+  4. bigrams join unigrams on w1, then on w2 (hash keys, vocab scale)
+  5. PMI per surviving bigram, sort by (pmi desc, w1, w2), limit k
+
+Exact-parity arithmetic: PMI is computed in a FIXED float64 operation
+order — ``ln(((c2/B) / (ca/T)) / (cb/T))`` — then quantized once to
+int64 (``floor(x * 1e6 + 0.5)``); DuckDB evaluates the identical
+expression with the identical IEEE-754 semantics, so the oracle matches
+bit-for-bit.  A minimum bigram count keeps the tail of unstable
+single-occurrence pairs out of the ranking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in here
+    _pl = None
+
+import re
+
+_TOKEN = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+TOKEN_SQL_RE = "[a-z_][a-z0-9_]*|[0-9]+"
+
+#: PMI quantization scale (int64 quanta per nat)
+PMI_SCALE = 1_000_000
+
+
+def _flat_tokens(texts):
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8)
+        toks = s.fill_null("").str.to_lowercase().str.extract_all(
+            TOKEN_SQL_RE)
+        lens = toks.list.len().cast(_pl.Int64).to_numpy().copy()
+        return toks.explode().drop_nulls().to_numpy(), lens
+    lens = np.zeros(len(texts), dtype=np.int64)   # pragma: no cover
+    out = []
+    for i, x in enumerate(texts):
+        tk = _TOKEN.findall((x or "").lower())
+        lens[i] = len(tk)
+        out.extend(tk)
+    return np.asarray(out, dtype=object), lens
+
+
+def _bigram_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch (w1, w2, n) partial counts of ADJACENT token pairs
+    (pairs never span documents)."""
+    texts = t.column(text_col).to_pylist()
+    flat, lens = _flat_tokens(texts)
+    empty = pa.table({"w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+    if len(flat) == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    same = doc_idx[1:] == doc_idx[:-1]
+    if not same.any():
+        return empty
+    w1, w2 = flat[:-1][same], flat[1:][same]
+    # " " is a safe pair separator: the token grammar admits no spaces
+    pair = np.char.add(np.char.add(w1.astype(str), " "),
+                       w2.astype(str))
+    uniq, counts = np.unique(pair, return_counts=True)
+    split = np.char.partition(uniq, " ")
+    return pa.table({"w1": pa.array(split[:, 0], type=pa.string()),
+                     "w2": pa.array(split[:, 2], type=pa.string()),
+                     "n": pa.array(counts, type=pa.int64())})
+
+
+def _unigram_partial(t: pa.Table, text_col: str) -> pa.Table:
+    texts = t.column(text_col).to_pylist()
+    flat, _ = _flat_tokens(texts)
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "n1": pa.array([], type=pa.int64())})
+    uniq, counts = np.unique(flat.astype(str), return_counts=True)
+    return pa.table({"term": pa.array(uniq, type=pa.string()),
+                     "n1": pa.array(counts, type=pa.int64())})
+
+
+def pmi_quant(c2, ca, cb, big_total: int, tok_total: int) -> np.ndarray:
+    """Quantized PMI in the FIXED operation order the SQL oracle
+    reproduces: ln(((c2/B) / (ca/T)) / (cb/T)) * 1e6, floor(+0.5)."""
+    c2 = np.asarray(c2, dtype=np.float64)
+    ca = np.asarray(ca, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    x = ((c2 / big_total) / (ca / tok_total)) / (cb / tok_total)
+    return np.floor(np.log(x) * PMI_SCALE + 0.5).astype(np.int64)
+
+
+def top_collocations(docs_ds, k: int = 20, min_count: int = 5,
+                     text_col: str = "text", num_partitions: int = 2):
+    """-> Dataset(w1, w2, n_pair, pmi_q): top k bigrams with
+    count >= min_count by (pmi desc, w1 asc, w2 asc)."""
+    from ray.data.aggregate import Sum
+
+    bigrams = (docs_ds
+               .map_batches(lambda t: _bigram_partial(t, text_col),
+                            batch_format="pyarrow")
+               .groupby(["w1", "w2"]).aggregate(Sum("n"))
+               .materialize())     # consumed twice: total + filter
+    unigrams = (docs_ds
+                .map_batches(lambda t: _unigram_partial(t, text_col),
+                             batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("n1"))
+                .materialize())
+    tok_total = int(unigrams.sum("sum(n1)"))
+    import pyarrow.compute as pc
+
+    def only_frequent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("sum(n)"), min_count))
+
+    big = bigrams.map_batches(only_frequent, batch_format="pyarrow")
+    big_total = int(bigrams.sum("sum(n)"))
+
+    def as_w1(t: pa.Table) -> pa.Table:
+        return pa.table({"w1": t.column("term"), "ca": t.column("sum(n1)")})
+
+    def as_w2(t: pa.Table) -> pa.Table:
+        return pa.table({"w2": t.column("term"), "cb": t.column("sum(n1)")})
+
+    j = (big.join(unigrams.map_batches(as_w1, batch_format="pyarrow"),
+                  "inner", num_partitions, on=("w1",),
+                  aggregator_ray_remote_args={"num_cpus": 0.25})
+         .join(unigrams.map_batches(as_w2, batch_format="pyarrow"),
+               "inner", num_partitions, on=("w2",),
+               aggregator_ray_remote_args={"num_cpus": 0.25}))
+
+    def score(t: pa.Table) -> pa.Table:
+        c2 = t.column("sum(n)").to_numpy()
+        q = pmi_quant(c2, t.column("ca").to_numpy(),
+                      t.column("cb").to_numpy(), big_total, tok_total)
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "n_pair": pa.array(c2.astype(np.int64),
+                                            type=pa.int64()),
+                         "pmi_q": pa.array(q, type=pa.int64())})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi_q", "w1", "w2"],
+                  descending=[True, False, False])
+            .limit(k))

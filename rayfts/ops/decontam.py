@@ -58,12 +58,15 @@ class Decontaminator:
     """Actor-pool stage: benchmark hash set fetched once per actor."""
 
     def __init__(self, bench_ref, n: int = 4, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", emit: str = "hits"):
         import ray
         self.bench = (ray.get(bench_ref)
                       if not isinstance(bench_ref, np.ndarray)
                       else bench_ref)
         self.n, self.text_col, self.id_col = n, text_col, id_col
+        if emit not in ("hits", "clean"):
+            raise ValueError(f"emit={emit!r}")
+        self.emit = emit
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(self.id_col).to_numpy(
@@ -73,15 +76,23 @@ class Decontaminator:
         empty = pa.table({self.id_col: pa.array([], type=pa.int64()),
                           "n_hits": pa.array([], type=pa.int64())})
         if len(grams) == 0 or len(self.bench) == 0:
-            return empty
-        hs = md5_u64(grams).view(np.int64)
-        pos = np.searchsorted(self.bench, hs)
-        pos[pos == len(self.bench)] = 0
-        hit = self.bench[pos] == hs
-        if not hit.any():
-            return empty
-        hits_per_doc = np.bincount(doc_idx[hit], minlength=len(texts))
+            hits_per_doc = np.zeros(len(texts), dtype=np.int64)
+        else:
+            hs = md5_u64(grams).view(np.int64)
+            pos = np.searchsorted(self.bench, hs)
+            pos[pos == len(self.bench)] = 0
+            hit = self.bench[pos] == hs
+            hits_per_doc = np.bincount(doc_idx[hit],
+                                       minlength=len(texts))
+        if self.emit == "clean":
+            # the kept corpus: zero contaminating n-grams (docs shorter
+            # than n windows trivially qualify) — still shuffle-free
+            keep = np.flatnonzero(hits_per_doc == 0)
+            return pa.table({
+                self.id_col: pa.array(ids[keep], type=pa.int64())})
         nz = np.flatnonzero(hits_per_doc)
+        if len(nz) == 0:
+            return empty
         return pa.table({
             self.id_col: pa.array(ids[nz], type=pa.int64()),
             "n_hits": pa.array(hits_per_doc[nz].astype(np.int64),
@@ -90,10 +101,12 @@ class Decontaminator:
 
 
 def decontaminate(corpus_ds, bench_ds, n: int = 4, text_col: str = "text",
-                  id_col: str = "doc_id", concurrency: int | None = None):
-    """-> Dataset(doc_id, n_hits) of corpus docs sharing >= 1 distinct
-    token n-gram with the benchmark set.  Caller excludes benchmark
-    docs from corpus_ds if they overlap."""
+                  id_col: str = "doc_id", concurrency: int | None = None,
+                  emit: str = "hits"):
+    """emit="hits" -> Dataset(doc_id, n_hits) of corpus docs sharing
+    >= 1 distinct token n-gram with the benchmark set; emit="clean" ->
+    Dataset(doc_id) of the KEPT corpus (zero hits).  Caller excludes
+    benchmark docs from corpus_ds if they overlap."""
     import ray
 
     bench = benchmark_ngram_hashes(bench_ds, n, text_col, id_col)
@@ -102,5 +115,6 @@ def decontaminate(corpus_ds, bench_ds, n: int = 4, text_col: str = "text",
         from .dedup import _pool_size
         concurrency = _pool_size()
     return corpus_ds.map_batches(
-        Decontaminator, fn_constructor_args=(ref, n, text_col, id_col),
+        Decontaminator,
+        fn_constructor_args=(ref, n, text_col, id_col, emit),
         batch_format="pyarrow", concurrency=concurrency)

@@ -235,3 +235,59 @@ def test_top_ngrams_vs_bruteforce(ray_session):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = top_ngrams(rd.from_arrow(_span_table()), n=3, k=10).to_pandas()
     assert list(zip(got["gram"], got["n"].astype(int))) == want
+
+
+def test_decontaminate_clean_is_complement(ray_session):
+    import ray.data as rd
+    from rayfts.ops.decontam import decontaminate
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon"])}))
+    corpus_texts = [
+        "prefix alpha beta gamma delta suffix",    # contaminated
+        "no overlap at all in this document",      # clean
+        "tiny",                                    # < n tokens -> clean
+        "beta gamma delta epsilon trailing",       # contaminated
+    ]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": pa.array(corpus_texts)}))
+    hits = set(decontaminate(corpus, bench, n=4, concurrency=2)
+               .to_pandas()["doc_id"])
+    clean = set(decontaminate(corpus, bench, n=4, concurrency=2,
+                              emit="clean").to_pandas()["doc_id"])
+    assert hits == {0, 3}
+    assert clean == {1, 2}
+    assert hits | clean == set(range(4)) and not hits & clean
+
+
+def test_collocations_vs_bruteforce(ray_session):
+    import math
+    import re
+
+    import ray.data as rd
+    from rayfts.ops.collocations import top_collocations
+    tok = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+")
+    texts = SPAN_TEXTS
+    uni: dict = {}
+    pairs: dict = {}
+    for text in texts:
+        ts = tok.findall((text or "").lower())
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    T = sum(uni.values())
+    B = sum(pairs.values())
+    want = []
+    for (a, b), c2 in pairs.items():
+        if c2 < 2:
+            continue
+        x = ((c2 / B) / (uni[a] / T)) / (uni[b] / T)
+        want.append((a, b, c2,
+                     int(math.floor(math.log(x) * 1_000_000 + 0.5))))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = want[:8]
+    got = top_collocations(rd.from_arrow(_span_table()), k=8,
+                           min_count=2).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
