@@ -672,6 +672,29 @@ def _decontaminate_clean(sf_dir: str) -> pd.DataFrame:
 COLLOC_K = 20
 COLLOC_MIN = 5
 
+#: event-stream fixture knobs (embedded in the SQL oracles)
+WINDOW_US = 3_600_000_000          # 1-hour tumbling windows
+SESSION_GAP_US = 1_800_000_000     # 30-minute session gap
+
+
+def _events_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _window_agg(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import tumbling_window
+    return tumbling_window(_events_ds(sf_dir), WINDOW_US).to_pandas()
+
+
+def _sessionize(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import sessionize
+    return sessionize(_events_ds(sf_dir), SESSION_GAP_US).to_pandas()
+
+
+def _asof_join(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import asof_latest
+    return asof_latest(_events_ds(sf_dir), "click", "view").to_pandas()
+
 
 def _collocations(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.collocations import top_collocations
@@ -850,6 +873,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _lm_score,
         "decontaminate_clean": _decontaminate_clean,
         "collocations": _collocations,
+        # event-stream operators (events table)
+        "window_agg": _window_agg,
+        "sessionize": _sessionize,
+        "asof_join": _asof_join,
         # positional sidecar (beyond-reference full-text ops)
         "phrase_counts": _phrase_counts,
         "proximity_counts": _proximity_counts,
@@ -1415,6 +1442,44 @@ CROSS JOIN tot
 WHERE n_pair >= {COLLOC_MIN}
 ORDER BY pmi_q DESC, w1, w2
 LIMIT {COLLOC_K}"""
+
+    # --- event-stream operators ----------------------------------------
+    sqls["window_agg"] = f"""
+SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS win_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_value_q
+FROM events GROUP BY 1, 2"""
+
+    sqls["sessionize"] = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+l AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM l)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(t)::BIGINT AS start_us, max(t)::BIGINT AS end_us
+FROM s GROUP BY 1, 2"""
+
+    sqls["asof_join"] = """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.t AS t_us,
+       max_by(v.event_id,
+              v.t::HUGEINT * 9223372036854775808 + v.event_id)::BIGINT
+         AS match_event_id,
+       max(v.t)::BIGINT AS match_t_us
+FROM c JOIN v ON v.user_id = c.user_id AND v.t <= c.t
+GROUP BY 1, 2, 3"""
 
     w = 8
     sqls["dup_spans"] = f"""

@@ -1,0 +1,157 @@
+"""Event-stream operators: tumbling-window aggregation, gap-based
+sessionization, and a per-key as-of join.
+
+These cover the operator classes a log/event pipeline needs that the
+document ops don't: time-windowed aggregates (streaming analytics),
+session reconstruction (user behavior), and as-of joins (point-in-time
+correctness).  All three are expressed Ray-Data-first:
+
+  * ``tumbling_window``: stateless map (window assignment + per-batch
+    combine) then ONE groupby over (window, event_type) — window keys
+    are integers, the exchange is aggregate-scale.  Values are
+    quantized to int64 BEFORE summation, so results are independent of
+    summation order and the DuckDB oracle matches exactly.
+  * ``sessionize`` / ``asof_latest``: ``groupby(user).map_groups`` —
+    the canonical distributed shape for per-key ordered logic (Ray
+    hash-partitions users across the cluster; each group's kernel is
+    vectorized numpy over that user's sorted events).  Per-user event
+    counts bound the group size; a pathological single-user firehose
+    would need docID-style salting + session stitching, noted here as
+    the scale escape hatch.
+
+Timestamps flow as int64 microseconds (``epoch_us`` in the oracle) —
+no timezone or float round-trip anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: value quantization: cents (the fixture's `value` column carries 2
+#: decimals; floor(x*100+0.5) is reproduced verbatim in the oracle)
+VALUE_SCALE = 100
+
+
+def _ts_us(col) -> np.ndarray:
+    """Arrow timestamp[us] (or pandas datetime64) -> int64 epoch μs."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    return pd.Series(col).astype("int64").to_numpy()
+
+
+def tumbling_window(events_ds, window_us: int,
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    value_col: str = "value"):
+    """-> Dataset(win_us, event_type, n_events, sum_value_q): per
+    tumbling window of ``window_us`` and event type, the event count
+    and the exact int64 sum of quantized values."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "win_us": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "vq": pa.array([], type=pa.int64())})
+        ts = _ts_us(t.column(ts_col))
+        win = (ts // window_us) * window_us
+        vq = np.floor(t.column(value_col).to_numpy(zero_copy_only=False)
+                      * VALUE_SCALE + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "win_us": win,
+            "event_type": t.column(type_col).to_pandas(),
+            "n": np.ones(len(win), dtype=np.int64), "vq": vq})
+        g = df.groupby(["win_us", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["win_us", "event_type"])
+           .aggregate(Sum("n"), Sum("vq")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "win_us": t.column("win_us").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "n_events": t.column("sum(n)").cast(pa.int64()),
+            "sum_value_q": t.column("sum(vq)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(events_ds, gap_us: int, ts_col: str = "ts",
+               user_col: str = "user_id", id_col: str = "event_id"):
+    """-> Dataset(user_id, session_id, n_events, start_us, end_us):
+    sessions split where the gap between consecutive events of a user
+    exceeds ``gap_us``; session_id is the 1-based session rank within
+    the user (ordered by time)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "session_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "start_us": pd.Series([], dtype=np.int64),
+                "end_us": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([ts_col, id_col])
+        ts = _ts_us(g[ts_col])
+        brk = np.ones(len(ts), dtype=np.int64)
+        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts)) - 1
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), int(g[user_col].iloc[0]),
+                               dtype=np.int64),
+            "session_id": sid[starts],
+            "n_events": (ends - starts + 1).astype(np.int64),
+            "start_us": ts[starts],
+            "end_us": ts[ends]})
+
+    return events_ds.groupby(user_col).map_groups(
+        per_user, batch_format="pandas")
+
+
+def asof_latest(events_ds, left_type: str = "click",
+                right_type: str = "view", ts_col: str = "ts",
+                user_col: str = "user_id", id_col: str = "event_id",
+                type_col: str = "event_type"):
+    """Per-user as-of join: each ``left_type`` event matched to the
+    latest ``right_type`` event of the same user with ts <= its ts
+    (ties on ts broken by larger event_id — the (ts, event_id) order).
+    -> Dataset(event_id, user_id, t_us, match_event_id, match_t_us),
+    inner semantics (unmatched left events are dropped)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "t_us": pd.Series([], dtype=np.int64),
+            "match_event_id": pd.Series([], dtype=np.int64),
+            "match_t_us": pd.Series([], dtype=np.int64)})
+        lg = g[g[type_col] == left_type].sort_values([ts_col, id_col])
+        rg = g[g[type_col] == right_type].sort_values([ts_col, id_col])
+        if len(lg) == 0 or len(rg) == 0:
+            return empty
+        tl, tr = _ts_us(lg[ts_col]), _ts_us(rg[ts_col])
+        # last right with tr <= tl; rg sorted by (ts, id) so the last of
+        # an equal-ts run carries the max event_id
+        ix = np.searchsorted(tr, tl, side="right") - 1
+        ok = ix >= 0
+        if not ok.any():
+            return empty
+        rid = rg[id_col].to_numpy()
+        return pd.DataFrame({
+            "event_id": lg[id_col].to_numpy()[ok].astype(np.int64),
+            "user_id": np.full(int(ok.sum()), int(g[user_col].iloc[0]),
+                               dtype=np.int64),
+            "t_us": tl[ok],
+            "match_event_id": rid[ix[ok]].astype(np.int64),
+            "match_t_us": tr[ix[ok]]})
+
+    return events_ds.groupby(user_col).map_groups(
+        per_user, batch_format="pandas")

@@ -1,0 +1,105 @@
+"""Event-stream operators (tumbling window, sessionization, as-of join)
+vs brute-force references on a small fixed event log."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MIN = 60_000_000  # one minute in μs
+
+#: (event_id, t_us, user, type, value)
+EVENTS = [
+    (0,  0 * MIN, 1, "view",  1.00),
+    (1,  1 * MIN, 1, "click", 2.50),
+    (2,  2 * MIN, 1, "view",  0.10),
+    (3,  2 * MIN, 1, "click", 0.20),   # ts tie with event 2
+    (4, 50 * MIN, 1, "click", 3.33),   # new session (gap > 30 min)
+    (5,  5 * MIN, 2, "click", 7.77),   # user 2: click before any view
+    (6,  6 * MIN, 2, "view",  0.40),
+    (7,  7 * MIN, 2, "click", 0.01),
+    (8, 90 * MIN, 3, "view",  9.99),   # user 3: views only
+]
+
+
+def _table() -> pa.Table:
+    return pa.table({
+        "event_id": pa.array([e[0] for e in EVENTS], type=pa.int64()),
+        "ts": pa.array([e[1] for e in EVENTS], type=pa.timestamp("us")),
+        "user_id": pa.array([e[2] for e in EVENTS], type=pa.int64()),
+        "event_type": pa.array([e[3] for e in EVENTS], type=pa.string()),
+        "value": pa.array([e[4] for e in EVENTS], type=pa.float64()),
+    })
+
+
+def test_tumbling_window_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import tumbling_window
+    w = 10 * MIN
+    got = (tumbling_window(rd.from_arrow(_table()), w).to_pandas()
+           .set_index(["win_us", "event_type"]).sort_index())
+    want: dict = {}
+    for _, t, _, et, v in EVENTS:
+        key = ((t // w) * w, et)
+        n, s = want.get(key, (0, 0))
+        want[key] = (n + 1, s + int(np.floor(v * 100 + 0.5)))
+    assert len(got) == len(want)
+    for key, (n, s) in want.items():
+        assert int(got.loc[key, "n_events"]) == n
+        assert int(got.loc[key, "sum_value_q"]) == s
+
+
+def test_sessionize_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import sessionize
+    gap = 30 * MIN
+    got = (sessionize(rd.from_arrow(_table()), gap).to_pandas()
+           .set_index(["user_id", "session_id"]).sort_index())
+    # user 1: events 0-3 (one session), event 4 alone; user 2: 5-7;
+    # user 3: 8
+    want = {
+        (1, 1): (4, 0 * MIN, 2 * MIN),
+        (1, 2): (1, 50 * MIN, 50 * MIN),
+        (2, 1): (3, 5 * MIN, 7 * MIN),
+        (3, 1): (1, 90 * MIN, 90 * MIN),
+    }
+    assert len(got) == len(want)
+    for key, (n, s, e) in want.items():
+        assert int(got.loc[key, "n_events"]) == n
+        assert int(got.loc[key, "start_us"]) == s
+        assert int(got.loc[key, "end_us"]) == e
+
+
+def test_asof_join_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import asof_latest
+    got = (asof_latest(rd.from_arrow(_table()), "click", "view")
+           .to_pandas().set_index("event_id").sort_index())
+    # click 1 -> view 0; click 3 -> view 2 (ts tie, view at same ts
+    # qualifies); click 4 -> view 2; click 5 -> none (dropped);
+    # click 7 -> view 6
+    want = {1: 0, 3: 2, 4: 2, 7: 6}
+    assert set(got.index) == set(want)
+    for cid, vid in want.items():
+        assert int(got.loc[cid, "match_event_id"]) == vid
+
+
+def test_asof_ts_tie_breaks_by_event_id(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import asof_latest
+    t = pa.table({
+        "event_id": pa.array([10, 11, 12], type=pa.int64()),
+        "ts": pa.array([5 * MIN, 5 * MIN, 6 * MIN],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["view", "view", "click"]),
+        "value": pa.array([0.0, 0.0, 0.0], type=pa.float64()),
+    })
+    got = asof_latest(rd.from_arrow(t), "click", "view").to_pandas()
+    assert len(got) == 1
+    # two views at the same ts: the larger event_id wins
+    assert int(got["match_event_id"].iloc[0]) == 11
