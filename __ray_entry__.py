@@ -766,36 +766,35 @@ def _positions_for(sf_dir: str):
 
 
 def _phrase_counts(sf_dir: str) -> pd.DataFrame:
-    from rayfts.positions import phrase_doc_counts
+    """Phrase counts THROUGH the distributed PhraseStage pool (the
+    serving path the hash gate should exercise, not just the kernels)."""
+    from rayfts.positions import run_phrase_queries
 
     pidx, idx = _positions_for(sf_dir)
+    res = run_phrase_queries(pidx.pos_dir, PHRASES,
+                             concurrency=4).to_pandas()
     sid = np.asarray(idx.src_doc_ids)
-    pids, docs, occs = [], [], []
-    for pid, terms in PHRASES:
-        d, c = phrase_doc_counts(pidx, terms)
-        pids.extend([pid] * len(d))
-        docs.extend(sid[d].tolist())
-        occs.extend(c.tolist())
-    out = pd.DataFrame({"phrase_id": pd.Series(pids, dtype=np.int64),
-                        "doc_id": pd.Series(docs, dtype=np.int64),
-                        "n_occ": pd.Series(occs, dtype=np.int64)})
+    out = pd.DataFrame({
+        "phrase_id": res["query_id"].astype(np.int64),
+        "doc_id": pd.Series(sid[res["doc_id"].to_numpy()],
+                            dtype=np.int64),
+        "n_occ": res["n_occ"].astype(np.int64)})
     return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
 
 
 def _proximity_counts(sf_dir: str) -> pd.DataFrame:
-    from rayfts.positions import proximity_doc_counts
+    from rayfts.positions import run_phrase_queries
 
     pidx, idx = _positions_for(sf_dir)
+    res = run_phrase_queries(pidx.pos_dir,
+                             [(pid, [a, b]) for pid, a, b in PROX_PAIRS],
+                             window=PROX_W, concurrency=4).to_pandas()
     sid = np.asarray(idx.src_doc_ids)
-    pids, docs, near = [], [], []
-    for pid, a, b in PROX_PAIRS:
-        d, c = proximity_doc_counts(pidx, a, b, PROX_W)
-        pids.extend([pid] * len(d))
-        docs.extend(sid[d].tolist())
-        near.extend(c.tolist())
-    out = pd.DataFrame({"pair_id": pd.Series(pids, dtype=np.int64),
-                        "doc_id": pd.Series(docs, dtype=np.int64),
-                        "n_near": pd.Series(near, dtype=np.int64)})
+    out = pd.DataFrame({
+        "pair_id": res["query_id"].astype(np.int64),
+        "doc_id": pd.Series(sid[res["doc_id"].to_numpy()],
+                            dtype=np.int64),
+        "n_near": res["n_occ"].astype(np.int64)})
     return out.sort_values(["pair_id", "doc_id"]).reset_index(drop=True)
 
 

@@ -419,3 +419,61 @@ def proximity_doc_counts(pidx: PositionalIndex, t1: str, t2: str,
     if not near.any():
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     return _runlength_counts(k1[near] // _STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# distributed serving: phrase / proximity actor pool
+# ---------------------------------------------------------------------------
+
+class PhraseStage:
+    """Callable class for ``map_batches(PhraseStage, concurrency=N)``:
+    the positional sidecar opens once per actor; per-term decoded
+    postings and doc-keyed arrays accumulate in the actor's caches
+    across batches (same stateful-stage discipline as engine.QueryStage)."""
+
+    def __init__(self, pos_dir: str, window: int | None = None):
+        self.pidx = PositionalIndex(pos_dir)
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        terms_l = batch.column("terms").to_pylist()
+        qs, ds, cs = [], [], []
+        for qid, terms in zip(qids, terms_l):
+            terms = list(terms)
+            if self.window is not None:
+                if len(terms) != 2:
+                    raise ValueError("proximity queries take 2 terms")
+                d, c = proximity_doc_counts(self.pidx, terms[0],
+                                            terms[1], self.window)
+            else:
+                d, c = phrase_doc_counts(self.pidx, terms)
+            qs.append(np.full(len(d), int(qid), dtype=np.int64))
+            ds.append(d)
+            cs.append(c)
+        if not qs:
+            qs = ds = cs = [np.empty(0, dtype=np.int64)]
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(ds), type=pa.int64()),
+            "n_occ": pa.array(np.concatenate(cs), type=pa.int64()),
+        })
+
+
+def run_phrase_queries(pos_dir: str, queries, window: int | None = None,
+                       concurrency: int = 4, batch_size: int = 16):
+    """Distributed phrase / proximity matching over a query workload;
+    -> Dataset(query_id, doc_id, n_occ).  Fixed-size pool, capped below
+    the cluster CPU count (same sizing rationale as engine.run_queries)."""
+    import ray
+
+    from .engine import queries_dataset
+
+    cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
+    concurrency = max(1, min(concurrency, cpus - 1))
+    ds = queries_dataset(queries, parallelism=concurrency * 2)
+    return ds.map_batches(
+        PhraseStage,
+        fn_constructor_kwargs={"pos_dir": pos_dir, "window": window},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

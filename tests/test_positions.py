@@ -158,3 +158,31 @@ def test_docidmap_replay_matches_index(pos_index):
             src = int(sid[int(d)])
             want = _brute_positions(TEXTS[src]).get(term, [])
             assert flat[starts[i]:starts[i + 1]].tolist() == want
+
+
+def test_phrase_pool_matches_kernels(pos_index):
+    """The distributed PhraseStage pool must return exactly the kernel
+    results for every query."""
+    from rayfts.positions import (phrase_doc_counts,
+                                  proximity_doc_counts,
+                                  run_phrase_queries)
+    pidx, _ = pos_index
+    workload = [(0, ["quick", "brown"]), (1, ["the", "fox"]),
+                (2, ["the", "lazy", "dog"]), (3, ["zzz_nope", "fox"])]
+    got = (run_phrase_queries(pidx.pos_dir, workload, concurrency=2)
+           .to_pandas().sort_values(["query_id", "doc_id"]))
+    rows = []
+    for qid, terms in workload:
+        d, c = phrase_doc_counts(pidx, terms)
+        rows += [(qid, int(x), int(y)) for x, y in zip(d, c)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+    prox = [(0, ["fox", "dog"]), (1, ["quick", "brown"])]
+    gotp = (run_phrase_queries(pidx.pos_dir, prox, window=2,
+                               concurrency=2)
+            .to_pandas().sort_values(["query_id", "doc_id"]))
+    rowsp = []
+    for qid, (a, b) in [(q, t) for q, t in prox]:
+        d, c = proximity_doc_counts(pidx, a, b, 2)
+        rowsp += [(qid, int(x), int(y)) for x, y in zip(d, c)]
+    assert [tuple(r) for r in gotp.itertuples(index=False)] == rowsp
