@@ -681,6 +681,28 @@ def _events_ds(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+#: Q1-shape shipdate cutoff: 2000-01-01 in epoch μs
+Q1_CUTOFF_US = 946_684_800_000_000
+
+
+def _lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.relational import lineitem_pricing_summary
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_returnflag", "l_linestatus"])
+    return lineitem_pricing_summary(li, Q1_CUTOFF_US).to_pandas()
+
+
+def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.relational import orders_by_nation
+    return orders_by_nation(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet")),
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet")),
+        rd.read_parquet(os.path.join(sf_dir, "nation.parquet")),
+    ).to_pandas()
+
+
 def _window_agg(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.events import tumbling_window
     return tumbling_window(_events_ds(sf_dir), WINDOW_US).to_pandas()
@@ -876,6 +898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _window_agg,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
+        # relational patterns (TPC-H-shaped tables)
+        "lineitem_agg": _lineitem_agg,
+        "orders_by_nation": _orders_by_nation,
         # positional sidecar (beyond-reference full-text ops)
         "phrase_counts": _phrase_counts,
         "proximity_counts": _proximity_counts,
@@ -1479,6 +1504,31 @@ SELECT c.event_id, c.user_id, c.t AS t_us,
        max(v.t)::BIGINT AS match_t_us
 FROM c JOIN v ON v.user_id = c.user_id AND v.t <= c.t
 GROUP BY 1, 2, 3"""
+
+    # --- relational patterns (TPC-H-shaped tables) -----------------------
+    sqls["lineitem_agg"] = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS count_order,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_qty_q,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_base_price_q,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS sum_disc_price_q,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 100 + 0.5) AS BIGINT))::BIGINT AS sum_charge_q
+FROM lineitem
+WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}
+GROUP BY 1, 2"""
+
+    sqls["orders_by_nation"] = """
+SELECT n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_totalprice_q
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1"""
 
     w = 8
     sqls["dup_spans"] = f"""

@@ -1,0 +1,154 @@
+"""Relational pipeline patterns over the TPC-H-shaped tables.
+
+Two canonical shapes an analytics workload layers on the same engine,
+each with the scale-correct Ray Data plan:
+
+  * ``lineitem_pricing_summary`` (TPC-H Q1 shape): column-pruned read
+    -> predicate filter -> per-batch COMBINE (groupby inside
+    map_batches) -> one aggregate-scale groupby.  The wide exchange
+    carries a few rows per (batch, flag-pair), never the fact table.
+    Money flows as int64 cents quantized per ROW with a fixed float64
+    operation order, then summed — results are independent of
+    summation order and the DuckDB oracle matches exactly.
+  * ``orders_by_nation`` (broadcast join): the dimension chain
+    customer -> nation is collected ONCE (dimension-scale by
+    definition), ``ray.put`` once, and joined inside a stateful
+    map_batches pass over the fact table via np.searchsorted — the
+    orders table never shuffles.  This is the small-side broadcast
+    join the 100-TB brief calls for; a fact-fact join would use the
+    hash-partitioned ``Dataset.join`` instead (see ops/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: money/quantity quantization: cents (floor(x*100+0.5), reproduced
+#: verbatim by the oracle)
+Q = 100
+
+
+def _q100(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * Q + 0.5) \
+        .astype(np.int64)
+
+
+def lineitem_pricing_summary(lineitem_ds, cutoff_us: int):
+    """TPC-H Q1 shape: -> Dataset(l_returnflag, l_linestatus,
+    count_order, sum_qty_q, sum_base_price_q, sum_disc_price_q,
+    sum_charge_q) over rows with l_shipdate <= cutoff (int64 μs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = ship <= cutoff_us
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        tax = t.column("l_tax").to_numpy(zero_copy_only=False)[keep]
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        # fixed float64 op order, quantize per row, THEN sum
+        disc_price = price * (1.0 - disc)
+        charge = price * (1.0 - disc) * (1.0 + tax)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas()[keep]
+            .to_numpy(),
+            "l_linestatus": t.column("l_linestatus").to_pandas()[keep]
+            .to_numpy(),
+            "n": np.ones(int(keep.sum()), dtype=np.int64),
+            "qty_q": _q100(qty),
+            "base_q": _q100(price),
+            "disc_q": _q100(disc_price),
+            "charge_q": _q100(charge)})
+        g = df.groupby(["l_returnflag", "l_linestatus"],
+                       as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("n"), Sum("qty_q"), Sum("base_q"),
+                      Sum("disc_q"), Sum("charge_q")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "count_order": t.column("sum(n)").cast(pa.int64()),
+                "sum_qty_q": t.column("sum(qty_q)").cast(pa.int64()),
+                "sum_base_price_q":
+                    t.column("sum(base_q)").cast(pa.int64()),
+                "sum_disc_price_q":
+                    t.column("sum(disc_q)").cast(pa.int64()),
+                "sum_charge_q":
+                    t.column("sum(charge_q)").cast(pa.int64())}
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+class _NationJoiner:
+    """Stateful map_batches stage: the broadcast custkey -> nation-name
+    map is fetched once per actor (zero-copy object-store read)."""
+
+    def __init__(self, dim_ref):
+        import ray
+        self.custkeys, self.nations = (
+            ray.get(dim_ref) if not isinstance(dim_ref, tuple) else dim_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.custkeys, ck)
+        pos = np.minimum(pos, len(self.custkeys) - 1)
+        ok = self.custkeys[pos] == ck
+        price_q = _q100(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False)[ok])
+        df = pd.DataFrame({
+            "n_name": self.nations[pos[ok]],
+            "n": np.ones(int(ok.sum()), dtype=np.int64),
+            "price_q": price_q})
+        g = df.groupby("n_name", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def orders_by_nation(orders_ds, customer_ds, nation_ds,
+                     concurrency: int | None = None):
+    """Broadcast join orders -> customer -> nation:
+    -> Dataset(n_name, n_orders, sum_totalprice_q).  The dimension
+    chain (customer x nation) is collected once — it is
+    dimension-scale by definition — and broadcast via ray.put; the
+    fact table streams through a stateful actor pool without a
+    shuffle; the one groupby runs over nation-count-scale partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = customer_ds.select_columns(
+        ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = nation_ds.select_columns(
+        ["n_nationkey", "n_name"]).to_pandas()
+    nkey_to_name = dict(zip(nat["n_nationkey"].astype(np.int64),
+                            nat["n_name"]))
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    custkeys = cust["c_custkey"].to_numpy()[order].astype(np.int64)
+    nations = np.array([nkey_to_name[int(k)] for k in
+                        cust["c_nationkey"].to_numpy()[order]],
+                       dtype=object)
+    dim_ref = ray.put((custkeys, nations))
+    if concurrency is None:
+        from .dedup import _pool_size
+        concurrency = _pool_size()
+
+    agg = (orders_ds.select_columns(["o_custkey", "o_totalprice"])
+           .map_batches(_NationJoiner, fn_constructor_args=(dim_ref,),
+                        batch_format="pyarrow", concurrency=concurrency)
+           .groupby("n_name").aggregate(Sum("n"), Sum("price_q")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t.column("n_name"),
+            "n_orders": t.column("sum(n)").cast(pa.int64()),
+            "sum_totalprice_q":
+                t.column("sum(price_q)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

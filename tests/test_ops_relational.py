@@ -1,0 +1,83 @@
+"""Relational patterns (Q1-shape pricing summary, broadcast dimension
+join) vs brute-force references."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _q(x):
+    return int(np.floor(x * 100 + 0.5))
+
+
+def test_pricing_summary_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.relational import lineitem_pricing_summary
+    rows = [
+        # (ship_us, qty, price, disc, tax, flag, status)
+        (100, 1.0, 10.00, 0.10, 0.05, "A", "F"),
+        (200, 2.0, 20.00, 0.00, 0.10, "A", "F"),
+        (300, 3.0, 30.00, 0.05, 0.00, "N", "O"),
+        (999, 4.0, 40.00, 0.20, 0.08, "N", "O"),   # beyond cutoff
+    ]
+    cutoff = 500
+    t = pa.table({
+        "l_shipdate": pa.array([r[0] for r in rows],
+                               type=pa.timestamp("us")),
+        "l_quantity": pa.array([r[1] for r in rows], type=pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in rows],
+                                    type=pa.float64()),
+        "l_discount": pa.array([r[3] for r in rows], type=pa.float64()),
+        "l_tax": pa.array([r[4] for r in rows], type=pa.float64()),
+        "l_returnflag": pa.array([r[5] for r in rows]),
+        "l_linestatus": pa.array([r[6] for r in rows]),
+    })
+    got = (lineitem_pricing_summary(rd.from_arrow(t), cutoff)
+           .to_pandas().set_index(["l_returnflag", "l_linestatus"])
+           .sort_index())
+    want: dict = {}
+    for ship, qty, price, disc, tax, fl, st in rows:
+        if ship > cutoff:
+            continue
+        c = want.setdefault((fl, st), [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += _q(qty)
+        c[2] += _q(price)
+        c[3] += _q(price * (1 - disc))
+        c[4] += _q(price * (1 - disc) * (1 + tax))
+    assert len(got) == len(want)
+    for key, (n, q, b, d, ch) in want.items():
+        r = got.loc[key]
+        assert (int(r["count_order"]), int(r["sum_qty_q"]),
+                int(r["sum_base_price_q"]), int(r["sum_disc_price_q"]),
+                int(r["sum_charge_q"])) == (n, q, b, d, ch)
+
+
+def test_orders_by_nation_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.relational import orders_by_nation
+    customer = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "c_nationkey": pa.array([10, 10, 20, 30], type=pa.int64())})
+    nation = pa.table({
+        "n_nationkey": pa.array([10, 20, 30], type=pa.int64()),
+        "n_name": pa.array(["FRANCE", "KENYA", "PERU"])})
+    orders = pa.table({
+        "o_custkey": pa.array([1, 2, 2, 3, 4, 4], type=pa.int64()),
+        "o_totalprice": pa.array([10.01, 20.02, 30.03, 40.04, 50.05,
+                                  60.06], type=pa.float64())})
+    got = (orders_by_nation(rd.from_arrow(orders),
+                            rd.from_arrow(customer),
+                            rd.from_arrow(nation), concurrency=2)
+           .to_pandas().set_index("n_name").sort_index())
+    want = {"FRANCE": (3, _q(10.01) + _q(20.02) + _q(30.03)),
+            "KENYA": (1, _q(40.04)),
+            "PERU": (2, _q(50.05) + _q(60.06))}
+    assert len(got) == len(want)
+    for name, (n, s) in want.items():
+        assert int(got.loc[name, "n_orders"]) == n
+        assert int(got.loc[name, "sum_totalprice_q"]) == s
