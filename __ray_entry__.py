@@ -804,6 +804,30 @@ def _phrase_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
 
 
+def _phrase_counts_sharded(sf_dir: str) -> pd.DataFrame:
+    """Phrase counts over the DOC-PARTITIONED layout (one positional
+    sidecar per partition, union broker) — must hash-match the same
+    oracle as the monolithic phrase_counts: partitioning is invisible
+    to results."""
+    from rayfts.positions import (ShardedPositionalIndex,
+                                  build_sharded_positions)
+
+    si = _sharded_for(sf_dir)
+    build_sharded_positions(si.parent_dir, num_shards=8)
+    spi = ShardedPositionalIndex(si.parent_dir)
+    sid = np.asarray(si.src_doc_ids)
+    pids, docs, occs = [], [], []
+    for pid, terms in PHRASES:
+        d, c = spi.phrase_counts(terms)
+        pids.extend([pid] * len(d))
+        docs.extend(sid[d].tolist())
+        occs.extend(c.tolist())
+    out = pd.DataFrame({"phrase_id": pd.Series(pids, dtype=np.int64),
+                        "doc_id": pd.Series(docs, dtype=np.int64),
+                        "n_occ": pd.Series(occs, dtype=np.int64)})
+    return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
 def _proximity_counts(sf_dir: str) -> pd.DataFrame:
     from rayfts.positions import run_phrase_queries
 
@@ -903,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         # positional sidecar (beyond-reference full-text ops)
         "phrase_counts": _phrase_counts,
+        "phrase_counts_sharded": _phrase_counts_sharded,
         "proximity_counts": _proximity_counts,
     }
 
@@ -1613,6 +1638,8 @@ FROM scored GROUP BY 1"""
 WITH {_w_toks_d},
 u AS ({' UNION ALL '.join(ph_parts)})
 SELECT phrase_id, doc_id, n_occ FROM u WHERE n_occ > 0"""
+    # doc-partitioned phrase serving must produce the IDENTICAL result
+    sqls["phrase_counts_sharded"] = sqls["phrase_counts"]
 
     px_parts = []
     for pid, a, b in PROX_PAIRS:

@@ -477,3 +477,61 @@ def run_phrase_queries(pos_dir: str, queries, window: int | None = None,
         fn_constructor_kwargs={"pos_dir": pos_dir, "window": window},
         concurrency=concurrency, batch_size=batch_size,
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# doc-partitioned layout: one sidecar per partition, union serving
+# ---------------------------------------------------------------------------
+
+def build_sharded_positions(parent_dir: str,
+                            num_shards: int = 16) -> list[dict]:
+    """One positional sidecar per partition of a doc-partitioned index
+    (sharded.build_sharded_index layout).  Each partition's sidecar
+    replays ITS docID map; global docIDs are sub-local + doc_base, so
+    partitioned phrase results are the monolithic results exactly —
+    no merge logic beyond a union."""
+    with open(os.path.join(parent_dir, "sharded.json")) as f:
+        meta = json.load(f)
+    out = []
+    for sub in meta["subs"]:
+        sub_dir = os.path.join(parent_dir, sub["dir"])
+        out.append(build_positions(sub_dir, sub_dir + "_pos",
+                                   num_shards=num_shards))
+    return out
+
+
+class ShardedPositionalIndex:
+    """Union broker over per-partition positional sidecars."""
+
+    def __init__(self, parent_dir: str):
+        with open(os.path.join(parent_dir, "sharded.json")) as f:
+            self.meta = json.load(f)
+        self.parent_dir = parent_dir
+        self.bases = [int(s["doc_base"]) for s in self.meta["subs"]]
+        self._subs: dict[int, PositionalIndex] = {}
+
+    def sub(self, i: int) -> PositionalIndex:
+        p = self._subs.get(i)
+        if p is None:
+            p = self._subs[i] = PositionalIndex(os.path.join(
+                self.parent_dir, self.meta["subs"][i]["dir"] + "_pos"))
+        return p
+
+    def _union(self, per_sub):
+        ds = [b + d for (d, _), b in per_sub if len(d)]
+        cs = [c for (_, c), _ in per_sub if len(c)]
+        if not ds:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        # partitions are docID ranges in base order -> concat is sorted
+        return np.concatenate(ds), np.concatenate(cs)
+
+    def phrase_counts(self, terms: list[str]):
+        return self._union([
+            (phrase_doc_counts(self.sub(i), terms), b)
+            for i, b in enumerate(self.bases)])
+
+    def proximity_counts(self, t1: str, t2: str, window: int):
+        return self._union([
+            (proximity_doc_counts(self.sub(i), t1, t2, window), b)
+            for i, b in enumerate(self.bases)])

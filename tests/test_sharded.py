@@ -203,3 +203,26 @@ def test_sharded_build_resume(built):
                                 index_type="opt", salt_threshold=64,
                                 num_shards=NUM_TERM_SHARDS)
     assert again == sh_meta
+
+
+def test_sharded_positions_match_monolithic(built):
+    """Per-partition positional sidecars + the union broker must return
+    exactly the monolithic sidecar's phrase/proximity results (global
+    docIDs coincide because partitions follow the global key order)."""
+    from rayfts.positions import (PositionalIndex, ShardedPositionalIndex,
+                                  build_positions, build_sharded_positions,
+                                  phrase_doc_counts, proximity_doc_counts)
+    src, mono_dir, parent_dir, *_ = built
+    build_positions(mono_dir, mono_dir + "_pos", num_shards=4)
+    build_sharded_positions(parent_dir, num_shards=4)
+    mp = PositionalIndex(mono_dir + "_pos")
+    sp = ShardedPositionalIndex(parent_dir)
+    for terms in (["def", "return"], ["if", "else"], ["data", "key"],
+                  ["return"], ["zz_unknown_term", "def"]):
+        d1, c1 = phrase_doc_counts(mp, terms)
+        d2, c2 = sp.phrase_counts(terms)
+        assert d1.tolist() == d2.tolist(), terms
+        assert c1.tolist() == c2.tolist(), terms
+    d1, c1 = proximity_doc_counts(mp, "def", "return", 3)
+    d2, c2 = sp.proximity_counts("def", "return", 3)
+    assert d1.tolist() == d2.tolist() and c1.tolist() == c2.tolist()
