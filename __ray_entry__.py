@@ -718,6 +718,11 @@ def _asof_join(sf_dir: str) -> pd.DataFrame:
     return asof_latest(_events_ds(sf_dir), "click", "view").to_pandas()
 
 
+def _props_stats(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import props_stats
+    return props_stats(_events_ds(sf_dir)).to_pandas()
+
+
 def _collocations(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.collocations import top_collocations
     return top_collocations(_docs_ds(sf_dir), k=COLLOC_K,
@@ -922,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _window_agg,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
+        "props_stats": _props_stats,
         # relational patterns (TPC-H-shaped tables)
         "lineitem_agg": _lineitem_agg,
         "orders_by_nation": _orders_by_nation,
@@ -1529,6 +1535,19 @@ SELECT c.event_id, c.user_id, c.t AS t_us,
        max(v.t)::BIGINT AS match_t_us
 FROM c JOIN v ON v.user_id = c.user_id AND v.t <= c.t
 GROUP BY 1, 2, 3"""
+
+    sqls["props_stats"] = """
+SELECT event_type,
+       count(*)::BIGINT AS n_with_key,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1"""
 
     # --- relational patterns (TPC-H-shaped tables) -----------------------
     sqls["lineitem_agg"] = f"""

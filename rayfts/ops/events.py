@@ -155,3 +155,58 @@ def asof_latest(events_ds, left_type: str = "click",
 
     return events_ds.groupby(user_col).map_groups(
         per_user, batch_format="pandas")
+
+
+def props_stats(events_ds, type_col: str = "event_type",
+                props_col: str = "props", key: str = "k"):
+    """Semi-structured extraction: parse the JSON ``props`` column
+    (polars json_path_match, Rust-side — no per-row Python json.loads)
+    and aggregate the extracted integer per event type.
+    -> Dataset(event_type, n_with_key, sum_k, min_k, max_k)."""
+    try:
+        import polars as pl
+    except ImportError:       # pragma: no cover - polars is baked in here
+        pl = None
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = t.column(props_col).to_pylist()
+        if pl is not None:
+            ks = (pl.Series("p", props, dtype=pl.Utf8)
+                  .str.json_path_match(f"$.{key}")
+                  .cast(pl.Int64, strict=False).to_numpy())
+        else:                 # pragma: no cover - semantic fallback
+            import json as _json
+            out = []
+            for p in props:
+                try:
+                    v = _json.loads(p or "{}").get(key)
+                except ValueError:
+                    v = None
+                out.append(np.nan if v is None else float(v))
+            ks = np.array(out, dtype=np.float64)
+        ok = ~pd.isna(ks)
+        df = pd.DataFrame({
+            "event_type": pd.Series(t.column(type_col).to_pylist())[ok]
+            .to_numpy(),
+            "n": np.ones(int(ok.sum()), dtype=np.int64),
+            "s": ks[ok].astype(np.int64),
+            "mn": ks[ok].astype(np.int64),
+            "mx": ks[ok].astype(np.int64)})
+        g = df.groupby("event_type", as_index=False).agg(
+            {"n": "sum", "s": "sum", "mn": "min", "mx": "max"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n"), Sum("s"), Min("mn"), Max("mx")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_with_key": t.column("sum(n)").cast(pa.int64()),
+            "sum_k": t.column("sum(s)").cast(pa.int64()),
+            "min_k": t.column("min(mn)").cast(pa.int64()),
+            "max_k": t.column("max(mx)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -103,3 +103,18 @@ def test_asof_ts_tie_breaks_by_event_id(ray_session):
     assert len(got) == 1
     # two views at the same ts: the larger event_id wins
     assert int(got["match_event_id"].iloc[0]) == 11
+
+
+def test_props_stats_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import props_stats
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k": 7}', '{}',
+                           '{"k": 0}', None]),
+    })
+    got = (props_stats(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type").sort_index())
+    assert len(got) == 2
+    assert tuple(got.loc["a"]) == (2, 12, 5, 7)
+    assert tuple(got.loc["b"]) == (1, 0, 0, 0)
