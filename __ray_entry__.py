@@ -723,6 +723,12 @@ def _props_stats(sf_dir: str) -> pd.DataFrame:
     return props_stats(_events_ds(sf_dir)).to_pandas()
 
 
+def _session_assign(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import session_assign
+    return session_assign(_events_ds(sf_dir),
+                          SESSION_GAP_US).to_pandas()
+
+
 def _collocations(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.collocations import top_collocations
     return top_collocations(_docs_ds(sf_dir), k=COLLOC_K,
@@ -928,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _sessionize,
         "asof_join": _asof_join,
         "props_stats": _props_stats,
+        "session_assign": _session_assign,
         # relational patterns (TPC-H-shaped tables)
         "lineitem_agg": _lineitem_agg,
         "orders_by_nation": _orders_by_nation,
@@ -1548,6 +1555,28 @@ SELECT event_type,
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY 1"""
+
+    # interval/range join: events BETWEEN session bounds (the oracle
+    # does the literal range join; the engine derives the assignment
+    # in the per-user pass)
+    sqls["session_assign"] = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+l AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM l),
+sess AS (
+  SELECT user_id, session_id, min(t) AS start_us, max(t) AS end_us
+  FROM s GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, sess.session_id::BIGINT AS session_id
+FROM e JOIN sess
+  ON sess.user_id = e.user_id
+ AND e.t BETWEEN sess.start_us AND sess.end_us"""
 
     # --- relational patterns (TPC-H-shaped tables) -----------------------
     sqls["lineitem_agg"] = f"""

@@ -118,3 +118,20 @@ def test_props_stats_vs_bruteforce(ray_session):
     assert len(got) == 2
     assert tuple(got.loc["a"]) == (2, 12, 5, 7)
     assert tuple(got.loc["b"]) == (1, 0, 0, 0)
+
+
+def test_session_assign_matches_sessionize(ray_session):
+    """Every event lands in exactly one session, and per-session event
+    counts agree with sessionize."""
+    import ray.data as rd
+    from rayfts.ops.events import session_assign, sessionize
+    gap = 30 * MIN
+    ds = rd.from_arrow(_table())
+    assign = session_assign(ds, gap).to_pandas()
+    sess = sessionize(ds, gap).to_pandas()
+    assert len(assign) == len(EVENTS)
+    counts = (assign.groupby(["user_id", "session_id"]).size()
+              .to_dict())
+    want = {(int(r.user_id), int(r.session_id)): int(r.n_events)
+            for r in sess.itertuples()}
+    assert counts == want
