@@ -729,6 +729,14 @@ def _session_assign(sf_dir: str) -> pd.DataFrame:
                           SESSION_GAP_US).to_pandas()
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel(sf_dir: str) -> pd.DataFrame:
+    from rayfts.ops.events import funnel
+    return funnel(_events_ds(sf_dir), FUNNEL_STEPS).to_pandas()
+
+
 def _collocations(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.collocations import top_collocations
     return top_collocations(_docs_ds(sf_dir), k=COLLOC_K,
@@ -935,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _asof_join,
         "props_stats": _props_stats,
         "session_assign": _session_assign,
+        "funnel": _funnel,
         # relational patterns (TPC-H-shaped tables)
         "lineitem_agg": _lineitem_agg,
         "orders_by_nation": _orders_by_nation,
@@ -1577,6 +1586,26 @@ SELECT e.event_id, e.user_id, sess.session_id::BIGINT AS session_id
 FROM e JOIN sess
   ON sess.user_id = e.user_id
  AND e.t BETWEEN sess.start_us AND sess.end_us"""
+
+    # funnel: greedy earliest-match == nested min-after-previous
+    _steps_sql = []
+    for i, st in enumerate(FUNNEL_STEPS, start=1):
+        if i == 1:
+            _steps_sql.append(
+                f"s1 AS (SELECT user_id, min(t) AS t_us_1 FROM e "
+                f"WHERE event_type = '{st}' GROUP BY 1)")
+        else:
+            _steps_sql.append(
+                f"s{i} AS (SELECT e.user_id, min(e.t) AS t_us_{i} "
+                f"FROM e JOIN s{i - 1} USING(user_id) "
+                f"WHERE event_type = '{st}' "
+                f"AND e.t > s{i - 1}.t_us_{i - 1} GROUP BY 1)")
+    _k = len(FUNNEL_STEPS)
+    sqls["funnel"] = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+{', '.join(_steps_sql)}
+SELECT s1.user_id, {', '.join(f't_us_{i}' for i in range(1, _k + 1))}
+FROM s1 {' '.join(f'JOIN s{i} USING(user_id)' for i in range(2, _k + 1))}"""
 
     # --- relational patterns (TPC-H-shaped tables) -----------------------
     sqls["lineitem_agg"] = f"""

@@ -241,3 +241,42 @@ def session_assign(events_ds, gap_us: int, ts_col: str = "ts",
 
     return events_ds.groupby(user_col).map_groups(
         per_user, batch_format="pandas")
+
+
+def funnel(events_ds, steps: list[str], ts_col: str = "ts",
+           user_col: str = "user_id", id_col: str = "event_id",
+           type_col: str = "event_type"):
+    """Funnel analysis: users who complete ``steps`` in time order,
+    matched greedily (each step takes the EARLIEST event strictly after
+    the previous step's match; the first step takes the user's earliest
+    such event).  -> Dataset(user_id, t_us_1..t_us_K) for completing
+    users.  Greedy earliest-match is complete: a funnel has any valid
+    assignment iff it has the greedy one."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": pd.Series([], dtype=np.int64)}
+        cols.update({f"t_us_{i + 1}": pd.Series([], dtype=np.int64)
+                     for i in range(len(steps))})
+        empty = pd.DataFrame(cols)
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([ts_col, id_col])
+        et = g[type_col].to_numpy()
+        ts = _ts_us(g[ts_col])
+        prev = -1
+        hit = []
+        for s in steps:
+            t_s = ts[et == s]
+            i = np.searchsorted(t_s, prev, side="right")
+            if i >= len(t_s):
+                return empty
+            prev = int(t_s[i])
+            hit.append(prev)
+        row = {"user_id": np.array([int(g[user_col].iloc[0])],
+                                   dtype=np.int64)}
+        row.update({f"t_us_{i + 1}": np.array([h], dtype=np.int64)
+                    for i, h in enumerate(hit)})
+        return pd.DataFrame(row)
+
+    return events_ds.groupby(user_col).map_groups(
+        per_user, batch_format="pandas")

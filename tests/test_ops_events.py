@@ -135,3 +135,27 @@ def test_session_assign_matches_sessionize(ray_session):
     want = {(int(r.user_id), int(r.session_id)): int(r.n_events)
             for r in sess.itertuples()}
     assert counts == want
+
+
+def test_funnel_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import funnel
+    got = (funnel(rd.from_arrow(_table()), ["view", "click"])
+           .to_pandas().set_index("user_id").sort_index())
+    # user 1: view@0 -> click@1min; user 2: click precedes the only
+    # view (5 < 6) but a later click@7min completes it; user 3: no click
+    assert set(got.index) == {1, 2}
+    assert (int(got.loc[1, "t_us_1"]), int(got.loc[1, "t_us_2"])) == \
+        (0, 1 * MIN)
+    assert (int(got.loc[2, "t_us_1"]), int(got.loc[2, "t_us_2"])) == \
+        (6 * MIN, 7 * MIN)
+    # strict ordering: a 2-step funnel where the second step only has
+    # an event at the SAME timestamp must not complete
+    t = pa.table({
+        "event_id": pa.array([0, 1], type=pa.int64()),
+        "ts": pa.array([MIN, MIN], type=pa.timestamp("us")),
+        "user_id": pa.array([9, 9], type=pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([0.0, 0.0], type=pa.float64())})
+    assert len(funnel(rd.from_arrow(t), ["view", "click"])
+               .to_pandas()) == 0
