@@ -332,6 +332,59 @@ def _postings_table_merged(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
 
 
+def _postings_table_appended(sf_dir: str) -> pd.DataFrame:
+    """Decode the index produced by INCREMENTAL APPEND (rayfts/append.py):
+    the corpus is split by doc_id parity, a base index is built over the
+    even half, and the odd half is folded in without re-scanning the
+    base content (delta build + merge re-encode under combined global
+    stats).  The parity split interleaves keys, so internal docIDs
+    permute vs a fresh build — the oracle checks the decoded
+    (term, source doc, tf) multiset, which must be identical to the
+    full-corpus tokenization regardless of the permutation."""
+    from rayfts.append import append_index
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:append".encode()).hexdigest()[:12]
+    root = os.path.join(_IDX_ROOT, tag + "_append")
+    out_dir = os.path.join(root, "appended")
+    idx = _INDEX_CACHE.get(out_dir)
+    if idx is None:
+        base_src = os.path.join(root, "base.parquet")
+        delta_src = os.path.join(root, "delta.parquet")
+        if not (os.path.exists(base_src) and os.path.exists(delta_src)):
+            os.makedirs(root, exist_ok=True)
+            t = pq.read_table(src)
+            par = np.asarray(t.column("doc_id").to_numpy()) % 2
+            for path, keep in ((base_src, par == 0), (delta_src, par == 1)):
+                pq.write_table(t.filter(pa.array(keep)), path + ".tmp",
+                               row_group_size=256)
+                os.replace(path + ".tmp", path)
+        base_dir = os.path.join(root, "base")
+        if not os.path.exists(os.path.join(base_dir, "meta.json")):
+            build_index(base_src, base_dir, index_type="opt",
+                        key_cols=["doc_id"], text_col="text",
+                        salt_threshold=1 << 17, num_shards=8)
+        if not os.path.exists(os.path.join(out_dir, "meta.json")):
+            append_index(base_dir, delta_src, out_dir, num_shards=8)
+        idx = InvertedIndex(out_dir)
+        dm = pq.read_table(os.path.join(out_dir, "docs"),
+                           columns=["doc_id", "src_doc_id"])
+        src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+        src_ids[dm.column("doc_id").to_numpy()] = \
+            dm.column("src_doc_id").to_numpy()
+        idx.src_doc_ids = src_ids
+        _INDEX_CACHE[out_dir] = idx
+    rows_t, rows_d, rows_f = [], [], []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -886,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_g8iu": _postings_for("block_g8iu"),
         "postings_block_qmx": _postings_for("block_qmx"),
         "postings_merged": _postings_table_merged,
+        "postings_appended": _postings_table_appended,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1043,6 +1097,7 @@ SELECT term, doc_id, tf FROM tf"""
                "block_mixed", "block_optpfd", "block_g8iu", "block_qmx"):
         sqls[f"postings_{_t}"] = postings_sql
     sqls["postings_merged"] = postings_sql
+    sqls["postings_appended"] = postings_sql
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}

@@ -114,6 +114,27 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    """Fold new documents into an existing index without re-scanning
+    the base corpus (delta build + merge re-encode; rayfts/append.py)."""
+    _ensure_ray(args.num_cpus)
+    from .append import append_index
+    t0 = time.perf_counter()
+    meta = append_index(args.base, args.input, args.output,
+                        key_cols=(args.key_cols.split(",")
+                                  if args.key_cols else None),
+                        text_col=args.text_col,
+                        num_shards=args.num_shards)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "event": "append_done", "wall_sec": round(dt, 3),
+        "num_docs": meta["num_docs"], "num_terms": meta["num_terms"],
+        "total_postings": meta["total_postings"],
+        "postings_per_sec": round(meta["total_postings"] / dt, 1),
+    }))
+    return 0
+
+
 def cmd_hybrid(args) -> int:
     _ensure_ray(args.num_cpus)
     from .hybrid import build_hybrid
@@ -373,6 +394,18 @@ def main(argv=None) -> int:
     mg.add_argument("--index-type", default=None)
     mg.add_argument("--num-shards", type=int, default=None)
     mg.set_defaults(fn=cmd_merge)
+
+    app = sub.add_parser("append", parents=[common])
+    app.add_argument("--base", required=True,
+                     help="existing index dir (read-only)")
+    app.add_argument("--input", required=True,
+                     help="parquet of NEW documents to fold in")
+    app.add_argument("--output", required=True)
+    app.add_argument("--key-cols", default=None,
+                     help="defaults to the base index's lineage")
+    app.add_argument("--text-col", default=None)
+    app.add_argument("--num-shards", type=int, default=None)
+    app.set_defaults(fn=cmd_append)
 
     h = sub.add_parser("hybrid", parents=[common])
     h.add_argument("--index", required=True)

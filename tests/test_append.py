@@ -1,0 +1,174 @@
+"""Incremental append (rayfts/append.py) against fresh full builds.
+
+* suffix-key split (every new key sorts after every base key): the
+  appended index is BYTE-identical to a fresh build over the combined
+  corpus — same docIDs, same norms, same shard plan, same encoder
+  bytes;
+* interleaved-key split: internal docIDs permute, but the decoded
+  (term, document, tf) multiset and every ranked top-k are identical
+  under the content (sha256) identity;
+* the append is resumable (second call returns the same meta without
+  rebuilding).
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 200
+SHARDS = 4
+K = 10
+
+
+def _sortkey(df):
+    return (df["repo"] + "\x01" + df["path"] + "\x01" +
+            df["commit"]).to_numpy()
+
+
+def _write(t, path):
+    pq.write_table(t, path, row_group_size=64)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, tmp_path_factory):
+    src = corpus_parquet(NUM_DOCS, seed=13)
+    t = pq.read_table(src)
+    df = t.to_pandas()
+    order = np.argsort(_sortkey(df), kind="stable")
+    root = tmp_path_factory.mktemp("append_src")
+    cut = int(NUM_DOCS * 0.7)
+    # suffix split: base = first 70% in key order, delta = the rest
+    suffix = {
+        "base": _write(t.take(order[:cut]), root / "suffix_base.parquet"),
+        "delta": _write(t.take(order[cut:]), root / "suffix_delta.parquet"),
+    }
+    # interleaved split: keys alternate between base and delta
+    inter = {
+        "base": _write(t.take(order[0::2]), root / "inter_base.parquet"),
+        "delta": _write(t.take(order[1::2]), root / "inter_delta.parquet"),
+    }
+    return src, suffix, inter
+
+
+def _build(src, out, **kw):
+    from rayfts.build import build_index
+    kw.setdefault("index_type", "opt")
+    kw.setdefault("salt_threshold", 64)
+    kw.setdefault("num_shards", SHARDS)
+    return build_index(src, str(out), **kw)
+
+
+def _doc_sha(index_dir):
+    t = pq.read_table(os.path.join(index_dir, "docs"),
+                      columns=["doc_id", "sha256"])
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("sha256").to_pylist()))
+
+
+def _postings_by_sha(idx, sha):
+    rows = []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        for d, f in zip(pl.docs.tolist(), pl.freqs.tolist()):
+            rows.append((term, sha[d], f))
+    rows.sort()
+    return rows
+
+
+def test_append_byte_parity_suffix_keys(corpora, tmp_path_factory):
+    from rayfts.append import append_index
+    from rayfts.index import InvertedIndex
+    from rayfts import search as S
+
+    src, suffix, _ = corpora
+    fresh_dir = str(tmp_path_factory.mktemp("fresh"))
+    base_dir = str(tmp_path_factory.mktemp("base"))
+    out_dir = str(tmp_path_factory.mktemp("appended"))
+
+    fresh_meta = _build(src, fresh_dir)
+    _build(suffix["base"], base_dir)
+    meta = append_index(base_dir, suffix["delta"], out_dir,
+                        num_shards=SHARDS)
+
+    for k in ("num_docs", "avg_len", "num_terms", "total_postings",
+              "docs_bits", "freqs_bits", "shards"):
+        assert meta[k] == fresh_meta[k], k
+    for sh in meta["shards"]:
+        name = f"shard_{sh['shard']:05d}.parquet"
+        a = pq.read_table(os.path.join(fresh_dir, "shards", name))
+        b = pq.read_table(os.path.join(out_dir, "shards", name))
+        assert a.equals(b), name
+    for name in ("norms.f32", "lengths.i64"):
+        with open(os.path.join(fresh_dir, "sidecar", name), "rb") as f:
+            x = f.read()
+        with open(os.path.join(out_dir, "sidecar", name), "rb") as f:
+            y = f.read()
+        assert x == y, name
+
+    fresh = InvertedIndex(fresh_dir)
+    appended = InvertedIndex(out_dir)
+    rng = np.random.RandomState(5)
+    vocab = fresh.all_terms()
+    for _ in range(12):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        assert S.block_max_wand_fast(appended, terms, K) == \
+            S.block_max_wand_fast(fresh, terms, K)
+
+
+def test_append_interleaved_semantics(corpora, tmp_path_factory):
+    """Interleaved keys permute internal docIDs vs a fresh build; the
+    decoded posting multiset and ranked results are identical under the
+    sha256 document identity."""
+    from rayfts.append import append_index
+    from rayfts.index import InvertedIndex
+    from rayfts import search as S
+
+    src, _, inter = corpora
+    fresh_dir = str(tmp_path_factory.mktemp("fresh_i"))
+    base_dir = str(tmp_path_factory.mktemp("base_i"))
+    out_dir = str(tmp_path_factory.mktemp("appended_i"))
+
+    fresh_meta = _build(src, fresh_dir)
+    _build(inter["base"], base_dir)
+    meta = append_index(base_dir, inter["delta"], out_dir,
+                        num_shards=SHARDS)
+    # size/statistics parity (bit layout may differ: EF encodings depend
+    # on docID gaps, which the permutation changes)
+    for k in ("num_docs", "avg_len", "num_terms", "total_postings"):
+        assert meta[k] == fresh_meta[k], k
+
+    fresh = InvertedIndex(fresh_dir)
+    appended = InvertedIndex(out_dir)
+    sha_f, sha_a = _doc_sha(fresh_dir), _doc_sha(out_dir)
+    assert _postings_by_sha(appended, sha_a) == \
+        _postings_by_sha(fresh, sha_f)
+
+    rng = np.random.RandomState(9)
+    vocab = fresh.all_terms()
+    for _ in range(12):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        got = [(s, sha_a[d])
+               for s, d in S.ranked_or(appended, terms, K, prec=S.P64)]
+        want = [(s, sha_f[d])
+                for s, d in S.ranked_or(fresh, terms, K, prec=S.P64)]
+        assert got == want
+
+
+def test_append_resume(corpora, tmp_path_factory):
+    from rayfts.append import append_index
+
+    _, suffix, _ = corpora
+    base_dir = str(tmp_path_factory.mktemp("base_r"))
+    out_dir = str(tmp_path_factory.mktemp("appended_r"))
+    _build(suffix["base"], base_dir)
+    m1 = append_index(base_dir, suffix["delta"], out_dir,
+                      num_shards=SHARDS)
+    m2 = append_index(base_dir, suffix["delta"], out_dir,
+                      num_shards=SHARDS)
+    assert {k: v for k, v in m1.items() if k != "stage_secs"} == \
+        {k: v for k, v in m2.items() if k != "stage_secs"}
