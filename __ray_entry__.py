@@ -545,6 +545,38 @@ def _ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_cosine_topk(_emb_ds(sf_dir), qv, k=K)
 
 
+def _hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: BM25 top-20 over `documents` (text query) and
+    brute-force cosine top-20 over `embeddings` (the query document's
+    vector, vec_id == doc_id) fused by reciprocal-rank fusion
+    (rayfts/ops/fusion.py).  Both legs are the distributed retrieval
+    paths already oracled individually; the fusion arithmetic is
+    answer-scale and reproduced exactly by the SQL oracle."""
+    from rayfts import search as S
+    from rayfts.ops.ann import brute_cosine_topk
+    from rayfts.ops.fusion import POOL, rrf_fuse
+
+    idx = _index_for(sf_dir)
+    bm_rows = []
+    for qid, terms in QUERIES[:5]:
+        for rank, (_s, d) in enumerate(
+                S.ranked_or(idx, terms, k=POOL, prec=S.P64), 1):
+            bm_rows.append({"query_id": qid, "rank": rank,
+                            "doc_id": int(idx.src_doc_ids[d])})
+    bm_pool = pd.DataFrame(bm_rows,
+                           columns=["query_id", "rank", "doc_id"])
+
+    qdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    qv = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    ann = brute_cosine_topk(_emb_ds(sf_dir), qv, k=POOL)
+    ann_pool = ann.rename(columns={"vec_id": "doc_id"})[
+        ["query_id", "rank", "doc_id"]]
+
+    return rrf_fuse([bm_pool, ann_pool], k=K)
+
+
 def _embedding_dups(sf_dir: str) -> pd.DataFrame:
     """Exact cosine threshold self-join via the distributed block-pair
     sweep (no full-matrix broadcast; rayfts/ops/ann.py)."""
@@ -971,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _embedding_dups_lsh,
         # similarity search
         "ann_topk": _ann_topk,
+        "hybrid_rrf_topk": _hybrid_rrf,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
@@ -1212,6 +1245,44 @@ topk AS (
                             ORDER BY cos_q DESC, vec_id ASC) AS rank
   FROM sims)
 SELECT query_id, rank, vec_id, cos_q FROM topk WHERE rank <= {K}"""
+
+    from rayfts.ops.fusion import POOL as _POOL, RRF_C as _RRF_C
+    sqls["hybrid_rrf_topk"] = f"""
+{_bm25_scores_sql()},
+bm_pool AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE query_id < 5
+  QUALIFY rank <= {_POOL}),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < 5),
+sims AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         CAST(floor(list_cosine_similarity(qv.embedding, e.embedding)
+                    * 10000 + 0.5) AS BIGINT) AS cos_q
+  FROM qv CROSS JOIN embeddings e),
+ann_pool AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, doc_id ASC) AS rank
+  FROM sims
+  QUALIFY rank <= {_POOL}),
+contrib AS (
+  SELECT query_id, doc_id, rank FROM bm_pool
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM ann_pool),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(floor(sum(1.0 / ({_RRF_C}.0 + rank)) * 1000000000 + 0.5)
+              AS BIGINT) AS rrf_q
+  FROM contrib GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, rrf_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_q DESC, doc_id ASC) AS rank
+  FROM fused)
+SELECT query_id, rank, doc_id, rrf_q FROM topk WHERE rank <= {K}"""
 
     sqls["embedding_dup_pairs"] = """
 SELECT a.vec_id AS a, b.vec_id AS b,

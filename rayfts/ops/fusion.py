@@ -1,0 +1,59 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of lexical BM25
+top-k and embedding-cosine ANN top-k.
+
+The modern training-data / search stack retrieves with BOTH signals
+and fuses them; RRF (Cormack et al., SIGIR 2009) is the standard
+score-free fusion: ``rrf(d) = Σ_pools 1 / (C + rank_pool(d))`` with
+C = 60.  It needs only the rank lists, so the two retrieval legs stay
+fully independent and distributed:
+
+* lexical leg — the inverted-index engine (actor-pool query service at
+  cluster scale; the per-query DAAT kernels here),
+* vector leg — :func:`rayfts.ops.ann.brute_cosine_topk` (per-batch
+  partial top-k combiner over the embedding table; IVF/LSH at scale).
+
+Fusion itself is answer-scale arithmetic (queries × pool_size rows),
+never corpus-scale, so it runs wherever the pools land.
+
+Determinism / oracle parity: contributions are ``1.0 / (C + rank)`` in
+float64 — a correctly-rounded IEEE division both numpy and DuckDB
+produce bit-identically — and a document appears in at most two pools,
+so the fused sum has at most two addends (commutative, order-free).
+The fused score is quantized to ``floor(rrf * 1e9 + 0.5)`` BIGINT and
+ranked by (quantized desc, doc_id asc) in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+RRF_C = 60
+POOL = 20
+
+
+def rrf_fuse(pools: list[pd.DataFrame], *, c: int = RRF_C,
+             k: int = 10) -> pd.DataFrame:
+    """Fuse rank lists ``(query_id, rank, doc_id)`` into
+    ``(query_id, rank, doc_id, rrf_q)`` top-k per query."""
+    contrib = pd.concat(
+        [p[["query_id", "doc_id", "rank"]] for p in pools],
+        ignore_index=True)
+    contrib["w"] = 1.0 / (float(c) + contrib["rank"].to_numpy(np.float64))
+    fused = (contrib.groupby(["query_id", "doc_id"], as_index=False)["w"]
+             .sum())
+    fused["rrf_q"] = np.floor(
+        fused["w"].to_numpy(np.float64) * 1e9 + 0.5).astype(np.int64)
+    out = []
+    for qid, g in fused.groupby("query_id"):
+        g = g.sort_values(["rrf_q", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g[["query_id", "rank", "doc_id", "rrf_q"]])
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "rrf_q": pd.Series([], dtype=np.int64)})
+    return pd.concat(out, ignore_index=True)

@@ -420,3 +420,29 @@ def test_embedding_pairs_lsh_small_bucket_unchanged(ray_session):
     out = embedding_pairs_lsh(ds, tau=0.99).to_pandas()
     got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
     assert got == {(i, j) for i in range(20) for j in range(i + 1, 20)}
+
+
+def test_rrf_fuse_math_and_ties():
+    """RRF fusion: 1/(C+rank) contributions summed across pools,
+    quantized to 1e9, ranked by (rrf_q desc, doc_id asc)."""
+    import pandas as pd
+
+    from rayfts.ops.fusion import rrf_fuse
+
+    bm = pd.DataFrame({"query_id": [0, 0, 0], "rank": [1, 2, 3],
+                       "doc_id": [10, 20, 30]})
+    ann = pd.DataFrame({"query_id": [0, 0], "rank": [1, 2],
+                        "doc_id": [20, 40]})
+    out = rrf_fuse([bm, ann], c=60, k=10)
+    w = {int(d): int(np.floor(v * 1e9 + 0.5))
+         for d, v in [(10, 1 / 61), (20, 1 / 62 + 1 / 61),
+                      (30, 1 / 63), (40, 1 / 62)]}
+    assert list(out["doc_id"]) == [20, 10, 40, 30]
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    assert {int(d): int(q) for d, q in zip(out["doc_id"], out["rrf_q"])} == w
+    # tie: two docs present only via rank 1 in different pools ->
+    # identical rrf_q, doc_id ascending breaks it
+    p1 = pd.DataFrame({"query_id": [1], "rank": [1], "doc_id": [7]})
+    p2 = pd.DataFrame({"query_id": [1], "rank": [1], "doc_id": [3]})
+    out = rrf_fuse([p1, p2], k=10)
+    assert list(out["doc_id"]) == [3, 7]
