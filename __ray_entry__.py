@@ -606,6 +606,21 @@ def _embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+#: k-means gate parameters (mirrored in the SQL oracle)
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed quantized k-means over `embeddings`
+    (rayfts/ops/cluster.py): integer-domain distances + updates make
+    every assignment bit-reproducible, so a DuckDB oracle with the two
+    Lloyd iterations unrolled matches exactly."""
+    from rayfts.ops.cluster import kmeans_quantized
+    return kmeans_quantized(_emb_ds(sf_dir), k=KMEANS_K,
+                            iters=KMEANS_ITERS)
+
+
 def _quality(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.textstats import quality_batch
     return (_docs_ds(sf_dir)
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _ann_topk,
         "hybrid_rrf_topk": _hybrid_rrf,
+        "kmeans_clusters": _kmeans,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
@@ -1283,6 +1299,43 @@ topk AS (
                             ORDER BY rrf_q DESC, doc_id ASC) AS rank
   FROM fused)
 SELECT query_id, rank, doc_id, rrf_q FROM topk WHERE rank <= {K}"""
+
+    from rayfts.ops.cluster import QUANT_SCALE as _QS
+    _iter_sql = """
+d{n} AS (
+  SELECT x.vec_id, c.cid,
+         sum((x.q - c.q) * (x.q - c.q)) AS dist
+  FROM qx x JOIN c{p} c USING (dim) GROUP BY 1, 2),
+a{n} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{n}) WHERE rn = 1)"""
+    _upd_sql = """
+c{n} AS (
+  SELECT a.cid, x.dim,
+         CAST(floor(sum(x.q)::DOUBLE / count(*) + 0.5) AS BIGINT) AS q
+  FROM qx x JOIN a{n} a USING (vec_id) GROUP BY 1, 2)"""
+    # the engine runs KMEANS_ITERS assign+update rounds, then one final
+    # assignment with the last centroids -> unroll ITERS updates plus
+    # ITERS+1 assignment steps
+    _km_steps = []
+    for _i in range(1, KMEANS_ITERS + 1):
+        _km_steps.append(_iter_sql.format(n=_i, p=_i - 1))
+        _km_steps.append(_upd_sql.format(n=_i))
+    _km_steps.append(_iter_sql.format(n=KMEANS_ITERS + 1, p=KMEANS_ITERS))
+    sqls["kmeans_clusters"] = f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings),
+qx AS (SELECT vec_id, dim,
+              CAST(floor(v * {_QS} + 0.5) AS BIGINT) AS q FROM ex),
+c0 AS (SELECT vec_id AS cid, dim, q FROM qx WHERE vec_id < {KMEANS_K}),
+{",".join(_km_steps)}
+SELECT vec_id, cid AS cluster FROM a{KMEANS_ITERS + 1}"""
 
     sqls["embedding_dup_pairs"] = """
 SELECT a.vec_id AS a, b.vec_id AS b,

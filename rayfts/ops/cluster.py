@@ -1,0 +1,121 @@
+"""Distributed k-means clustering over an embedding column.
+
+The training-data pipeline use: cluster a corpus's embeddings to
+balance domain mixtures, pick diverse samples, or build an IVF coarse
+quantizer (rayfts/ops/ann.py trains one on a bounded sample; this op
+is the full-corpus assignment/update loop).
+
+Shape per Lloyd iteration (classic distributed k-means):
+
+* centroids (k × d, tiny) broadcast once via ``ray.put``;
+* one ``map_batches`` pass over the embedding table computes each
+  row's nearest centroid (vectorized Gram-expansion distance) and
+  emits PER-BATCH partial sums — (k × d) element sums + k counts —
+  so the shuffle-free reduce moves O(k·d) per batch, never the rows;
+* the driver folds the partials (exact integer adds) and re-derives
+  centroids.
+
+Determinism / oracle parity: everything lives in the INTEGER domain.
+Vectors are quantized once (``floor(x * 2^20 + 0.5)`` int64); distances
+are exact integer squared-L2 (order-free sums); centroid updates do one
+correctly-rounded float64 division per dimension, rounded back to
+int64.  No float accumulation ever crosses batch boundaries, so the
+result is bit-reproducible regardless of batch order / parallelism —
+and a DuckDB oracle with the iterations unrolled reproduces every
+assignment exactly (driver entry ``kmeans_clusters``).
+
+Initialization is the k lowest-id vectors (deterministic; k-means++
+would need a seeded sequential scan — the id-init keeps the oracle a
+pure join).  Empty clusters are DROPPED for subsequent iterations
+(matching the SQL, where an empty group simply vanishes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+QUANT_SCALE = 1 << 20
+
+
+def _quantize_rows(t: pa.Table, vec_col: str) -> np.ndarray:
+    m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+    return np.floor(m * QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def _assign(qx: np.ndarray, qc: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by exact integer squared L2; ties go to
+    the lower centroid id.  Gram expansion keeps it one int64 matmul."""
+    x2 = np.einsum("ij,ij->i", qx, qx)[:, None]
+    c2 = np.einsum("ij,ij->i", qc, qc)[None, :]
+    dist = x2 - 2 * (qx @ qc.T) + c2
+    return np.argmin(dist, axis=1)   # argmin takes the FIRST minimum
+
+
+def kmeans_quantized(emb_ds, k: int, iters: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> pd.DataFrame:
+    """-> (vec_id, cluster) for every row, after ``iters`` Lloyd
+    iterations from the k lowest-id seed vectors."""
+    import pyarrow.compute as pc
+
+    def _seed_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column(id_col), pa.scalar(k)))
+
+    seeds = (emb_ds.map_batches(_seed_filter, batch_format="pyarrow")
+             .to_pandas().sort_values(id_col))
+    qc = np.floor(np.array(seeds[vec_col].tolist(), dtype=np.float64)
+                  * QUANT_SCALE + 0.5).astype(np.int64)
+    cids = np.arange(len(qc), dtype=np.int64)
+
+    for _ in range(iters):
+        qc_ref = ray.put(qc)
+
+        def partials(t: pa.Table) -> pa.Table:
+            qcl = ray.get(qc_ref)
+            qx = _quantize_rows(t, vec_col)
+            a = _assign(qx, qcl)
+            kk, d = qcl.shape
+            sums = np.zeros((kk, d), dtype=np.int64)
+            np.add.at(sums, a, qx)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "count": pa.array(counts),
+                "sums": pa.array(sums.tolist(),
+                                 type=pa.list_(pa.int64())),
+            })
+
+        parts = emb_ds.map_batches(partials,
+                                   batch_format="pyarrow").to_pandas()
+        kk = len(qc)
+        d = qc.shape[1]
+        sums = np.zeros((kk, d), dtype=np.int64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for c, n, s in zip(parts["cluster"], parts["count"],
+                           parts["sums"]):
+            sums[int(c)] += np.asarray(s, dtype=np.int64)
+            counts[int(c)] += int(n)
+        keep = counts > 0
+        # one correctly-rounded f64 division per dim -> exact int64
+        qc = np.floor(sums[keep] / counts[keep, None] + 0.5) \
+            .astype(np.int64)
+        cids = cids[keep]
+
+    qc_ref = ray.put(qc)
+    cid_ref = ray.put(cids)
+
+    def final(t: pa.Table) -> pa.Table:
+        qcl, cl = ray.get(qc_ref), ray.get(cid_ref)
+        qx = _quantize_rows(t, vec_col)
+        a = _assign(qx, qcl)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(cl[a], type=pa.int64()),
+        })
+
+    out = emb_ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -446,3 +446,30 @@ def test_rrf_fuse_math_and_ties():
     p2 = pd.DataFrame({"query_id": [1], "rank": [1], "doc_id": [3]})
     out = rrf_fuse([p1, p2], k=10)
     assert list(out["doc_id"]) == [3, 7]
+
+
+def test_kmeans_quantized_batch_invariant(ray_session):
+    """Integer-domain k-means is bit-reproducible across block layouts:
+    the same data in 1 block vs many blocks yields identical clusters,
+    and well-separated groups are recovered."""
+    import ray.data as rd
+
+    from rayfts.ops.cluster import kmeans_quantized
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(scale=5.0, size=(3, 8))
+    m = np.concatenate([centers[i % 3] + rng.normal(scale=0.1, size=8)
+                        for i in range(120)]).reshape(120, 8)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))})
+    a = kmeans_quantized(rd.from_arrow(t), k=3, iters=2)
+    b = kmeans_quantized(
+        rd.from_arrow(t).repartition(13), k=3, iters=2)
+    assert a.equals(b)
+    # rows generated round-robin from 3 centers -> assignments must be
+    # constant within each residue class
+    lab = a["cluster"].to_numpy()
+    for r in range(3):
+        assert len(set(lab[r::3])) == 1
+    assert len(set(lab[:3])) == 3
