@@ -606,6 +606,51 @@ def _embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+#: substring (distributed grep) workload — embedded in the SQL oracle.
+#: Mix: multi-word, cross-word fragments, a no-match, and a 2-char
+#: needle exercising the sub-trigram scan fallback.
+NEEDLES: list[tuple[int, str]] = [
+    (0, "value table"),
+    (1, "scan"),
+    (2, "er query"),
+    (3, "zz_no_such_substring"),
+    (4, "w "),
+]
+
+
+def _substring_search(sf_dir: str) -> pd.DataFrame:
+    """Trigram-index-accelerated exact substring search over
+    `documents` (rayfts/ops/grep.py): candidates from the encoded-
+    domain AND over the needle's own trigrams, one distributed verify
+    pass counting occurrences — checked against a contains()+replace()
+    oracle."""
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    from rayfts.ops.grep import substring_search
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:trigram".encode()).hexdigest()[:12]
+    index_dir = os.path.join(_IDX_ROOT, tag + "_trigram")
+    idx = _INDEX_CACHE.get(index_dir)
+    if idx is None:
+        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            build_index(src, index_dir, index_type="opt",
+                        key_cols=["doc_id"], text_col="text",
+                        salt_threshold=1 << 17, num_shards=8,
+                        tokenizer="trigram")
+        idx = InvertedIndex(index_dir)
+        dm = pq.read_table(os.path.join(index_dir, "docs"),
+                           columns=["doc_id", "src_doc_id"])
+        src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+        src_ids[dm.column("doc_id").to_numpy()] = \
+            dm.column("src_doc_id").to_numpy()
+        idx.src_doc_ids = src_ids
+        _INDEX_CACHE[index_dir] = idx
+    return substring_search(idx, src, NEEDLES, text_col="text",
+                            id_col="doc_id",
+                            src_doc_ids=idx.src_doc_ids)
+
+
 #: k-means gate parameters (mirrored in the SQL oracle)
 KMEANS_K = 4
 KMEANS_ITERS = 2
@@ -1020,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "hybrid_rrf_topk": _hybrid_rrf,
         "kmeans_clusters": _kmeans,
+        "substring_search": _substring_search,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
@@ -1299,6 +1345,14 @@ topk AS (
                             ORDER BY rrf_q DESC, doc_id ASC) AS rank
   FROM fused)
 SELECT query_id, rank, doc_id, rrf_q FROM topk WHERE rank <= {K}"""
+
+    _n_values = ", ".join(f"({nid}, '{s}')" for nid, s in NEEDLES)
+    sqls["substring_search"] = f"""
+WITH n(needle_id, s) AS (VALUES {_n_values})
+SELECT n.needle_id, d.doc_id,
+       (length(d.text) - length(replace(d.text, n.s, '')))
+         // length(n.s) AS n_hits
+FROM n JOIN documents d ON contains(d.text, n.s)"""
 
     from rayfts.ops.cluster import QUANT_SCALE as _QS
     _iter_sql = """

@@ -48,7 +48,11 @@ import ray.data as rd
 
 from . import bm25
 from .codecs.posting import encode_posting_list
-from .tokenizer import sha256_batch, tokenize_batch
+from .tokenizer import sha256_batch, tokenize_batch, trigram_batch
+
+#: pluggable tokenize stage: "code" = identifier/number grammar (BM25
+#: search), "trigram" = case-sensitive char 3-grams (substring search)
+_TOKENIZE_FNS = {"code": tokenize_batch, "trigram": trigram_batch}
 
 BLOCK = 128  # BMW metadata granularity (block_posting_list block size)
 
@@ -160,11 +164,13 @@ def _add_sortkey(t: pa.Table, key_cols: list[str]) -> pa.Table:
 
 def _assign_tokenize(t: pa.Table, *, map_dir: str, boundaries: list,
                      offsets: np.ndarray, text_col: str, docs_dir: str,
-                     key_cols: list[str]) -> pa.Table:
+                     key_cols: list[str],
+                     tokenizer: str = "code") -> pa.Table:
     """Stage-1 worker body: docID assignment + sha256 + docs-meta
     side-write + tokenize, all on one pass over a content batch."""
+    tokenize_fn = _TOKENIZE_FNS[tokenizer]
     if t.num_rows == 0:
-        return tokenize_batch(t, text_col=text_col)
+        return tokenize_fn(t, text_col=text_col)
     t = _add_sortkey(t, key_cols)
     sk = t.column("sortkey").to_pandas()
     buckets = _bucket_of(sk, boundaries)
@@ -190,7 +196,7 @@ def _assign_tokenize(t: pa.Table, *, map_dir: str, boundaries: list,
     tmpf = fname + ".tmp"
     pq.write_table(meta_t, tmpf)
     os.replace(tmpf, fname)
-    tok = tokenize_batch(t, text_col=text_col)
+    tok = tokenize_fn(t, text_col=text_col)
     # side-write per-doc lengths too (each doc lives in exactly one
     # batch): the .sizes sidecar needs no later scan of the 90M-row
     # tokens table, and tokens shed the repeated doc_len column
@@ -208,7 +214,7 @@ def _assign_tokenize(t: pa.Table, *, map_dir: str, boundaries: list,
 # ---------------------------------------------------------------------------
 
 def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
-                text_col: str) -> int:
+                text_col: str, tokenizer: str = "code") -> int:
     """Returns num_docs. Skipped (with lineage check) if already built."""
     docs_dir = os.path.join(index_dir, "docs")
     marker = os.path.join(index_dir, "docs.done.json")
@@ -310,7 +316,8 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
 
     assign_kwargs = {"map_dir": map_dir, "boundaries": boundaries,
                      "offsets": offsets, "text_col": text_col,
-                     "docs_dir": docs_dir, "key_cols": key_cols}
+                     "docs_dir": docs_dir, "key_cols": key_cols,
+                     "tokenizer": tokenizer}
 
     import shutil as _sh
     lengths_parts = os.path.join(index_dir, "lengths_parts")
@@ -349,7 +356,7 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     os.replace(tmp, tokens_dir)
     _mark("content_pass")
     with open(tokens_marker, "w") as f:
-        json.dump({"text_col": text_col}, f)
+        json.dump({"text_col": text_col, "tokenizer": tokenizer}, f)
     with open(marker, "w") as f:
         json.dump({"num_docs": num_docs, "input": source_path,
                    "key_cols": key_cols, "sub_secs": sub_secs}, f)
@@ -1072,7 +1079,8 @@ def _stage_shards(index_dir: str, index_type: str, num_docs: int,
 # ---------------------------------------------------------------------------
 
 def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
-                 key_cols: list[str], text_col: str) -> None:
+                 key_cols: list[str], text_col: str,
+                 tokenizer: str = "code") -> None:
     """Share another index's tokenize/docID stage instead of re-scanning
     the corpus: symlink the content-derived checkpoints (docs, docidmap,
     tokens, lengths_parts — plus the lengths/dfs aggregates, all pure
@@ -1101,16 +1109,19 @@ def _link_stage1(src_index_dir: str, index_dir: str, source_path: str,
         src_tok_meta = json.load(f)
     src_text_col = src_tok_meta.get("text_col",
                                     src_meta.get("text_col"))
+    src_tokenizer = src_tok_meta.get("tokenizer", "code")
     if (os.path.abspath(src_meta.get("input", "")) !=
             os.path.abspath(source_path)
             or src_meta.get("key_cols") not in (key_cols, want_keys)
-            or src_text_col != text_col):
+            or src_text_col != text_col
+            or src_tokenizer != tokenizer):
         raise ValueError(
             "reuse_stage1_from lineage mismatch: source index was built "
             f"from {src_meta.get('input')!r} key_cols="
-            f"{src_meta.get('key_cols')} text_col={src_text_col!r}, this "
-            f"build asked for {source_path!r} key_cols={key_cols} "
-            f"text_col={text_col!r}")
+            f"{src_meta.get('key_cols')} text_col={src_text_col!r} "
+            f"tokenizer={src_tokenizer!r}, this build asked for "
+            f"{source_path!r} key_cols={key_cols} "
+            f"text_col={text_col!r} tokenizer={tokenizer!r}")
     import shutil as _sh
     # "dfs" (the term-sorted df directory + marker) is optional: it only
     # exists once the source build passed its aggregate stage
@@ -1153,7 +1164,8 @@ def build_index(source_path: str, index_dir: str, *,
                 salt_threshold: int = 1 << 17,
                 num_shards: int | None = None,
                 avg_len_override: float | None = None,
-                reuse_stage1_from: str | None = None) -> dict:
+                reuse_stage1_from: str | None = None,
+                tokenizer: str = "code") -> dict:
     """End-to-end build; resumable per stage and per shard. Returns meta.
 
     ``avg_len_override`` replaces the corpus-local average document
@@ -1173,12 +1185,13 @@ def build_index(source_path: str, index_dir: str, *,
     key_cols = key_cols or ["repo", "path", "commit"]
     if reuse_stage1_from:
         _link_stage1(reuse_stage1_from, index_dir, source_path, key_cols,
-                     text_col)
+                     text_col, tokenizer)
 
     import time as _time
     stage_secs = {}
     t0 = _time.perf_counter()
-    num_docs = _stage_docs(source_path, index_dir, key_cols, text_col)
+    num_docs = _stage_docs(source_path, index_dir, key_cols, text_col,
+                           tokenizer)
     _stage_tokens(index_dir, text_col)
     stage_secs["docs_tokens"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
@@ -1215,6 +1228,8 @@ def build_index(source_path: str, index_dir: str, *,
             key=lambda m: m["shard"]),
         "lineage": {"input": source_path, "key_cols": key_cols,
                     "text_col": text_col, "salt_threshold": salt_threshold,
+                    **({"tokenizer": tokenizer}
+                       if tokenizer != "code" else {}),
                     **({"avg_len_override": float(avg_len_override)}
                        if avg_len_override is not None else {})},
         # per-stage wall seconds (stats_line / construction_time parity,

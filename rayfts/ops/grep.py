@@ -1,0 +1,117 @@
+"""Index-accelerated exact substring search (distributed grep).
+
+The trigram-index design every production code-search engine uses
+(Google Code Search, Zoekt): build the standard inverted index with
+``tokenizer="trigram"`` (rayfts/tokenizer.py — case-sensitive char
+3-grams through the unchanged shuffle/encode pipeline), then answer
+``contains(text, needle)`` queries in two steps:
+
+1. **candidate generation** — AND the posting lists of the needle's
+   own trigrams (the encoded-domain leapfrog of
+   :func:`rayfts.search.and_query`; a document not matching every
+   trigram cannot contain the needle, so recall is exact);
+2. **verification** — ONE distributed pass over the corpus confirms
+   candidates of ALL needles in the batch and counts non-overlapping
+   occurrences (polars ``count_matches(literal=True)``, identical
+   counting to Python ``str.count`` and the SQL
+   ``(len(t)-len(replace(t,s,'')))/len(s)`` trick used by the oracle).
+
+Scale shape: candidates are answer-scale sets broadcast once via
+``ray.put``; the verify pass reads only (id, text) columns and is
+shuffle-free.  Needles shorter than 3 characters can't prune through
+the index and fall back to scan-verify of every row (still one pass).
+Needles containing characters the corpus never produced simply AND to
+an empty list and skip verification entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from rayfts.tokenizer import trigrams_text
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover
+    _pl = None
+
+
+def _count_occurrences(texts, needle: str) -> np.ndarray:
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        return s.str.count_matches(needle, literal=True) \
+            .cast(_pl.Int64).to_numpy().copy()
+    return np.fromiter(((t or "").count(needle) for t in texts),
+                       dtype=np.int64, count=len(texts))
+
+
+def substring_search(index, docs_path: str,
+                     needles: list[tuple[int, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     src_doc_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """-> (needle_id, doc_id, n_hits) for every document containing each
+    needle (exact, case-sensitive), n_hits = non-overlapping count.
+    ``index`` must be a trigram-tokenizer index over the same corpus;
+    ``src_doc_ids`` maps internal docids to source ids (identity when
+    omitted)."""
+    from rayfts.search import and_query
+
+    plans: dict[int, tuple[str, np.ndarray | None]] = {}
+    for nid, s in needles:
+        if len(s) >= 3:
+            trigs = sorted(set(trigrams_text(s)))
+            docs = and_query(index, trigs)
+            if src_doc_ids is not None:
+                cand = np.sort(np.asarray(src_doc_ids)[docs].astype(np.int64))
+            else:
+                cand = np.sort(docs.astype(np.int64))
+            if len(cand) == 0:
+                continue
+        else:
+            cand = None        # sub-trigram needle: scan-verify all rows
+        plans[int(nid)] = (s, cand)
+
+    empty = pd.DataFrame({"needle_id": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "n_hits": pd.Series([], dtype=np.int64)})
+    if not plans:
+        return empty
+
+    plans_ref = ray.put(plans)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pl_map = ray.get(plans_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        out_n, out_d, out_h = [], [], []
+        for nid, (needle, cand) in pl_map.items():
+            if cand is None:
+                sel = np.arange(len(ids))
+            else:
+                sel = np.flatnonzero(
+                    np.isin(ids, cand, assume_unique=False))
+                if len(sel) == 0:
+                    continue
+            hits = _count_occurrences([texts[i] for i in sel], needle)
+            pos = hits > 0
+            out_n.extend([nid] * int(pos.sum()))
+            out_d.extend(ids[sel[pos]].tolist())
+            out_h.extend(hits[pos].tolist())
+        return pa.table({
+            "needle_id": pa.array(out_n, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "n_hits": pa.array(out_h, type=pa.int64()),
+        })
+
+    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["needle_id", "doc_id"]).reset_index(drop=True)

@@ -124,3 +124,112 @@ def sha256_batch(batch: pa.Table, text_col: str = "content") -> pa.Table:
         for t in batch.column(text_col).to_pylist()
     ]
     return batch.append_column("sha256", pa.array(digests, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# character-trigram tokenizer (substring / code-search index)
+# ---------------------------------------------------------------------------
+#
+# The classic code-search architecture (Google Code Search, Zoekt): index
+# every CASE-SENSITIVE character 3-gram of the raw text; a substring
+# query then ANDs the posting lists of its own trigrams and verifies the
+# answer-scale candidates against the stored text.  No lowercasing and
+# no token grammar — `contains` semantics are exact.
+
+
+def trigrams_text(text: str) -> list[str]:
+    """Per-row semantic reference (the vectorized kernel is
+    equality-tested against this)."""
+    return [text[i:i + 3] for i in range(len(text) - 2)]
+
+
+def _utf8_lens(cps: np.ndarray) -> np.ndarray:
+    """UTF-8 byte length per codepoint, vectorized."""
+    return (1 + (cps >= 0x80).astype(np.int32)
+            + (cps >= 0x800).astype(np.int32)
+            + (cps >= 0x10000).astype(np.int32))
+
+
+def _trigram_strings(c0: np.ndarray, c1: np.ndarray,
+                     c2: np.ndarray) -> pa.Array:
+    """(n,) codepoint triples -> Arrow string array, fully vectorized:
+    one utf-32 -> str decode, one utf-8 encode, offsets from per-
+    codepoint utf-8 lengths (the encoded trigrams are consecutive in
+    the utf-8 buffer, so offsets are an exact cumsum)."""
+    n = len(c0)
+    tri = np.empty((n, 3), dtype="<u4")
+    tri[:, 0], tri[:, 1], tri[:, 2] = c0, c1, c2
+    big = tri.tobytes().decode("utf-32-le")
+    data = big.encode("utf-8")
+    lens = _utf8_lens(c0) + _utf8_lens(c1) + _utf8_lens(c2)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+
+
+def trigram_batch(batch: pa.Table, text_col: str = "content",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Arrow batch of documents -> exploded (term, doc_id, tf, doc_len)
+    where term = raw character trigram and doc_len = number of trigram
+    positions (len - 2).  Same output contract as tokenize_batch, so
+    the whole build pipeline (shuffle, salting, EF/PEF encode, BM25
+    metadata) runs unchanged over trigram terms.
+
+    Vectorized end-to-end: all texts decode into ONE codepoint array
+    (utf-32), window starts/doc boundaries are pure index arithmetic,
+    trigrams are packed into uint64 keys (3 x 21 bits) for the
+    (doc, trigram) group-count, and only the UNIQUE pairs materialize
+    strings."""
+    texts = batch.column(text_col).to_pylist()
+    ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    n_docs = len(texts)
+    charlens = np.fromiter(((len(t) if t else 0) for t in texts),
+                           dtype=np.int64, count=n_docs)
+    n_win = np.maximum(charlens - 2, 0)
+    empty = pa.table({
+        "term": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "tf": pa.array([], type=pa.int64()),
+        "doc_len": pa.array([], type=pa.int64()),
+    })
+    total = int(n_win.sum())
+    if total == 0:
+        return empty
+
+    big = "".join(t or "" for t in texts)
+    cps = np.frombuffer(big.encode("utf-32-le"), dtype="<u4") \
+        .astype(np.uint64)
+    doc_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(charlens, out=doc_off[1:])
+    w_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+    win_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_win, out=win_off[1:])
+    starts = (np.arange(total, dtype=np.int64)
+              - win_off[w_doc] + doc_off[w_doc])
+
+    packed = (cps[starts] << np.uint64(42)) \
+        | (cps[starts + 1] << np.uint64(21)) | cps[starts + 2]
+
+    order = np.lexsort((packed, w_doc))
+    d_s, p_s = w_doc[order], packed[order]
+    new = np.empty(total, dtype=bool)
+    new[0] = True
+    new[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1])
+    idx = np.flatnonzero(new)
+    tf = np.diff(np.append(idx, total))
+    u_doc, u_packed = d_s[idx], p_s[idx]
+
+    mask21 = np.uint64((1 << 21) - 1)
+    terms = _trigram_strings(
+        ((u_packed >> np.uint64(42)) & mask21).astype("<u4"),
+        ((u_packed >> np.uint64(21)) & mask21).astype("<u4"),
+        (u_packed & mask21).astype("<u4"))
+    return pa.table({
+        "term": terms,
+        "doc_id": pa.array(ids[u_doc], type=pa.int64()),
+        "tf": pa.array(tf, type=pa.int64()),
+        "doc_len": pa.array(n_win[u_doc], type=pa.int64()),
+    })

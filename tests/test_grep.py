@@ -1,0 +1,113 @@
+"""Trigram tokenizer + index-accelerated substring search
+(rayfts/tokenizer.trigram_batch, rayfts/ops/grep.py)."""
+
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+from rayfts.tokenizer import trigram_batch, trigrams_text
+
+NUM_DOCS = 120
+
+
+def test_trigram_batch_matches_reference():
+    texts = ["hello world", "", "ab", "aaaa", "naïve café ☃now",
+             "x = f(x);\n  y += 2", None, "日本語のテキスト"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "content": pa.array(texts, type=pa.string())})
+    out = trigram_batch(t)
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+           for r in out.to_pylist()}
+    want = {}
+    for i, tx in enumerate(texts):
+        tx = tx or ""
+        for k, v in Counter(trigrams_text(tx)).items():
+            want[(k, i)] = (v, max(len(tx) - 2, 0))
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def trigram_index(ray_session, tmp_path_factory):
+    """Trigram index over a doc_id-keyed corpus (the content comes from
+    the synthetic code generator, so needles cross identifiers,
+    operators and newlines)."""
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    base = pq.read_table(corpus_parquet(NUM_DOCS, seed=17))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(NUM_DOCS, dtype=np.int64)),
+        "content": base.column("content"),
+    })
+    root = tmp_path_factory.mktemp("grep_src")
+    src = str(root / "corpus.parquet")
+    pq.write_table(t, src, row_group_size=32)
+    index_dir = str(tmp_path_factory.mktemp("trigram_idx"))
+    build_index(src, index_dir, index_type="opt", salt_threshold=64,
+                num_shards=4, key_cols=["doc_id"], tokenizer="trigram")
+    idx = InvertedIndex(index_dir)
+    dm = pq.read_table(os.path.join(index_dir, "docs"),
+                       columns=["doc_id", "src_doc_id"])
+    src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+    src_ids[dm.column("doc_id").to_numpy()] = \
+        dm.column("src_doc_id").to_numpy()
+    idx.src_doc_ids = src_ids
+    return src, index_dir, idx, t
+
+
+def test_trigram_index_postings_match_text(trigram_index):
+    """Decoded trigram postings == per-doc trigram counts of the raw
+    content (the verify_collection property under the new tokenizer)."""
+    _, _, idx, t = trigram_index
+    texts = t.column("content").to_pylist()
+    want = {}
+    for sid, content in zip(t.column("doc_id").to_pylist(), texts):
+        for k, v in Counter(trigrams_text(content)).items():
+            want[(k, sid)] = v
+    got = {}
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        for d, f in zip(pl.docs.tolist(), pl.freqs.tolist()):
+            got[(term, int(idx.src_doc_ids[d]))] = f
+    assert got == want
+
+
+def test_substring_search_matches_bruteforce(trigram_index, ray_session):
+    from rayfts.ops.grep import substring_search
+    src, _, idx, t = trigram_index
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("content").to_pylist()
+
+    needles = [(0, "hash("), (1, "index"), (2, "zz_nope_zz"),
+               (3, "42"), (4, ";\n"), (5, "et_")]
+    got = substring_search(idx, src, needles, text_col="content",
+                           id_col="doc_id", src_doc_ids=idx.src_doc_ids)
+    want = []
+    for nid, s in needles:
+        for sid, tx in zip(ids, texts):
+            c = tx.count(s)
+            if c > 0:
+                want.append((nid, sid, c))
+    got_rows = list(zip(got["needle_id"].astype(int),
+                        got["doc_id"].astype(int),
+                        got["n_hits"].astype(int)))
+    assert sorted(got_rows) == sorted(want)
+    # the no-match needle produced nothing, the short one fell back to
+    # scan-verify and still matched
+    assert not any(n == 2 for n, _, _ in got_rows)
+    assert any(n == 4 for n, _, _ in got_rows)
+
+
+def test_build_rejects_stage1_reuse_across_tokenizers(
+        trigram_index, ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    src, index_dir, _, _ = trigram_index
+    out = str(tmp_path_factory.mktemp("mismatch"))
+    with pytest.raises(ValueError, match="tokenizer"):
+        build_index(src, out, index_type="opt", key_cols=["doc_id"],
+                    reuse_stage1_from=index_dir, tokenizer="code")
