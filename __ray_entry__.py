@@ -618,15 +618,11 @@ NEEDLES: list[tuple[int, str]] = [
 ]
 
 
-def _substring_search(sf_dir: str) -> pd.DataFrame:
-    """Trigram-index-accelerated exact substring search over
-    `documents` (rayfts/ops/grep.py): candidates from the encoded-
-    domain AND over the needle's own trigrams, one distributed verify
-    pass counting occurrences — checked against a contains()+replace()
-    oracle."""
+def _trigram_idx(sf_dir: str):
+    """Cached trigram-tokenizer index over `documents` (shared by the
+    substring and regex search gates)."""
     from rayfts.build import build_index
     from rayfts.index import InvertedIndex
-    from rayfts.ops.grep import substring_search
 
     src = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.md5(f"{src}:trigram".encode()).hexdigest()[:12]
@@ -646,9 +642,46 @@ def _substring_search(sf_dir: str) -> pd.DataFrame:
             dm.column("src_doc_id").to_numpy()
         idx.src_doc_ids = src_ids
         _INDEX_CACHE[index_dir] = idx
+    return src, idx
+
+
+def _substring_search(sf_dir: str) -> pd.DataFrame:
+    """Trigram-index-accelerated exact substring search over
+    `documents` (rayfts/ops/grep.py): candidates from the encoded-
+    domain AND over the needle's own trigrams, one distributed verify
+    pass counting occurrences — checked against a contains()+replace()
+    oracle."""
+    from rayfts.ops.grep import substring_search
+    src, idx = _trigram_idx(sf_dir)
     return substring_search(idx, src, NEEDLES, text_col="text",
                             id_col="doc_id",
                             src_doc_ids=idx.src_doc_ids)
+
+
+#: regex workload — RE2-compatible (polars rust-regex == DuckDB RE2 ==
+#: Python re on this subset).  Mix: prunable concat, alternation OR of
+#: per-branch ANDs, required-literal+class, a provably-empty pattern,
+#: and an unprunable dot pattern exercising the scan fallback.
+RE_PATTERNS: list[tuple[int, str]] = [
+    (0, r"value\s+table"),
+    (1, r"(scan|sort) query"),
+    (2, r"merge\s+(batch|value)"),
+    (3, r"zz_nomatch\d+"),
+    (4, r"b.g"),
+]
+
+
+def _regex_search(sf_dir: str) -> pd.DataFrame:
+    """Trigram-pruned distributed regex grep over `documents`
+    (rayfts/ops/grep.py regex_search): the pattern compiles to a
+    required-trigram DNF (Cox 2012 simplified), candidates come from
+    encoded-domain ANDs OR-ed across alternatives, one distributed
+    verify pass counts non-overlapping matches — checked against a
+    regexp_matches + regexp_extract_all oracle."""
+    from rayfts.ops.grep import regex_search
+    src, idx = _trigram_idx(sf_dir)
+    return regex_search(idx, src, RE_PATTERNS, text_col="text",
+                        id_col="doc_id", src_doc_ids=idx.src_doc_ids)
 
 
 #: k-means gate parameters (mirrored in the SQL oracle)
@@ -1066,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": _hybrid_rrf,
         "kmeans_clusters": _kmeans,
         "substring_search": _substring_search,
+        "regex_search": _regex_search,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
@@ -1353,6 +1387,15 @@ SELECT n.needle_id, d.doc_id,
        (length(d.text) - length(replace(d.text, n.s, '')))
          // length(n.s) AS n_hits
 FROM n JOIN documents d ON contains(d.text, n.s)"""
+
+    # standard (non-E) SQL strings keep backslashes literal, so the
+    # regex text passes through to RE2 unescaped
+    _p_values = ", ".join(f"({pid}, '{s}')" for pid, s in RE_PATTERNS)
+    sqls["regex_search"] = f"""
+WITH p(pattern_id, pat) AS (VALUES {_p_values})
+SELECT p.pattern_id, d.doc_id,
+       len(regexp_extract_all(d.text, p.pat)) AS n_matches
+FROM p JOIN documents d ON regexp_matches(d.text, p.pat)"""
 
     from rayfts.ops.cluster import QUANT_SCALE as _QS
     _iter_sql = """

@@ -1,30 +1,41 @@
-"""Index-accelerated exact substring search (distributed grep).
+"""Index-accelerated substring and regex search (distributed grep).
 
 The trigram-index design every production code-search engine uses
 (Google Code Search, Zoekt): build the standard inverted index with
 ``tokenizer="trigram"`` (rayfts/tokenizer.py — case-sensitive char
 3-grams through the unchanged shuffle/encode pipeline), then answer
-``contains(text, needle)`` queries in two steps:
+``contains(text, needle)`` / ``regexp_matches(text, pat)`` queries in
+two steps:
 
 1. **candidate generation** — AND the posting lists of the needle's
    own trigrams (the encoded-domain leapfrog of
    :func:`rayfts.search.and_query`; a document not matching every
-   trigram cannot contain the needle, so recall is exact);
+   trigram cannot contain the needle, so recall is exact).  For a
+   regex, :func:`regex_trigram_query` compiles the pattern into a DNF
+   of required-trigram sets (OR over alternation branches of AND over
+   each branch's mandatory literals) — the simplified form of Cox's
+   RE→trigram-query algorithm ("Regular Expression Matching with a
+   Trigram Index", 2012);
 2. **verification** — ONE distributed pass over the corpus confirms
    candidates of ALL needles in the batch and counts non-overlapping
-   occurrences (polars ``count_matches(literal=True)``, identical
+   occurrences (polars ``count_matches``; for literals identical
    counting to Python ``str.count`` and the SQL
-   ``(len(t)-len(replace(t,s,'')))/len(s)`` trick used by the oracle).
+   ``(len(t)-len(replace(t,s,'')))/len(s)`` trick, for regexes
+   identical to DuckDB ``len(regexp_extract_all(..))`` on the shared
+   RE2-compatible subset).
 
 Scale shape: candidates are answer-scale sets broadcast once via
 ``ray.put``; the verify pass reads only (id, text) columns and is
-shuffle-free.  Needles shorter than 3 characters can't prune through
-the index and fall back to scan-verify of every row (still one pass).
+shuffle-free.  Needles shorter than 3 characters (and regexes with an
+alternative requiring no ≥3-char literal) can't prune through the
+index and fall back to scan-verify of every row (still one pass).
 Needles containing characters the corpus never produced simply AND to
 an empty list and skip verification entirely.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd
@@ -40,6 +51,13 @@ try:
 except ImportError:          # pragma: no cover
     _pl = None
 
+try:
+    import re._parser as _sre_parse
+    import re._constants as _sre_c
+except ImportError:           # pragma: no cover - pre-3.11 layout
+    import sre_parse as _sre_parse
+    import sre_constants as _sre_c
+
 
 def _count_occurrences(texts, needle: str) -> np.ndarray:
     if _pl is not None:
@@ -48,6 +66,66 @@ def _count_occurrences(texts, needle: str) -> np.ndarray:
             .cast(_pl.Int64).to_numpy().copy()
     return np.fromiter(((t or "").count(needle) for t in texts),
                        dtype=np.int64, count=len(texts))
+
+
+def _count_regex(texts, pattern: str) -> np.ndarray:
+    """Non-overlapping leftmost match count — polars (rust regex) and
+    the DuckDB oracle's len(regexp_extract_all(..)) (RE2) agree on the
+    shared backref-free subset; Python finditer is the fallback."""
+    if _pl is not None:
+        s = _pl.Series("t", texts, dtype=_pl.Utf8).fill_null("")
+        return s.str.count_matches(pattern, literal=False) \
+            .cast(_pl.Int64).to_numpy().copy()
+    rx = re.compile(pattern)
+    return np.fromiter(
+        (sum(1 for _ in rx.finditer(t or "")) for t in texts),
+        dtype=np.int64, count=len(texts))
+
+
+def _verify_pass(docs_path: str, plans: dict, count_fn,
+                 text_col: str, id_col: str,
+                 id_name: str, hits_name: str) -> pd.DataFrame:
+    """One shuffle-free distributed pass over (id, text) confirming the
+    candidates of every query in `plans` ({qid: (needle_or_pattern,
+    sorted candidate ids | None)}); None candidates = scan every row."""
+    empty = pd.DataFrame({id_name: pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          hits_name: pd.Series([], dtype=np.int64)})
+    if not plans:
+        return empty
+
+    plans_ref = ray.put(plans)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pl_map = ray.get(plans_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        out_n, out_d, out_h = [], [], []
+        for nid, (needle, cand) in pl_map.items():
+            if cand is None:
+                sel = np.arange(len(ids))
+            else:
+                sel = np.flatnonzero(
+                    np.isin(ids, cand, assume_unique=False))
+                if len(sel) == 0:
+                    continue
+            hits = count_fn([texts[i] for i in sel], needle)
+            pos = hits > 0
+            out_n.extend([nid] * int(pos.sum()))
+            out_d.extend(ids[sel[pos]].tolist())
+            out_h.extend(hits[pos].tolist())
+        return pa.table({
+            id_name: pa.array(out_n, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            hits_name: pa.array(out_h, type=pa.int64()),
+        })
+
+    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
+    if len(out) == 0:
+        return empty
+    return out.sort_values([id_name, "doc_id"]).reset_index(drop=True)
 
 
 def substring_search(index, docs_path: str,
@@ -77,41 +155,128 @@ def substring_search(index, docs_path: str,
             cand = None        # sub-trigram needle: scan-verify all rows
         plans[int(nid)] = (s, cand)
 
-    empty = pd.DataFrame({"needle_id": pd.Series([], dtype=np.int64),
-                          "doc_id": pd.Series([], dtype=np.int64),
-                          "n_hits": pd.Series([], dtype=np.int64)})
-    if not plans:
-        return empty
+    return _verify_pass(docs_path, plans, _count_occurrences,
+                        text_col, id_col, "needle_id", "n_hits")
 
-    plans_ref = ray.put(plans)
 
-    def verify(t: pa.Table) -> pa.Table:
-        pl_map = ray.get(plans_ref)
-        ids = t.column(id_col).to_numpy().astype(np.int64)
-        texts = t.column(text_col).to_pylist()
-        out_n, out_d, out_h = [], [], []
-        for nid, (needle, cand) in pl_map.items():
-            if cand is None:
-                sel = np.arange(len(ids))
+# ---------------------------------------------------------------------------
+# regex search — trigram-pruned distributed grep
+# ---------------------------------------------------------------------------
+
+#: DNF alternative-count budget; past it the analysis collapses to
+#: "nothing required" (scan fallback) rather than exploding.
+_DNF_CAP = 64
+
+
+def _dnf_product(a: list[frozenset], b: list[frozenset]) -> list[frozenset]:
+    out = {fa | fb for fa in a for fb in b}
+    if len(out) > _DNF_CAP:
+        return [frozenset()]
+    return sorted(out, key=sorted)
+
+
+def _lit_dnf(seq) -> list[frozenset]:
+    """Required-literal DNF for a parsed regex subpattern: every match
+    of `seq` satisfies at least one alternative, and an alternative is
+    satisfied only if ALL its literal strings occur in the text.
+    Conservative by construction — it never invents a requirement, so
+    index candidates stay a superset of the true matches: literal runs
+    break at any non-literal node (no cross-boundary concatenation,
+    i.e. the simplified form of Cox's prefix/suffix tracking),
+    alternation unions its branches, min-0 repeats and everything
+    uncertain contribute nothing."""
+    dnf: list[frozenset] = [frozenset()]
+    run: list[str] = []
+
+    def flush() -> None:
+        nonlocal dnf
+        if run:
+            dnf = _dnf_product(dnf, [frozenset(("".join(run),))])
+            run.clear()
+
+    for op, av in seq:
+        if op is _sre_c.LITERAL:
+            run.append(chr(av))
+            continue
+        flush()
+        if op is _sre_c.SUBPATTERN:
+            _, add_flags, _, sub = av
+            # inline flags ((?i) etc.) change literal semantics -> bail
+            part = [frozenset()] if add_flags else _lit_dnf(sub)
+        elif op is _sre_c.BRANCH:
+            seen = set()
+            for b in av[1]:
+                seen.update(_lit_dnf(b))
+            part = (sorted(seen, key=sorted) if len(seen) <= _DNF_CAP
+                    else [frozenset()])
+        elif op in (_sre_c.MAX_REPEAT, _sre_c.MIN_REPEAT,
+                    getattr(_sre_c, "POSSESSIVE_REPEAT", _sre_c.MAX_REPEAT)):
+            mn, _, sub = av
+            part = _lit_dnf(sub) if mn >= 1 else [frozenset()]
+        else:
+            # IN / ANY / AT / CATEGORY / ASSERT / GROUPREF / ...:
+            # nothing provably required
+            part = [frozenset()]
+        dnf = _dnf_product(dnf, part)
+    flush()
+    return dnf
+
+
+def regex_trigram_query(pattern: str) -> list[set[str]] | None:
+    """Compile a regex into its trigram index query: a list of
+    alternatives, each a set of trigrams, such that every matching
+    document is in ``OR_alt( AND_trigram posting-list )``.  Returns
+    ``None`` when the pattern has an alternative requiring no >=3-char
+    literal — the index can't prune and the caller must scan-verify
+    every row (Cox 2012, "Regular Expression Matching with a Trigram
+    Index"; reference analogue: none — ds2i has no text queries, this
+    extends the code-search layer built on its index machinery)."""
+    alts: list[set[str]] = []
+    for lits in _lit_dnf(_sre_parse.parse(pattern)):
+        trigs: set[str] = set()
+        for s in lits:
+            if len(s) >= 3:
+                trigs.update(trigrams_text(s))
+        if not trigs:
+            return None
+        alts.append(trigs)
+    return alts
+
+
+def regex_search(index, docs_path: str,
+                 patterns: list[tuple[int, str]],
+                 text_col: str = "text",
+                 id_col: str = "doc_id",
+                 src_doc_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """-> (pattern_id, doc_id, n_matches) for every document the regex
+    matches, n_matches = non-overlapping leftmost match count.
+    Patterns must stay in the RE2-compatible subset (no backrefs, no
+    lookaround) so polars (rust regex), DuckDB (RE2) and Python `re`
+    count identically.  ``index`` must be a trigram-tokenizer index
+    over the same corpus; candidates come from the compiled trigram
+    query's encoded-domain ANDs, unioned across alternatives."""
+    from rayfts.search import and_query
+
+    plans: dict[int, tuple[str, np.ndarray | None]] = {}
+    for pid, pat in patterns:
+        q = regex_trigram_query(pat)
+        if q is None:
+            cand = None          # unprunable: scan-verify all rows
+        else:
+            docsets = []
+            for trigs in q:
+                d = and_query(index, sorted(trigs))
+                if len(d):
+                    docsets.append(d.astype(np.int64))
+            if not docsets:
+                continue          # provably no match anywhere
+            docs = np.unique(np.concatenate(docsets))
+            if src_doc_ids is not None:
+                cand = np.sort(
+                    np.asarray(src_doc_ids)[docs].astype(np.int64))
             else:
-                sel = np.flatnonzero(
-                    np.isin(ids, cand, assume_unique=False))
-                if len(sel) == 0:
-                    continue
-            hits = _count_occurrences([texts[i] for i in sel], needle)
-            pos = hits > 0
-            out_n.extend([nid] * int(pos.sum()))
-            out_d.extend(ids[sel[pos]].tolist())
-            out_h.extend(hits[pos].tolist())
-        return pa.table({
-            "needle_id": pa.array(out_n, type=pa.int64()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "n_hits": pa.array(out_h, type=pa.int64()),
-        })
+                cand = docs
+        plans[int(pid)] = (pat, cand)
 
-    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
-           .map_batches(verify, batch_format="pyarrow")
-           .to_pandas())
-    if len(out) == 0:
-        return empty
-    return out.sort_values(["needle_id", "doc_id"]).reset_index(drop=True)
+    return _verify_pass(docs_path, plans, _count_regex,
+                        text_col, id_col, "pattern_id", "n_matches")

@@ -103,6 +103,59 @@ def test_substring_search_matches_bruteforce(trigram_index, ray_session):
     assert any(n == 4 for n, _, _ in got_rows)
 
 
+def test_regex_trigram_query_compiler():
+    """Required-trigram DNF extraction: conservative, never invents a
+    requirement (Cox 2012 simplified — literal runs break at any
+    non-literal node, alternation unions branches)."""
+    from rayfts.ops.grep import regex_trigram_query as q
+
+    assert q(r"value\s+table") == [set("val alu lue tab abl ble".split())]
+    # alternation: OR of per-branch required sets (sre hoists the
+    # common 's' prefix out of the branch; the 1-char run is dropped)
+    alts = q(r"(scan|sort) query")
+    assert len(alts) == 2
+    common = set([" qu", "que", "uer", "ery"])
+    assert all(common <= a for a in alts)
+    assert any("can" in a for a in alts) and any("ort" in a for a in alts)
+    # min-0 repeats contribute nothing; min>=1 repeats are required
+    assert q(r"colum+n") == [{"col", "olu"}]
+    assert q(r"(?:stream){2,}") == [{"str", "tre", "rea", "eam"}]
+    # unprunable shapes -> None (scan fallback)
+    assert q(r"b.g") is None
+    assert q(r"x*") is None
+    assert q(r"(a|big) table") is not None  # 'a' branch still anchored
+    assert q(r"(a|big)") is None            # bare 'a' branch: no trigram
+
+
+def test_regex_search_matches_bruteforce(trigram_index, ray_session):
+    import re
+
+    from rayfts.ops.grep import regex_search
+    src, _, idx, t = trigram_index
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("content").to_pylist()
+
+    patterns = [(0, r"def\s+\w+\("), (1, r"(return|yield) "),
+                (2, r"zz_nope\d+"), (3, r"i."), (4, r"for [a-z]+ in ")]
+    got = regex_search(idx, src, patterns, text_col="content",
+                       id_col="doc_id", src_doc_ids=idx.src_doc_ids)
+    want = []
+    for pid, pat in patterns:
+        rx = re.compile(pat)
+        for sid, tx in zip(ids, texts):
+            c = sum(1 for _ in rx.finditer(tx))
+            if c > 0:
+                want.append((pid, sid, c))
+    got_rows = list(zip(got["pattern_id"].astype(int),
+                        got["doc_id"].astype(int),
+                        got["n_matches"].astype(int)))
+    assert sorted(got_rows) == sorted(want)
+    # the no-match pattern pruned to nothing; the unprunable one
+    # (scan fallback) still produced hits
+    assert not any(p == 2 for p, _, _ in got_rows)
+    assert any(p == 3 for p, _, _ in got_rows)
+
+
 def test_build_rejects_stage1_reuse_across_tokenizers(
         trigram_index, ray_session, tmp_path_factory):
     from rayfts.build import build_index
