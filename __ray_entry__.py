@@ -385,6 +385,82 @@ def _postings_table_appended(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
 
 
+#: deterministic tombstone predicate on SOURCE doc_id (mirrored in SQL)
+DELETE_MOD, DELETE_REM = 5, 2
+
+
+def _deleted_internal(idx) -> np.ndarray:
+    """Internal docIDs of the gate's tombstone set (source doc_id % 5
+    == 2), sorted ascending."""
+    src = np.asarray(idx.src_doc_ids)
+    return np.flatnonzero(src % DELETE_MOD == DELETE_REM).astype(np.int64)
+
+
+def _compacted_index_for(sf_dir: str):
+    """Compacted index (rayfts/compact.py): the opt index with every
+    tombstoned document physically removed and docIDs densified —
+    byte-identical to a fresh build over the filtered corpus.  The
+    tombstone set is passed explicitly so the shared cached base index
+    stays untouched for the other entries."""
+    from rayfts.compact import compact_index
+    from rayfts.index import InvertedIndex
+
+    idx = _index_for(sf_dir, "opt")
+    out_dir = idx.index_dir.rstrip("/") + "_compacted"
+    c = _INDEX_CACHE.get(out_dir)
+    if c is None:
+        if not os.path.exists(os.path.join(out_dir, "meta.json")):
+            compact_index(idx.index_dir, out_dir,
+                          deleted=_deleted_internal(idx), num_shards=8)
+        c = InvertedIndex(out_dir)
+        dm = pq.read_table(os.path.join(out_dir, "docs"),
+                           columns=["doc_id", "src_doc_id"])
+        src_ids = np.zeros(c.num_docs, dtype=np.int64)
+        src_ids[dm.column("doc_id").to_numpy()] = \
+            dm.column("src_doc_id").to_numpy()
+        c.src_doc_ids = src_ids
+        _INDEX_CACHE[out_dir] = c
+    return c
+
+
+def _postings_table_compacted(sf_dir: str) -> pd.DataFrame:
+    """Decode the COMPACTED index back to (term, doc, tf) — must equal
+    the tokenization of the corpus with the tombstoned documents gone
+    (the delete+compact lifecycle's end-to-end invariant)."""
+    idx = _compacted_index_for(sf_dir)
+    rows_t, rows_d, rows_f = [], [], []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(idx.src_doc_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
+def _bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 over the TOMBSTONED (not yet compacted) index:
+    deleted docs are filtered at collect time while the collection
+    statistics (N / df / avg_len) stay stale — the standard
+    segment-delete serving contract (rayfts/compact.py + the
+    tombstone-aware kernels in rayfts/search.py)."""
+    import copy
+
+    from rayfts import search as S
+
+    base = _index_for(sf_dir, "opt")
+    idx = copy.copy(base)                  # shared caches, private view
+    idx.deleted = _deleted_internal(base)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S.ranked_or(idx, terms, k=K, prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -1065,6 +1141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_qmx": _postings_for("block_qmx"),
         "postings_merged": _postings_table_merged,
         "postings_appended": _postings_table_appended,
+        "postings_compacted": _postings_table_compacted,
+        "bm25_topk_deleted": _bm25_topk_deleted,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1227,6 +1305,30 @@ SELECT term, doc_id, tf FROM tf"""
         sqls[f"postings_{_t}"] = postings_sql
     sqls["postings_merged"] = postings_sql
     sqls["postings_appended"] = postings_sql
+
+    # compaction: same postings identity over the corpus minus the
+    # tombstoned docs (the CTE shadows the registered view)
+    sqls["postings_compacted"] = f"""
+WITH documents_live AS (
+  SELECT * FROM documents WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}),
+{_TOK.strip().replace("FROM documents", "FROM documents_live")}
+SELECT term, doc_id, tf FROM tf"""
+
+    # tombstoned serving: stats over the FULL corpus (stale until
+    # compaction), deleted docs excluded from the candidate set
+    sqls["bm25_topk_deleted"] = f"""
+{_bm25_scores_sql()},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores
+  WHERE scores.doc_id % {DELETE_MOD} <> {DELETE_REM}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}

@@ -1,0 +1,404 @@
+"""Tombstone deletes + index compaction.
+
+The reference has no delete path at all — removing documents from a
+ds2i index means rebuilding the ``binary_freq_collection`` from scratch
+(create_freq_index.cpp:111-136).  This module gives the engine the
+standard two-phase lifecycle production index stores use:
+
+1. :func:`delete_docs` — record internal docIDs in a sorted tombstone
+   sidecar (``deleted/deleted.i64``, the Lucene liveDocs analogue).
+   Serving filters tombstoned docs out of every result/top-k while the
+   collection statistics (N, df, avg_len) stay STALE until compaction —
+   the same contract segment deletes have everywhere.  O(deleted)
+   cost; the index shards are untouched.
+2. :func:`compact_index` — rewrite the index without the deleted
+   documents.  The result is BYTE-identical to a fresh build over the
+   filtered corpus (asserted in tests/test_compact.py): filtering
+   preserves the sorted-key order of the surviving documents, so the
+   dense docID remap ``new = old - rank_of_old_in_deleted`` reproduces
+   exactly the docIDs a fresh build would assign, and every downstream
+   stage (dfs, shard plan, sidecar, encoder) IS the fresh build's own
+   stage.
+
+Scale shape: no stage re-reads corpus content and no process ever
+holds the full vocabulary or an O(num_docs) heap array —
+
+* the tombstone set is answer-scale and broadcast once (``ray.put``);
+  membership tests inside tasks are ``searchsorted`` on the shared
+  object, zero-copy from the object store;
+* filtered postings are produced by one distributed decode pass over
+  the term-range shard files and checkpointed in the build shuffle's
+  own delta+vbyte wire format (1-2 B/posting), so the re-encode pass
+  (and a crashed compact's resume) reads the small packed form;
+* new dfs fall out of the filtered rows (one row per term: df == n),
+  written through :func:`~rayfts.build.write_sorted_dfs` — term-sorted
+  part files, per-file metadata only on the driver;
+* lengths/norms reuse the doc-range-parallel `_stage_sidecar`; the new
+  exact total length is ``old_total - sum(lengths[deleted])`` (the
+  subtraction touches O(deleted) mmap pages, not the corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .build import (LexiconMeta, _lengths_source, _named, _stage_lengths,
+                    _stage_sidecar, _term_shard_plan, _ShardEncoder,
+                    write_sorted_dfs)
+from .codecs.posting import decode_posting_list
+
+DELETED_FILE = os.path.join("deleted", "deleted.i64")
+
+
+# ---------------------------------------------------------------------------
+# tombstones
+# ---------------------------------------------------------------------------
+
+def load_deleted(index_dir: str) -> np.ndarray | None:
+    """Sorted internal docIDs tombstoned at ``index_dir``; None when the
+    index has never seen a delete."""
+    p = os.path.join(index_dir, DELETED_FILE)
+    if not os.path.exists(p):
+        return None
+    return np.fromfile(p, dtype=np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids: np.ndarray) -> int:
+    """Tombstone the given INTERNAL docIDs (unioned with any existing
+    tombstones; atomic replace).  Returns the total tombstone count.
+    Serving must observe the new set (`InvertedIndex` reads it at
+    construction; long-lived readers re-open or set ``.deleted``)."""
+    ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+    if len(ids) and (ids[0] < 0):
+        raise ValueError("negative docID in delete set")
+    prev = load_deleted(index_dir)
+    if prev is not None and len(prev):
+        ids = np.union1d(prev, ids)
+    ddir = os.path.join(index_dir, "deleted")
+    os.makedirs(ddir, exist_ok=True)
+    p = os.path.join(index_dir, DELETED_FILE)
+    with open(p + ".tmp", "wb") as f:
+        f.write(ids.tobytes())
+    os.replace(p + ".tmp", p)
+    with open(os.path.join(ddir, "deleted.done.json.tmp"), "w") as f:
+        json.dump({"count": int(len(ids))}, f)
+    os.replace(os.path.join(ddir, "deleted.done.json.tmp"),
+               os.path.join(ddir, "deleted.done.json"))
+    return int(len(ids))
+
+
+def select_doc_ids(index_dir: str, batch_mask_fn) -> np.ndarray:
+    """Distributed scan of the index's docID map: internal doc_ids of
+    the rows where ``batch_mask_fn(table) -> bool ndarray`` holds.  The
+    driver receives only the selected ids (answer-scale)."""
+    ds = rd.read_parquet(os.path.join(index_dir, "docs"))
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = np.asarray(batch_mask_fn(t), dtype=bool)
+        return pa.table({"doc_id": pa.compute.filter(
+            t.column("doc_id"), pa.array(m))})
+
+    parts = [ray.get(r) for r in
+             ds.map_batches(pick, batch_size=None,
+                            batch_format="pyarrow").to_arrow_refs()]
+    got = pa.concat_tables(parts)
+    return np.sort(got.column("doc_id").to_numpy().astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+class _FilterRemap:
+    """Per-shard-file compaction mapper: decode each posting list, drop
+    tombstoned docIDs, densify the survivors' docIDs, re-pack as the
+    build shuffle's delta+vbyte wire payload (same layout _ShardEncoder
+    consumes; 1-2 B/posting lands in the checkpoint)."""
+
+    def __init__(self, src_type: str, src_num_docs: int, del_ref,
+                 new_num_docs: int):
+        self.src_type = src_type
+        self.src_num_docs = src_num_docs
+        self.del_ref = del_ref
+        self.packed = new_num_docs < (1 << 31)
+
+    def _empty(self) -> pa.Table:
+        base = {"term": pa.array([], type=pa.string()),
+                "salt": pa.array([], type=pa.int64()),
+                "first_doc": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64())}
+        if self.packed:
+            return pa.table({**base,
+                             "docs_vb": pa.array([], type=pa.binary()),
+                             "freqs_vb": pa.array([], type=pa.binary())})
+        return pa.table({**base,
+                         "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                         "freqs": pa.array([], type=pa.list_(pa.int64()))})
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .codecs import vbyte
+        if t.num_rows == 0:
+            return self._empty()
+        deleted = ray.get(self.del_ref)
+        db = t.column("docs_bytes").to_pylist()
+        fb = t.column("freqs_bytes").to_pylist()
+        keep_terms, docs_parts, freqs_parts = [], [], []
+        for r in range(len(db)):
+            d, f = decode_posting_list(self.src_type, db[r], fb[r],
+                                       self.src_num_docs)
+            d = np.asarray(d, dtype=np.int64)
+            pos = np.searchsorted(deleted, d)
+            dead = (pos < len(deleted)) & \
+                (deleted[np.minimum(pos, len(deleted) - 1)] == d)
+            if dead.all():
+                continue            # term vanishes from the lexicon
+            d = d[~dead]
+            # dense remap: new = old - |deleted < old| — preserves order
+            d = d - np.searchsorted(deleted, d)
+            keep_terms.append(r)
+            docs_parts.append(d)
+            freqs_parts.append(np.asarray(f, dtype=np.int64)[~dead])
+        if not keep_terms:
+            return self._empty()
+        lens = np.array([len(x) for x in docs_parts], dtype=np.int64)
+        doc_ids = np.concatenate(docs_parts)
+        tfs = np.concatenate(freqs_parts)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        base_cols = {
+            "term": t.column("term").take(pa.array(keep_terms)),
+            "salt": pa.array(np.zeros(len(lens), np.int64),
+                             type=pa.int64()),
+            "first_doc": pa.array(doc_ids[starts], type=pa.int64()),
+            "n": pa.array(lens, type=pa.int64()),
+        }
+        if not self.packed:
+            loffsets = np.append(starts, len(doc_ids)).astype(np.int32)
+            return pa.table({**base_cols,
+                "doc_ids": pa.ListArray.from_arrays(
+                    loffsets, pa.array(doc_ids, type=pa.int64())),
+                "freqs": pa.ListArray.from_arrays(
+                    loffsets, pa.array(tfs, type=pa.int64()))})
+        deltas = doc_ids.copy()
+        deltas[1:] -= doc_ids[:-1]
+        deltas[starts] = doc_ids[starts]
+        dv = vbyte.encode(deltas)
+        fv = vbyte.encode(tfs)
+        dends = np.cumsum(vbyte.value_lengths(deltas))
+        fends = np.cumsum(vbyte.value_lengths(tfs))
+        bnds = np.append(starts, len(doc_ids))
+        d_off = np.zeros(len(lens) + 1, dtype=np.int32)
+        f_off = np.zeros(len(lens) + 1, dtype=np.int32)
+        nz = lens > 0
+        d_off[1:][nz] = dends[bnds[1:][nz] - 1]
+        f_off[1:][nz] = fends[bnds[1:][nz] - 1]
+        np.maximum.accumulate(d_off, out=d_off)
+        np.maximum.accumulate(f_off, out=f_off)
+        docs_vb = pa.Array.from_buffers(
+            pa.binary(), len(lens),
+            [None, pa.py_buffer(d_off.tobytes()), pa.py_buffer(dv.tobytes())])
+        freqs_vb = pa.Array.from_buffers(
+            pa.binary(), len(lens),
+            [None, pa.py_buffer(f_off.tobytes()), pa.py_buffer(fv.tobytes())])
+        return pa.table({**base_cols, "docs_vb": docs_vb,
+                         "freqs_vb": freqs_vb})
+
+
+def _atomic_write_dir(ds: rd.Dataset, out_dir: str) -> None:
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+
+
+def compact_index(index_dir: str, out_dir: str, *,
+                  deleted: np.ndarray | None = None,
+                  num_shards: int | None = None,
+                  index_type: str | None = None) -> dict:
+    """Rewrite the index at ``index_dir`` without its tombstoned
+    documents (or the explicit ``deleted`` internal-docID array),
+    producing a fresh index at ``out_dir`` that is byte-identical to a
+    direct build over the surviving corpus with the same parameters.
+    Resumable at every stage (per-stage markers, per-shard done files);
+    the source index is read-only throughout."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        src_meta = json.load(f)
+    src_num = int(src_meta["num_docs"])
+    src_type = src_meta["index_type"]
+    index_type = index_type or src_type
+
+    if deleted is None:
+        deleted = load_deleted(index_dir)
+    if deleted is None or len(deleted) == 0:
+        raise ValueError("nothing to compact: no tombstones recorded "
+                         "and no explicit delete set given")
+    deleted = np.unique(np.asarray(deleted, dtype=np.int64))
+    if deleted[0] < 0 or deleted[-1] >= src_num:
+        raise ValueError("delete set contains docIDs outside the index")
+    new_num = src_num - len(deleted)
+    if new_num == 0:
+        raise ValueError("compaction would delete every document")
+
+    out_meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(out_meta_path):
+        with open(out_meta_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    del_ref = ray.put(deleted)
+
+    import time as _time
+    t0 = _time.perf_counter()
+
+    # --- stage 1: filtered+remapped postings checkpoint (packed wire) --
+    filt_dir = os.path.join(out_dir, "filtered")
+    filt_marker = filt_dir + ".done.json"
+    if not os.path.exists(filt_marker):
+        shards_dir = os.path.join(index_dir, "shards")
+        files = sorted(os.path.join(shards_dir, f)
+                       for f in os.listdir(shards_dir)
+                       if f.endswith(".parquet"))
+        ds = rd.read_parquet(
+            files, columns=["term", "docs_bytes", "freqs_bytes"])
+        mapper = _FilterRemap(src_type, src_num, del_ref, new_num)
+        _atomic_write_dir(
+            ds.map_batches(mapper, batch_size=None,
+                           batch_format="pyarrow"), filt_dir)
+        with open(filt_marker + ".tmp", "w") as f:
+            json.dump({"num_deleted": int(len(deleted)),
+                       "new_num_docs": new_num}, f)
+        os.replace(filt_marker + ".tmp", filt_marker)
+
+    # --- stage 2: new dfs (one filtered row per term: df == n) ---------
+    dfs_marker = os.path.join(out_dir, "dfs.done.json")
+    if not os.path.exists(dfs_marker):
+        def to_df(t: pa.Table) -> pa.Table:
+            return pa.table({"term": t.column("term"),
+                             "df": t.column("n")})
+        dfs_ds = rd.read_parquet(filt_dir, columns=["term", "n"]) \
+            .map_batches(to_df, batch_size=None, batch_format="pyarrow")
+        # the filtered files inherit the shards' disjoint term-range
+        # order, so the sorted-write skips its shuffle (verified inside;
+        # if a Ray version ever reorders the blocks the check raises and
+        # we pay the explicit sort instead)
+        try:
+            write_sorted_dfs(dfs_ds, os.path.join(out_dir, "dfs"),
+                             dfs_marker, presorted=True)
+        except ValueError:
+            write_sorted_dfs(dfs_ds, os.path.join(out_dir, "dfs"),
+                             dfs_marker, presorted=False)
+
+    # --- stage 3: surviving lengths dataset + dense sidecar ------------
+    lp_dir = os.path.join(out_dir, "lengths_parts")
+    lp_marker = lp_dir + ".done.json"
+    if not os.path.exists(lp_marker):
+        src_lengths = _lengths_source(index_dir)
+
+        def filt_lengths(t: pa.Table) -> pa.Table:
+            dset = ray.get(del_ref)
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            pos = np.searchsorted(dset, d)
+            dead = (pos < len(dset)) & \
+                (dset[np.minimum(pos, len(dset) - 1)] == d)
+            d = d[~dead]
+            return pa.table({
+                "doc_id": pa.array(d - np.searchsorted(dset, d),
+                                   type=pa.int64()),
+                "length": t.column("length").filter(pa.array(~dead))})
+
+        _atomic_write_dir(
+            rd.read_parquet(src_lengths, columns=["doc_id", "length"])
+            .map_batches(filt_lengths, batch_size=None,
+                         batch_format="pyarrow"), lp_dir)
+        with open(lp_marker + ".tmp", "w") as f:
+            json.dump({"num_docs": new_num}, f)
+        os.replace(lp_marker + ".tmp", lp_marker)
+
+    total_len = _stage_lengths(out_dir, new_num)    # distributed sums
+    avg_len = total_len / new_num
+    _stage_sidecar(out_dir, new_num, avg_len)
+
+    # --- stage 4: shard plan + re-encode (the fresh build's encoder) ---
+    lex = LexiconMeta(out_dir)
+    bnd, offsets = _term_shard_plan(lex, num_shards)
+    bnd_ref = ray.put(np.array(bnd, dtype=object))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bnd_arr = ray.get(bnd_ref)
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        b = (np.searchsorted(bnd_arr, terms, side="right")
+             if len(bnd_arr) else np.zeros(len(terms), dtype=np.int64))
+        return t.append_column(
+            "bucket", pa.array(b.astype(np.int64), type=pa.int64()))
+
+    manifest = (rd.read_parquet(filt_dir)
+                .map_batches(add_bucket, batch_size=None,
+                             batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(_named(_ShardEncoder(out_dir, index_type,
+                                                 new_num, offsets),
+                                   "encode_shard"),
+                            batch_format="pyarrow")).take_all()
+
+    # --- stage 5: filtered+remapped docID map ---------------------------
+    docs_marker = os.path.join(out_dir, "docs.done.json")
+    if not os.path.exists(docs_marker):
+        def filt_docs(t: pa.Table) -> pa.Table:
+            dset = ray.get(del_ref)
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            pos = np.searchsorted(dset, d)
+            dead = (pos < len(dset)) & \
+                (dset[np.minimum(pos, len(dset) - 1)] == d)
+            kept = t.filter(pa.array(~dead))
+            d = d[~dead]
+            i = kept.schema.get_field_index("doc_id")
+            return kept.set_column(
+                i, "doc_id", pa.array(d - np.searchsorted(dset, d),
+                                      type=pa.int64()))
+
+        _atomic_write_dir(
+            rd.read_parquet(os.path.join(index_dir, "docs"))
+            .map_batches(filt_docs, batch_size=None,
+                         batch_format="pyarrow"),
+            os.path.join(out_dir, "docs"))
+        with open(docs_marker + ".tmp", "w") as f:
+            json.dump({"num_docs": new_num, "compacted": True}, f)
+        os.replace(docs_marker + ".tmp", docs_marker)
+
+    meta = {
+        "num_docs": new_num,
+        "avg_len": avg_len,
+        "num_terms": int(sum(m["num_terms"] for m in manifest)),
+        "total_postings": int(sum(m["postings"] for m in manifest)),
+        "index_type": index_type,
+        "docs_bits": int(sum(m.get("docs_bits", 0) for m in manifest)),
+        "freqs_bits": int(sum(m.get("freqs_bits", 0) for m in manifest)),
+        "bits_per_doc": round(
+            sum(m.get("docs_bits", 0) for m in manifest)
+            / max(1, sum(m["postings"] for m in manifest)), 3),
+        "bits_per_freq": round(
+            sum(m.get("freqs_bits", 0) for m in manifest)
+            / max(1, sum(m["postings"] for m in manifest)), 3),
+        "shards": sorted(
+            ({"shard": int(m["shard"]), "num_terms": int(m["num_terms"]),
+              "term_id_lo": int(m["term_id_lo"]),
+              "term_lo": str(m["term_lo"]), "term_hi": str(m["term_hi"]),
+              "postings": int(m["postings"])} for m in manifest),
+            key=lambda m: m["shard"]),
+        "lineage": {"compacted_from": index_dir,
+                    "num_deleted": int(len(deleted))},
+        "stage_secs": {"compact": round(_time.perf_counter() - t0, 3)},
+    }
+    with open(out_meta_path + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(out_meta_path + ".tmp", out_meta_path)
+    return meta

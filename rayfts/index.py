@@ -120,6 +120,14 @@ class InvertedIndex:
         # approximate LRU is fine; entries are dropped on eviction)
         self._enc_by_term: dict[str, object] = {}
         self._enc_by_tid: dict[int, object] = {}
+        # tombstones (rayfts/compact.py): sorted internal docIDs the
+        # serving kernels must filter out.  Stats (N/df/avg_len) stay
+        # stale until compact_index — the standard segment-delete
+        # contract.  None = no deletes ever recorded.
+        dpath = os.path.join(index_dir, "deleted", "deleted.i64")
+        self.deleted: np.ndarray | None = (
+            np.fromfile(dpath, dtype=np.int64)
+            if os.path.exists(dpath) else None)
         # global-statistics hooks for doc-partitioned serving
         # (sharded.py): a sub-index scores with the WHOLE collection's
         # N / df / avg_len so every partition produces the same BM25

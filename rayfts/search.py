@@ -124,6 +124,47 @@ class TopK:
                       key=lambda x: (-x[0], x[1]))
 
 
+
+def _tombstones(index) -> "np.ndarray | None":
+    """Sorted tombstoned docIDs (rayfts/compact.py), or None.  Kernels
+    filter these out of every result; WAND/maxscore/BMW stay correct
+    because skipping an insert only leaves the heap threshold lower
+    (an upper-bound-safe relaxation)."""
+    d = getattr(index, "deleted", None)
+    return d if d is not None and len(d) else None
+
+
+def _live_mask(deleted: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Boolean mask of docs NOT in the sorted tombstone array."""
+    pos = np.searchsorted(deleted, docs)
+    dead = (pos < len(deleted)) & \
+        (deleted[np.minimum(pos, len(deleted) - 1)] == docs)
+    return ~dead
+
+
+class _LiveTopK(TopK):
+    """TopK that rejects tombstoned docIDs at insert time (the Lucene
+    liveDocs-at-collect analogue) — used by the exact conformance
+    kernels, whose per-candidate Python cost dwarfs one searchsorted."""
+
+    __slots__ = ("deleted",)
+
+    def __init__(self, k: int, deleted: np.ndarray):
+        super().__init__(k)
+        self.deleted = deleted
+
+    def insert(self, score, docid: int) -> bool:
+        i = np.searchsorted(self.deleted, docid)
+        if i < len(self.deleted) and self.deleted[i] == docid:
+            return False
+        return super().insert(score, docid)
+
+
+def _topk_for(index, k: int) -> TopK:
+    d = _tombstones(index)
+    return TopK(k) if d is None else _LiveTopK(k, d)
+
+
 def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
     """Top-k by (score desc, docid asc) from parallel arrays."""
     if len(scores) == 0:
@@ -146,7 +187,8 @@ def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
     set-intersection over decoded lists is the fallback."""
     r = _and_native_encoded(index, terms)
     if r is not None:
-        return r
+        d = _tombstones(index)
+        return r if d is None else r[_live_mask(d, r)]
     pls = _lists(index, terms)
     if not pls or len(pls) < len(query_freqs(terms)):
         return np.empty(0, dtype=np.int64)  # an unknown term empties the AND
@@ -156,7 +198,8 @@ def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
         cur = cur[np.isin(cur, pl.docs, assume_unique=True)]
         if len(cur) == 0:
             break
-    return cur
+    d = _tombstones(index)
+    return cur if d is None else cur[_live_mask(d, cur)]
 
 
 def _and_native_encoded(index: InvertedIndex, terms: list) -> np.ndarray | None:
@@ -193,7 +236,9 @@ def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
     pls = _lists(index, terms)
     if not pls:
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    u = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    d = _tombstones(index)
+    return u if d is None else u[_live_mask(d, u)]
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +274,10 @@ def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     if not pls:
         return []
     union, acc = _union_scores(index, pls, prec)
+    d = _tombstones(index)
+    if d is not None:
+        m = _live_mask(d, union)
+        union, acc = union[m], acc[m]
     return _finalize_fast(acc, union, k)
 
 
@@ -240,6 +289,9 @@ def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     inter = pls[0][0].docs
     for pl, _ in pls[1:]:
         inter = inter[np.isin(inter, pl.docs, assume_unique=True)]
+    d = _tombstones(index)
+    if d is not None:
+        inter = inter[_live_mask(d, inter)]
     if len(inter) == 0:
         return []
     acc = np.zeros(len(inter), dtype=prec.dtype)
@@ -269,7 +321,7 @@ def ranked_or_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     num_docs = index.num_docs
     norms = _norms(index, prec)
     enums = [(_enum(pl, num_docs), pl, qw) for pl, qw in pls]
-    topk = TopK(k)
+    topk = _topk_for(index, k)
     cur_doc = min(e.value for e, _, _ in enums)
     while cur_doc < num_docs:
         score = prec.zero()
@@ -298,7 +350,7 @@ def ranked_and_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     norms = _norms(index, prec)
     enums = [[_enum(pl, num_docs), pl, qw] for pl, qw in pls]
     enums.sort(key=lambda x: x[1].n)
-    topk = TopK(k)
+    topk = _topk_for(index, k)
     candidate = enums[0][0].value
     i = 1
     while candidate < num_docs:
@@ -333,7 +385,7 @@ def wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     norms = _norms(index, prec)
     enums = [[_enum(pl, num_docs), pl, qw, prec.bound(qw * pl.max_weight)]
              for pl, qw in pls]
-    topk = TopK(k)
+    topk = _topk_for(index, k)
     ordered = sorted(enums, key=lambda x: x[0].value)
     while True:
         # find pivot
@@ -391,7 +443,7 @@ def maxscore_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     for i in range(1, len(ordered)):
         upper_bounds[i] = upper_bounds[i - 1] + ordered[i][3]
 
-    topk = TopK(k)
+    topk = _topk_for(index, k)
     non_essential = 0
     cur_doc = min(e[0].value for e in enums)
     while non_essential < len(ordered) and cur_doc < num_docs:
@@ -435,7 +487,7 @@ def block_max_wand_exact(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     norms = _norms(index, prec)
     enums = [[_enum(pl, num_docs), pl, qw, prec.bound(qw * pl.max_weight)]
              for pl, qw in pls]
-    topk = TopK(k)
+    topk = _topk_for(index, k)
     ordered = sorted(enums, key=lambda x: x[0].value)
 
     def block_ub(ent, docid: int) -> F32:
@@ -568,6 +620,8 @@ def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
     posting lists (lazy chunk decode inside next_geq — the reference's
     enumerator mode, compact_elias_fano.hpp:291-336).  None = native lib
     or descriptors unavailable; [] = provably empty result."""
+    if _tombstones(index) is not None:
+        return None    # C kernels are tombstone-blind; Python path filters
     sc = _nq_scratch(index)
     fn = sc["fn"]
     if fn is None or k > 1024:

@@ -1,0 +1,177 @@
+"""Tombstone deletes + compaction (rayfts/compact.py).
+
+* tombstoned serving: every kernel (boolean, vectorized ranked,
+  exact conformance ports) excludes deleted docs, and the surviving
+  ranking equals the clean index's ranking restricted to live docs
+  (stale-stats contract);
+* compaction is BYTE-identical to a fresh build over the filtered
+  corpus — same docIDs, same dfs, same sidecar bytes, same shard
+  bytes — because filtering preserves sorted-key order;
+* compact is resumable (second call returns the recorded meta).
+"""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 200
+SHARDS = 4
+K = 10
+
+
+def _build(src, out, **kw):
+    from rayfts.build import build_index
+    kw.setdefault("index_type", "opt")
+    kw.setdefault("salt_threshold", 64)
+    kw.setdefault("num_shards", SHARDS)
+    return build_index(src, str(out), **kw)
+
+
+@pytest.fixture(scope="module")
+def compacted(ray_session, tmp_path_factory):
+    """Full build + tombstones + compaction, and the fresh build over
+    the filtered corpus it must reproduce."""
+    from rayfts.compact import compact_index, delete_docs, select_doc_ids
+    from rayfts.index import InvertedIndex
+
+    src = corpus_parquet(NUM_DOCS, seed=21)
+    root = tmp_path_factory.mktemp("compact")
+    full_dir = str(root / "full")
+    _build(src, full_dir)
+
+    # delete every third document BY KEY (deterministic; exercises the
+    # docs-dataset scan); filtering by the same key set yields the
+    # corpus the compacted index must equal a fresh build over
+    docs = pq.read_table(os.path.join(full_dir, "docs"))
+    internal = select_doc_ids(
+        full_dir, lambda t: t.column("doc_id").to_numpy() % 3 == 1)
+    assert len(internal) > 0
+    n = delete_docs(full_dir, internal)
+    assert n == len(internal)
+
+    key = {}
+    for d, r, p, c in zip(docs.column("doc_id").to_pylist(),
+                          docs.column("repo").to_pylist(),
+                          docs.column("path").to_pylist(),
+                          docs.column("commit").to_pylist()):
+        key[d] = (r, p, c)
+    dead_keys = {key[int(d)] for d in internal}
+    t = pq.read_table(src)
+    mask = [
+        (r, p, c) not in dead_keys
+        for r, p, c in zip(t.column("repo").to_pylist(),
+                           t.column("path").to_pylist(),
+                           t.column("commit").to_pylist())]
+    filtered_src = str(root / "filtered.parquet")
+    pq.write_table(t.filter(np.array(mask)), filtered_src,
+                   row_group_size=64)
+
+    out_dir = str(root / "compacted")
+    meta = compact_index(full_dir, out_dir, num_shards=SHARDS)
+    fresh_dir = str(root / "fresh_filtered")
+    fresh_meta = _build(filtered_src, fresh_dir)
+    return (full_dir, out_dir, fresh_dir, meta, fresh_meta,
+            np.asarray(internal))
+
+
+def test_compact_byte_parity(compacted):
+    _, out_dir, fresh_dir, meta, fresh_meta, _ = compacted
+    for k in ("num_docs", "avg_len", "num_terms", "total_postings",
+              "docs_bits", "freqs_bits", "shards"):
+        assert meta[k] == fresh_meta[k], k
+    for sh in meta["shards"]:
+        name = f"shard_{sh['shard']:05d}.parquet"
+        a = pq.read_table(os.path.join(fresh_dir, "shards", name))
+        b = pq.read_table(os.path.join(out_dir, "shards", name))
+        assert a.equals(b), name
+    for name in ("norms.f32", "lengths.i64"):
+        with open(os.path.join(fresh_dir, "sidecar", name), "rb") as f:
+            x = f.read()
+        with open(os.path.join(out_dir, "sidecar", name), "rb") as f:
+            y = f.read()
+        assert x == y, name
+    # identical lexicon content (df values shrank / zero-df terms gone)
+    def dfs(d):
+        p = os.path.join(d, "dfs")
+        files = sorted(os.path.join(p, f) for f in os.listdir(p)
+                       if f.endswith(".parquet"))
+        t = pq.read_table(files)
+        return sorted(zip(t.column("term").to_pylist(),
+                          t.column("df").to_pylist()))
+    assert dfs(out_dir) == dfs(fresh_dir)
+
+
+def test_compact_resume(compacted):
+    from rayfts.compact import compact_index
+    full_dir, out_dir, _, meta, _, _ = compacted
+    again = compact_index(full_dir, out_dir, num_shards=SHARDS)
+    assert again == meta
+
+
+def test_tombstoned_serving(compacted):
+    """Every kernel filters tombstones; rankings equal the clean
+    index's live-restricted ranking under stale global stats."""
+    from rayfts import search as S
+    from rayfts.index import InvertedIndex
+
+    full_dir, _, _, _, _, deleted = compacted
+    idx = InvertedIndex(full_dir)          # sees deleted/ sidecar
+    assert idx.deleted is not None and len(idx.deleted) == len(deleted)
+    clean = InvertedIndex(full_dir)
+    clean.deleted = None                    # same bytes, no tombstones
+    dead = set(int(x) for x in deleted)
+
+    vocab = clean.all_terms()
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        # expected: clean ranking with dead docs dropped, cut to K
+        want = [(s, d) for s, d in S.ranked_or(clean, terms, k=clean.num_docs)
+                if d not in dead][:K]
+        got = S.ranked_or(idx, terms, k=K)
+        assert got == want
+        # exact conformance ports agree with each other and stay live
+        ro = S.ranked_or_exact(idx, terms, k=K)
+        assert ro == want
+        for fn in (S.wand_exact, S.maxscore_exact,
+                   S.block_max_wand_exact):
+            assert fn(idx, terms, k=K) == ro
+        r_and = S.ranked_and(idx, terms, k=K)
+        assert r_and == S.ranked_and_exact(idx, terms, k=K)
+        assert all(d not in dead for _, d in r_and)
+        # boolean: clean result minus tombstones
+        a_clean = S.and_query(clean, terms)
+        a = S.and_query(idx, terms)
+        assert a.tolist() == [d for d in a_clean.tolist()
+                              if d not in dead]
+        o_clean = S.or_query(clean, terms)
+        o = S.or_query(idx, terms)
+        assert o.tolist() == [d for d in o_clean.tolist()
+                              if d not in dead]
+
+
+def test_delete_docs_accumulates(ray_session, tmp_path_factory):
+    from rayfts.compact import delete_docs, load_deleted
+    d = str(tmp_path_factory.mktemp("tomb"))
+    assert delete_docs(d, np.array([5, 3, 5])) == 2
+    assert delete_docs(d, np.array([3, 9])) == 3
+    assert load_deleted(d).tolist() == [3, 5, 9]
+    with pytest.raises(ValueError):
+        delete_docs(d, np.array([-1]))
+
+
+def test_compact_rejects_degenerate(compacted):
+    from rayfts.compact import compact_index
+    full_dir, _, _, _, _, _ = compacted
+    with open(os.path.join(full_dir, "meta.json")) as f:
+        n = json.load(f)["num_docs"]
+    with pytest.raises(ValueError):
+        compact_index(full_dir, "/tmp/_never", deleted=np.array([n]))
+    with pytest.raises(ValueError):
+        compact_index(full_dir, "/tmp/_never",
+                      deleted=np.arange(n, dtype=np.int64))
