@@ -734,6 +734,18 @@ def _substring_search(sf_dir: str) -> pd.DataFrame:
                             src_doc_ids=idx.src_doc_ids)
 
 
+def _substring_line_search(sf_dir: str) -> pd.DataFrame:
+    """`grep -n`: line-level matches of the NEEDLES workload (trigram
+    candidates as in substring_search; the verify pass explodes only
+    candidate docs into lines and counts per line) — checked against a
+    string_split + generate_subscripts oracle."""
+    from rayfts.ops.grep import substring_line_search
+    src, idx = _trigram_idx(sf_dir)
+    return substring_line_search(idx, src, NEEDLES, text_col="text",
+                                 id_col="doc_id",
+                                 src_doc_ids=idx.src_doc_ids)
+
+
 #: regex workload — RE2-compatible (polars rust-regex == DuckDB RE2 ==
 #: Python re on this subset).  Mix: prunable concat, alternation OR of
 #: per-branch ANDs, required-literal+class, a provably-empty pattern,
@@ -1177,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": _hybrid_rrf,
         "kmeans_clusters": _kmeans,
         "substring_search": _substring_search,
+        "substring_line_search": _substring_line_search,
         "regex_search": _regex_search,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
@@ -1489,6 +1502,19 @@ SELECT n.needle_id, d.doc_id,
        (length(d.text) - length(replace(d.text, n.s, '')))
          // length(n.s) AS n_hits
 FROM n JOIN documents d ON contains(d.text, n.s)"""
+
+    sqls["substring_line_search"] = f"""
+WITH n(needle_id, s) AS (VALUES {_n_values}),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1)::BIGINT
+           AS line_no
+  FROM documents)
+SELECT n.needle_id, l.doc_id, l.line_no,
+       (length(l.line) - length(replace(l.line, n.s, '')))
+         // length(n.s) AS n_hits
+FROM n JOIN lines l ON contains(l.line, n.s)"""
 
     # standard (non-E) SQL strings keep backslashes literal, so the
     # regex text passes through to RE2 unescaped

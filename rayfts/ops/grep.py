@@ -128,16 +128,12 @@ def _verify_pass(docs_path: str, plans: dict, count_fn,
     return out.sort_values([id_name, "doc_id"]).reset_index(drop=True)
 
 
-def substring_search(index, docs_path: str,
-                     needles: list[tuple[int, str]],
-                     text_col: str = "text",
-                     id_col: str = "doc_id",
-                     src_doc_ids: np.ndarray | None = None) -> pd.DataFrame:
-    """-> (needle_id, doc_id, n_hits) for every document containing each
-    needle (exact, case-sensitive), n_hits = non-overlapping count.
-    ``index`` must be a trigram-tokenizer index over the same corpus;
-    ``src_doc_ids`` maps internal docids to source ids (identity when
-    omitted)."""
+def _substring_plans(index, needles: list[tuple[int, str]],
+                     src_doc_ids: np.ndarray | None
+                     ) -> dict[int, tuple[str, np.ndarray | None]]:
+    """Trigram-index candidate plan per needle: sorted source-id
+    candidates, None for sub-trigram needles (scan fallback), absent
+    for provably-empty needles."""
     from rayfts.search import and_query
 
     plans: dict[int, tuple[str, np.ndarray | None]] = {}
@@ -154,9 +150,109 @@ def substring_search(index, docs_path: str,
         else:
             cand = None        # sub-trigram needle: scan-verify all rows
         plans[int(nid)] = (s, cand)
+    return plans
 
+
+def substring_search(index, docs_path: str,
+                     needles: list[tuple[int, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     src_doc_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """-> (needle_id, doc_id, n_hits) for every document containing each
+    needle (exact, case-sensitive), n_hits = non-overlapping count.
+    ``index`` must be a trigram-tokenizer index over the same corpus;
+    ``src_doc_ids`` maps internal docids to source ids (identity when
+    omitted)."""
+    plans = _substring_plans(index, needles, src_doc_ids)
     return _verify_pass(docs_path, plans, _count_occurrences,
                         text_col, id_col, "needle_id", "n_hits")
+
+
+def substring_line_search(index, docs_path: str,
+                          needles: list[tuple[int, str]],
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          src_doc_ids: np.ndarray | None = None
+                          ) -> pd.DataFrame:
+    """``grep -n``: -> (needle_id, doc_id, line_no, n_hits) for every
+    LINE containing each needle (1-based line numbers; lines split on
+    ``\\n`` with the trailing empty segment kept, matching both Python
+    ``str.split`` and SQL ``string_split``).  Candidates come from the
+    same trigram-index AND as :func:`substring_search`; the verify pass
+    explodes only the candidate documents into lines (vectorized polars
+    split/explode) and counts per line.  Needles must be
+    newline-free."""
+    for _, s in needles:
+        if "\n" in s:
+            raise ValueError("line search needles must be newline-free")
+    plans = _substring_plans(index, needles, src_doc_ids)
+    empty = pd.DataFrame({"needle_id": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "line_no": pd.Series([], dtype=np.int64),
+                          "n_hits": pd.Series([], dtype=np.int64)})
+    if not plans:
+        return empty
+    plans_ref = ray.put(plans)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pl_map = ray.get(plans_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        # explode the batch into lines ONCE (all needles share it);
+        # scan-fallback needles force every row in anyway
+        if _pl is not None:
+            ldf = (_pl.DataFrame({
+                       "doc": ids,
+                       "t": _pl.Series(texts, dtype=_pl.Utf8).fill_null("")})
+                   .with_columns(_pl.col("t").str.split("\n"))
+                   .explode("t")
+                   .with_columns(
+                       (_pl.int_range(_pl.len()).over("doc") + 1)
+                       .alias("ln")))
+            l_doc = ldf["doc"].to_numpy()
+            l_no = ldf["ln"].to_numpy()
+            l_txt = ldf["t"]
+        else:                            # pragma: no cover - no polars
+            parts = [(t_ or "").split("\n") for t_ in texts]
+            lens = np.array([len(p) for p in parts], dtype=np.int64)
+            l_doc = np.repeat(ids, lens)
+            l_no = np.concatenate([np.arange(1, n + 1) for n in lens]) \
+                if len(lens) else np.empty(0, np.int64)
+            l_txt = [x for p in parts for x in p]
+        out_n, out_d, out_l, out_h = [], [], [], []
+        for nid, (needle, cand) in pl_map.items():
+            if cand is None:
+                sel = np.arange(len(l_doc))
+            else:
+                sel = np.flatnonzero(np.isin(l_doc, cand))
+                if len(sel) == 0:
+                    continue
+            if _pl is not None:
+                hits = (l_txt.gather(sel)
+                        .str.count_matches(needle, literal=True)
+                        .cast(_pl.Int64).to_numpy())
+            else:                        # pragma: no cover - no polars
+                hits = np.fromiter((l_txt[i].count(needle) for i in sel),
+                                   dtype=np.int64, count=len(sel))
+            pos = hits > 0
+            out_n.extend([nid] * int(pos.sum()))
+            out_d.extend(l_doc[sel[pos]].tolist())
+            out_l.extend(l_no[sel[pos]].tolist())
+            out_h.extend(hits[pos].tolist())
+        return pa.table({
+            "needle_id": pa.array(out_n, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "line_no": pa.array(out_l, type=pa.int64()),
+            "n_hits": pa.array(out_h, type=pa.int64()),
+        })
+
+    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
+           .map_batches(verify, batch_format="pyarrow")
+           .to_pandas())
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["needle_id", "doc_id", "line_no"]) \
+        .reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

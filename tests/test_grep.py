@@ -103,6 +103,39 @@ def test_substring_search_matches_bruteforce(trigram_index, ray_session):
     assert any(n == 4 for n, _, _ in got_rows)
 
 
+def test_substring_line_search_matches_bruteforce(trigram_index,
+                                                  ray_session):
+    from rayfts.ops.grep import substring_line_search
+    src, _, idx, t = trigram_index
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("content").to_pylist()
+
+    needles = [(0, "def "), (1, "return"), (2, "zz_nope"), (3, "i")]
+    got = substring_line_search(idx, src, needles, text_col="content",
+                                id_col="doc_id",
+                                src_doc_ids=idx.src_doc_ids)
+    want = []
+    for nid, s in needles:
+        for sid, tx in zip(ids, texts):
+            for ln, line in enumerate(tx.split("\n"), 1):
+                c = line.count(s)
+                if c > 0:
+                    want.append((nid, sid, ln, c))
+    got_rows = list(zip(got["needle_id"].astype(int),
+                        got["doc_id"].astype(int),
+                        got["line_no"].astype(int),
+                        got["n_hits"].astype(int)))
+    assert sorted(got_rows) == sorted(want)
+    # the sub-trigram needle exercised the scan fallback and produced
+    # hits; the no-match needle pruned to nothing
+    assert any(n == 3 for n, _, _, _ in got_rows)
+    assert not any(n == 2 for n, _, _, _ in got_rows)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        substring_line_search(idx, src, [(0, "a\nb")],
+                              text_col="content", id_col="doc_id")
+
+
 def test_regex_trigram_query_compiler():
     """Required-trigram DNF extraction: conservative, never invents a
     requirement (Cox 2012 simplified — literal runs break at any
