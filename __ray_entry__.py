@@ -772,6 +772,27 @@ def _regex_search(sf_dir: str) -> pd.DataFrame:
                         id_col="doc_id", src_doc_ids=idx.src_doc_ids)
 
 
+def _symbols(sf_dir: str) -> pd.DataFrame:
+    """ctags-lite symbol extraction (rayfts/ops/symbols.py): per-doc
+    defined functions/classes/constants from RE2-compatible patterns,
+    vectorized polars extract_all — the corpus is augmented with
+    deterministic doc_id-keyed definition lines the SQL oracle
+    reproduces (documents are word soup otherwise)."""
+    from rayfts.ops.symbols import extract_symbols
+    return extract_symbols(os.path.join(sf_dir, "documents.parquet"),
+                           text_col="text", id_col="doc_id",
+                           augment=True).to_pandas()
+
+
+def _symbol_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide definition stats per (kind, symbol) — map-side
+    per-doc combine, then ONE symbol-universe-sized groupby."""
+    from rayfts.ops.symbols import extract_symbols, symbol_stats
+    return symbol_stats(
+        extract_symbols(os.path.join(sf_dir, "documents.parquet"),
+                        text_col="text", id_col="doc_id", augment=True))
+
+
 #: k-means gate parameters (mirrored in the SQL oracle)
 KMEANS_K = 4
 KMEANS_ITERS = 2
@@ -1191,6 +1212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search": _substring_search,
         "substring_line_search": _substring_line_search,
         "regex_search": _regex_search,
+        "symbols": _symbols,
+        "symbol_stats": _symbol_stats,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         # text analysis / multimodal
@@ -1515,6 +1538,27 @@ SELECT n.needle_id, l.doc_id, l.line_no,
        (length(l.line) - length(replace(l.line, n.s, '')))
          // length(n.s) AS n_hits
 FROM n JOIN lines l ON contains(l.line, n.s)"""
+
+    # ctags-lite symbols over the deterministically augmented corpus;
+    # same pattern strings, DuckDB's native group-1 extraction
+    from rayfts.ops.symbols import SYM_AUGMENT_SQL, SYM_SQL_RE
+    _sym_m = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{kind}' AS kind,\n"
+        f"         unnest(regexp_extract_all(atext, '{pat}', 1)) AS symbol\n"
+        f"  FROM aug"
+        for kind, (pat, _, _) in SYM_SQL_RE.items())
+    _sym_base = f"""
+WITH aug AS (SELECT doc_id, {SYM_AUGMENT_SQL.strip()} AS atext
+             FROM documents),
+m AS (
+{_sym_m})"""
+    sqls["symbols"] = f"""{_sym_base}
+SELECT doc_id, kind, symbol, count(*)::BIGINT AS n
+FROM m GROUP BY 1, 2, 3"""
+    sqls["symbol_stats"] = f"""{_sym_base}
+SELECT kind, symbol, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_defs
+FROM m GROUP BY 1, 2"""
 
     # standard (non-E) SQL strings keep backslashes literal, so the
     # regex text passes through to RE2 unescaped

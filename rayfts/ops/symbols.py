@@ -1,0 +1,190 @@
+"""Code symbol extraction (ctags-lite) over the source-code corpus.
+
+A code-search engine wants more than full-text postings: "who DEFINES
+``parse_header``" is a different query from "who mentions it".  These
+stages extract defined symbols — functions, classes, UPPER_CASE
+constants — with RE2-compatible regexes evaluated whole-batch in
+polars (Rust), so the DuckDB oracle runs the *same* pattern strings
+via ``regexp_extract_all(text, pat, 1)``.
+
+Scale shape: extraction is a shuffle-free ``map_batches`` transform
+that pre-aggregates per (doc, kind, symbol) inside the batch;
+:func:`symbol_stats` then runs ONE small groupby over the per-doc
+rows (symbol-universe-sized, not corpus-sized — the map-side combine
+keeps the exchange to one row per distinct symbol per doc).
+
+polars' ``extract_all`` returns whole matches (no group access), so
+every pattern is written with a FIXED literal prefix/suffix that a
+vectorized slice/strip recovers the capture group from; the
+group-1 semantics are what the SQL oracle uses directly.
+
+Oracle fixture: the synthetic ``documents`` text is word soup, so the
+driver gate augments it with deterministic doc_id-keyed definition
+lines (``augment_symbols_batch``), reproduced in SQL by
+``SYM_AUGMENT_SQL`` — the kernels are generic over any text column.
+Reference analogue: none (ds2i indexes term-ids only); this extends
+the code-search layer (grep.py) built on its index machinery.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+try:
+    import polars as _pl
+except ImportError:          # pragma: no cover - polars is baked in
+    _pl = None
+
+#: kind -> (RE2/rust/Python-compatible pattern with ONE capture group,
+#:          full-match prefix length, suffix chars to strip)
+SYM_SQL_RE = {
+    "function": (r"def ([A-Za-z_][A-Za-z0-9_]*)\(", 4, "("),
+    "class": (r"class ([A-Za-z_][A-Za-z0-9_]*)[:(]", 6, ":("),
+    "const": (r"([A-Z][A-Z0-9_]{2,}) =", 0, " ="),
+}
+SYM_RE = {k: re.compile(v[0]) for k, v in SYM_SQL_RE.items()}
+
+
+def extract_symbols_batch(t: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """-> (doc_id, kind, symbol, n) — n = definition count of the
+    symbol in the doc.  Vectorized: one ``extract_all`` + explode +
+    slice per kind, one in-batch groupby."""
+    ids = t.column(id_col).cast(pa.int64()).to_numpy()
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "kind": pa.array([], type=pa.string()),
+                      "symbol": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+    if len(ids) == 0:
+        return empty
+    if _pl is not None:
+        texts = _pl.Series("t", t.column(text_col).to_pylist(),
+                           dtype=_pl.Utf8).fill_null("")
+        parts = []
+        for kind, (pat, pre, suf) in SYM_SQL_RE.items():
+            df = (_pl.DataFrame({"doc_id": ids, "t": texts})
+                  .with_columns(_pl.col("t").str.extract_all(pat))
+                  .explode("t").drop_nulls("t"))
+            if df.height == 0:
+                continue
+            sym = df["t"].str.slice(pre).str.strip_chars_end(suf)
+            parts.append(_pl.DataFrame({
+                "doc_id": df["doc_id"],
+                "kind": _pl.Series([kind] * df.height),
+                "symbol": sym}))
+        if not parts:
+            return empty
+        out = (_pl.concat(parts)
+               .group_by(["doc_id", "kind", "symbol"])
+               .agg(_pl.len().cast(_pl.Int64).alias("n")))
+        return out.to_arrow().cast(empty.schema)
+    # semantic fallback (no polars): per-row re.findall
+    texts = t.column(text_col).to_pylist()   # pragma: no cover
+    rows_d, rows_k, rows_s = [], [], []
+    for i, tx in zip(ids, texts):
+        for kind, rx in SYM_RE.items():
+            for m in rx.findall(tx or ""):
+                rows_d.append(int(i)); rows_k.append(kind)
+                rows_s.append(m)
+    if not rows_d:
+        return empty
+    df = pd.DataFrame({"doc_id": rows_d, "kind": rows_k,
+                       "symbol": rows_s})
+    g = df.groupby(["doc_id", "kind", "symbol"], as_index=False) \
+        .size().rename(columns={"size": "n"})
+    return pa.Table.from_pandas(g, preserve_index=False) \
+        .cast(empty.schema)
+
+
+def extract_symbols(docs_path: str, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    augment: bool = False) -> rd.Dataset:
+    """Distributed symbol extraction over a parquet corpus (lazy
+    Dataset of (doc_id, kind, symbol, n))."""
+    ds = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    if augment:
+        ds = ds.map_batches(
+            lambda t: augment_symbols_batch(t, text_col, id_col),
+            batch_size=None, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: extract_symbols_batch(t, text_col, id_col),
+        batch_size=None, batch_format="pyarrow")
+
+
+def symbol_stats(sym_ds: rd.Dataset) -> pd.DataFrame:
+    """Corpus-wide definition stats per (kind, symbol): n_docs =
+    documents defining it, n_defs = total definitions.  The input rows
+    are already per-(doc, kind, symbol) combined, so the single
+    groupby exchanges one row per symbol per doc."""
+    from ray.data.aggregate import Count, Sum
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = pc.binary_join_element_wise(
+            t.column("kind").cast(pa.string()),
+            t.column("symbol").cast(pa.string()), "\x01")
+        return pa.table({"k": k, "n": t.column("n")})
+
+    agg = (sym_ds.map_batches(key, batch_size=None,
+                              batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n", alias_name="n_defs"))
+           .to_pandas())
+    if len(agg) == 0:
+        return pd.DataFrame({"kind": pd.Series([], dtype=object),
+                             "symbol": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "n_defs": pd.Series([], dtype=np.int64)})
+    ks = agg["k"].str.split("\x01", n=1, expand=True)
+    out = pd.DataFrame({"kind": ks[0], "symbol": ks[1],
+                        "n_docs": agg["n_docs"].astype(np.int64),
+                        "n_defs": agg["n_defs"].astype(np.int64)})
+    return out.sort_values(["kind", "symbol"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic oracle fixture
+# ---------------------------------------------------------------------------
+
+def augment_symbols_text(doc_id: int, text: str) -> str:
+    out = text or ""
+    if doc_id % 2 == 0:
+        out += f"\ndef fn_{doc_id}(x):"
+    if doc_id % 3 == 0:
+        out += f"\nclass Cls{doc_id % 97}:"
+    if doc_id % 4 == 0:
+        out += f"\nMAX_LIMIT_{doc_id % 13} = {doc_id}"
+    if doc_id % 6 == 0:                      # duplicate def in one doc
+        out += f"\ndef fn_{doc_id}(x):"
+    return out
+
+
+def augment_symbols_batch(t: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    ids = t.column(id_col).to_pylist()
+    texts = t.column(text_col).to_pylist()
+    aug = [augment_symbols_text(int(i), x) for i, x in zip(ids, texts)]
+    return t.set_column(t.schema.get_field_index(text_col), text_col,
+                        pa.array(aug, type=pa.string()))
+
+
+#: SQL expression rebuilding augment_symbols_text over a documents row
+SYM_AUGMENT_SQL = """
+text
+|| CASE WHEN doc_id % 2 = 0
+        THEN chr(10) || 'def fn_' || doc_id || '(x):' ELSE '' END
+|| CASE WHEN doc_id % 3 = 0
+        THEN chr(10) || 'class Cls' || (doc_id % 97) || ':' ELSE '' END
+|| CASE WHEN doc_id % 4 = 0
+        THEN chr(10) || 'MAX_LIMIT_' || (doc_id % 13) || ' = ' || doc_id
+        ELSE '' END
+|| CASE WHEN doc_id % 6 = 0
+        THEN chr(10) || 'def fn_' || doc_id || '(x):' ELSE '' END
+"""

@@ -1,0 +1,85 @@
+"""ctags-lite symbol extraction (rayfts/ops/symbols.py)."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+DOCS = [
+    (0, "def alpha(x):\n    return x\nclass Beta:\n    MAX_N = 3"),
+    (1, "def alpha(y):\ndef gamma():\nMAX_N = 5\nLIM_2X = 1"),
+    (2, "no definitions here, just def-words and CLASSY text"),
+    (3, "class Kappa(Base):\nKAPPA_LIMIT = 9\nclass Kappa(Other):"),
+    (4, ""),
+]
+
+
+def _brute():
+    from rayfts.ops.symbols import SYM_RE
+    rows = {}
+    for d, tx in DOCS:
+        for kind, rx in SYM_RE.items():
+            for m in rx.findall(tx):
+                rows[(d, kind, m)] = rows.get((d, kind, m), 0) + 1
+    return sorted((d, k, s, n) for (d, k, s), n in rows.items())
+
+
+def test_extract_symbols_batch_matches_re():
+    from rayfts.ops.symbols import extract_symbols_batch
+    t = pa.table({"doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                  "text": pa.array([x for _, x in DOCS], pa.string())})
+    got = extract_symbols_batch(t)
+    rows = sorted(zip(got.column("doc_id").to_pylist(),
+                      got.column("kind").to_pylist(),
+                      got.column("symbol").to_pylist(),
+                      got.column("n").to_pylist()))
+    want = _brute()
+    assert rows == want
+    # duplicate definitions collapse to one row with n=2
+    assert (3, "class", "Kappa", 2) in rows
+    # word-soup doc produced nothing
+    assert not any(d == 2 for d, _, _, _ in rows)
+
+
+def test_symbol_stats_distributed(ray_session, tmp_path):
+    from rayfts.ops.symbols import extract_symbols, symbol_stats
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                  "text": pa.array([x for _, x in DOCS], pa.string())}),
+        p, row_group_size=2)
+    got = symbol_stats(extract_symbols(p))
+    want = {}
+    for d, k, s, n in _brute():
+        docs, defs = want.get((k, s), (0, 0))
+        want[(k, s)] = (docs + 1, defs + n)
+    got_rows = {(r.kind, r.symbol): (int(r.n_docs), int(r.n_defs))
+                for r in got.itertuples()}
+    assert got_rows == want
+    # alpha is defined in two docs
+    assert got_rows[("function", "alpha")] == (2, 2)
+
+
+def test_augmentation_is_deterministic_and_extractable():
+    from rayfts.ops.symbols import (augment_symbols_text,
+                                    extract_symbols_batch)
+    ids = list(range(24))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(
+                      [augment_symbols_text(i, "plain words")
+                       for i in ids], pa.string())})
+    got = extract_symbols_batch(t)
+    rows = set(zip(got.column("doc_id").to_pylist(),
+                   got.column("kind").to_pylist(),
+                   got.column("symbol").to_pylist(),
+                   got.column("n").to_pylist()))
+    # doc 12: %2, %3, %4, %6 all fire -> fn dup (n=2), class, const
+    assert (12, "function", "fn_12", 2) in rows
+    assert (12, "class", "Cls12", 1) in rows
+    assert (12, "const", "MAX_LIMIT_12", 1) in rows
+    # odd non-multiples contribute nothing
+    assert not any(d == 1 for d, _, _, _ in rows)
