@@ -461,6 +461,44 @@ def _bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: deterministic facet predicate (mirrored in SQL)
+FACET_LANGS = ("de", "fr")
+
+
+def _bm25_topk_faceted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 restricted to a metadata facet (lang IN (de, fr)):
+    the allowlist is resolved distributedly from the content-free
+    docs-meta sidecar (rayfts/facets.py) and applied at collect time
+    with GLOBAL collection statistics, so faceted scores equal the
+    unfaceted scores of the same (query, doc) — the Lucene filtered-
+    search contract.  Exercises the `index.allowed` path in every
+    rayfts/search.py kernel."""
+    import copy
+
+    from rayfts import search as S
+    from rayfts.facets import facet_allowlist
+
+    base = _index_for(sf_dir, "opt")
+    idx = copy.copy(base)                  # shared caches, private view
+    idx.allowed = facet_allowlist(base.index_dir, "lang",
+                                  list(FACET_LANGS))
+    rows = []
+    for qid, terms in QUERIES:
+        # thinner candidate sets surface quantized-score ties that the
+        # full-corpus entries never see; rank on the QUANTIZED score
+        # (docid tie-break) exactly as the oracle does, pulling extra
+        # candidates so the re-rank can't be cut short at the boundary
+        res = S.ranked_or(idx, terms, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -1176,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_appended": _postings_table_appended,
         "postings_compacted": _postings_table_compacted,
         "bm25_topk_deleted": _bm25_topk_deleted,
+        "bm25_topk_faceted": _bm25_topk_faceted,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1363,6 +1402,26 @@ topk AS (
          CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # faceted serving: stats over the FULL corpus, candidates
+    # restricted to the metadata facet (filtered-search contract)
+    _facet_in = ", ".join(f"'{L}'" for L in FACET_LANGS)
+    sqls["bm25_topk_faceted"] = f"""
+{_bm25_scores_sql()},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores
+  JOIN documents d ON d.doc_id = scores.doc_id
+  WHERE d.lang IN ({_facet_in})),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
   FROM ranked)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 

@@ -1,0 +1,81 @@
+"""Faceted (filtered) serving: restrict every query kernel to the
+documents matching a metadata predicate.
+
+The reference has no filtered-search path — its query set is pure
+term-id lists over the whole collection (queries.cpp:129-142).  A code
+/ web search engine needs one: "this query, but only lang=py files" or
+"only repos in this allowlist".  The standard design (Lucene's
+``Filter`` / filtered ``liveDocs``) keeps the postings untouched and
+applies a per-query document filter at collect time:
+
+1. resolve the metadata predicate to a set of INTERNAL docIDs once,
+   from the index's content-free docs-meta sidecar (a distributed
+   column-pruned scan — the predicate never touches postings);
+2. serve with that set as ``index.allowed``: every kernel in
+   rayfts/search.py (boolean, ranked_or/and, WAND, maxscore, BMW)
+   rejects non-members at insert time via one ``searchsorted``, the
+   exact mechanism tombstones use (search.py `_serve_mask` /
+   `_LiveTopK`).
+
+Collection statistics (N, df, avg_len) stay GLOBAL — a faceted BM25
+score equals the unfaceted score of the same (query, doc) pair, so
+facet results are a strict subsequence of the unfaceted ranking.  That
+is the contract search engines ship (scoring ignores the filter), and
+it is what the SQL oracle asserts.
+
+Scale shape: the docs-meta scan is one Ray Data pass over
+doc-range-partitioned parquet with only (doc_id, facet columns) read;
+the allowlist that comes back is selectivity-bounded (answer-scale),
+is broadcast once via ``ray.put`` to a serving pool, and membership
+inside kernels is O(log n) per candidate with no per-query rebuild.
+For very low-selectivity facets (say >1/64 of a 10^12-doc corpus) the
+sorted-array form should flip to a compressed bitmap over docID
+ranges; the cutover is a representation swap behind the same
+``index.allowed`` contract.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
+    """Resolve ``column IN values`` over the index's docs-meta sidecar
+    to a sorted array of internal docIDs.
+
+    One distributed column-pruned scan of ``<index_dir>/docs`` (the
+    content-free stage-1 checkpoint, build.py:190-197); per-batch
+    filtering is an Arrow ``is_in`` kernel; only matching docIDs leave
+    the tasks."""
+    docs_dir = os.path.join(index_dir, "docs")
+    vals = list(values)
+
+    def _match(t):
+        m = pc.is_in(t.column(column),
+                     value_set=pa.array(vals, type=t.column(column).type))
+        return t.filter(m).select(["doc_id"])
+
+    ds = rd.read_parquet(docs_dir, columns=["doc_id", column])
+    parts = ds.map_batches(_match, batch_format="pyarrow") \
+              .take_all()
+    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    ids.sort()
+    return ids
+
+
+def with_facet(index, allowed: np.ndarray):
+    """A shallow view of ``index`` serving only the allowed docIDs.
+
+    Shares every cache (decoded/encoded lists, lexicon, sidecars) with
+    the base reader — the facet is collect-time state, so a pool of
+    facet views over one base index costs one index's memory."""
+    v = copy.copy(index)
+    v.allowed = np.asarray(allowed, dtype=np.int64)
+    return v

@@ -128,6 +128,13 @@ class InvertedIndex:
         self.deleted: np.ndarray | None = (
             np.fromfile(dpath, dtype=np.int64)
             if os.path.exists(dpath) else None)
+        # facet allowlist (rayfts/facets.py): sorted internal docIDs a
+        # metadata predicate pre-resolved to; None = serve everything.
+        # Session state, not a sidecar — set per reader / per view
+        # (facets.with_facet), never persisted.  Stats stay GLOBAL
+        # (same stale-stats contract as tombstones), so a faceted BM25
+        # score equals the unfaceted score of the same (query, doc).
+        self.allowed: np.ndarray | None = None
         # global-statistics hooks for doc-partitioned serving
         # (sharded.py): a sub-index scores with the WHOLE collection's
         # N / df / avg_len so every partition produces the same BM25

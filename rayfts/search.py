@@ -134,35 +134,67 @@ def _tombstones(index) -> "np.ndarray | None":
     return d if d is not None and len(d) else None
 
 
-def _live_mask(deleted: np.ndarray, docs: np.ndarray) -> np.ndarray:
-    """Boolean mask of docs NOT in the sorted tombstone array."""
-    pos = np.searchsorted(deleted, docs)
-    dead = (pos < len(deleted)) & \
-        (deleted[np.minimum(pos, len(deleted) - 1)] == docs)
-    return ~dead
+def _allowlist(index) -> "np.ndarray | None":
+    """Sorted ALLOWED docIDs for faceted/filtered serving (a metadata
+    predicate pre-resolved to an internal-docID set), or None = no
+    facet filter.  Same insert-time-skip correctness argument as
+    tombstones."""
+    a = getattr(index, "allowed", None)
+    return a if a is not None else None
+
+
+def _in_sorted(arr: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Boolean membership of docs in the sorted array."""
+    if len(arr) == 0:
+        return np.zeros(len(docs), dtype=bool)
+    pos = np.searchsorted(arr, docs)
+    return (pos < len(arr)) & \
+        (arr[np.minimum(pos, len(arr) - 1)] == docs)
+
+
+def _serve_mask(index, docs: np.ndarray) -> "np.ndarray | None":
+    """Combined deny (tombstones) / allow (facet filter) mask over a
+    docID array; None = everything is servable."""
+    d = _tombstones(index)
+    a = _allowlist(index)
+    m = None
+    if d is not None:
+        m = ~_in_sorted(d, docs)
+    if a is not None:
+        am = _in_sorted(a, docs)
+        m = am if m is None else (m & am)
+    return m
 
 
 class _LiveTopK(TopK):
-    """TopK that rejects tombstoned docIDs at insert time (the Lucene
-    liveDocs-at-collect analogue) — used by the exact conformance
-    kernels, whose per-candidate Python cost dwarfs one searchsorted."""
+    """TopK that rejects tombstoned / facet-excluded docIDs at insert
+    time (the Lucene liveDocs-at-collect analogue) — used by the exact
+    conformance kernels, whose per-candidate Python cost dwarfs one
+    searchsorted."""
 
-    __slots__ = ("deleted",)
+    __slots__ = ("deleted", "allowed")
 
-    def __init__(self, k: int, deleted: np.ndarray):
+    def __init__(self, k: int, deleted, allowed):
         super().__init__(k)
         self.deleted = deleted
+        self.allowed = allowed
 
     def insert(self, score, docid: int) -> bool:
-        i = np.searchsorted(self.deleted, docid)
-        if i < len(self.deleted) and self.deleted[i] == docid:
-            return False
+        if self.deleted is not None:
+            i = np.searchsorted(self.deleted, docid)
+            if i < len(self.deleted) and self.deleted[i] == docid:
+                return False
+        if self.allowed is not None:
+            i = np.searchsorted(self.allowed, docid)
+            if i >= len(self.allowed) or self.allowed[i] != docid:
+                return False
         return super().insert(score, docid)
 
 
 def _topk_for(index, k: int) -> TopK:
     d = _tombstones(index)
-    return TopK(k) if d is None else _LiveTopK(k, d)
+    a = _allowlist(index)
+    return TopK(k) if d is None and a is None else _LiveTopK(k, d, a)
 
 
 def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
@@ -187,8 +219,8 @@ def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
     set-intersection over decoded lists is the fallback."""
     r = _and_native_encoded(index, terms)
     if r is not None:
-        d = _tombstones(index)
-        return r if d is None else r[_live_mask(d, r)]
+        m = _serve_mask(index, r)
+        return r if m is None else r[m]
     pls = _lists(index, terms)
     if not pls or len(pls) < len(query_freqs(terms)):
         return np.empty(0, dtype=np.int64)  # an unknown term empties the AND
@@ -198,8 +230,8 @@ def and_query(index: InvertedIndex, terms: list) -> np.ndarray:
         cur = cur[np.isin(cur, pl.docs, assume_unique=True)]
         if len(cur) == 0:
             break
-    d = _tombstones(index)
-    return cur if d is None else cur[_live_mask(d, cur)]
+    m = _serve_mask(index, cur)
+    return cur if m is None else cur[m]
 
 
 def _and_native_encoded(index: InvertedIndex, terms: list) -> np.ndarray | None:
@@ -237,8 +269,8 @@ def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
     if not pls:
         return np.empty(0, dtype=np.int64)
     u = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
-    d = _tombstones(index)
-    return u if d is None else u[_live_mask(d, u)]
+    m = _serve_mask(index, u)
+    return u if m is None else u[m]
 
 
 # ---------------------------------------------------------------------------
@@ -274,9 +306,8 @@ def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     if not pls:
         return []
     union, acc = _union_scores(index, pls, prec)
-    d = _tombstones(index)
-    if d is not None:
-        m = _live_mask(d, union)
+    m = _serve_mask(index, union)
+    if m is not None:
         union, acc = union[m], acc[m]
     return _finalize_fast(acc, union, k)
 
@@ -289,9 +320,9 @@ def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     inter = pls[0][0].docs
     for pl, _ in pls[1:]:
         inter = inter[np.isin(inter, pl.docs, assume_unique=True)]
-    d = _tombstones(index)
-    if d is not None:
-        inter = inter[_live_mask(d, inter)]
+    m = _serve_mask(index, inter)
+    if m is not None:
+        inter = inter[m]
     if len(inter) == 0:
         return []
     acc = np.zeros(len(inter), dtype=prec.dtype)
@@ -620,8 +651,8 @@ def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
     posting lists (lazy chunk decode inside next_geq — the reference's
     enumerator mode, compact_elias_fano.hpp:291-336).  None = native lib
     or descriptors unavailable; [] = provably empty result."""
-    if _tombstones(index) is not None:
-        return None    # C kernels are tombstone-blind; Python path filters
+    if _tombstones(index) is not None or _allowlist(index) is not None:
+        return None    # C kernels are filter-blind; Python path filters
     sc = _nq_scratch(index)
     fn = sc["fn"]
     if fn is None or k > 1024:

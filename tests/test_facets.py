@@ -1,0 +1,127 @@
+"""Faceted (filtered) serving (rayfts/facets.py).
+
+* `facet_allowlist` resolves a metadata predicate over the docs-meta
+  sidecar to the exact internal-docID set;
+* every kernel (boolean, vectorized ranked, exact conformance ports)
+  restricted by `index.allowed` returns the clean index's ranking
+  filtered to the facet (global-stats contract: scores unchanged);
+* facets compose with tombstones (allow ∧ ¬deleted);
+* empty facet ⇒ empty results everywhere.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 160
+K = 10
+
+
+def _same_ranking(a, b):
+    """Same docids in the same order; scores equal to ~1 ulp (the
+    kernels accumulate per-term contributions in different orders)."""
+    assert [d for _, d in a] == [d for _, d in b]
+    for (sa, _), (sb, _) in zip(a, b):
+        assert sa == pytest.approx(sb, rel=1e-9)
+
+
+@pytest.fixture(scope="module")
+def faceted(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.facets import facet_allowlist, with_facet
+    from rayfts.index import InvertedIndex
+
+    src = corpus_parquet(NUM_DOCS, seed=33)
+    root = tmp_path_factory.mktemp("facets")
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=4)
+    idx = InvertedIndex(idx_dir)
+
+    docs = pq.read_table(os.path.join(idx_dir, "docs"),
+                         columns=["doc_id", "lang"])
+    langs = sorted(set(docs.column("lang").to_pylist()))
+    facet_langs = langs[:2]
+    want = np.sort(docs.filter(
+        np.isin(np.array(docs.column("lang").to_pylist()), facet_langs)
+    ).column("doc_id").to_numpy())
+
+    allowed = facet_allowlist(idx_dir, "lang", facet_langs)
+    assert allowed.tolist() == want.tolist()
+    assert 0 < len(allowed) < idx.num_docs
+    return idx, with_facet(idx, allowed), allowed
+
+
+def test_faceted_kernels_equal_filtered_clean(faceted):
+    from rayfts import search as S
+
+    clean, idx, allowed = faceted
+    ok = set(int(x) for x in allowed)
+    vocab = clean.all_terms()
+    rng = np.random.RandomState(11)
+    for _ in range(10):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        want = [(s, d)
+                for s, d in S.ranked_or(clean, terms, k=clean.num_docs, prec=S.P64)
+                if d in ok][:K]
+        assert S.ranked_or(idx, terms, k=K, prec=S.P64) == want
+        ro = S.ranked_or_exact(idx, terms, k=K, prec=S.P64)
+        _same_ranking(ro, want)
+        for fn in (S.wand_exact, S.maxscore_exact,
+                   S.block_max_wand_exact):
+            _same_ranking(fn(idx, terms, k=K, prec=S.P64), ro)
+        r_and = S.ranked_and(idx, terms, k=K, prec=S.P64)
+        _same_ranking(r_and, S.ranked_and_exact(idx, terms, k=K, prec=S.P64))
+        assert all(d in ok for _, d in r_and)
+        a = S.and_query(idx, terms)
+        assert a.tolist() == [d for d in S.and_query(clean, terms).tolist()
+                              if d in ok]
+        o = S.or_query(idx, terms)
+        assert o.tolist() == [d for d in S.or_query(clean, terms).tolist()
+                              if d in ok]
+
+
+def test_facet_composes_with_tombstones(faceted):
+    import copy
+
+    from rayfts import search as S
+
+    clean, _, allowed = faceted
+    idx = copy.copy(clean)
+    idx.allowed = allowed
+    idx.deleted = allowed[::2].copy()      # kill half the facet
+    live = set(int(x) for x in allowed) - set(int(x) for x in idx.deleted)
+    vocab = clean.all_terms()
+    terms = [vocab[0], vocab[len(vocab) // 2], vocab[-1]]
+    want = [(s, d) for s, d in S.ranked_or(clean, terms, k=clean.num_docs, prec=S.P64)
+            if d in live][:K]
+    assert S.ranked_or(idx, terms, k=K, prec=S.P64) == want
+    _same_ranking(S.wand_exact(idx, terms, k=K, prec=S.P64), want)
+    assert all(d in live for d in S.and_query(idx, terms).tolist())
+
+
+def test_empty_facet_empties_everything(faceted):
+    import copy
+
+    from rayfts import search as S
+
+    clean, _, _ = faceted
+    idx = copy.copy(clean)
+    idx.allowed = np.empty(0, dtype=np.int64)
+    vocab = clean.all_terms()
+    terms = [vocab[0], vocab[1]]
+    assert S.ranked_or(idx, terms, k=K, prec=S.P64) == []
+    assert S.block_max_wand_exact(idx, terms, k=K, prec=S.P64) == []
+    assert S.and_query(idx, terms).tolist() == []
+    assert S.or_query(idx, terms).tolist() == []
+
+
+def test_facet_view_shares_caches(faceted):
+    clean, idx, _ = faceted
+    assert idx._enc_cache is clean._enc_cache
+    assert idx._list_cache is clean._list_cache
+    assert clean.allowed is None            # base reader untouched
