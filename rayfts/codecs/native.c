@@ -160,7 +160,24 @@ static inline int hless(hent a, hent b) {
     return a.doc > b.doc; /* (score, -doc) tuple order */
 }
 
-typedef struct { hent *h; int n; int k; } topk_t;
+/* serve filter: deny (tombstones) + allow (facet) sorted docID sets.
+ * del == NULL: no tombstones; alw == NULL: no facet filter.  Rejection
+ * happens at INSERT time (the Lucene liveDocs-at-collect analogue) so
+ * the heap threshold evolves exactly as the Python _LiveTopK ports. */
+static inline int sorted_has_i64(const i64 *a, i64 n, i64 key) {
+    i64 lo = 0, hi = n;
+    while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (a[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo < n && a[lo] == key;
+}
+
+typedef struct {
+    hent *h; int n; int k;
+    const i64 *del; i64 ndel;
+    const i64 *alw; i64 nalw;
+} topk_t;
 
 static inline float topk_threshold(const topk_t *t) {
     return (t->n >= t->k) ? t->h[0].score : -__builtin_inff();
@@ -182,6 +199,8 @@ static void heap_sift_down(hent *h, int n, int i) {
 }
 
 static int topk_insert(topk_t *t, float s, i64 doc) {
+    if (t->del && sorted_has_i64(t->del, t->ndel, doc)) return 0;
+    if (t->alw && !sorted_has_i64(t->alw, t->nalw, doc)) return 0;
     if (t->n < t->k) {
         int i = t->n++;
         t->h[i].score = s; t->h[i].doc = doc;
@@ -273,12 +292,14 @@ int topk_query(int op, int L,
                const i64 **bmax_docs, const float **bmax_scores,
                const i64 *nblocks,
                const float *norms, i64 num_docs, int k,
-               float *out_scores, i64 *out_docs) {
+               float *out_scores, i64 *out_docs,
+               const i64 *deleted, i64 ndeleted,
+               const i64 *allowed, i64 nallowed) {
     if (L <= 0 || L > MAX_LISTS || k <= 0 || k > 1024) return -1;
     plenum en[MAX_LISTS];
     plenum *ord[MAX_LISTS];
     hent heap[1024];
-    topk_t t = {heap, 0, k};
+    topk_t t = {heap, 0, k, deleted, ndeleted, allowed, nallowed};
     for (int i = 0; i < L; i++) {
         en[i].docs = docs[i]; en[i].freqs = freqs[i]; en[i].n = ns[i];
         en[i].qw = qws[i]; en[i].bound = bounds[i];
@@ -2712,12 +2733,14 @@ int topk_query_lazy(int op, int L, lzdesc **dv,
                     const i64 **bmax_docs, const float **bmax_scores,
                     const i64 *nbmax,
                     const float *norms, i64 num_docs, int k,
-                    float *out_scores, i64 *out_docs) {
+                    float *out_scores, i64 *out_docs,
+                    const i64 *deleted, i64 ndeleted,
+                    const i64 *allowed, i64 nallowed) {
     if (L <= 0 || L > MAX_LISTS || k <= 0 || k > 1024) return -1;
     lzen en[MAX_LISTS];
     lzen *ord[MAX_LISTS];
     hent heap[1024];
-    topk_t t = {heap, 0, k};
+    topk_t t = {heap, 0, k, deleted, ndeleted, allowed, nallowed};
     for (int i = 0; i < L; i++) {
         if (lz_init(&en[i], dv[i], num_docs)) return -1;
         en[i].qw = qws[i]; en[i].bound = bounds[i];

@@ -91,6 +91,8 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_float),                       # norms
         ctypes.c_int64, ctypes.c_int,                         # num_docs, k
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_int64,                      # deleted, n
+        ctypes.c_void_p, ctypes.c_int64,                      # allowed, n
     ]
     # --- encoded-domain lazy enumerator entry points (round 2) ---
     ppc = lib.pef_part_count
@@ -113,6 +115,8 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_float),                       # norms
         ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_int64,                      # deleted, n
+        ctypes.c_void_p, ctypes.c_int64,                      # allowed, n
     ]
     aql = lib.and_query_lazy
     aql.restype = ctypes.c_int64

@@ -197,6 +197,32 @@ def _topk_for(index, k: int) -> TopK:
     return TopK(k) if d is None and a is None else _LiveTopK(k, d, a)
 
 
+def _filter_args(index):
+    """ctypes args (del_ptr, ndel, alw_ptr, nalw, keepalive) for the C
+    kernels' insert-time serve filter.  NULL pointer = that filter is
+    inactive.  `keepalive` pins the contiguous copies for the call.
+    Returns None when the allowlist is empty — the provably-empty
+    result; callers short-circuit to []."""
+    keep = []
+    d = _tombstones(index)
+    if d is not None:
+        d = np.ascontiguousarray(d, dtype=np.int64)
+        keep.append(d)
+        dp, nd = d.ctypes.data, len(d)
+    else:
+        dp, nd = None, 0
+    a = _allowlist(index)
+    if a is not None:
+        if len(a) == 0:
+            return None
+        a = np.ascontiguousarray(a, dtype=np.int64)
+        keep.append(a)
+        ap, na = a.ctypes.data, len(a)
+    else:
+        ap, na = None, 0
+    return dp, nd, ap, na, keep
+
+
 def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
     """Top-k by (score desc, docid asc) from parallel arrays."""
     if len(scores) == 0:
@@ -650,9 +676,14 @@ def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
     """Encoded-domain serving: the C kernel traverses the COMPRESSED
     posting lists (lazy chunk decode inside next_geq — the reference's
     enumerator mode, compact_elias_fano.hpp:291-336).  None = native lib
-    or descriptors unavailable; [] = provably empty result."""
-    if _tombstones(index) is not None or _allowlist(index) is not None:
-        return None    # C kernels are filter-blind; Python path filters
+    or descriptors unavailable; [] = provably empty result.  Tombstones
+    / facet allowlists are pushed into the kernel's insert-time filter
+    (same threshold evolution as the Python _LiveTopK ports), so
+    deleted/faceted serving stays on the encoded-domain fast path."""
+    fa = _filter_args(index)
+    if fa is None:
+        return []                           # empty allowlist
+    del_p, ndel, alw_p, nalw, _keep = fa
     sc = _nq_scratch(index)
     fn = sc["fn"]
     if fn is None or k > 1024:
@@ -686,7 +717,8 @@ def _topk_native_encoded(index: InvertedIndex, terms: list, k: int, op: str):
     if L == 0:
         return []
     n = fn(_OP_CODES[op], L, descp, qws, bounds, bd_p, bs_p, nb,
-           sc["norms_p"], index.num_docs, k, sc["out_s_p"], sc["out_d_p"])
+           sc["norms_p"], index.num_docs, k, sc["out_s_p"], sc["out_d_p"],
+           del_p, ndel, alw_p, nalw)
     if n < 0:
         return None
     out_s, out_d = sc["out_s"], sc["out_d"]
@@ -702,6 +734,10 @@ def _topk_native(index: InvertedIndex, terms: list, k: int, op: str):
     fn = native_topk()
     if fn is None or k > 1024:
         return None
+    fa = _filter_args(index)
+    if fa is None:
+        return []                           # empty allowlist
+    del_p, ndel, alw_p, nalw, _keep = fa
     qf = query_freqs(terms)
     pls = _lists(index, terms)
     if op in ("ranked_and",) and len(pls) < len(qf):
@@ -743,7 +779,8 @@ def _topk_native(index: InvertedIndex, terms: list, k: int, op: str):
     n = fn(_OP_CODES[op], L, docs_p, freqs_p, ns, qws, bounds,
            bd_p, bs_p, nb, norms.ctypes.data_as(cf32p),
            index.num_docs, k,
-           out_s.ctypes.data_as(cf32p), out_d.ctypes.data_as(c64p))
+           out_s.ctypes.data_as(cf32p), out_d.ctypes.data_as(c64p),
+           del_p, ndel, alw_p, nalw)
     if n < 0:
         return None
     return [(F32(out_s[i]), int(out_d[i])) for i in range(n)]

@@ -97,3 +97,57 @@ def test_python_fallback_matches(idx, workload, monkeypatch):
     q = workload[0]
     assert _norm(search.block_max_wand_fast(idx, q, K)) == \
         _norm(search.block_max_wand_exact(idx, q, K))
+
+
+@pytest.fixture(scope="module")
+def filtered_views(idx):
+    """(tombstoned, faceted, both) shallow views of the module index —
+    filters chosen so they bite (every third doc deleted; a middle
+    docID band allowed)."""
+    import copy
+    deleted = np.arange(0, idx.num_docs, 3, dtype=np.int64)
+    allowed = np.arange(idx.num_docs // 4, (3 * idx.num_docs) // 4,
+                        dtype=np.int64)
+    tomb = copy.copy(idx); tomb.deleted = deleted
+    face = copy.copy(idx); face.allowed = allowed
+    both = copy.copy(idx); both.deleted = deleted; both.allowed = allowed
+    return tomb, face, both
+
+
+@pytest.mark.parametrize("fast,exact", PAIRS, ids=lambda f: f.__name__)
+def test_native_filtered_matches_exact(filtered_views, workload,
+                                       fast, exact):
+    """Tombstones + facet allowlists ride the C kernels' insert-time
+    filter: results stay float32-bit-identical to the Python _LiveTopK
+    exact ports (same threshold evolution), for deny-only, allow-only
+    and combined filters."""
+    for view in filtered_views:
+        for q in workload[::7]:
+            got = _norm(fast(view, q, K))
+            want = _norm(exact(view, q, K))
+            assert got == want, (q, got, want)
+
+
+def test_native_filtered_excludes(filtered_views, workload):
+    """No filtered-out doc ever surfaces from the native fast paths —
+    the regression test for the decoded-kernel fallback that used to be
+    filter-blind."""
+    tomb, face, both = filtered_views
+    dead = set(tomb.deleted.tolist())
+    ok = set(face.allowed.tolist())
+    for q in workload[::13]:
+        for fast in (search.ranked_or_fast, search.wand_fast,
+                     search.maxscore_fast, search.block_max_wand_fast):
+            assert all(d not in dead for _, d in fast(tomb, q, K))
+            assert all(d in ok for _, d in fast(face, q, K))
+            assert all(d in ok and d not in dead
+                       for _, d in fast(both, q, K))
+
+
+def test_native_empty_allowlist_short_circuits(idx):
+    import copy
+    view = copy.copy(idx)
+    view.allowed = np.empty(0, dtype=np.int64)
+    terms = idx.all_terms()[:3]
+    assert search.wand_fast(view, terms, K) == []
+    assert search.ranked_or_fast(view, terms, K) == []
