@@ -56,8 +56,16 @@ class QueryStage:
     """
 
     def __init__(self, index_dir: str, op: str = "block_max_wand",
-                 k: int = 10, exact: bool = False):
+                 k: int = 10, exact: bool = False, allowed=None):
         self.index = InvertedIndex(index_dir)
+        if allowed is not None:
+            # facet allowlist: sorted internal docIDs, or the ObjectRef
+            # of one (`ray.put` once on the driver, zero-copy read
+            # here — fn_constructor_kwargs don't auto-resolve refs)
+            import ray
+            if isinstance(allowed, ray.ObjectRef):
+                allowed = ray.get(allowed)
+            self.index.allowed = np.asarray(allowed, dtype=np.int64)
         self.op_name = op
         self.k = k
         if op in BOOL_OPS:
@@ -113,21 +121,31 @@ def queries_dataset(queries: list[tuple[int, list[str]]],
 def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
                 op: str = "block_max_wand", k: int = 10,
                 concurrency: int = 4, batch_size: int = 16,
-                exact: bool = False) -> rd.Dataset:
+                exact: bool = False, facet=None) -> rd.Dataset:
     """Distributed top-k over the query workload; returns the result
     Dataset of ``(query_id, rank, doc_id, score)``.  The pool is FIXED
     size so all actors spawn (and load the index) immediately and in
     parallel — `(1, N)` autoscaling ramps one costly init at a time.
     Capped one below the cluster's CPUs: a pool holding EVERY cpu
-    starves the input-feeding tasks and deadlocks the stage."""
+    starves the input-feeding tasks and deadlocks the stage.
+
+    ``facet=(column, values)`` restricts serving to the matching
+    documents: resolved ONCE on the driver (distributed docs-meta
+    scan), broadcast via ``ray.put``, applied at collect time inside
+    the C kernels with global stats (rayfts/facets.py)."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
     concurrency = max(1, min(concurrency, cpus - 1))
+    allowed_ref = None
+    if facet is not None:
+        from .facets import facet_allowlist
+        col, values = facet
+        allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
     ds = queries_dataset(queries, parallelism=concurrency * 2)
     return ds.map_batches(
         QueryStage,
         fn_constructor_kwargs={"index_dir": index_dir, "op": op, "k": k,
-                               "exact": exact},
+                               "exact": exact, "allowed": allowed_ref},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
@@ -144,11 +162,19 @@ class QueryService:
     results gather as Arrow."""
 
     def __init__(self, index_dir: str, op: str = "block_max_wand",
-                 k: int = 10, concurrency: int = 8, exact: bool = False):
+                 k: int = 10, concurrency: int = 8, exact: bool = False,
+                 facet=None):
         import ray
+        allowed_ref = None
+        if facet is not None:
+            # resolve the facet once, share it zero-copy with the pool
+            from .facets import facet_allowlist
+            col, values = facet
+            allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
         worker = ray.remote(num_cpus=1)(QueryStage)
         self.workers = [
-            worker.remote(index_dir, op=op, k=k, exact=exact)
+            worker.remote(index_dir, op=op, k=k, exact=exact,
+                          allowed=allowed_ref)
             for _ in range(concurrency)]
 
     def warm(self, queries=None) -> None:

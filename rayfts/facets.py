@@ -70,6 +70,39 @@ def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
     return ids
 
 
+def facet_allowlist_sharded(parent_dir: str, column: str,
+                            values) -> np.ndarray:
+    """Resolve ``column IN values`` over a doc-partitioned index
+    (rayfts/sharded.py layout) to sorted GLOBAL docIDs: each
+    partition's docs-meta scan yields local docIDs, offset by the
+    partition's ``doc_base``.  One Ray Data pass over all partitions'
+    meta files."""
+    import json
+
+    with open(os.path.join(parent_dir, "sharded.json")) as f:
+        meta = json.load(f)
+    parts = []
+    for sub in meta["subs"]:
+        ids = facet_allowlist(os.path.join(parent_dir, sub["dir"]),
+                              column, values)
+        parts.append(ids + int(sub["doc_base"]))
+    out = (np.concatenate(parts) if parts
+           else np.empty(0, dtype=np.int64))
+    out.sort()
+    return out
+
+
+def slice_allowed_local(allowed_global: np.ndarray, base: int,
+                        num_docs: int) -> np.ndarray:
+    """A partition's LOCAL allowlist from the global sorted one:
+    the [base, base+num_docs) slice, rebased.  O(log n) bounds +
+    O(local facet) copy — each serving actor pays only its slice."""
+    a = np.asarray(allowed_global, dtype=np.int64)
+    lo = np.searchsorted(a, base)
+    hi = np.searchsorted(a, base + num_docs)
+    return a[lo:hi] - base
+
+
 def with_facet(index, allowed: np.ndarray):
     """A shallow view of ``index`` serving only the allowed docIDs.
 

@@ -330,6 +330,26 @@ class ShardedIndex:
         self.avg_len = float(self.meta["avg_len"])
         self.bases = [int(s["doc_base"]) for s in self.meta["subs"]]
         self._subs: dict[int, InvertedIndex] = {}
+        self.allowed = None                  # global-docID facet filter
+
+    def set_facet(self, allowed_global) -> None:
+        """Serve only the given sorted GLOBAL docIDs: each partition
+        gets its rebased slice (facets.slice_allowed_local).  Facet
+        filtering is collect-time only, so per-partition WAND/BMW
+        bounds stay admissible and scores keep the global-stats
+        contract.  None clears."""
+        import numpy as np
+        self.allowed = (None if allowed_global is None
+                        else np.asarray(allowed_global, dtype=np.int64))
+        for i, idx in self._subs.items():
+            idx.allowed = self._local_allowed(i, idx)
+
+    def _local_allowed(self, i: int, idx: InvertedIndex):
+        if self.allowed is None:
+            return None
+        from .facets import slice_allowed_local
+        return slice_allowed_local(self.allowed, self.bases[i],
+                                   idx.num_docs)
 
     def __len__(self):
         return len(self.meta["subs"])
@@ -338,6 +358,8 @@ class ShardedIndex:
         idx = self._subs.get(i)
         if idx is None:
             idx = self._subs[i] = open_sub(self.parent_dir, i)
+            if self.allowed is not None:
+                idx.allowed = self._local_allowed(i, idx)
         return idx
 
     def topk(self, terms: list, k: int = 10, op: str = "ranked_or",
@@ -370,10 +392,18 @@ class _SubSearcher:
     """One partition's resident query actor: holds the encoded-domain
     reader, answers batches over its slice, returns global docids."""
 
-    def __init__(self, parent_dir: str, i: int, op: str, k: int):
+    def __init__(self, parent_dir: str, i: int, op: str, k: int,
+                 allowed_global=None):
         from . import search as S
         self.idx = open_sub(parent_dir, i)
         self.base = self.idx.doc_base
+        if allowed_global is not None:
+            # the shared global facet array (broadcast once via
+            # ray.put, auto-resolved in actor args); this actor keeps
+            # only its partition's rebased slice
+            from .facets import slice_allowed_local
+            self.idx.allowed = slice_allowed_local(
+                allowed_global, self.base, self.idx.num_docs)
         self.fn = {"ranked_or": S.ranked_or_fast,
                    "ranked_and": S.ranked_and_fast,
                    "wand": S.wand_fast, "maxscore": S.maxscore_fast,
@@ -395,11 +425,20 @@ class ShardedSearcher:
     doc-partitioned contract — and the driver merges per-query top-k."""
 
     def __init__(self, parent_dir: str, op: str = "block_max_wand",
-                 k: int = 10, num_cpus: float = 1.0):
+                 k: int = 10, num_cpus: float = 1.0, facet=None):
         with open(os.path.join(parent_dir, SHARDED_META)) as f:
             meta = json.load(f)
+        allowed_ref = None
+        if facet is not None:
+            # resolve the facet once over every partition's docs-meta,
+            # broadcast the global sorted array; each actor slices its
+            # own partition's range
+            from .facets import facet_allowlist_sharded
+            col, values = facet
+            allowed_ref = ray.put(
+                facet_allowlist_sharded(parent_dir, col, values))
         actor = ray.remote(_SubSearcher).options(num_cpus=num_cpus)
-        self.actors = [actor.remote(parent_dir, i, op, k)
+        self.actors = [actor.remote(parent_dir, i, op, k, allowed_ref)
                        for i in range(len(meta["subs"]))]
         self.k = k
 

@@ -53,13 +53,16 @@ def faceted(ray_session, tmp_path_factory):
     allowed = facet_allowlist(idx_dir, "lang", facet_langs)
     assert allowed.tolist() == want.tolist()
     assert 0 < len(allowed) < idx.num_docs
-    return idx, with_facet(idx, allowed), allowed
+    return {"src": src, "idx_dir": idx_dir, "langs": facet_langs,
+            "clean": idx, "view": with_facet(idx, allowed),
+            "allowed": allowed}
 
 
 def test_faceted_kernels_equal_filtered_clean(faceted):
     from rayfts import search as S
 
-    clean, idx, allowed = faceted
+    clean, idx, allowed = (faceted["clean"], faceted["view"],
+                           faceted["allowed"])
     ok = set(int(x) for x in allowed)
     vocab = clean.all_terms()
     rng = np.random.RandomState(11)
@@ -90,7 +93,7 @@ def test_facet_composes_with_tombstones(faceted):
 
     from rayfts import search as S
 
-    clean, _, allowed = faceted
+    clean, allowed = faceted["clean"], faceted["allowed"]
     idx = copy.copy(clean)
     idx.allowed = allowed
     idx.deleted = allowed[::2].copy()      # kill half the facet
@@ -109,7 +112,7 @@ def test_empty_facet_empties_everything(faceted):
 
     from rayfts import search as S
 
-    clean, _, _ = faceted
+    clean = faceted["clean"]
     idx = copy.copy(clean)
     idx.allowed = np.empty(0, dtype=np.int64)
     vocab = clean.all_terms()
@@ -121,7 +124,117 @@ def test_empty_facet_empties_everything(faceted):
 
 
 def test_facet_view_shares_caches(faceted):
-    clean, idx, _ = faceted
+    clean, idx = faceted["clean"], faceted["view"]
     assert idx._enc_cache is clean._enc_cache
     assert idx._list_cache is clean._list_cache
     assert clean.allowed is None            # base reader untouched
+
+
+def test_query_service_facet(faceted):
+    """The resident serving pool with facet=(col, values): every
+    worker applies the broadcast allowlist; results equal the local
+    faceted fast path."""
+    from rayfts import search as S
+    from rayfts.engine import QueryService
+
+    clean, view = faceted["clean"], faceted["view"]
+    vocab = clean.all_terms()
+    queries = [(i, [vocab[i], vocab[2 * i + 1], vocab[-1 - i]])
+               for i in range(8)]
+    svc = QueryService(faceted["idx_dir"], op="block_max_wand", k=K,
+                       concurrency=2,
+                       facet=("lang", list(faceted["langs"])))
+    try:
+        svc.warm()
+        t = svc.run(queries)
+        got = {}
+        for qid, r, d, s in zip(t.column("query_id").to_pylist(),
+                                t.column("rank").to_pylist(),
+                                t.column("doc_id").to_pylist(),
+                                t.column("score").to_pylist()):
+            got.setdefault(qid, []).append((r, float(s), int(d)))
+        for qid, terms in queries:
+            want = S.block_max_wand_fast(view, terms, K)
+            rows = sorted(got.get(qid, []))
+            assert [(d) for _, _, d in rows] == [d for _, d in want], qid
+            assert [s for _, s, _ in rows] == \
+                [float(s) for s, _ in want], qid
+    finally:
+        svc.shutdown()
+
+
+def test_run_queries_facet(faceted):
+    """The Dataset map_batches pool honors facet= too."""
+    from rayfts import search as S
+    from rayfts.engine import run_queries
+
+    clean, view = faceted["clean"], faceted["view"]
+    vocab = clean.all_terms()
+    queries = [(0, [vocab[0], vocab[1]]), (1, [vocab[5], vocab[9]])]
+    out = run_queries(faceted["idx_dir"], queries, op="wand", k=K,
+                      concurrency=2,
+                      facet=("lang", list(faceted["langs"]))).to_pandas()
+    for qid, terms in queries:
+        want = [d for _, d in S.wand_fast(view, terms, K)]
+        g = out[out.query_id == qid].sort_values("rank")
+        assert g.doc_id.tolist() == want, qid
+
+
+@pytest.fixture(scope="module")
+def sharded_faceted(ray_session, tmp_path_factory, faceted):
+    """Doc-partitioned layout over the same corpus; the facet resolves
+    to GLOBAL docIDs (per-partition scan + doc_base offsets)."""
+    from rayfts.facets import facet_allowlist_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    parent = str(tmp_path_factory.mktemp("facets_sharded"))
+    build_sharded_index(faceted["src"], parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64, num_shards=4)
+    allowed_g = facet_allowlist_sharded(parent, "lang",
+                                        list(faceted["langs"]))
+    # partition-preserving docID assignment: the global facet set must
+    # equal the monolithic one
+    assert allowed_g.tolist() == faceted["allowed"].tolist()
+    return parent, ShardedIndex(parent), allowed_g
+
+
+def test_sharded_facet_matches_monolithic(faceted, sharded_faceted):
+    from rayfts import search as S
+
+    view = faceted["view"]
+    _, sharded, allowed_g = sharded_faceted
+    sharded.set_facet(allowed_g)
+    vocab = faceted["clean"].all_terms()
+    rng = np.random.RandomState(3)
+    for _ in range(8):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        got = sharded.topk(terms, K, "maxscore")
+        want = S.maxscore_fast(view, terms, K)
+        assert [(float(s), int(d)) for s, d in got] == \
+            [(float(s), int(d)) for s, d in want], terms
+    sharded.set_facet(None)
+    terms = [vocab[0], vocab[1]]
+    assert sharded.topk(terms, K, "maxscore") == \
+        [(float(s), int(d)) for s, d in S.maxscore_fast(
+            faceted["clean"], terms, K)]
+
+
+def test_sharded_searcher_facet(faceted, sharded_faceted):
+    from rayfts import search as S
+    from rayfts.sharded import ShardedSearcher
+
+    view = faceted["view"]
+    parent, _, _ = sharded_faceted
+    vocab = faceted["clean"].all_terms()
+    queries = [(i, [vocab[i], vocab[3 * i + 2]]) for i in range(6)]
+    svc = ShardedSearcher(parent, op="block_max_wand", k=K,
+                          facet=("lang", list(faceted["langs"])))
+    try:
+        svc.warm()
+        got = svc.run(queries, chunk=3)
+        for qid, res in got:
+            want = S.block_max_wand_fast(view, queries[qid][1], K)
+            assert [(float(s), int(d)) for s, d in res] == \
+                [(float(s), int(d)) for s, d in want], qid
+    finally:
+        svc.shutdown()
