@@ -499,6 +499,21 @@ def _bm25_topk_faceted(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _facet_counts(sf_dir: str) -> pd.DataFrame:
+    """Search-engine faceting over the OR match set of each query:
+    matching-document counts per `lang` (rayfts/facets.py
+    facet_counts — distributed semi-join of the match set against the
+    docs-meta sidecar)."""
+    from rayfts.facets import facet_counts
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, terms in QUERIES:
+        for lang, n in facet_counts(idx, terms, "lang").items():
+            rows.append({"query_id": qid, "lang": lang, "n": int(n)})
+    return pd.DataFrame(rows, columns=["query_id", "lang", "n"])
+
+
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
     idx = _index_for(sf_dir)
     mask = idx.lengths > 0
@@ -1215,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compacted": _postings_table_compacted,
         "bm25_topk_deleted": _bm25_topk_deleted,
         "bm25_topk_faceted": _bm25_topk_faceted,
+        "facet_counts": _facet_counts,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1424,6 +1440,17 @@ topk AS (
                                      doc_id ASC) AS rank
   FROM ranked)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # faceting: per-query OR-match counts per metadata value
+    sqls["facet_counts"] = f"""
+WITH q(query_id, term) AS (VALUES {_q_values()}),
+{_TOK.strip()},
+m AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term)
+SELECT m.query_id, d.lang, count(*) AS n
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2"""
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}

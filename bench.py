@@ -118,7 +118,7 @@ _COMPACT_KEYS = (
     "num_docs", "total_postings", "num_terms",
     "build_docs_per_sec", "build_postings_per_sec",
     "bits_per_doc", "bits_per_freq",
-    "query_pool_qps", "query_service_qps",
+    "query_pool_qps", "query_service_qps", "latency_filtered_bmw",
     # sharded run
     "num_doc_shards", "sharded_build_s", "sharded_build_docs_per_sec",
     "scatter_gather_qps", "merge_s", "merge_postings_per_sec",
@@ -441,6 +441,30 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
                        "p99_ms": round(float(np.percentile(pq_ms, 99)), 3),
                        "avg_ms": round(float(pq_ms.mean()), 3)}
         extra["latency"] = lat
+
+        # ---- filtered serving (tombstones + facet allowlist ride the
+        # C kernels' insert-time filter; this pins that deleted/faceted
+        # serving stays at native speed instead of falling back to the
+        # Python ports)
+        import copy
+        fidx = copy.copy(index)
+        fidx.deleted = np.arange(0, index.num_docs, 5, dtype=np.int64)
+        fidx.allowed = np.arange(index.num_docs // 4,
+                                 (3 * index.num_docs) // 4,
+                                 dtype=np.int64)
+        for _, terms in queries:              # untimed warm-up run
+            search.block_max_wand_fast(fidx, terms, K)
+        per_q = []
+        for _ in range(2):                    # 2 timed runs
+            for _, terms in queries:
+                tq = time.perf_counter()
+                search.block_max_wand_fast(fidx, terms, K)
+                per_q.append(time.perf_counter() - tq)
+        pq_ms = np.asarray(per_q) * 1e3
+        extra["latency_filtered_bmw"] = {
+            "p50_ms": round(float(np.percentile(pq_ms, 50)), 3),
+            "p99_ms": round(float(np.percentile(pq_ms, 99)), 3),
+            "avg_ms": round(float(pq_ms.mean()), 3)}
 
         # ---- distributed query throughput (one-shot actor-pool stage,
         # includes pool spin-up + index load: the batch-job number)

@@ -103,6 +103,43 @@ def slice_allowed_local(allowed_global: np.ndarray, base: int,
     return a[lo:hi] - base
 
 
+def facet_counts(index, terms: list, column: str,
+                 docs_dir: str | None = None) -> dict:
+    """Search-engine faceting: for the boolean-OR match set of
+    ``terms``, count matching documents per value of ``column``
+    (Lucene's taxonomy/SSDV faceting analogue).
+
+    The match set comes from the index's OR kernel (tombstone/facet
+    filtered like any query); the value lookup is one column-pruned
+    scan of the docs-meta sidecar filtered to the match set — at scale
+    a distributed semi-join (match docIDs broadcast once, each meta
+    fragment counts its own rows), here one Ray Data pass."""
+    from . import search as S
+
+    docs = S.or_query(index, terms)
+    if len(docs) == 0:
+        return {}
+    ddir = docs_dir or os.path.join(index.index_dir, "docs")
+    hits = np.asarray(docs, dtype=np.int64)   # sorted (or_query output)
+
+    def _count(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(hits, ids)
+        pos[pos >= len(hits)] = len(hits) - 1
+        m = hits[pos] == ids
+        vals = t.column(column).filter(pa.array(m))
+        agg = pa.table({column: vals}).group_by(column) \
+                .aggregate([([], "count_all")])
+        return agg.rename_columns([column, "n"])
+
+    parts = rd.read_parquet(ddir, columns=["doc_id", column]) \
+              .map_batches(_count, batch_format="pyarrow").take_all()
+    out: dict = {}
+    for r in parts:
+        out[r[column]] = out.get(r[column], 0) + int(r["n"])
+    return out
+
+
 def with_facet(index, allowed: np.ndarray):
     """A shallow view of ``index`` serving only the allowed docIDs.
 

@@ -238,3 +238,34 @@ def test_sharded_searcher_facet(faceted, sharded_faceted):
                 [(float(s), int(d)) for s, d in want], qid
     finally:
         svc.shutdown()
+
+
+def test_facet_counts(faceted):
+    """Faceting aggregation equals a brute-force count over the OR
+    match set, and respects serve filters (tombstones/facet)."""
+    import copy
+
+    from rayfts import search as S
+    from rayfts.facets import facet_counts
+
+    clean = faceted["clean"]
+    docs = pq.read_table(os.path.join(faceted["idx_dir"], "docs"),
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs.column("doc_id").to_pylist(),
+                       docs.column("lang").to_pylist()))
+    vocab = clean.all_terms()
+    terms = [vocab[0], vocab[len(vocab) // 3], vocab[-2]]
+
+    want: dict = {}
+    for d in S.or_query(clean, terms).tolist():
+        want[lang_of[d]] = want.get(lang_of[d], 0) + 1
+    assert facet_counts(clean, terms, "lang") == want
+
+    # filtered view: counts only over servable docs
+    view = copy.copy(clean)
+    view.allowed = faceted["allowed"]
+    want_f: dict = {}
+    for d in S.or_query(view, terms).tolist():
+        want_f[lang_of[d]] = want_f.get(lang_of[d], 0) + 1
+    assert facet_counts(view, terms, "lang") == want_f
+    assert facet_counts(clean, ["zz_no_such_term"], "lang") == {}
