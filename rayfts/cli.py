@@ -311,6 +311,12 @@ def cmd_query(args) -> int:
         # (queries.hpp:15-27); the engine's kernels accept ints directly
         queries = [(i, [int(t) for t in terms]) for i, terms in queries]
 
+    facet = None
+    if getattr(args, "facet", None):
+        # --facet lang=de,fr : restrict serving to the matching docs
+        col, _, vals = args.facet.partition("=")
+        facet = (col, vals.split(","))
+
     for op in args.ops.split(":"):
         if op not in RANKED_OPS and op not in BOOL_OPS:
             print(f"unknown op {op!r}; known: "
@@ -318,7 +324,7 @@ def cmd_query(args) -> int:
             return 2
         t0 = time.perf_counter()
         ds = run_queries(args.index, queries, op=op, k=args.k,
-                         concurrency=args.concurrency)
+                         concurrency=args.concurrency, facet=facet)
         if args.output:
             out = os.path.join(args.output, op)
             ds.write_parquet(out)
@@ -441,6 +447,10 @@ def main(argv=None) -> int:
     q.add_argument("--profile", action="store_true",
                    help="also dump the merged per-term chunk-decode "
                         "profile (block_profiler analogue)")
+    q.add_argument("--facet", default=None, metavar="COL=V1,V2",
+                   help="serve only documents matching the metadata "
+                        "facet (e.g. lang=py,go); resolved once from "
+                        "the docs-meta sidecar")
     q.set_defaults(fn=cmd_query)
 
     sc = sub.add_parser("scrub", parents=[common])

@@ -56,16 +56,25 @@ class QueryStage:
     """
 
     def __init__(self, index_dir: str, op: str = "block_max_wand",
-                 k: int = 10, exact: bool = False, allowed=None):
+                 k: int = 10, exact: bool = False, allowed=None,
+                 facets=None):
         self.index = InvertedIndex(index_dir)
         if allowed is not None:
             # facet allowlist: sorted internal docIDs, or the ObjectRef
             # of one (`ray.put` once on the driver, zero-copy read
             # here — fn_constructor_kwargs don't auto-resolve refs)
-            import ray
-            if isinstance(allowed, ray.ObjectRef):
-                allowed = ray.get(allowed)
-            self.index.allowed = np.asarray(allowed, dtype=np.int64)
+            self.index.allowed = np.asarray(self._resolve(allowed),
+                                            dtype=np.int64)
+        # named per-query facet views: shallow copies sharing every
+        # cache with the base reader, each pinned to one pre-resolved
+        # allowlist — a query row's `facet` column selects a view
+        self.views: dict[str, InvertedIndex] = {}
+        if facets:
+            import copy
+            for name, arr in facets.items():
+                v = copy.copy(self.index)
+                v.allowed = np.asarray(self._resolve(arr), dtype=np.int64)
+                self.views[name] = v
         self.op_name = op
         self.k = k
         if op in BOOL_OPS:
@@ -75,7 +84,13 @@ class QueryStage:
             self.kernel = (EXACT_OPS if exact else RANKED_OPS)[op]
             self.ranked = True
 
-    def run(self, qids: list, terms_list: list) -> "pa.Table":
+    @staticmethod
+    def _resolve(arr):
+        import ray
+        return ray.get(arr) if isinstance(arr, ray.ObjectRef) else arr
+
+    def run(self, qids: list, terms_list: list,
+            facet_names: list | None = None) -> "pa.Table":
         import pyarrow as pa
         out_q: list = []
         out_r: list = []
@@ -83,9 +98,12 @@ class QueryStage:
         out_s: list = []
         k = self.k
         kernel = self.kernel
-        index = self.index
+        views = self.views
+        base = self.index
+        fns = facet_names or [None] * len(qids)
         if self.ranked:
-            for qid, terms in zip(qids, terms_list):
+            for qid, terms, fname in zip(qids, terms_list, fns):
+                index = views.get(fname, base) if fname else base
                 res = kernel(index, list(terms), k)
                 n = len(res)
                 out_q.extend([qid] * n)
@@ -93,7 +111,8 @@ class QueryStage:
                 out_d.extend(d for _, d in res)
                 out_s.extend(s for s, _ in res)
         else:
-            for qid, terms in zip(qids, terms_list):
+            for qid, terms, fname in zip(qids, terms_list, fns):
+                index = views.get(fname, base) if fname else base
                 for docid in kernel(index, list(terms)):
                     out_q.append(qid)
                     out_r.append(0)
@@ -107,21 +126,30 @@ class QueryStage:
         })
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
+        fnames = (batch.column("facet").to_pylist()
+                  if "facet" in batch.column_names else None)
         return self.run(batch.column("query_id").to_pylist(),
-                        batch.column("terms").to_pylist())
+                        batch.column("terms").to_pylist(), fnames)
 
 
-def queries_dataset(queries: list[tuple[int, list[str]]],
+def queries_dataset(queries: list,
                     parallelism: int = 8) -> rd.Dataset:
-    """Small driver-side query list -> Dataset of (query_id, terms)."""
-    rows = [{"query_id": int(q), "terms": list(t)} for q, t in queries]
+    """Small driver-side query list -> Dataset of (query_id, terms[,
+    facet]).  A query is ``(qid, terms)`` or ``(qid, terms,
+    facet_name)``."""
+    rows = [{"query_id": int(q[0]), "terms": list(q[1]),
+             "facet": (q[2] if len(q) > 2 else None)} for q in queries]
+    if all(r["facet"] is None for r in rows):
+        for r in rows:
+            del r["facet"]
     return rd.from_items(rows).repartition(min(parallelism, max(1, len(rows))))
 
 
-def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
+def run_queries(index_dir: str, queries: list,
                 op: str = "block_max_wand", k: int = 10,
                 concurrency: int = 4, batch_size: int = 16,
-                exact: bool = False, facet=None) -> rd.Dataset:
+                exact: bool = False, facet=None,
+                facets=None) -> rd.Dataset:
     """Distributed top-k over the query workload; returns the result
     Dataset of ``(query_id, rank, doc_id, score)``.  The pool is FIXED
     size so all actors spawn (and load the index) immediately and in
@@ -134,18 +162,25 @@ def run_queries(index_dir: str, queries: list[tuple[int, list[str]]],
     scan), broadcast via ``ray.put``, applied at collect time inside
     the C kernels with global stats (rayfts/facets.py)."""
     import ray
+
+    from .facets import facet_allowlist
     cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
     concurrency = max(1, min(concurrency, cpus - 1))
     allowed_ref = None
     if facet is not None:
-        from .facets import facet_allowlist
         col, values = facet
         allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
+    facet_refs = None
+    if facets:
+        facet_refs = {
+            name: ray.put(facet_allowlist(index_dir, col, values))
+            for name, (col, values) in facets.items()}
     ds = queries_dataset(queries, parallelism=concurrency * 2)
     return ds.map_batches(
         QueryStage,
         fn_constructor_kwargs={"index_dir": index_dir, "op": op, "k": k,
-                               "exact": exact, "allowed": allowed_ref},
+                               "exact": exact, "allowed": allowed_ref,
+                               "facets": facet_refs},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
@@ -163,18 +198,29 @@ class QueryService:
 
     def __init__(self, index_dir: str, op: str = "block_max_wand",
                  k: int = 10, concurrency: int = 8, exact: bool = False,
-                 facet=None):
+                 facet=None, facets=None):
+        """``facet=(col, values)`` restricts the WHOLE pool;
+        ``facets={"name": (col, values)}`` registers named filters a
+        query can select per-row — each resolves once on the driver
+        and is broadcast; workers keep shallow views sharing all
+        caches, so N registered facets cost one index's memory."""
         import ray
+
+        from .facets import facet_allowlist
         allowed_ref = None
         if facet is not None:
             # resolve the facet once, share it zero-copy with the pool
-            from .facets import facet_allowlist
             col, values = facet
             allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
+        facet_refs = None
+        if facets:
+            facet_refs = {
+                name: ray.put(facet_allowlist(index_dir, col, values))
+                for name, (col, values) in facets.items()}
         worker = ray.remote(num_cpus=1)(QueryStage)
         self.workers = [
             worker.remote(index_dir, op=op, k=k, exact=exact,
-                          allowed=allowed_ref)
+                          allowed=allowed_ref, facets=facet_refs)
             for _ in range(concurrency)]
 
     def warm(self, queries=None) -> None:
@@ -188,13 +234,16 @@ class QueryService:
 
     def run_async(self, queries, chunk: int = 32):
         """Stripe query chunks round-robin across workers; returns the
-        list of result-table futures."""
+        list of result-table futures.  A query is ``(qid, terms)`` or
+        ``(qid, terms, facet_name)`` selecting a registered facet."""
         futs = []
         for i, lo in enumerate(range(0, len(queries), chunk)):
             part = queries[lo:lo + chunk]
             w = self.workers[i % len(self.workers)]
-            futs.append(w.run.remote([q for q, _ in part],
-                                     [t for _, t in part]))
+            futs.append(w.run.remote(
+                [q[0] for q in part],
+                [q[1] for q in part],
+                [q[2] if len(q) > 2 else None for q in part]))
         return futs
 
     def run(self, queries, chunk: int = 32):

@@ -269,3 +269,47 @@ def test_facet_counts(faceted):
         want_f[lang_of[d]] = want_f.get(lang_of[d], 0) + 1
     assert facet_counts(view, terms, "lang") == want_f
     assert facet_counts(clean, ["zz_no_such_term"], "lang") == {}
+
+
+def test_per_query_named_facets(faceted):
+    """Registered named facets, selected per query row: each worker
+    keeps shallow views sharing one reader; un-faceted and faceted
+    queries mix in one workload (QueryService and the Dataset pool)."""
+    from rayfts import search as S
+    from rayfts.engine import QueryService, run_queries
+    from rayfts.facets import facet_allowlist, with_facet
+
+    clean = faceted["clean"]
+    idx_dir = faceted["idx_dir"]
+    docs = pq.read_table(os.path.join(idx_dir, "docs"),
+                         columns=["doc_id", "lang"])
+    langs = sorted(set(docs.column("lang").to_pylist()))
+    f1, f2 = ("lang", langs[:2]), ("lang", langs[2:3])
+    v1 = with_facet(clean, facet_allowlist(idx_dir, *f1))
+    v2 = with_facet(clean, facet_allowlist(idx_dir, *f2))
+
+    vocab = clean.all_terms()
+    queries = [(0, [vocab[0], vocab[1]], "a"),
+               (1, [vocab[0], vocab[1]], "b"),
+               (2, [vocab[0], vocab[1]]),          # un-faceted
+               (3, [vocab[4], vocab[7]], "a")]
+    expect = {0: v1, 1: v2, 2: clean, 3: v1}
+
+    def check(df):
+        for qid, terms, *_ in queries:
+            want = [d for _, d in
+                    S.block_max_wand_fast(expect[qid], list(terms), K)]
+            g = df[df.query_id == qid].sort_values("rank")
+            assert g.doc_id.tolist() == want, qid
+
+    svc = QueryService(idx_dir, op="block_max_wand", k=K, concurrency=2,
+                       facets={"a": f1, "b": f2})
+    try:
+        svc.warm()
+        check(svc.run(queries, chunk=2).to_pandas())
+    finally:
+        svc.shutdown()
+
+    out = run_queries(idx_dir, queries, op="block_max_wand", k=K,
+                      concurrency=2, facets={"a": f1, "b": f2}).to_pandas()
+    check(out)
