@@ -94,6 +94,19 @@ def _verify_pass(docs_path: str, plans: dict, count_fn,
     if not plans:
         return empty
 
+    # predicate pushdown: when EVERY query has a (trigram-pruned)
+    # candidate set, the verify scan reads only the parquet row-groups
+    # containing candidate ids instead of the whole corpus — at scale
+    # the verification I/O is proportional to the candidates, not the
+    # collection.  The id union is answer-scale (already held on the
+    # driver as the plans dict); capped so a degenerate all-corpus
+    # union falls back to the plain full scan.
+    union = None
+    if all(cand is not None for _, cand in plans.values()):
+        ids_all = {int(x) for _, cand in plans.values() for x in cand}
+        if len(ids_all) <= 2_000_000:
+            union = sorted(ids_all)
+
     plans_ref = ray.put(plans)
 
     def verify(t: pa.Table) -> pa.Table:
@@ -120,7 +133,10 @@ def _verify_pass(docs_path: str, plans: dict, count_fn,
             hits_name: pa.array(out_h, type=pa.int64()),
         })
 
-    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
+    import pyarrow.compute as pc
+    flt = (pc.field(id_col).isin(union) if union is not None else None)
+    out = (rd.read_parquet(docs_path, columns=[id_col, text_col],
+                           filter=flt)
            .map_batches(verify, batch_format="pyarrow")
            .to_pandas())
     if len(out) == 0:
@@ -192,6 +208,12 @@ def substring_line_search(index, docs_path: str,
                           "n_hits": pd.Series([], dtype=np.int64)})
     if not plans:
         return empty
+    # same candidate-rowgroup pushdown as _verify_pass
+    union = None
+    if all(cand is not None for _, cand in plans.values()):
+        ids_all = {int(x) for _, cand in plans.values() for x in cand}
+        if len(ids_all) <= 2_000_000:
+            union = sorted(ids_all)
     plans_ref = ray.put(plans)
 
     def verify(t: pa.Table) -> pa.Table:
@@ -246,7 +268,10 @@ def substring_line_search(index, docs_path: str,
             "n_hits": pa.array(out_h, type=pa.int64()),
         })
 
-    out = (rd.read_parquet(docs_path, columns=[id_col, text_col])
+    import pyarrow.compute as pc
+    flt = (pc.field(id_col).isin(union) if union is not None else None)
+    out = (rd.read_parquet(docs_path, columns=[id_col, text_col],
+                           filter=flt)
            .map_batches(verify, batch_format="pyarrow")
            .to_pandas())
     if len(out) == 0:
