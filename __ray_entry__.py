@@ -499,6 +499,29 @@ def _bm25_topk_faceted(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _highlight_offsets(sf_dir: str) -> pd.DataFrame:
+    """Result highlighting: for every BM25 top-10 hit, each query
+    term's first token position (1-based) and occurrence count in the
+    document, served from the positional sidecar
+    (rayfts/positions.py highlight_offsets — per-term binary search
+    into decoded positional postings, no document re-scan)."""
+    from rayfts import search as S
+    from rayfts.positions import highlight_offsets
+
+    pidx, idx = _positions_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S.ranked_or(idx, terms, k=K, prec=S.P64)
+        for rank, (_score, d) in enumerate(res, 1):
+            for term, first, n in highlight_offsets(pidx, terms, int(d)):
+                rows.append({"query_id": qid, "rank": rank,
+                             "doc_id": int(idx.src_doc_ids[d]),
+                             "term": term, "first_pos": first + 1,
+                             "n_occ": n})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "term", "first_pos", "n_occ"])
+
+
 def _facet_counts(sf_dir: str) -> pd.DataFrame:
     """Search-engine faceting over the OR match set of each query:
     matching-document counts per `lang` (rayfts/facets.py
@@ -1231,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": _bm25_topk_deleted,
         "bm25_topk_faceted": _bm25_topk_faceted,
         "facet_counts": _facet_counts,
+        "highlight_offsets": _highlight_offsets,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1440,6 +1464,34 @@ topk AS (
                                      doc_id ASC) AS rank
   FROM ranked)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # highlighting: per top-k hit, each query term's 1-based first
+    # token position + occurrence count (the q CTE inside the bm25
+    # scores block stays in scope for the term join)
+    sqls["highlight_offsets"] = f"""
+{_bm25_scores_sql()},
+tk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores),
+dts AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '{TOKEN_SQL_RE}') AS ts
+  FROM documents),
+h AS (
+  SELECT tk.query_id, tk.rank, tk.doc_id, qq.term,
+         [i for i in range(1, len(dts.ts) + 1)
+          if dts.ts[i] = qq.term] AS ps
+  FROM tk
+  JOIN (SELECT DISTINCT query_id, term FROM q) qq
+       ON qq.query_id = tk.query_id
+  JOIN dts ON dts.doc_id = tk.doc_id
+  WHERE tk.rank <= {K})
+SELECT query_id, rank, doc_id, term,
+       ps[1]::BIGINT AS first_pos, len(ps)::BIGINT AS n_occ
+FROM h WHERE len(ps) > 0"""
 
     # faceting: per-query OR-match counts per metadata value
     sqls["facet_counts"] = f"""

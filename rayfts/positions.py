@@ -421,6 +421,74 @@ def proximity_doc_counts(pidx: PositionalIndex, t1: str, t2: str,
     return _runlength_counts(k1[near] // _STRIDE)
 
 
+def doc_positions(pidx: PositionalIndex, term: str,
+                  doc_id: int) -> np.ndarray:
+    """The term's sorted 0-based token positions in one document
+    (empty when absent) — one binary search into the term's decoded
+    postings, no per-doc scan."""
+    docs, starts, flat = pidx.postings(term)
+    i = int(np.searchsorted(docs, doc_id))
+    if i >= len(docs) or docs[i] != doc_id:
+        return np.empty(0, dtype=np.int64)
+    return flat[starts[i]:starts[i + 1]]
+
+
+def highlight_offsets(pidx: PositionalIndex, terms: list[str],
+                      doc_id: int) -> list[tuple[str, int, int]]:
+    """Highlighter payload for one result document: per distinct query
+    term present, ``(term, first_pos, n_occurrences)`` (0-based
+    positions).  This is what a result renderer needs to mark matches;
+    the best-snippet choice is :func:`best_window`."""
+    out = []
+    for t in dict.fromkeys(terms):        # preserve order, drop dups
+        p = doc_positions(pidx, t, doc_id)
+        if len(p):
+            out.append((t, int(p[0]), int(len(p))))
+    return out
+
+
+def best_window(pidx: PositionalIndex, terms: list[str], doc_id: int,
+                ) -> tuple[int, int, int] | None:
+    """The classic snippet-selection kernel: the smallest token window
+    ``[start, end]`` covering every distinct query term that occurs in
+    the document (ties: smallest width first, then earliest start);
+    -> (start, end, n_distinct_terms_covered), None when no term
+    occurs.  Two-pointer sweep over the merged (position, term) runs —
+    O(total positions in the doc) after the per-term binary searches."""
+    uniq = list(dict.fromkeys(terms))
+    pls = [(t, doc_positions(pidx, t, doc_id)) for t in uniq]
+    pls = [(t, p) for t, p in pls if len(p)]
+    if not pls:
+        return None
+    need = len(pls)
+    pos = np.concatenate([p for _, p in pls])
+    tid = np.concatenate([np.full(len(p), i, dtype=np.int64)
+                          for i, (_, p) in enumerate(pls)])
+    order = np.argsort(pos, kind="stable")
+    pos, tid = pos[order], tid[order]
+    counts = np.zeros(need, dtype=np.int64)
+    covered = 0
+    best = None
+    lo = 0
+    for hi in range(len(pos)):
+        t = tid[hi]
+        counts[t] += 1
+        if counts[t] == 1:
+            covered += 1
+        while covered == need:
+            cand = (int(pos[hi] - pos[lo]), int(pos[lo]), int(pos[hi]))
+            if best is None or cand[:2] < best[:2]:
+                best = cand
+            t0 = tid[lo]
+            counts[t0] -= 1
+            if counts[t0] == 0:
+                covered -= 1
+            lo += 1
+    if best is None:                      # can't cover all -> first term
+        return None
+    return best[1], best[2], need
+
+
 # ---------------------------------------------------------------------------
 # distributed serving: phrase / proximity actor pool
 # ---------------------------------------------------------------------------

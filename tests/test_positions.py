@@ -186,3 +186,52 @@ def test_phrase_pool_matches_kernels(pos_index):
         d, c = proximity_doc_counts(pidx, a, b, 2)
         rowsp += [(qid, int(x), int(y)) for x, y in zip(d, c)]
     assert [tuple(r) for r in gotp.itertuples(index=False)] == rowsp
+
+
+def _brute_best_window(terms, text):
+    toks = TOK.findall(text.lower())
+    present = [t for t in dict.fromkeys(terms)
+               if t in toks]
+    if not present:
+        return None
+    best = None
+    for lo in range(len(toks)):
+        for hi in range(lo, len(toks)):
+            win = toks[lo:hi + 1]
+            if all(t in win for t in present):
+                cand = (hi - lo, lo, hi)
+                if best is None or cand[:2] < best[:2]:
+                    best = cand
+                break                      # wider windows only worse
+    return (best[1], best[2], len(present)) if best else None
+
+
+def test_doc_positions_and_highlights(pos_index):
+    from rayfts.positions import doc_positions, highlight_offsets
+    pidx, _ = pos_index
+    for d, text in enumerate(TEXTS):
+        brute = _brute_positions(text)
+        for term in ("the", "fox", "brown", "zzz_absent"):
+            got = doc_positions(pidx, term, d).tolist()
+            assert got == brute.get(term, []), (d, term)
+        hl = highlight_offsets(pidx, ["fox", "the", "fox"], d)
+        want = [(t, brute[t][0], len(brute[t]))
+                for t in ("fox", "the") if t in brute]
+        assert hl == want, d
+
+
+def test_best_window_matches_brute_force(pos_index):
+    from rayfts.positions import best_window
+    pidx, _ = pos_index
+    workloads = [["quick", "dog"], ["the", "fox", "dog"],
+                 ["brown", "fox"], ["lazy", "jumps"],
+                 ["one", "seven"], ["zzz_absent"],
+                 ["fox", "zzz_absent", "the"]]
+    for terms in workloads:
+        for d, text in enumerate(TEXTS):
+            got = best_window(pidx, terms, d)
+            # present-term set for the kernel excludes absent terms,
+            # matching the brute force's `present` definition
+            want = _brute_best_window(
+                [t for t in terms if t != "zzz_absent"], text)
+            assert got == want, (terms, d, got, want)
