@@ -177,6 +177,19 @@ def _topk_table_native(sf_dir: str, op: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
 
 
+def _bool_and_not(sf_dir: str) -> pd.DataFrame:
+    """Boolean NOT: docs containing the query's FIRST term but none of
+    the remaining terms (rayfts/search.py and_not_query — sorted-set
+    subtraction, no complement materialization)."""
+    from rayfts import search as S
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        for d in S.and_not_query(idx, terms[:1], terms[1:]):
+            rows.append({"query_id": qid, "doc_id": int(idx.src_doc_ids[d])})
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
 def _bool_and(sf_dir: str) -> pd.DataFrame:
     from rayfts import search as S
     idx = _index_for(sf_dir)
@@ -1271,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_max_wand_topk_native":
             lambda sf: _topk_table_native(sf, "block_max_wand"),
         "bool_and": _bool_and,
+        "bool_and_not": _bool_and_not,
         "bool_or": _bool_or,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -1542,6 +1556,20 @@ SELECT q.query_id, tf.doc_id
 FROM q JOIN tf ON tf.term = q.term
 GROUP BY q.query_id, tf.doc_id
 HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)"""
+
+    _qp = ", ".join(f"({qid}, '{terms[0]}')" for qid, terms in QUERIES)
+    _qn = ", ".join(f"({qid}, '{t}')" for qid, terms in QUERIES
+                    for t in terms[1:])
+    sqls["bool_and_not"] = f"""
+WITH qp(query_id, term) AS (VALUES {_qp}),
+qneg(query_id, term) AS (VALUES {_qn}),
+{_TOK.strip()},
+p AS (SELECT DISTINCT qp.query_id, tf.doc_id
+      FROM qp JOIN tf ON tf.term = qp.term)
+SELECT p.query_id, p.doc_id FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM qneg JOIN tf t2 ON t2.term = qneg.term
+  WHERE qneg.query_id = p.query_id AND t2.doc_id = p.doc_id)"""
 
     sqls["bool_or"] = f"""
 WITH q(query_id, term) AS (VALUES {_q_values()}),

@@ -299,6 +299,25 @@ def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
     return u if m is None else u[m]
 
 
+def and_not_query(index: InvertedIndex, pos_terms: list,
+                  neg_terms: list) -> np.ndarray:
+    """Boolean NOT (the reference stops at AND/OR): docs matching ALL
+    of ``pos_terms`` and NONE of ``neg_terms``.  The positive side is
+    the existing skip-list leapfrog; the negative side subtracts the
+    (already sorted) OR set with one binary-search membership pass —
+    the same sorted-set mechanism tombstones use, so cost is
+    O(|AND result| log |NOT set|), never a complement materialization.
+    An unknown negative term excludes nothing."""
+    cur = and_query(index, pos_terms)
+    if len(cur) == 0 or not neg_terms:
+        return cur
+    pls = _lists(index, neg_terms)
+    if not pls:
+        return cur
+    neg = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    return cur[~_in_sorted(neg, cur)]
+
+
 # ---------------------------------------------------------------------------
 # ranked operators — fast term-at-a-time paths
 # ---------------------------------------------------------------------------

@@ -313,3 +313,28 @@ def test_per_query_named_facets(faceted):
     out = run_queries(idx_dir, queries, op="block_max_wand", k=K,
                       concurrency=2, facets={"a": f1, "b": f2}).to_pandas()
     check(out)
+
+
+def test_and_not_query(faceted):
+    """Boolean NOT vs brute force over decoded postings; respects the
+    serve filters like every kernel."""
+    from rayfts import search as S
+
+    clean = faceted["clean"]
+    vocab = clean.all_terms()
+    rng = np.random.RandomState(17)
+    for _ in range(8):
+        pos = [vocab[i] for i in rng.choice(len(vocab), size=2)]
+        neg = [vocab[i] for i in rng.choice(len(vocab), size=2)]
+        want = [d for d in S.and_query(clean, pos).tolist()
+                if d not in set(S.or_query(clean, neg).tolist())]
+        assert S.and_not_query(clean, pos, neg).tolist() == want
+    # unknown negative excludes nothing; empty positives empty
+    pos = [vocab[0]]
+    assert S.and_not_query(clean, pos, ["zz_unknown"]).tolist() == \
+        S.and_query(clean, pos).tolist()
+    # facet view composes
+    view = faceted["view"]
+    got = S.and_not_query(view, [vocab[0]], [vocab[1]])
+    ok = set(int(x) for x in faceted["allowed"])
+    assert all(d in ok for d in got.tolist())
