@@ -512,6 +512,56 @@ def _bm25_topk_faceted(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: unified query-language workload: (qid, rank_terms, phrase, neg,
+#: langs) — the query string and the SQL oracle are both generated
+#: from this one table (rayfts/query.py syntax)
+SEARCH_QUERIES = [
+    (1, ["scan", "batch"], ["data", "table"], [], None),
+    (2, ["filter", "batch", "row"], None, ["merge"], None),
+    (3, ["window", "stream", "data"], None, [], ["de", "fr"]),
+    (4, ["key", "value", "table"], ["sort", "shuffle"], ["group"], None),
+    (5, ["customer", "order"], None, ["line"], ["en", "zh", "es"]),
+    (6, ["fast", "the", "row", "scan"], None, ["qqqq_unknown"], None),
+]
+
+
+def _search_string(terms, phrase, neg, langs) -> str:
+    parts = []
+    if phrase:
+        parts.append('"' + " ".join(phrase) + '"')
+    parts.extend(terms)
+    parts.extend("-" + t for t in neg)
+    if langs:
+        parts.append("lang:" + ",".join(langs))
+    return " ".join(parts)
+
+
+def _unified_search(sf_dir: str) -> pd.DataFrame:
+    """The flagship end-user surface: one search-box string per query
+    ("phrase" words -not facet:v), compiled by rayfts/query.py into a
+    SINGLE filtered block-max-WAND pass (phrases/facets -> allow set,
+    NOT -> deny set, both riding the C kernels' insert-time filter;
+    global-stats scoring).  Quantized-tie re-rank as in
+    bm25_topk_faceted (constrained candidate sets surface ties)."""
+    from rayfts import search as S
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    pidx, _ = _positions_for(sf_dir)
+    rows = []
+    for qid, terms, phrase, neg, langs in SEARCH_QUERIES:
+        qs = _search_string(terms, phrase, neg, langs)
+        res = qsearch(idx, qs, k=4 * K, pidx=pidx, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _highlight_offsets(sf_dir: str) -> pd.DataFrame:
     """Result highlighting: for every BM25 top-10 hit, each query
     term's first token position (1-based) and occurrence count in the
@@ -1268,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_faceted": _bm25_topk_faceted,
         "facet_counts": _facet_counts,
         "highlight_offsets": _highlight_offsets,
+        "unified_search": _unified_search,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1375,9 +1426,9 @@ dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
 
 
-def _bm25_scores_sql() -> str:
+def _bm25_scores_sql(qvals: str | None = None) -> str:
     return f"""
-WITH q(query_id, term) AS (VALUES {_q_values()}),
+WITH q(query_id, term) AS (VALUES {qvals or _q_values()}),
 {_TOK.strip()},
 scores AS (
   SELECT q.query_id, tf.doc_id,
@@ -1477,6 +1528,56 @@ topk AS (
                                           AS BIGINT) DESC,
                                      doc_id ASC) AS rank
   FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # unified query language: BM25 over the rank-term multiset,
+    # constrained per query (phrase EXISTS / NOT EXISTS / lang IN),
+    # quantized-tie ranking — generated from the same SEARCH_QUERIES
+    # table the Ray entry compiles its query strings from
+    _sv = ", ".join(f"({qid}, '{t}')"
+                    for qid, terms, phrase, neg, langs in SEARCH_QUERIES
+                    for t in (terms + (phrase or [])))
+    _per_q = []
+    for qid, terms, phrase, neg, langs in SEARCH_QUERIES:
+        conds = [f"s.query_id = {qid}"]
+        if phrase:
+            L = len(phrase)
+            cond = " AND ".join(
+                (f"dts.ts[i] = '{w}'" if j == 0 else
+                 f"dts.ts[i+{j}] = '{w}'")
+                for j, w in enumerate(phrase))
+            conds.append(
+                f"EXISTS (SELECT 1 FROM dts WHERE dts.doc_id = s.doc_id "
+                f"AND len([i for i in range(1, len(dts.ts) - {L - 2}) "
+                f"if {cond}]) > 0)")
+        if neg:
+            inlist = ", ".join(f"'{t}'" for t in neg)
+            conds.append(
+                f"NOT EXISTS (SELECT 1 FROM tf t2 "
+                f"WHERE t2.doc_id = s.doc_id AND t2.term IN ({inlist}))")
+        if langs:
+            inlist = ", ".join(f"'{x}'" for x in langs)
+            conds.append(f"d.lang IN ({inlist})")
+        _per_q.append(
+            "SELECT s.query_id, s.doc_id, s.score FROM scores s "
+            "JOIN documents d ON d.doc_id = s.doc_id WHERE "
+            + " AND ".join(conds))
+    sqls["unified_search"] = f"""
+{_bm25_scores_sql(_sv)},
+dts AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '{TOKEN_SQL_RE}') AS ts
+  FROM documents),
+f AS ({' UNION ALL '.join(_per_q)}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM f)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # highlighting: per top-k hit, each query term's 1-based first

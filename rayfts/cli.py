@@ -357,6 +357,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """One-box query language: `rayfts search --index I 'a "b c" -d
+    lang:py'` (rayfts/query.py)."""
+    _ensure_ray(args.num_cpus)
+    from .index import InvertedIndex
+    from .query import search
+
+    idx = InvertedIndex(args.index)
+    pidx = None
+    if args.positions:
+        from .positions import PositionalIndex
+        pidx = PositionalIndex(args.positions)
+    res = search(idx, args.query, k=args.k, pidx=pidx, op=args.op)
+    print(json.dumps({"event": "search_done", "query": args.query,
+                      "hits": [{"doc_id": int(d), "score": float(s)}
+                               for s, d in res]}))
+    return 0
+
+
 def main(argv=None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--num-cpus", type=int, default=None)
@@ -452,6 +471,16 @@ def main(argv=None) -> int:
                         "facet (e.g. lang=py,go); resolved once from "
                         "the docs-meta sidecar")
     q.set_defaults(fn=cmd_query)
+
+    se = sub.add_parser("search", parents=[common])
+    se.add_argument("query", help='e.g. \'scan "data table" -merge '
+                                  "lang:py,go'")
+    se.add_argument("--index", required=True)
+    se.add_argument("--positions", default=None,
+                    help="positional sidecar dir (needed for phrases)")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--op", default="block_max_wand")
+    se.set_defaults(fn=cmd_search)
 
     sc = sub.add_parser("scrub", parents=[common])
     sc.add_argument("--input", required=True,

@@ -1,0 +1,124 @@
+"""Unified query language: one search-box string compiled to a single
+filtered top-k pass.
+
+Syntax (the familiar search-engine grammar; the reference's query
+driver stops at whitespace-separated term lists, queries.hpp:15-27):
+
+* ``word``            — ranks (BM25; every positive word contributes)
+* ``"exact phrase"``  — must match consecutively (positional sidecar);
+                        its words also contribute to ranking
+* ``-word``           — must NOT match
+* ``col:v1,v2``       — metadata facet filter (docs-meta sidecar)
+
+Compilation strategy: every constraint becomes a SORTED docID SET and
+rides the serving kernels' existing allow/deny filters, so the whole
+query still runs as ONE block-max-WAND pass over the compressed
+postings in C — no per-constraint result materialization, no
+post-filter re-ranking:
+
+* facets + phrases intersect into the ALLOW set
+  (``facet_allowlist`` + phrase match docs);
+* ``-word`` docs union the DENY set (composing with tombstones);
+* scoring keeps global statistics — a hit scores exactly what it
+  scores in the unconstrained query (the filtered-search contract,
+  same as rayfts/facets.py).
+
+At cluster scale the sets are answer-scale/selectivity-bounded and
+broadcast once (the same shape the facet pools use); the one kernel
+pass streams the compressed lists.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from . import search as S
+
+_TOKEN = re.compile(r"\"[^\"]*\"|\S+")
+
+
+def parse_query(q: str) -> dict:
+    """-> {"terms": [...], "phrases": [[...]], "neg": [...],
+    "facets": [(col, [v, ...])]}.  Words inside phrases are lowered
+    and tokenized with the engine tokenizer's word pattern."""
+    from .tokenizer import TOKEN_RE
+    terms: list[str] = []
+    phrases: list[list[str]] = []
+    neg: list[str] = []
+    facets: list[tuple[str, list[str]]] = []
+    for tok in _TOKEN.findall(q):
+        if tok.startswith('"') and tok.endswith('"'):
+            ws = TOKEN_RE.findall(tok[1:-1].lower())
+            if ws:
+                phrases.append(ws)
+        elif tok.startswith("-") and len(tok) > 1:
+            neg.extend(TOKEN_RE.findall(tok[1:].lower()))
+        elif ":" in tok and not tok.startswith('"'):
+            col, _, vals = tok.partition(":")
+            if col and vals:
+                facets.append((col, vals.split(",")))
+            else:
+                terms.extend(TOKEN_RE.findall(tok.lower()))
+        else:
+            terms.extend(TOKEN_RE.findall(tok.lower()))
+    return {"terms": terms, "phrases": phrases, "neg": neg,
+            "facets": facets}
+
+
+def _intersect_sorted(a: np.ndarray | None,
+                      b: np.ndarray) -> np.ndarray:
+    if a is None:
+        return b
+    return a[S._in_sorted(b, a)]
+
+
+def search(index, q: str, k: int = 10, pidx=None,
+           op: str = "block_max_wand", prec=None):
+    """Parse + compile + run one query string; -> [(score, docid)].
+    ``pidx`` (rayfts/positions.py PositionalIndex) is required only
+    when the query contains phrases."""
+    import copy
+
+    from .facets import facet_allowlist
+
+    plan = parse_query(q)
+    rank_terms = list(plan["terms"])
+    for ws in plan["phrases"]:
+        rank_terms.extend(ws)
+    if not rank_terms:
+        return []
+
+    allowed = None
+    for col, vals in plan["facets"]:
+        allowed = _intersect_sorted(
+            allowed, facet_allowlist(index.index_dir, col, vals))
+    for ws in plan["phrases"]:
+        if pidx is None:
+            raise ValueError("phrase query needs a positional index")
+        from .positions import phrase_doc_counts
+        docs, _ = phrase_doc_counts(pidx, ws)
+        allowed = _intersect_sorted(allowed, docs)
+
+    denied = None
+    if plan["neg"]:
+        denied = S.or_query(index, plan["neg"])   # already serve-masked
+
+    view = index
+    if allowed is not None or denied is not None:
+        view = copy.copy(index)
+        if allowed is not None:
+            view.allowed = (allowed if view.allowed is None else
+                            _intersect_sorted(view.allowed, allowed))
+        if denied is not None:
+            d = view.deleted
+            view.deleted = (denied if d is None else
+                            np.unique(np.concatenate([d, denied])))
+
+    kernel = {"ranked_or": S.ranked_or_fast, "wand": S.wand_fast,
+              "maxscore": S.maxscore_fast,
+              "block_max_wand": S.block_max_wand_fast}[op]
+    if prec is not None:
+        return kernel(view, rank_terms, k, prec)
+    return kernel(view, rank_terms, k)

@@ -1,0 +1,129 @@
+"""Unified query language (rayfts/query.py): parser, and the
+compiled allow/deny plan vs a brute-force reference that filters the
+full unconstrained ranking."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def qidx(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    from rayfts.positions import PositionalIndex, build_positions
+
+    src = corpus_parquet(150, seed=77)
+    root = tmp_path_factory.mktemp("qlang")
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=4)
+    pos_dir = str(root / "pos")
+    build_positions(idx_dir, pos_dir, num_shards=4)
+    idx = InvertedIndex(idx_dir)
+    docs = pq.read_table(os.path.join(idx_dir, "docs"),
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs.column("doc_id").to_pylist(),
+                       docs.column("lang").to_pylist()))
+    return idx, PositionalIndex(pos_dir), lang_of
+
+
+def test_parse_query():
+    from rayfts.query import parse_query
+    p = parse_query('"data  Table" scan -Merge lang:py,go x:')
+    assert p["phrases"] == [["data", "table"]]
+    assert p["terms"] == ["scan", "x"]
+    assert p["neg"] == ["merge"]
+    assert p["facets"] == [("lang", ["py", "go"])]
+    assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
+                               "facets": []}
+
+
+def _brute(idx, pidx, lang_of, rank_terms, phrase=None, neg=None,
+           langs=None, k=K):
+    """Full unconstrained ranking filtered by the constraints."""
+    from rayfts import search as S
+    from rayfts.positions import phrase_doc_counts
+    full = S.ranked_or(idx, rank_terms, k=idx.num_docs)
+    keep = []
+    neg_docs = set(S.or_query(idx, neg).tolist()) if neg else set()
+    ph_docs = (set(phrase_doc_counts(pidx, phrase)[0].tolist())
+               if phrase else None)
+    for s, d in full:
+        if d in neg_docs:
+            continue
+        if ph_docs is not None and d not in ph_docs:
+            continue
+        if langs is not None and lang_of[d] not in langs:
+            continue
+        keep.append((s, d))
+    return keep[:k]
+
+
+def test_search_compiles_constraints(qidx):
+    from rayfts import search as S
+    from rayfts.query import search
+    idx, pidx, lang_of = qidx
+    vocab = idx.all_terms()
+    t0, t1, t2 = vocab[0], vocab[len(vocab) // 2], vocab[-1]
+
+    # bare ranking == plain kernel
+    assert search(idx, f"{t0} {t1}", K) == S.block_max_wand_fast(
+        idx, [t0, t1], K)
+
+    # NOT excludes
+    got = search(idx, f"{t0} {t1} -{t2}", K)
+    want = _brute(idx, pidx, lang_of, [t0, t1], neg=[t2])
+    assert [d for _, d in got] == [d for _, d in want]
+
+    # facet filters
+    langs = sorted(set(lang_of.values()))[:2]
+    got = search(idx, f"{t0} {t1} lang:{','.join(langs)}", K)
+    want = _brute(idx, pidx, lang_of, [t0, t1], langs=set(langs))
+    assert [d for _, d in got] == [d for _, d in want]
+
+    # phrase must-match: find a phrase that actually occurs
+    from rayfts.positions import doc_positions, phrase_doc_counts
+    phrase = None
+    for t in vocab:
+        docs, starts, flat = pidx.postings(t)
+        if len(docs) == 0:
+            continue
+        # take this term and its successor token in some doc
+        d0 = int(docs[0])
+        # probe every term as successor — expensive; instead read the
+        # raw text? simpler: pick two terms known to co-occur adjacent
+        # via phrase_doc_counts over candidate pairs
+        for u in vocab[:40]:
+            dd, cc = phrase_doc_counts(pidx, [t, u])
+            if len(dd):
+                phrase = [t, u]
+                break
+        if phrase:
+            break
+    assert phrase is not None, "fixture corpus has no adjacent pair?"
+    q = f'"{phrase[0]} {phrase[1]}" {t0}'
+    got = search(idx, q, K, pidx=pidx)
+    want = _brute(idx, pidx, lang_of, [phrase[0], phrase[1], t0],
+                  phrase=phrase)
+    assert [d for _, d in got] == [d for _, d in want]
+
+    # everything combined
+    q = f'"{phrase[0]} {phrase[1]}" {t0} -{t2} lang:{",".join(langs)}'
+    got = search(idx, q, K, pidx=pidx)
+    want = _brute(idx, pidx, lang_of, [phrase[0], phrase[1], t0],
+                  phrase=phrase, neg=[t2], langs=set(langs))
+    assert [d for _, d in got] == [d for _, d in want]
+
+    # phrases require the positional index
+    with pytest.raises(ValueError):
+        search(idx, '"a b"', K)
+
+    # pure-negative query is empty
+    assert search(idx, f"-{t0}", K) == []
