@@ -91,9 +91,15 @@ def search(index, q: str, k: int = 10, pidx=None,
         return []
 
     allowed = None
+    memo = getattr(index, "_facets_memo", None)
     for col, vals in plan["facets"]:
-        allowed = _intersect_sorted(
-            allowed, facet_allowlist(index.index_dir, col, vals))
+        key = (col, tuple(vals))
+        hit = memo.get(key) if memo is not None else None
+        if hit is None:
+            hit = facet_allowlist(index.index_dir, col, vals)
+            if memo is not None:
+                memo[key] = hit
+        allowed = _intersect_sorted(allowed, hit)
     for ws in plan["phrases"]:
         if pidx is None:
             raise ValueError("phrase query needs a positional index")
@@ -122,3 +128,77 @@ def search(index, q: str, k: int = 10, pidx=None,
     if prec is not None:
         return kernel(view, rank_terms, k, prec)
     return kernel(view, rank_terms, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed serving: resident search pool over query STRINGS
+# ---------------------------------------------------------------------------
+
+class SearchStage:
+    """One resident search worker: index + positional sidecar open
+    once; parses and serves query strings.  Facet allowlists resolve
+    per DISTINCT facet expression and are cached on the worker, so a
+    workload repeating the same filters pays each docs-meta scan
+    once."""
+
+    def __init__(self, index_dir: str, pos_dir: str | None = None,
+                 op: str = "block_max_wand", k: int = 10):
+        from .index import InvertedIndex
+        self.index = InvertedIndex(index_dir)
+        self.pidx = None
+        if pos_dir is not None:
+            from .positions import PositionalIndex
+            self.pidx = PositionalIndex(pos_dir)
+        self.op = op
+        self.k = k
+        self._facet_cache: dict[tuple, np.ndarray] = {}
+        # route facet resolution through the cache
+        self.index._facets_memo = self._facet_cache
+
+    def run(self, qids: list, qstrings: list):
+        out = []
+        for qid, qs in zip(qids, qstrings):
+            res = search(self.index, qs, k=self.k, pidx=self.pidx,
+                         op=self.op)
+            out.append((qid, [(float(s), int(d)) for s, d in res]))
+        return out
+
+
+class SearchService:
+    """Resident distributed pool serving the unified query language —
+    the end-user analogue of engine.QueryService (striped chunks,
+    gather on the driver)."""
+
+    def __init__(self, index_dir: str, pos_dir: str | None = None,
+                 op: str = "block_max_wand", k: int = 10,
+                 concurrency: int = 4):
+        import ray
+        worker = ray.remote(num_cpus=1)(SearchStage)
+        self.workers = [worker.remote(index_dir, pos_dir, op, k)
+                        for _ in range(concurrency)]
+
+    def warm(self) -> None:
+        import ray
+        ray.get([w.run.remote([], []) for w in self.workers])
+
+    def run(self, queries: list, chunk: int = 32) -> list:
+        """queries: [(qid, query_string)]; -> [(qid, [(score, doc)])]
+        in input order."""
+        import ray
+        futs = []
+        for i, lo in enumerate(range(0, len(queries), chunk)):
+            part = queries[lo:lo + chunk]
+            w = self.workers[i % len(self.workers)]
+            futs.append(w.run.remote([q for q, _ in part],
+                                     [s for _, s in part]))
+        got: dict = {}
+        for res in ray.get(futs):
+            for qid, hits in res:
+                got[qid] = hits
+        return [(qid, got.get(qid, [])) for qid, _ in queries]
+
+    def shutdown(self) -> None:
+        import ray
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

@@ -127,3 +127,30 @@ def test_search_compiles_constraints(qidx):
 
     # pure-negative query is empty
     assert search(idx, f"-{t0}", K) == []
+
+
+def test_search_service(qidx):
+    """The resident search pool answers query strings identically to
+    the in-process compile path, caching facet resolutions per worker."""
+    from rayfts.query import SearchService, search
+
+    idx, pidx, lang_of = qidx
+    vocab = idx.all_terms()
+    langs = sorted(set(lang_of.values()))[:2]
+    t0, t1, t2 = vocab[0], vocab[len(vocab) // 2], vocab[-1]
+    queries = [
+        (0, f"{t0} {t1}"),
+        (1, f"{t0} {t1} -{t2}"),
+        (2, f"{t0} {t1} lang:{','.join(langs)}"),
+        (3, f"{t1} {t2} lang:{','.join(langs)}"),   # repeats the facet
+    ]
+    svc = SearchService(idx.index_dir, pidx.pos_dir, k=K, concurrency=2)
+    try:
+        svc.warm()
+        got = svc.run(queries, chunk=2)
+        for qid, qs in queries:
+            want = [(float(s), int(d))
+                    for s, d in search(idx, qs, k=K, pidx=pidx)]
+            assert dict(got)[qid] == want, qid
+    finally:
+        svc.shutdown()
