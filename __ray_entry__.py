@@ -562,6 +562,39 @@ def _unified_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: wildcard workload: (qid, prefix, extra bare terms)
+WILDCARD_QUERIES = [
+    (1, "s", ["row"]),          # s* -> scan/sort/shuffle/stream/...
+    (2, "f", []),               # f* -> fast/filter/...
+    (3, "qqqq", ["data"]),      # no expansion -> plain term query
+    (4, "ta", ["key", "ta"]),   # expansion overlaps a bare term
+]
+
+
+def _wildcard_search(sf_dir: str) -> pd.DataFrame:
+    """Prefix wildcards (`s* row`): the expansion enumerates only the
+    term-range lexicon shards intersecting [prefix, prefix+ε)
+    (rayfts/query.py expand_prefix), then ranks over the expanded term
+    multiset — mirrored in SQL by a LIKE select unioned with the bare
+    terms."""
+    from rayfts import search as S
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, pre, extra in WILDCARD_QUERIES:
+        qs = " ".join([pre + "*", *extra])
+        res = qsearch(idx, qs, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _highlight_offsets(sf_dir: str) -> pd.DataFrame:
     """Result highlighting: for every BM25 top-10 hit, each query
     term's first token position (1-based) and occurrence count in the
@@ -1319,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": _facet_counts,
         "highlight_offsets": _highlight_offsets,
         "unified_search": _unified_search,
+        "wildcard_search": _wildcard_search,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1426,10 +1460,15 @@ dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
 
 
-def _bm25_scores_sql(qvals: str | None = None) -> str:
+def _bm25_scores_sql(qvals: str | None = None,
+                     qbody: str | None = None) -> str:
+    # the tokenizer CTEs come first so a computed q body (e.g. a
+    # wildcard's LIKE expansion) can reference tf/dfs
+    q_cte = (f"q(query_id, term) AS ({qbody})" if qbody else
+             f"q(query_id, term) AS (VALUES {qvals or _q_values()})")
     return f"""
-WITH q(query_id, term) AS (VALUES {qvals or _q_values()}),
-{_TOK.strip()},
+WITH {_TOK.strip()},
+{q_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
          sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
@@ -1578,6 +1617,26 @@ topk AS (
                                           AS BIGINT) DESC,
                                      doc_id ASC) AS rank
   FROM f)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # wildcard: q = LIKE expansion (from the dfs CTE, duplicates kept
+    # so multiplicity semantics match query_freqs' linear weights)
+    # unioned with the bare terms
+    _wq = []
+    for qid, pre, extra in WILDCARD_QUERIES:
+        _wq.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                   f"WHERE term LIKE '{pre}%'")
+        _wq.extend(f"SELECT {qid}, '{t}'" for t in extra)
+    sqls["wildcard_search"] = f"""
+{_bm25_scores_sql(qbody=' UNION ALL '.join(_wq))},
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM scores)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # highlighting: per top-k hit, each query term's 1-based first

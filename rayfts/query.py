@@ -9,6 +9,9 @@ driver stops at whitespace-separated term lists, queries.hpp:15-27):
                         its words also contribute to ranking
 * ``-word``           — must NOT match
 * ``col:v1,v2``       — metadata facet filter (docs-meta sidecar)
+* ``pre*``            — prefix wildcard: expands against the
+                        term-range-sharded lexicon (capped) and ranks
+                        over the expansion (Lucene PrefixQuery shape)
 
 Compilation strategy: every constraint becomes a SORTED docID SET and
 rides the serving kernels' existing allow/deny filters, so the whole
@@ -48,6 +51,7 @@ def parse_query(q: str) -> dict:
     phrases: list[list[str]] = []
     neg: list[str] = []
     facets: list[tuple[str, list[str]]] = []
+    prefixes: list[str] = []
     for tok in _TOKEN.findall(q):
         if tok.startswith('"') and tok.endswith('"'):
             ws = TOKEN_RE.findall(tok[1:-1].lower())
@@ -55,6 +59,10 @@ def parse_query(q: str) -> dict:
                 phrases.append(ws)
         elif tok.startswith("-") and len(tok) > 1:
             neg.extend(TOKEN_RE.findall(tok[1:].lower()))
+        elif tok.endswith("*") and len(tok) > 1:
+            ws = TOKEN_RE.findall(tok[:-1].lower())
+            if ws:
+                prefixes.append(ws[-1])
         elif ":" in tok and not tok.startswith('"'):
             col, _, vals = tok.partition(":")
             if col and vals:
@@ -64,7 +72,7 @@ def parse_query(q: str) -> dict:
         else:
             terms.extend(TOKEN_RE.findall(tok.lower()))
     return {"terms": terms, "phrases": phrases, "neg": neg,
-            "facets": facets}
+            "facets": facets, "prefixes": prefixes}
 
 
 def _intersect_sorted(a: np.ndarray | None,
@@ -72,6 +80,44 @@ def _intersect_sorted(a: np.ndarray | None,
     if a is None:
         return b
     return a[S._in_sorted(b, a)]
+
+
+def expand_prefix(index, prefix: str, cap: int = 1024) -> list[str]:
+    """Terms starting with ``prefix`` (lexicographic order, at most
+    ``cap`` — the multi-term-query expansion guard every engine has).
+
+    The lexicon is term-range sharded, so only the shards whose
+    [term_lo, term_hi) interval intersects [prefix, prefix+ε) are
+    read — never the whole vocabulary; per-shard sorted term arrays
+    are cached on the reader."""
+    import bisect
+
+    if not prefix:
+        return []
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    cache = getattr(index, "_shard_terms_cache", None)
+    if cache is None:
+        cache = index._shard_terms_cache = {}
+    out: list[str] = []
+    los = index._term_los
+    start = max(0, bisect.bisect_right(los, prefix) - 1)
+    for i in range(start, len(los)):
+        if los[i] >= upper:
+            break
+        s = index._shard_ids[i]
+        terms = cache.get(s)
+        if terms is None:
+            import pyarrow.parquet as pq
+            terms = pq.read_table(index._shard_paths[s],
+                                  columns=["term"]) \
+                      .column("term").to_pylist()
+            cache[s] = terms
+        lo = bisect.bisect_left(terms, prefix)
+        hi = bisect.bisect_left(terms, upper)
+        out.extend(terms[lo:hi])
+        if len(out) >= cap:
+            return out[:cap]
+    return out
 
 
 def search(index, q: str, k: int = 10, pidx=None,
@@ -87,6 +133,8 @@ def search(index, q: str, k: int = 10, pidx=None,
     rank_terms = list(plan["terms"])
     for ws in plan["phrases"]:
         rank_terms.extend(ws)
+    for p in plan["prefixes"]:
+        rank_terms.extend(expand_prefix(index, p))
     if not rank_terms:
         return []
 

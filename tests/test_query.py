@@ -36,13 +36,29 @@ def qidx(ray_session, tmp_path_factory):
 
 def test_parse_query():
     from rayfts.query import parse_query
-    p = parse_query('"data  Table" scan -Merge lang:py,go x:')
+    p = parse_query('"data  Table" scan -Merge lang:py,go x: blo*')
     assert p["phrases"] == [["data", "table"]]
     assert p["terms"] == ["scan", "x"]
     assert p["neg"] == ["merge"]
     assert p["facets"] == [("lang", ["py", "go"])]
+    assert p["prefixes"] == ["blo"]
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
-                               "facets": []}
+                               "facets": [], "prefixes": []}
+
+
+def test_prefix_expansion(qidx):
+    from rayfts.query import expand_prefix, search
+    from rayfts import search as S
+    idx, _, _ = qidx
+    vocab = idx.all_terms()                # sorted
+    pre = vocab[0][:3]
+    want = [t for t in vocab if t.startswith(pre)]
+    assert expand_prefix(idx, pre) == want
+    assert expand_prefix(idx, "zzzz_nothing") == []
+    assert expand_prefix(idx, pre, cap=2) == want[:2]
+    # wildcard ranks like the explicit expansion
+    assert search(idx, f"{pre}*", K) == \
+        S.block_max_wand_fast(idx, want, K)
 
 
 def _brute(idx, pidx, lang_of, rank_terms, phrase=None, neg=None,
