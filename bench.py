@@ -119,6 +119,7 @@ _COMPACT_KEYS = (
     "build_docs_per_sec", "build_postings_per_sec",
     "bits_per_doc", "bits_per_freq",
     "query_pool_qps", "query_service_qps", "latency_filtered_bmw",
+    "search_service_qps",
     # sharded run
     "num_doc_shards", "sharded_build_s", "sharded_build_docs_per_sec",
     "scatter_gather_qps", "merge_s", "merge_postings_per_sec",
@@ -533,6 +534,32 @@ def run_single(sf_dir: str, num_cpus: int, build_only: bool = False,
             "prox_p50_ms": round(
                 float(np.percentile(np.asarray(prox_samples) * 1e3, 50)), 3),
         }
+
+        # ---- unified query language through the resident SearchService
+        # pool (parse + facet/NOT/wildcard compile + one filtered BMW
+        # pass per query; per-worker facet-resolution caches)
+        from rayfts.query import SearchService
+        vocab_q = [t for _, ts in queries[:16] for t in ts][:16]
+        sq = []
+        for i, t in enumerate(vocab_q):
+            if i % 4 == 0:
+                sq.append((i, f"{t} {vocab_q[(i + 1) % len(vocab_q)]}"))
+            elif i % 4 == 1:
+                sq.append((i, f"{t} -{vocab_q[(i + 2) % len(vocab_q)]}"))
+            elif i % 4 == 2:
+                sq.append((i, f"{t[:3]}* {t}"))
+            else:
+                sq.append((i, f"{t} lang:python,c"))
+        ssvc = SearchService(index_dir, pos_dir, k=K,
+                             concurrency=max(2, num_cpus // 4))
+        ssvc.warm()
+        ssvc.run(sq)                          # untimed warm pass
+        t0 = time.perf_counter()
+        for _ in range(2):
+            ssvc.run(sq)
+        ss_s = time.perf_counter() - t0
+        extra["search_service_qps"] = round(2 * len(sq) / ss_s, 1)
+        ssvc.shutdown()
 
         # ---- reference protocol on the reference-shaped collection
         t0 = time.perf_counter()

@@ -173,6 +173,13 @@ def search(index, q: str, k: int = 10, pidx=None,
     kernel = {"ranked_or": S.ranked_or_fast, "wand": S.wand_fast,
               "maxscore": S.maxscore_fast,
               "block_max_wand": S.block_max_wand_fast}[op]
+    if len(S.query_freqs(rank_terms)) > 64:
+        # wide multi-term expansion (big wildcards): the DAAT C kernels
+        # cap at 64 lists and the exact-Python ports crawl per
+        # candidate, so rewrite to the vectorized term-at-a-time union
+        # (same BM25 sum, same ranking) — Lucene's rewrite-method
+        # decision for PrefixQuery
+        kernel = S.ranked_or
     if prec is not None:
         return kernel(view, rank_terms, k, prec)
     return kernel(view, rank_terms, k)
