@@ -52,13 +52,19 @@ def parse_query(q: str) -> dict:
     neg: list[str] = []
     facets: list[tuple[str, list[str]]] = []
     prefixes: list[str] = []
+    neg_prefixes: list[str] = []
     for tok in _TOKEN.findall(q):
         if tok.startswith('"') and tok.endswith('"'):
             ws = TOKEN_RE.findall(tok[1:-1].lower())
             if ws:
                 phrases.append(ws)
         elif tok.startswith("-") and len(tok) > 1:
-            neg.extend(TOKEN_RE.findall(tok[1:].lower()))
+            if tok.endswith("*") and len(tok) > 2:
+                ws = TOKEN_RE.findall(tok[1:-1].lower())
+                if ws:
+                    neg_prefixes.append(ws[-1])
+            else:
+                neg.extend(TOKEN_RE.findall(tok[1:].lower()))
         elif tok.endswith("*") and len(tok) > 1:
             ws = TOKEN_RE.findall(tok[:-1].lower())
             if ws:
@@ -72,7 +78,8 @@ def parse_query(q: str) -> dict:
         else:
             terms.extend(TOKEN_RE.findall(tok.lower()))
     return {"terms": terms, "phrases": phrases, "neg": neg,
-            "facets": facets, "prefixes": prefixes}
+            "facets": facets, "prefixes": prefixes,
+            "neg_prefixes": neg_prefixes}
 
 
 def _intersect_sorted(a: np.ndarray | None,
@@ -155,9 +162,12 @@ def search(index, q: str, k: int = 10, pidx=None,
         docs, _ = phrase_doc_counts(pidx, ws)
         allowed = _intersect_sorted(allowed, docs)
 
+    neg_terms = list(plan["neg"])
+    for p in plan["neg_prefixes"]:
+        neg_terms.extend(expand_prefix(index, p))
     denied = None
-    if plan["neg"]:
-        denied = S.or_query(index, plan["neg"])   # already serve-masked
+    if neg_terms:
+        denied = S.or_query(index, neg_terms)   # already serve-masked
 
     view = index
     if allowed is not None or denied is not None:

@@ -42,8 +42,11 @@ def test_parse_query():
     assert p["neg"] == ["merge"]
     assert p["facets"] == [("lang", ["py", "go"])]
     assert p["prefixes"] == ["blo"]
+    p2 = parse_query("a -bad* -worse")
+    assert p2["neg_prefixes"] == ["bad"] and p2["neg"] == ["worse"]
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
-                               "facets": [], "prefixes": []}
+                               "facets": [], "prefixes": [],
+                               "neg_prefixes": []}
 
 
 def test_prefix_expansion(qidx):
@@ -172,3 +175,19 @@ def test_search_service(qidx):
             assert dict(got)[qid] == want, qid
     finally:
         svc.shutdown()
+
+
+def test_negated_prefix(qidx):
+    from rayfts import search as S
+    from rayfts.query import expand_prefix, search
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    pre = vocab[-1][:4]
+    exp = expand_prefix(idx, pre)
+    assert exp
+    got = search(idx, f"{vocab[0]} {vocab[1]} -{pre}*", K)
+    dead = set(S.or_query(idx, exp).tolist())
+    want = [(s, d) for s, d in
+            S.ranked_or(idx, [vocab[0], vocab[1]], k=idx.num_docs)
+            if d not in dead][:K]
+    assert [d for _, d in got] == [d for _, d in want]
