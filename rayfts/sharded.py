@@ -393,7 +393,9 @@ class _SubSearcher:
     reader, answers batches over its slice, returns global docids."""
 
     def __init__(self, parent_dir: str, i: int, op: str, k: int,
-                 allowed_global=None):
+                 allowed_global=None, facets_global=None):
+        import copy
+
         from . import search as S
         self.idx = open_sub(parent_dir, i)
         self.base = self.idx.doc_base
@@ -404,16 +406,34 @@ class _SubSearcher:
             from .facets import slice_allowed_local
             self.idx.allowed = slice_allowed_local(
                 allowed_global, self.base, self.idx.num_docs)
+        # named per-query facets: shallow views sharing every cache,
+        # each pinned to this partition's rebased slice of one global
+        # allowlist
+        self.views: dict[str, InvertedIndex] = {}
+        if facets_global:
+            import ray as _ray
+
+            from .facets import slice_allowed_local
+            for name, arr in facets_global.items():
+                if isinstance(arr, _ray.ObjectRef):
+                    arr = _ray.get(arr)
+                v = copy.copy(self.idx)
+                v.allowed = slice_allowed_local(arr, self.base,
+                                                self.idx.num_docs)
+                self.views[name] = v
         self.fn = {"ranked_or": S.ranked_or_fast,
                    "ranked_and": S.ranked_and_fast,
                    "wand": S.wand_fast, "maxscore": S.maxscore_fast,
                    "block_max_wand": S.block_max_wand_fast}[op]
         self.k = k
 
-    def run(self, qids: list, terms_list: list):
+    def run(self, qids: list, terms_list: list,
+            facet_names: list | None = None):
         out = []
-        for qid, terms in zip(qids, terms_list):
-            res = self.fn(self.idx, terms, self.k)
+        fns = facet_names or [None] * len(qids)
+        for qid, terms, fname in zip(qids, terms_list, fns):
+            idx = self.views.get(fname, self.idx) if fname else self.idx
+            res = self.fn(idx, terms, self.k)
             out.append((qid, [(float(s), self.base + d) for s, d in res]))
         return out
 
@@ -425,20 +445,31 @@ class ShardedSearcher:
     doc-partitioned contract — and the driver merges per-query top-k."""
 
     def __init__(self, parent_dir: str, op: str = "block_max_wand",
-                 k: int = 10, num_cpus: float = 1.0, facet=None):
+                 k: int = 10, num_cpus: float = 1.0, facet=None,
+                 facets=None):
         with open(os.path.join(parent_dir, SHARDED_META)) as f:
             meta = json.load(f)
+        from .facets import facet_allowlist_sharded
         allowed_ref = None
         if facet is not None:
             # resolve the facet once over every partition's docs-meta,
             # broadcast the global sorted array; each actor slices its
             # own partition's range
-            from .facets import facet_allowlist_sharded
             col, values = facet
             allowed_ref = ray.put(
                 facet_allowlist_sharded(parent_dir, col, values))
+        facet_refs = None
+        if facets:
+            # named per-query filters: one global resolution each,
+            # broadcast once (refs inside a dict arg are not
+            # auto-resolved; _SubSearcher ray.gets them)
+            facet_refs = {
+                name: ray.put(
+                    facet_allowlist_sharded(parent_dir, col, values))
+                for name, (col, values) in facets.items()}
         actor = ray.remote(_SubSearcher).options(num_cpus=num_cpus)
-        self.actors = [actor.remote(parent_dir, i, op, k, allowed_ref)
+        self.actors = [actor.remote(parent_dir, i, op, k, allowed_ref,
+                                    facet_refs)
                        for i in range(len(meta["subs"]))]
         self.k = k
 
@@ -449,21 +480,23 @@ class ShardedSearcher:
         ray.get([a.run.remote(qids, terms) for a in self.actors])
 
     def run(self, queries: list, chunk: int = 64) -> list:
-        """queries: [(qid, terms)]; returns [(qid, [(score, gdoc)...])]
-        in input order."""
+        """queries: [(qid, terms)] or [(qid, terms, facet_name)];
+        returns [(qid, [(score, gdoc)...])] in input order."""
         futures = []
         for lo in range(0, len(queries), chunk):
             part = queries[lo:lo + chunk]
             qids = [q[0] for q in part]
             terms = [q[1] for q in part]
-            futures.append([a.run.remote(qids, terms) for a in self.actors])
+            fns = [q[2] if len(q) > 2 else None for q in part]
+            futures.append([a.run.remote(qids, terms, fns)
+                            for a in self.actors])
         results: dict = {}
         for group in futures:
             for sub_res in ray.get(group):
                 for qid, res in sub_res:
                     results.setdefault(qid, []).append(res)
-        return [(qid, _merge_topk(results.get(qid, []), self.k))
-                for qid, _ in queries]
+        return [(q[0], _merge_topk(results.get(q[0], []), self.k))
+                for q in queries]
 
     def shutdown(self) -> None:
         for a in self.actors:

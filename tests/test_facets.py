@@ -338,3 +338,39 @@ def test_and_not_query(faceted):
     got = S.and_not_query(view, [vocab[0]], [vocab[1]])
     ok = set(int(x) for x in faceted["allowed"])
     assert all(d in ok for d in got.tolist())
+
+
+def test_sharded_searcher_named_facets(faceted, sharded_faceted):
+    """Per-query named facets on the doc-partitioned pool: each
+    partition actor holds rebased views of the broadcast global
+    allowlists; faceted and unfaceted queries mix in one workload."""
+    from rayfts import search as S
+    from rayfts.facets import facet_allowlist, with_facet
+    from rayfts.sharded import ShardedSearcher
+
+    clean = faceted["clean"]
+    parent, _, _ = sharded_faceted
+    docs = pq.read_table(os.path.join(faceted["idx_dir"], "docs"),
+                         columns=["doc_id", "lang"])
+    langs = sorted(set(docs.column("lang").to_pylist()))
+    f1, f2 = ("lang", langs[:2]), ("lang", langs[2:3])
+    v1 = with_facet(clean, facet_allowlist(faceted["idx_dir"], *f1))
+    v2 = with_facet(clean, facet_allowlist(faceted["idx_dir"], *f2))
+    vocab = clean.all_terms()
+    queries = [(0, [vocab[0], vocab[1]], "a"),
+               (1, [vocab[0], vocab[1]], "b"),
+               (2, [vocab[0], vocab[1]]),
+               (3, [vocab[5], vocab[8]], "a")]
+    expect = {0: v1, 1: v2, 2: clean, 3: v1}
+    svc = ShardedSearcher(parent, op="maxscore", k=K,
+                          facets={"a": f1, "b": f2})
+    try:
+        svc.warm()
+        got = svc.run(queries, chunk=2)
+        for qid, res in got:
+            terms = queries[qid][1]
+            want = S.maxscore_fast(expect[qid], list(terms), K)
+            assert [(float(s), int(d)) for s, d in res] == \
+                [(float(s), int(d)) for s, d in want], qid
+    finally:
+        svc.shutdown()
