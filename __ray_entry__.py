@@ -595,6 +595,35 @@ def _wildcard_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _unified_search_sharded(sf_dir: str) -> pd.DataFrame:
+    """The unified query language over the DOC-PARTITIONED layout
+    (rayfts/query.py search_sharded): constraints compile to GLOBAL
+    docID sets, each partition serves its rebased slices under the
+    global-stats handshake — must hash-match the SAME oracle as the
+    monolithic unified_search (partitioning is invisible)."""
+    from rayfts import search as S
+    from rayfts.positions import (ShardedPositionalIndex,
+                                  build_sharded_positions)
+    from rayfts.query import search_sharded
+
+    si = _sharded_for(sf_dir)
+    build_sharded_positions(si.parent_dir, num_shards=8)
+    spi = ShardedPositionalIndex(si.parent_dir)
+    rows = []
+    for qid, terms, phrase, neg, langs in SEARCH_QUERIES:
+        qs = _search_string(terms, phrase, neg, langs)
+        res = search_sharded(si, qs, k=4 * K, spidx=spi,
+                             op="maxscore", prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(si.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _highlight_offsets(sf_dir: str) -> pd.DataFrame:
     """Result highlighting: for every BM25 top-10 hit, each query
     term's first token position (1-based) and occurrence count in the
@@ -1353,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_offsets": _highlight_offsets,
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
+        "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
@@ -1618,6 +1648,8 @@ topk AS (
                                      doc_id ASC) AS rank
   FROM f)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+    sqls["unified_search_sharded"] = sqls["unified_search"]
+
 
     # wildcard: q = LIKE expansion (from the dfs CTE, duplicates kept
     # so multiplicity semantics match query_freqs' linear weights)

@@ -195,6 +195,88 @@ def search(index, q: str, k: int = 10, pidx=None,
     return kernel(view, rank_terms, k)
 
 
+def search_sharded(sharded, q: str, k: int = 10, spidx=None,
+                   op: str = "maxscore", prec=None):
+    """The unified query language over the doc-partitioned layout
+    (rayfts/sharded.py ShardedIndex): parse once, compile every
+    constraint to GLOBAL docID sets, then scatter-gather — each
+    partition serves with its rebased allow/deny slices and the
+    global-stats handshake, so results equal the monolithic
+    `search()` bit-for-bit.
+
+    * wildcard expansion unions each partition's term-range lexicon
+      probe and dedupes (a term present in several partitions is one
+      query term);
+    * phrases need ``spidx`` (ShardedPositionalIndex — global docs);
+    * facets resolve once across all partitions' docs-meta.
+    """
+    from . import search as S
+    from .facets import facet_allowlist_sharded, slice_allowed_local
+
+    plan = parse_query(q)
+    rank_terms = list(plan["terms"])
+    for ws in plan["phrases"]:
+        rank_terms.extend(ws)
+    for p in plan["prefixes"]:
+        # per-prefix union over the partitions' lexicons, deduped and
+        # lexicographic — exactly the term multiset the monolithic
+        # expand_prefix produces
+        seen: set = set()
+        for i in range(len(sharded)):
+            seen.update(expand_prefix(sharded.sub(i), p))
+        rank_terms.extend(sorted(seen))
+    if not rank_terms:
+        return []
+
+    allowed = None
+    for col, vals in plan["facets"]:
+        allowed = _intersect_sorted(
+            allowed,
+            facet_allowlist_sharded(sharded.parent_dir, col, vals))
+    for ws in plan["phrases"]:
+        if spidx is None:
+            raise ValueError("phrase query needs a sharded positional "
+                             "index")
+        docs, _ = spidx.phrase_counts(ws)
+        allowed = _intersect_sorted(allowed, np.asarray(docs,
+                                                        dtype=np.int64))
+
+    neg_terms = list(plan["neg"])
+    for p in plan["neg_prefixes"]:
+        for i in range(len(sharded)):
+            neg_terms.extend(expand_prefix(sharded.sub(i), p))
+    denied = (sharded.or_docs(sorted(set(neg_terms)))
+              if neg_terms else None)
+
+    import copy
+    qf = S.query_freqs(rank_terms)
+    fn = {"ranked_or": S.ranked_or_fast, "wand": S.wand_fast,
+          "maxscore": S.maxscore_fast,
+          "block_max_wand": S.block_max_wand_fast}[op]
+    if len(qf) > 64:
+        fn = S.ranked_or                    # wide-expansion rewrite
+    per_sub = []
+    for i, base in enumerate(sharded.bases):
+        sub = sharded.sub(i)
+        view = sub
+        if allowed is not None or denied is not None:
+            view = copy.copy(sub)
+            if allowed is not None:
+                la = slice_allowed_local(allowed, base, sub.num_docs)
+                view.allowed = (la if view.allowed is None else
+                                _intersect_sorted(view.allowed, la))
+            if denied is not None:
+                ld = slice_allowed_local(denied, base, sub.num_docs)
+                d = view.deleted
+                view.deleted = (ld if d is None else
+                                np.unique(np.concatenate([d, ld])))
+        res = (fn(view, rank_terms, k, prec) if prec is not None
+               else fn(view, rank_terms, k))
+        per_sub.append([(s, base + d) for s, d in res])
+    from .sharded import _merge_topk
+    return _merge_topk(per_sub, k)
+
+
 # ---------------------------------------------------------------------------
 # distributed serving: resident search pool over query STRINGS
 # ---------------------------------------------------------------------------

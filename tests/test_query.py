@@ -191,3 +191,43 @@ def test_negated_prefix(qidx):
             S.ranked_or(idx, [vocab[0], vocab[1]], k=idx.num_docs)
             if d not in dead][:K]
     assert [d for _, d in got] == [d for _, d in want]
+
+
+def test_search_sharded_matches_monolithic(qidx, tmp_path_factory):
+    """Unified search over the doc-partitioned layout: parse once,
+    global allow/deny sets, scatter-gather — bit-identical to the
+    monolithic search() on the same corpus."""
+    from rayfts.positions import (ShardedPositionalIndex,
+                                  build_sharded_positions)
+    from rayfts.query import search, search_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    idx, pidx, lang_of = qidx
+    src = corpus_parquet(150, seed=77)       # same corpus as qidx
+    parent = str(tmp_path_factory.mktemp("qlang_sharded"))
+    build_sharded_index(src, parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    build_sharded_positions(parent, num_shards=4)
+    sharded = ShardedIndex(parent)
+    spidx = ShardedPositionalIndex(parent)
+
+    vocab = idx.all_terms()
+    langs = sorted(set(lang_of.values()))[:2]
+    t0, t1, t2 = vocab[0], vocab[len(vocab) // 2], vocab[-1]
+    queries = [
+        f"{t0} {t1}",
+        f"{t0} {t1} -{t2}",
+        f"{t0} {t1} lang:{','.join(langs)}",
+        f"{t0[:3]}* {t1}",
+        f"{t0} {t1} -{t2[:4]}*",
+        f"{t0} {t1} -{t2} lang:{','.join(langs)} {t2[:3]}*",
+    ]
+    for qs in queries:
+        want = [(float(s), int(d))
+                for s, d in search(idx, qs, k=K, pidx=pidx,
+                                   op="maxscore")]
+        got = [(float(s), int(d))
+               for s, d in search_sharded(sharded, qs, k=K,
+                                          spidx=spidx, op="maxscore")]
+        assert got == want, qs
