@@ -73,23 +73,48 @@ def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
 def facet_allowlist_sharded(parent_dir: str, column: str,
                             values) -> np.ndarray:
     """Resolve ``column IN values`` over a doc-partitioned index
-    (rayfts/sharded.py layout) to sorted GLOBAL docIDs: each
-    partition's docs-meta scan yields local docIDs, offset by the
-    partition's ``doc_base``.  One Ray Data pass over all partitions'
-    meta files."""
+    (rayfts/sharded.py layout) to sorted GLOBAL docIDs: local docIDs
+    from each partition's docs-meta, offset by the partition's
+    ``doc_base``.
+
+    ONE distributed pass over every partition's meta files (not one
+    Ray job per partition): the read carries file paths, and each
+    batch rebases its rows by the owning partition's doc_base — at
+    256 partitions this is still a single column-pruned scan."""
     import json
 
     with open(os.path.join(parent_dir, "sharded.json")) as f:
         meta = json.load(f)
-    parts = []
+    base_of = {}
+    files = []
     for sub in meta["subs"]:
-        ids = facet_allowlist(os.path.join(parent_dir, sub["dir"]),
-                              column, values)
-        parts.append(ids + int(sub["doc_base"]))
-    out = (np.concatenate(parts) if parts
-           else np.empty(0, dtype=np.int64))
-    out.sort()
-    return out
+        d = os.path.normpath(os.path.join(parent_dir, sub["dir"],
+                                          "docs"))
+        base_of[d] = int(sub["doc_base"])
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    vals = list(values)
+
+    def _match(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(column),
+                     value_set=pa.array(vals, type=t.column(column).type))
+        t = t.filter(m)
+        ids = t.column("doc_id").to_numpy()
+        bases = np.fromiter(
+            (base_of[os.path.normpath(os.path.dirname(p))]
+             for p in t.column("path").to_pylist()),
+            dtype=np.int64, count=t.num_rows)
+        return pa.table({"doc_id": pa.array(ids + bases,
+                                            type=pa.int64())})
+
+    ds = rd.read_parquet(files, columns=["doc_id", column],
+                         include_paths=True)
+    parts = ds.map_batches(_match, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    ids.sort()
+    return ids
 
 
 def slice_allowed_local(allowed_global: np.ndarray, base: int,
