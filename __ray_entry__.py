@@ -647,6 +647,36 @@ def _highlight_offsets(sf_dir: str) -> pd.DataFrame:
                                        "term", "first_pos", "n_occ"])
 
 
+def _collapsed_topk(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing: per query, ONE result per lang — each key's
+    best hit over the FULL ranking (rayfts/facets.py collapsed_topk
+    semantics), groups ranked by their representative.  Quantized
+    scores drive both the per-key argmax and the group ranking so
+    cross-engine last-ulp ties collapse identically."""
+    from rayfts import search as S
+    from rayfts.facets import _doc_keys
+
+    idx = _index_for(sf_dir, "opt")
+    keys = _doc_keys(idx, "lang")
+    rows = []
+    for qid, terms in QUERIES:
+        full = S.ranked_or(idx, terms, k=idx.num_docs, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d]), keys[d])
+                       for s, d in full),
+                      key=lambda t: (-t[0], t[1]))
+        best: dict = {}
+        for sq, doc, kv in cand:
+            if kv not in best:
+                best[kv] = (sq, doc, kv)
+        top = sorted(best.values(), key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc, kv) in enumerate(top, 1):
+            rows.append({"query_id": qid, "rank": rank, "lang": kv,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "lang",
+                                       "doc_id", "score_q"])
+
+
 def _facet_counts(sf_dir: str) -> pd.DataFrame:
     """Search-engine faceting over the OR match set of each query:
     matching-document counts per `lang` (rayfts/facets.py
@@ -1379,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": _bm25_topk_deleted,
         "bm25_topk_faceted": _bm25_topk_faceted,
         "facet_counts": _facet_counts,
+        "collapsed_topk": _collapsed_topk,
         "highlight_offsets": _highlight_offsets,
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
@@ -1698,6 +1729,30 @@ h AS (
 SELECT query_id, rank, doc_id, term,
        ps[1]::BIGINT AS first_pos, len(ps)::BIGINT AS n_occ
 FROM h WHERE len(ps) > 0"""
+
+    # field collapsing: per (query, lang) keep the quantized-best hit,
+    # rank the representatives
+    sqls["collapsed_topk"] = f"""
+{_bm25_scores_sql()},
+sq AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q
+  FROM scores),
+j AS (
+  SELECT sq.query_id, sq.doc_id, sq.score_q, d.lang
+  FROM sq JOIN documents d ON d.doc_id = sq.doc_id),
+best AS (
+  SELECT query_id, lang, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score_q DESC, doc_id ASC) AS rn
+  FROM j),
+topk AS (
+  SELECT query_id, lang, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM best WHERE rn = 1)
+SELECT query_id, rank, lang, doc_id, score_q FROM topk
+WHERE rank <= {K}"""
 
     # faceting: per-query OR-match counts per metadata value
     sqls["facet_counts"] = f"""

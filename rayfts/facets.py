@@ -42,6 +42,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -163,6 +164,55 @@ def facet_counts(index, terms: list, column: str,
     for r in parts:
         out[r[column]] = out.get(r[column], 0) + int(r["n"])
     return out
+
+
+def _doc_keys(index, column: str) -> np.ndarray:
+    """doc_id-indexed array of the column's values (object dtype),
+    built once per (reader, column) from the docs-meta sidecar and
+    cached.  At cluster scale this belongs in a doc-range-partitioned
+    sidecar like norms/lengths; candidate-only pushdown reads are the
+    alternative when the key column is large."""
+    cache = getattr(index, "_doc_keys_cache", None)
+    if cache is None:
+        cache = index._doc_keys_cache = {}
+    arr = cache.get(column)
+    if arr is None:
+        t = pq.read_table(os.path.join(index.index_dir, "docs"),
+                          columns=["doc_id", column])
+        arr = np.empty(index.num_docs, dtype=object)
+        arr[t.column("doc_id").to_numpy()] = \
+            np.asarray(t.column(column).to_pylist(), dtype=object)
+        cache[column] = arr
+    return arr
+
+
+def collapsed_topk(index, terms: list, column: str, k: int = 10,
+                   prec=None) -> list[tuple]:
+    """Field collapsing (one result per metadata key — Lucene's
+    collapse / "group by field, keep best"): rank the FULL match set,
+    keep each key's best (score, docid), return the top-k groups by
+    their representative.
+
+    -> [(score, docid, key)] ordered by (score desc, docid asc).
+
+    Collapsing needs full-depth ranking (a rare key's best hit can sit
+    arbitrarily deep), so this runs the vectorized term-at-a-time
+    union — the same work top-k over the union already does — rather
+    than a truncated DAAT pass."""
+    from . import search as S
+
+    prec = prec or S.P32
+    full = S.ranked_or(index, terms, k=index.num_docs, prec=prec)
+    if not full:
+        return []
+    keys = _doc_keys(index, column)
+    best: dict = {}
+    for s, d in full:                     # already (score desc, doc asc)
+        kv = keys[d]
+        if kv not in best:
+            best[kv] = (s, d, kv)
+    out = sorted(best.values(), key=lambda t: (-float(t[0]), t[1]))
+    return out[:k]
 
 
 def with_facet(index, allowed: np.ndarray):

@@ -374,3 +374,37 @@ def test_sharded_searcher_named_facets(faceted, sharded_faceted):
                 [(float(s), int(d)) for s, d in want], qid
     finally:
         svc.shutdown()
+
+
+def test_collapsed_topk(faceted):
+    """Field collapsing equals brute force: per key the best (score
+    desc, doc asc) hit over the full ranking, groups ranked by their
+    representative; respects serve filters."""
+    from rayfts import search as S
+    from rayfts.facets import collapsed_topk
+
+    clean = faceted["clean"]
+    docs = pq.read_table(os.path.join(faceted["idx_dir"], "docs"),
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs.column("doc_id").to_pylist(),
+                       docs.column("lang").to_pylist()))
+    vocab = clean.all_terms()
+    rng = np.random.RandomState(23)
+    for _ in range(5):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        full = S.ranked_or(clean, terms, k=clean.num_docs)
+        best = {}
+        for s, d in full:
+            kv = lang_of[d]
+            if kv not in best:
+                best[kv] = (s, d, kv)
+        want = sorted(best.values(),
+                      key=lambda t: (-float(t[0]), t[1]))[:3]
+        got = collapsed_topk(clean, terms, "lang", k=3)
+        assert got == want
+    # facet view: collapse only within the allowed subset
+    view = faceted["view"]
+    got = collapsed_topk(view, [vocab[0], vocab[1]], "lang", k=5)
+    ok = set(int(x) for x in faceted["allowed"])
+    assert all(d in ok for _, d, _ in got)
+    assert collapsed_topk(clean, ["zz_missing"], "lang") == []
