@@ -369,7 +369,8 @@ def cmd_search(args) -> int:
     if args.positions:
         from .positions import PositionalIndex
         pidx = PositionalIndex(args.positions)
-    res = search(idx, args.query, k=args.k, pidx=pidx, op=args.op)
+    res = search(idx, args.query, k=args.k, pidx=pidx, op=args.op,
+                 offset=args.offset)
     print(json.dumps({"event": "search_done", "query": args.query,
                       "hits": [{"doc_id": int(d), "score": float(s)}
                                for s, d in res]}))
@@ -479,6 +480,8 @@ def main(argv=None) -> int:
     se.add_argument("--positions", default=None,
                     help="positional sidecar dir (needed for phrases)")
     se.add_argument("-k", type=int, default=10)
+    se.add_argument("--offset", type=int, default=0,
+                    help="pagination: return results [offset, offset+k)")
     se.add_argument("--op", default="block_max_wand")
     se.set_defaults(fn=cmd_search)
 

@@ -128,10 +128,12 @@ def expand_prefix(index, prefix: str, cap: int = 1024) -> list[str]:
 
 
 def search(index, q: str, k: int = 10, pidx=None,
-           op: str = "block_max_wand", prec=None):
+           op: str = "block_max_wand", prec=None, offset: int = 0):
     """Parse + compile + run one query string; -> [(score, docid)].
     ``pidx`` (rayfts/positions.py PositionalIndex) is required only
-    when the query contains phrases."""
+    when the query contains phrases.  ``offset`` pages deeper into the
+    ranking (results [offset, offset+k) — the kernels retrieve
+    offset+k and slice, the standard deep-paging cost)."""
     import copy
 
     from .facets import facet_allowlist
@@ -190,9 +192,10 @@ def search(index, q: str, k: int = 10, pidx=None,
         # (same BM25 sum, same ranking) — Lucene's rewrite-method
         # decision for PrefixQuery
         kernel = S.ranked_or
-    if prec is not None:
-        return kernel(view, rank_terms, k, prec)
-    return kernel(view, rank_terms, k)
+    depth = k + max(0, int(offset))
+    res = (kernel(view, rank_terms, depth, prec) if prec is not None
+           else kernel(view, rank_terms, depth))
+    return res[offset:] if offset else res
 
 
 def search_sharded(sharded, q: str, k: int = 10, spidx=None,

@@ -231,3 +231,18 @@ def test_search_sharded_matches_monolithic(qidx, tmp_path_factory):
                for s, d in search_sharded(sharded, qs, k=K,
                                           spidx=spidx, op="maxscore")]
         assert got == want, qs
+
+
+def test_pagination(qidx):
+    from rayfts import search as S
+    from rayfts.query import search
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    terms = [vocab[0], vocab[1], vocab[2]]
+    full = search(idx, " ".join(terms), k=30)
+    p0 = search(idx, " ".join(terms), k=10)
+    p1 = search(idx, " ".join(terms), k=10, offset=10)
+    p2 = search(idx, " ".join(terms), k=10, offset=20)
+    assert p0 + p1 + p2 == full
+    assert search(idx, " ".join(terms), k=10,
+                  offset=idx.num_docs + 5) == []
