@@ -562,6 +562,41 @@ def _unified_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: fuzzy workload: (qid, misspelled term, extra bare terms)
+FUZZY_QUERIES = [
+    (1, "filtr", ["scan"]),      # -> filter
+    (2, "tabel", []),            # -> table
+    (3, "strem", ["data"]),      # -> stream
+    (4, "qqqq_nothing", ["row"]),  # no neighbor -> plain term query
+]
+
+
+def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy matching (`filtr~ scan`): candidates from the
+    deletion-neighborhood sidecar (rayfts/fuzzy.py — O(|term|)
+    sharded probes, never a vocabulary scan), verified to exact edit
+    distance <= 1, ranked as a multi-term query — mirrored in SQL by
+    DuckDB's levenshtein over the dfs CTE."""
+    from rayfts import search as S
+    from rayfts.fuzzy import build_fuzzy_sidecar
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    rows = []
+    for qid, t, extra in FUZZY_QUERIES:
+        qs = " ".join([t + "~", *extra])
+        res = qsearch(idx, qs, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda x: (-x[0], x[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 #: wildcard workload: (qid, prefix, extra bare terms)
 WILDCARD_QUERIES = [
     (1, "s", ["row"]),          # s* -> scan/sort/shuffle/stream/...
@@ -1413,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_offsets": _highlight_offsets,
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
+        "fuzzy_search": _fuzzy_search,
         "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
@@ -1692,6 +1728,25 @@ SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
         _wq.extend(f"SELECT {qid}, '{t}'" for t in extra)
     sqls["wildcard_search"] = f"""
 {_bm25_scores_sql(qbody=' UNION ALL '.join(_wq))},
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # fuzzy: q = levenshtein<=1 candidates over the vocabulary (dfs
+    # CTE) unioned with the bare terms
+    _fq = []
+    for qid, t, extra in FUZZY_QUERIES:
+        _fq.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                   f"WHERE levenshtein(term, '{t}') <= 1")
+        _fq.extend(f"SELECT {qid}, '{x}'" for x in extra)
+    sqls["fuzzy_search"] = f"""
+{_bm25_scores_sql(qbody=' UNION ALL '.join(_fq))},
 topk AS (
   SELECT query_id, doc_id,
          CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,

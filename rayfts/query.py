@@ -12,6 +12,9 @@ driver stops at whitespace-separated term lists, queries.hpp:15-27):
 * ``pre*``            — prefix wildcard: expands against the
                         term-range-sharded lexicon (capped) and ranks
                         over the expansion (Lucene PrefixQuery shape)
+* ``word~``           — fuzzy: expands to lexicon terms within edit
+                        distance 1 via the deletion-neighborhood
+                        sidecar (rayfts/fuzzy.py, FuzzyQuery shape)
 
 Compilation strategy: every constraint becomes a SORTED docID SET and
 rides the serving kernels' existing allow/deny filters, so the whole
@@ -53,6 +56,7 @@ def parse_query(q: str) -> dict:
     facets: list[tuple[str, list[str]]] = []
     prefixes: list[str] = []
     neg_prefixes: list[str] = []
+    fuzzy: list[str] = []
     for tok in _TOKEN.findall(q):
         if tok.startswith('"') and tok.endswith('"'):
             ws = TOKEN_RE.findall(tok[1:-1].lower())
@@ -69,6 +73,10 @@ def parse_query(q: str) -> dict:
             ws = TOKEN_RE.findall(tok[:-1].lower())
             if ws:
                 prefixes.append(ws[-1])
+        elif tok.endswith("~") and len(tok) > 1:
+            ws = TOKEN_RE.findall(tok[:-1].lower())
+            if ws:
+                fuzzy.append(ws[-1])
         elif ":" in tok and not tok.startswith('"'):
             col, _, vals = tok.partition(":")
             if col and vals:
@@ -79,7 +87,7 @@ def parse_query(q: str) -> dict:
             terms.extend(TOKEN_RE.findall(tok.lower()))
     return {"terms": terms, "phrases": phrases, "neg": neg,
             "facets": facets, "prefixes": prefixes,
-            "neg_prefixes": neg_prefixes}
+            "neg_prefixes": neg_prefixes, "fuzzy": fuzzy}
 
 
 def _intersect_sorted(a: np.ndarray | None,
@@ -144,6 +152,10 @@ def search(index, q: str, k: int = 10, pidx=None,
         rank_terms.extend(ws)
     for p in plan["prefixes"]:
         rank_terms.extend(expand_prefix(index, p))
+    if plan["fuzzy"]:
+        from .fuzzy import expand_fuzzy
+        for t in plan["fuzzy"]:
+            rank_terms.extend(expand_fuzzy(index, t))
     if not rank_terms:
         return []
 

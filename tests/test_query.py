@@ -44,9 +44,10 @@ def test_parse_query():
     assert p["prefixes"] == ["blo"]
     p2 = parse_query("a -bad* -worse")
     assert p2["neg_prefixes"] == ["bad"] and p2["neg"] == ["worse"]
+    assert parse_query("ok fuzz~")["fuzzy"] == ["fuzz"]
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
                                "facets": [], "prefixes": [],
-                               "neg_prefixes": []}
+                               "neg_prefixes": [], "fuzzy": []}
 
 
 def test_prefix_expansion(qidx):
@@ -246,3 +247,48 @@ def test_pagination(qidx):
     assert p0 + p1 + p2 == full
     assert search(idx, " ".join(terms), k=10,
                   offset=idx.num_docs + 5) == []
+
+
+def _lev(a, b):
+    """Independent O(n*m) Levenshtein for the fuzzy oracle."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_fuzzy_expansion(qidx):
+    from rayfts import search as S
+    from rayfts.fuzzy import build_fuzzy_sidecar, expand_fuzzy
+    from rayfts.query import search
+
+    idx, _, _ = qidx
+    meta = build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    assert meta["rows"] > 0
+    assert build_fuzzy_sidecar(idx.index_dir) == meta   # resumable
+    vocab = idx.all_terms()
+
+    # every vocab term + mutations: expansion == brute levenshtein<=1
+    probes = list(vocab[:15])
+    probes += [t[1:] for t in vocab[:5]]            # deletions
+    probes += [t + "x" for t in vocab[:5]]          # insertions
+    probes += ["q" + t[1:] for t in vocab[:5]]      # substitutions
+    probes += ["zzzz_nothing_close"]
+    for t in probes:
+        want = sorted(c for c in vocab if _lev(t, c) <= 1)
+        if t in want:                   # exact match ordered first
+            want.remove(t)
+            want.insert(0, t)
+        assert expand_fuzzy(idx, t) == want, t
+
+    # query syntax: term~ ranks over the expansion
+    t = vocab[0]
+    exp = expand_fuzzy(idx, t)
+    want = (S.ranked_or if len(S.query_freqs(exp)) > 64
+            else S.block_max_wand_fast)(idx, exp, K)
+    assert search(idx, f"{t}~", K) == want
