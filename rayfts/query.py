@@ -240,6 +240,20 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
         for i in range(len(sharded)):
             seen.update(expand_prefix(sharded.sub(i), p))
         rank_terms.extend(sorted(seen))
+    if plan["fuzzy"]:
+        # per-term union over the partitions' deletion sidecars
+        # (each partition indexes its own vocabulary); exact-first
+        # ordering like the monolithic expand_fuzzy
+        from .fuzzy import expand_fuzzy
+        for t in plan["fuzzy"]:
+            seen = set()
+            for i in range(len(sharded)):
+                seen.update(expand_fuzzy(sharded.sub(i), t))
+            exp = sorted(seen)
+            if t in seen:
+                exp.remove(t)
+                exp.insert(0, t)
+            rank_terms.extend(exp)
     if not rank_terms:
         return []
 

@@ -216,6 +216,10 @@ def test_search_sharded_matches_monolithic(qidx, tmp_path_factory):
     vocab = idx.all_terms()
     langs = sorted(set(lang_of.values()))[:2]
     t0, t1, t2 = vocab[0], vocab[len(vocab) // 2], vocab[-1]
+    from rayfts.fuzzy import build_fuzzy_sidecar
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    for i in range(len(sharded)):
+        build_fuzzy_sidecar(sharded.sub(i).index_dir, num_shards=4)
     queries = [
         f"{t0} {t1}",
         f"{t0} {t1} -{t2}",
@@ -223,6 +227,7 @@ def test_search_sharded_matches_monolithic(qidx, tmp_path_factory):
         f"{t0[:3]}* {t1}",
         f"{t0} {t1} -{t2[:4]}*",
         f"{t0} {t1} -{t2} lang:{','.join(langs)} {t2[:3]}*",
+        f"{t1}~ {t0}",
     ]
     for qs in queries:
         want = [(float(s), int(d))
