@@ -299,6 +299,41 @@ def or_query(index: InvertedIndex, terms: list) -> np.ndarray:
     return u if m is None else u[m]
 
 
+def explain(index: InvertedIndex, terms: list, doc_id: int,
+            prec: _Prec = P32) -> dict:
+    """Per-term BM25 score breakdown for one document (the Lucene
+    `explain` debugging surface): -> {"doc_id", "score", "servable",
+    "terms": [{term, tf, df, doc_len, query_weight, doc_weight,
+    contribution}]}.  The sum of contributions equals exactly what
+    ranked_or scores this doc (same per-term weights, same fp
+    precision, same accumulation order)."""
+    nl = float(_norms(index, prec)[doc_id])
+    rows = []
+    total = prec.dtype(0)
+    for pl, qw in _lists(index, terms, prec):
+        i = int(np.searchsorted(pl.docs, doc_id))
+        if i >= len(pl.docs) or pl.docs[i] != doc_id:
+            continue
+        tf = int(pl.freqs[i])
+        dw = prec.dtw(np.asarray([tf]), np.asarray([nl]))[0]
+        contrib = prec.dtype(qw * dw)
+        total = prec.dtype(total + contrib)
+        df = (index.score_dfs(pl.term) or pl.n) if index.score_dfs \
+            else pl.n
+        rows.append({"term": pl.term, "tf": tf, "df": int(df),
+                     "query_weight": float(qw),
+                     "doc_weight": float(dw),
+                     "contribution": float(contrib)})
+    m = _serve_mask(index, np.asarray([doc_id], dtype=np.int64))
+    servable = bool(m is None or m[0])
+    lengths = getattr(index, "lengths", None)
+    out = {"doc_id": int(doc_id), "score": float(total),
+           "servable": servable, "terms": rows}
+    if lengths is not None:
+        out["doc_len"] = int(lengths[doc_id])
+    return out
+
+
 def and_not_query(index: InvertedIndex, pos_terms: list,
                   neg_terms: list) -> np.ndarray:
     """Boolean NOT (the reference stops at AND/OR): docs matching ALL

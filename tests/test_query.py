@@ -297,3 +297,36 @@ def test_fuzzy_expansion(qidx):
     want = (S.ranked_or if len(S.query_freqs(exp)) > 64
             else S.block_max_wand_fast)(idx, exp, K)
     assert search(idx, f"{t}~", K) == want
+
+
+def test_explain(qidx):
+    """explain()'s per-term contributions sum to exactly the score
+    ranked_or assigns the doc, and report the right tf/df."""
+    import copy
+
+    from rayfts import search as S
+
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    terms = [vocab[0], vocab[2], vocab[4], "zz_unknown"]
+    res = S.ranked_or(idx, terms, k=5)
+    assert res
+    for score, d in res:
+        ex = S.explain(idx, terms, d)
+        assert ex["score"] == float(score)
+        assert ex["servable"]
+        got_terms = {r["term"] for r in ex["terms"]}
+        assert got_terms <= set(terms[:3])
+        for r in ex["terms"]:
+            pl = idx.get(r["term"])
+            i = int(np.searchsorted(pl.docs, d))
+            assert pl.docs[i] == d and int(pl.freqs[i]) == r["tf"]
+            assert r["df"] == pl.n
+            assert r["contribution"] == pytest.approx(
+                r["query_weight"] * r["doc_weight"], rel=1e-6)
+    # tombstoned doc reports servable=False but still explains
+    top_doc = res[0][1]
+    view = copy.copy(idx)
+    view.deleted = np.asarray([top_doc], dtype=np.int64)
+    ex = S.explain(view, terms, top_doc)
+    assert not ex["servable"] and ex["score"] == float(res[0][0])
