@@ -562,6 +562,44 @@ def _unified_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: sym: workload: (qid, rank terms, required defined symbol)
+SYM_SEARCH_QUERIES = [
+    (1, ["filter", "scan"], "MAX_LIMIT_5"),
+    (2, ["data", "table"], "MAX_LIMIT_7"),
+    (3, ["row", "key"], "Cls13"),
+    (4, ["stream"], "fn_42"),
+    (5, ["sort", "merge"], "zz_undefined_symbol"),
+]
+
+
+def _sym_search(sf_dir: str) -> pd.DataFrame:
+    """The code-search `sym:` filter: BM25 restricted to documents
+    DEFINING a symbol, resolved from the ctags-lite symbol sidecar
+    (rayfts/ops/symbols.py build_symbol_sidecar — hash-sharded
+    predicate-pushdown probes, never a corpus re-scan)."""
+    from rayfts import search as S
+    from rayfts.ops.symbols import build_symbol_sidecar
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    build_symbol_sidecar(idx.index_dir,
+                         os.path.join(sf_dir, "documents.parquet"),
+                         text_col="text", id_col="doc_id",
+                         augment=True, num_shards=4)
+    rows = []
+    for qid, terms, sym in SYM_SEARCH_QUERIES:
+        qs = " ".join([*terms, f"sym:{sym}"])
+        res = qsearch(idx, qs, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda x: (-x[0], x[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 #: fuzzy workload: (qid, misspelled term, extra bare terms)
 FUZZY_QUERIES = [
     (1, "filtr", ["scan"]),      # -> filter
@@ -1449,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
         "fuzzy_search": _fuzzy_search,
+        "sym_search": _sym_search,
         "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
@@ -2027,6 +2066,32 @@ FROM m GROUP BY 1, 2, 3"""
 SELECT kind, symbol, count(DISTINCT doc_id)::BIGINT AS n_docs,
        count(*)::BIGINT AS n_defs
 FROM m GROUP BY 1, 2"""
+
+    # sym: filter — BM25 restricted to docs DEFINING the symbol
+    _sym_vals = ", ".join(f"({qid}, '{t}')"
+                          for qid, terms, _sym in SYM_SEARCH_QUERIES
+                          for t in terms)
+    _sym_filter = " UNION ALL ".join(
+        f"SELECT s.query_id, s.doc_id, s.score FROM scores s "
+        f"WHERE s.query_id = {qid} AND s.doc_id IN "
+        f"(SELECT doc_id FROM m WHERE symbol = '{sym}')"
+        for qid, _terms, sym in SYM_SEARCH_QUERIES)
+    sqls["sym_search"] = f"""
+{_bm25_scores_sql(_sym_vals)},
+aug AS (SELECT doc_id, {SYM_AUGMENT_SQL.strip()} AS atext
+        FROM documents),
+m AS (
+{_sym_m}),
+f AS ({_sym_filter}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM f)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # standard (non-E) SQL strings keep backslashes literal, so the
     # regex text passes through to RE2 unescaped

@@ -188,3 +188,112 @@ text
 || CASE WHEN doc_id % 6 = 0
         THEN chr(10) || 'def fn_' || doc_id || '(x):' ELSE '' END
 """
+
+
+# ---------------------------------------------------------------------------
+# symbol sidecar: "who DEFINES x" as a query-language filter (sym:x)
+# ---------------------------------------------------------------------------
+
+def build_symbol_sidecar(index_dir: str, docs_path: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         augment: bool = False,
+                         num_shards: int = 8) -> dict:
+    """Distributed symbol extraction -> hash-sharded, symbol-sorted
+    (symbol, kind, src_doc_id, n) parquet under
+    ``<index_dir>/symbols/`` — the Zoekt/Sourcegraph ``sym:`` filter's
+    index.  Resumable via marker.  Rows are keyed by SOURCE doc ids
+    (extraction sees the corpus); query-time resolution maps them to
+    internal docIDs through the reader's src permutation."""
+    import json
+    import os
+
+    from rayfts.ops.hashing import md5_u64
+
+    out_dir = os.path.join(index_dir, "symbols")
+    marker = os.path.join(out_dir, "symbols.done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def shard_col(t: pa.Table) -> pa.Table:
+        s = (md5_u64(np.asarray(t.column("symbol").to_pylist(),
+                                dtype=object))
+             % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("shard", pa.array(s))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        s = int(g.column("shard")[0].as_py())
+        g = g.sort_by([("symbol", "ascending"),
+                       ("doc_id", "ascending")])
+        path = os.path.join(out_dir, f"sym_{s:05d}.parquet")
+        pq.write_table(g.select(["symbol", "kind", "doc_id", "n"]),
+                       path + ".tmp", row_group_size=4096)
+        os.replace(path + ".tmp", path)
+        return pa.table({"shard": pa.array([s], type=pa.int64()),
+                         "rows": pa.array([g.num_rows],
+                                          type=pa.int64())})
+
+    manifest = (extract_symbols(docs_path, text_col, id_col,
+                                augment=augment)
+                .map_batches(shard_col, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .to_pandas())
+    meta = {"num_shards": num_shards,
+            "rows": int(manifest["rows"].sum()) if len(manifest) else 0}
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+def symbol_allowlist(index, symbol: str,
+                     kind: str | None = None) -> np.ndarray:
+    """Sorted INTERNAL docIDs of documents DEFINING ``symbol`` — one
+    predicate-pushdown read of the symbol's hash shard (answer-scale),
+    then src->internal through a per-reader sorted permutation of
+    ``src_doc_ids`` (built once, num_docs-sized like the sidecar it
+    permutes)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.ops.hashing import md5_u64
+
+    out_dir = os.path.join(index.index_dir, "symbols")
+    marker = os.path.join(out_dir, "symbols.done.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"no symbol sidecar at {out_dir}; run build_symbol_sidecar")
+    with open(marker) as f:
+        num_shards = int(json.load(f)["num_shards"])
+    s = int(md5_u64(np.asarray([symbol], dtype=object))[0]) % num_shards
+    path = os.path.join(out_dir, f"sym_{s:05d}.parquet")
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    flt = [("symbol", "==", symbol)]
+    if kind is not None:
+        flt.append(("kind", "==", kind))
+    t = pq.read_table(path, columns=["doc_id"], filters=flt)
+    src = np.unique(t.column("doc_id").to_numpy().astype(np.int64))
+    if len(src) == 0:
+        return src
+    sid_attr = getattr(index, "src_doc_ids", None)
+    if sid_attr is None:
+        # no source-id remap on this reader: sidecar ids ARE internal
+        return src[src < index.num_docs]
+    perm = getattr(index, "_src_perm", None)
+    if perm is None:
+        sid = np.asarray(sid_attr)
+        order = np.argsort(sid, kind="stable")
+        perm = index._src_perm = (sid[order], order)
+    sorted_src, order = perm
+    pos = np.searchsorted(sorted_src, src)
+    pos = np.minimum(pos, len(sorted_src) - 1)
+    hit = sorted_src[pos] == src
+    out = np.sort(order[pos[hit]]).astype(np.int64)
+    return out

@@ -9,6 +9,9 @@ driver stops at whitespace-separated term lists, queries.hpp:15-27):
                         its words also contribute to ranking
 * ``-word``           — must NOT match
 * ``col:v1,v2``       — metadata facet filter (docs-meta sidecar)
+* ``sym:name``        — must DEFINE the symbol (ctags-lite symbol
+                        sidecar, rayfts/ops/symbols.py — the
+                        Zoekt/Sourcegraph ``sym:`` filter)
 * ``pre*``            — prefix wildcard: expands against the
                         term-range-sharded lexicon (capped) and ranks
                         over the expansion (Lucene PrefixQuery shape)
@@ -165,7 +168,14 @@ def search(index, q: str, k: int = 10, pidx=None,
         key = (col, tuple(vals))
         hit = memo.get(key) if memo is not None else None
         if hit is None:
-            hit = facet_allowlist(index.index_dir, col, vals)
+            if col == "sym":
+                # symbol filter: union over the named symbols' doc
+                # sets (any-of), then intersected like any facet
+                from .ops.symbols import symbol_allowlist
+                hit = np.unique(np.concatenate(
+                    [symbol_allowlist(index, v) for v in vals]))
+            else:
+                hit = facet_allowlist(index.index_dir, col, vals)
             if memo is not None:
                 memo[key] = hit
         allowed = _intersect_sorted(allowed, hit)

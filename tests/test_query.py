@@ -330,3 +330,49 @@ def test_explain(qidx):
     view.deleted = np.asarray([top_doc], dtype=np.int64)
     ex = S.explain(view, terms, top_doc)
     assert not ex["servable"] and ex["score"] == float(res[0][0])
+
+
+def test_sym_filter(qidx):
+    """sym:name restricts to documents DEFINING the symbol (symbol
+    sidecar); allowlist parity vs a brute-force regex scan, and the
+    query-language filter composes with ranking."""
+    import pyarrow as pa
+
+    from rayfts import search as S
+    from rayfts.ops.symbols import (SYM_RE, build_symbol_sidecar,
+                                    symbol_allowlist)
+    from rayfts.query import search
+
+    idx, _, _ = qidx
+    # synthesize a doc-keyed corpus with definition lines: reuse the
+    # index docs-meta ids and write a small parquet with text
+    # this index's corpus is keyed by (repo, path, commit) — no source
+    # id column, so the sidecar ids ARE the internal docIDs
+    docs = pq.read_table(os.path.join(idx.index_dir, "docs"),
+                         columns=["doc_id"])
+    ids = docs.column("doc_id").to_numpy()
+    texts = [(f"def helper_{i % 7}(x):\nVALUE_{i % 5} = {i}"
+              if i % 2 == 0 else "no definitions here")
+             for i in ids]
+    src = os.path.join(os.path.dirname(idx.index_dir), "symsrc.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "text": pa.array(texts)}), src)
+    build_symbol_sidecar(idx.index_dir, src, text_col="text",
+                         id_col="doc_id", augment=False, num_shards=4)
+
+    for sym in ["helper_3", "VALUE_2", "zz_nothing"]:
+        want = sorted(int(i) for i in ids
+                      if int(i) % 2 == 0 and
+                      (sym in (f"helper_{int(i) % 7}",
+                               f"VALUE_{int(i) % 5}")))
+        got = symbol_allowlist(idx, sym).tolist()
+        assert got == want, sym
+
+    # query-language composition: ranking restricted to the allowlist
+    vocab = idx.all_terms()
+    terms = [vocab[0], vocab[1]]
+    ok = set(symbol_allowlist(idx, "helper_3").tolist())
+    got = search(idx, f"{terms[0]} {terms[1]} sym:helper_3", K)
+    want = [(s, d) for s, d in S.ranked_or(idx, terms, k=idx.num_docs)
+            if d in ok][:K]
+    assert [d for _, d in got] == [d for _, d in want]
