@@ -269,6 +269,18 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
 
     allowed = None
     for col, vals in plan["facets"]:
+        if col == "sym":
+            # per-partition symbol sidecars, rebased to global docIDs
+            from .ops.symbols import symbol_allowlist
+            hits = []
+            for i, base in enumerate(sharded.bases):
+                sub = sharded.sub(i)
+                for v in vals:
+                    hits.append(symbol_allowlist(sub, v) + base)
+            hit = (np.unique(np.concatenate(hits)) if hits
+                   else np.empty(0, dtype=np.int64))
+            allowed = _intersect_sorted(allowed, hit)
+            continue
         allowed = _intersect_sorted(
             allowed,
             facet_allowlist_sharded(sharded.parent_dir, col, vals))

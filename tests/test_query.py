@@ -376,3 +376,58 @@ def test_sym_filter(qidx):
     want = [(s, d) for s, d in S.ranked_or(idx, terms, k=idx.num_docs)
             if d in ok][:K]
     assert [d for _, d in got] == [d for _, d in want]
+
+
+def test_sym_filter_sharded(qidx, tmp_path_factory):
+    """sym: on the doc-partitioned path equals the monolithic result:
+    each partition's sidecar is built over its own slice (local ids),
+    allowlists rebase by doc_base."""
+    import pyarrow as pa
+
+    from rayfts.ops.symbols import build_symbol_sidecar
+    from rayfts.query import search, search_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    idx, _, _ = qidx
+    src = corpus_parquet(150, seed=77)
+    parent = str(tmp_path_factory.mktemp("sym_sharded"))
+    build_sharded_index(src, parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    sharded = ShardedIndex(parent)
+
+    # the same definition corpus test_sym_filter built for the
+    # monolithic index (identity ids = global ids, since partitioning
+    # preserves the key order); slice per partition into LOCAL ids
+    texts = {i: (f"def helper_{i % 7}(x):\nVALUE_{i % 5} = {i}"
+                 if i % 2 == 0 else "no definitions here")
+             for i in range(idx.num_docs)}
+    root = os.path.dirname(parent)
+    for i, base in enumerate(sharded.bases):
+        sub = sharded.sub(i)
+        lids = list(range(sub.num_docs))
+        p = os.path.join(root, f"symsrc_sub{i}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(lids, type=pa.int64()),
+            "text": pa.array([texts[base + x] for x in lids])}), p)
+        build_symbol_sidecar(sub.index_dir, p, text_col="text",
+                             id_col="doc_id", augment=False,
+                             num_shards=4)
+    # monolithic sidecar from test_sym_filter may or may not exist;
+    # build it idempotently from the global corpus
+    gp = os.path.join(root, "symsrc_global.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(idx.num_docs)), type=pa.int64()),
+        "text": pa.array([texts[i] for i in range(idx.num_docs)])}), gp)
+    build_symbol_sidecar(idx.index_dir, gp, text_col="text",
+                         id_col="doc_id", augment=False, num_shards=4)
+
+    vocab = idx.all_terms()
+    for sym in ["helper_3", "VALUE_2", "zz_nothing"]:
+        q = f"{vocab[0]} {vocab[1]} sym:{sym}"
+        want = [(float(s), int(d))
+                for s, d in search(idx, q, k=K, op="maxscore")]
+        got = [(float(s), int(d))
+               for s, d in search_sharded(sharded, q, k=K,
+                                          op="maxscore")]
+        assert got == want, sym
