@@ -562,6 +562,37 @@ def _unified_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: boost workload: (qid, [(term, boost)])
+BOOST_QUERIES = [
+    (1, [("filter", 3.0), ("scan", 1.0)]),
+    (2, [("data", 0.5), ("table", 2.0)]),
+    (3, [("window", 1.0), ("stream", 1.0), ("merge", 4.0)]),
+    (4, [("key", 2.5), ("value", 1.0), ("qqqq_unknown", 9.0)]),
+]
+
+
+def _boosted_search(sf_dir: str) -> pd.DataFrame:
+    """Per-term query boosts (`filter^3 scan`): the boost multiplies
+    the term's BM25 query weight; ranking runs the vectorized union
+    (rayfts/query.py routes boosted queries there)."""
+    from rayfts import search as S
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, spec in BOOST_QUERIES:
+        qs = " ".join(f"{t}^{b}" if b != 1.0 else t for t, b in spec)
+        res = qsearch(idx, qs, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda x: (-x[0], x[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 #: sym: workload: (qid, rank terms, required defined symbol)
 SYM_SEARCH_QUERIES = [
     (1, ["filter", "scan"], "MAX_LIMIT_5"),
@@ -1488,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": _wildcard_search,
         "fuzzy_search": _fuzzy_search,
         "sym_search": _sym_search,
+        "boosted_search": _boosted_search,
         "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
@@ -1767,6 +1799,38 @@ SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
         _wq.extend(f"SELECT {qid}, '{t}'" for t in extra)
     sqls["wildcard_search"] = f"""
 {_bm25_scores_sql(qbody=' UNION ALL '.join(_wq))},
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # boosted: scores CTE with a per-term boost column; the
+    # multiplication order ((idf*2.2)*boost)*dtw matches the engine's
+    # qtw-then-boost f64 association exactly
+    _bq = ", ".join(f"({qid}, '{t}', {b!r}::DOUBLE)"
+                    for qid, spec in BOOST_QUERIES for t, b in spec)
+    sqls["boosted_search"] = f"""
+WITH {_TOK.strip()},
+qb(query_id, term, boost) AS (VALUES {_bq}),
+scores AS (
+  SELECT qb.query_id, tf.doc_id,
+         sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5)
+                                / (dfs.df + 0.5)))
+              * 2.2 * qb.boost
+              * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length
+                                        / stats.avg_len))
+            ) AS score
+  FROM qb
+  JOIN tf  ON tf.term = qb.term
+  JOIN dfs ON dfs.term = qb.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
 topk AS (
   SELECT query_id, doc_id,
          CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,

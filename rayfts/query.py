@@ -18,6 +18,9 @@ driver stops at whitespace-separated term lists, queries.hpp:15-27):
 * ``word~``           — fuzzy: expands to lexicon terms within edit
                         distance 1 via the deletion-neighborhood
                         sidecar (rayfts/fuzzy.py, FuzzyQuery shape)
+* ``word^2.5``        — boost: multiplies the term's query weight
+                        (boosted queries rank via the vectorized
+                        union kernel)
 
 Compilation strategy: every constraint becomes a SORTED docID SET and
 rides the serving kernels' existing allow/deny filters, so the whole
@@ -60,6 +63,7 @@ def parse_query(q: str) -> dict:
     prefixes: list[str] = []
     neg_prefixes: list[str] = []
     fuzzy: list[str] = []
+    boosts: dict[str, float] = {}
     for tok in _TOKEN.findall(q):
         if tok.startswith('"') and tok.endswith('"'):
             ws = TOKEN_RE.findall(tok[1:-1].lower())
@@ -80,6 +84,18 @@ def parse_query(q: str) -> dict:
             ws = TOKEN_RE.findall(tok[:-1].lower())
             if ws:
                 fuzzy.append(ws[-1])
+        elif "^" in tok and not tok.startswith('"'):
+            w, _, b = tok.partition("^")
+            ws = TOKEN_RE.findall(w.lower())
+            try:
+                factor = float(b)
+            except ValueError:
+                factor = None
+            if ws and factor is not None and factor > 0:
+                terms.append(ws[-1])
+                boosts[ws[-1]] = boosts.get(ws[-1], 1.0) * factor
+            elif ws:
+                terms.extend(ws)
         elif ":" in tok and not tok.startswith('"'):
             col, _, vals = tok.partition(":")
             if col and vals:
@@ -90,7 +106,8 @@ def parse_query(q: str) -> dict:
             terms.extend(TOKEN_RE.findall(tok.lower()))
     return {"terms": terms, "phrases": phrases, "neg": neg,
             "facets": facets, "prefixes": prefixes,
-            "neg_prefixes": neg_prefixes, "fuzzy": fuzzy}
+            "neg_prefixes": neg_prefixes, "fuzzy": fuzzy,
+            "boosts": boosts}
 
 
 def _intersect_sorted(a: np.ndarray | None,
@@ -215,8 +232,15 @@ def search(index, q: str, k: int = 10, pidx=None,
         # decision for PrefixQuery
         kernel = S.ranked_or
     depth = k + max(0, int(offset))
-    res = (kernel(view, rank_terms, depth, prec) if prec is not None
-           else kernel(view, rank_terms, depth))
+    if plan["boosts"]:
+        # boosted queries rank via the vectorized union (the DAAT
+        # kernels' term bounds don't carry per-term boosts)
+        res = S.ranked_or(view, rank_terms, depth,
+                          prec if prec is not None else S.P32,
+                          boosts=plan["boosts"])
+    else:
+        res = (kernel(view, rank_terms, depth, prec)
+               if prec is not None else kernel(view, rank_terms, depth))
     return res[offset:] if offset else res
 
 

@@ -74,11 +74,13 @@ def query_freqs(terms: list) -> list[tuple]:
     return out
 
 
-def _lists(index: InvertedIndex, terms: list, prec: _Prec = P32
+def _lists(index: InvertedIndex, terms: list, prec: _Prec = P32,
+           boosts: dict | None = None
            ) -> list[tuple[PostingList, F32]]:
     """(posting list, q_weight) per distinct term, ascending term order;
     unknown terms contribute empty lists (the reference never sees them:
-    its queries are dense term-ids)."""
+    its queries are dense term-ids).  ``boosts`` multiplies a term's
+    final query weight (query-language `term^2.5`)."""
     out = []
     for term, mult in query_freqs(terms):
         pl = index.get(term) if isinstance(term, str) else index.get_by_id(term)
@@ -90,6 +92,10 @@ def _lists(index: InvertedIndex, terms: list, prec: _Prec = P32
         df = (index.score_dfs(pl.term) or pl.n) if index.score_dfs \
             else pl.n
         qw = prec.qtw(mult, df, index.score_num_docs)
+        if boosts:
+            b = boosts.get(term)
+            if b is not None:
+                qw = prec.dtype(qw * prec.dtype(b))
         out.append((pl, prec.dtype(qw)))
     return out
 
@@ -381,8 +387,8 @@ def _norms(index: InvertedIndex, prec: _Prec) -> np.ndarray:
 
 
 def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
-              prec: _Prec = P32):
-    pls = _lists(index, terms, prec)
+              prec: _Prec = P32, boosts: dict | None = None):
+    pls = _lists(index, terms, prec, boosts)
     if not pls:
         return []
     union, acc = _union_scores(index, pls, prec)

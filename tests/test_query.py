@@ -45,9 +45,13 @@ def test_parse_query():
     p2 = parse_query("a -bad* -worse")
     assert p2["neg_prefixes"] == ["bad"] and p2["neg"] == ["worse"]
     assert parse_query("ok fuzz~")["fuzzy"] == ["fuzz"]
+    p3 = parse_query("a^2 b a^1.5 c^x c^-1")
+    assert p3["boosts"] == {"a": 3.0}
+    assert p3["terms"] == ["a", "b", "a", "c", "c"]
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
                                "facets": [], "prefixes": [],
-                               "neg_prefixes": [], "fuzzy": []}
+                               "neg_prefixes": [], "fuzzy": [],
+                               "boosts": {}}
 
 
 def test_prefix_expansion(qidx):
@@ -431,3 +435,30 @@ def test_sym_filter_sharded(qidx, tmp_path_factory):
                for s, d in search_sharded(sharded, q, k=K,
                                           op="maxscore")]
         assert got == want, sym
+
+
+def test_boosted_search(qidx):
+    """term^B multiplies the term's query weight: boosted ranking
+    equals a manual re-score of the union, and B=1 equals unboosted."""
+    from rayfts import search as S
+    from rayfts.query import search
+
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    t0, t1 = vocab[0], vocab[1]
+    base = search(idx, f"{t0} {t1}", K)
+    assert search(idx, f"{t0}^1 {t1}", K) == base
+
+    got = search(idx, f"{t0}^5 {t1}", K)
+    # manual reference: per-doc score = 5*contrib(t0) + contrib(t1)
+    want = {}
+    for term, b in ((t0, 5.0), (t1, 1.0)):
+        pl = idx.get(term)
+        qw = np.float32(S.bm25.query_term_weight(1, pl.n, idx.num_docs))
+        qw = np.float32(qw * np.float32(b))
+        w = S.bm25.doc_term_weight(pl.freqs, idx.norm_lens[pl.docs])
+        for d, c in zip(pl.docs.tolist(),
+                        (qw * w).astype(np.float32).tolist()):
+            want[d] = np.float32(want.get(d, np.float32(0)) + np.float32(c))
+    top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:K]
+    assert [d for _, d in got] == [d for d, _ in top]
