@@ -177,6 +177,26 @@ def _topk_table_native(sf_dir: str, op: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
 
 
+MSM = 2
+
+
+def _msm_topk(sf_dir: str) -> pd.DataFrame:
+    """Minimum-should-match top-10 (docs matching >= 2 distinct query
+    terms; rayfts/search.py ranked_or_msm) — between ranked_or and
+    ranked_and."""
+    from rayfts import search as S
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S.ranked_or_msm(idx, terms, MSM, k=K, prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -1538,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: _topk_table_native(sf, "block_max_wand"),
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
+        "msm_topk": _msm_topk,
         "bool_or": _bool_or,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -1952,6 +1973,21 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
     sqls["maxscore_topk"] = _topk_sql(False)
     sqls["block_max_wand_topk"] = _topk_sql(False)
     sqls["ranked_and_topk"] = _topk_sql(True)
+
+    # minimum-should-match: the scores CTE already counts matched
+    # terms per (query, doc)
+    sqls["msm_topk"] = f"""
+{_bm25_scores_sql()},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores WHERE scores.n_terms_hit >= {MSM}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     sqls["bool_and"] = f"""
 WITH q(query_id, term) AS (VALUES {_q_values()}),

@@ -398,6 +398,32 @@ def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     return _finalize_fast(acc, union, k)
 
 
+def ranked_or_msm(index: InvertedIndex, terms: list, m: int,
+                  k: int = K_DEFAULT, prec: _Prec = P32):
+    """Minimum-should-match ranking (Lucene's msm): BM25 union
+    restricted to docs matching at least ``m`` DISTINCT query terms —
+    the middle ground between ranked_or (m=1) and ranked_and
+    (m=#terms).  One vectorized pass: the union accumulation also
+    counts per-doc distinct-term hits."""
+    pls = _lists(index, terms, prec)
+    if not pls or len(pls) < m:
+        return []
+    union = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    acc = np.zeros(len(union), dtype=prec.dtype)
+    hits = np.zeros(len(union), dtype=np.int64)
+    for pl, qw in pls:  # ascending term order (reference sum order)
+        idx = np.searchsorted(union, pl.docs)
+        w = prec.dtw(pl.freqs, _norms(index, prec)[pl.docs])
+        acc[idx] += (qw * w).astype(prec.dtype)
+        hits[idx] += 1
+    keep = hits >= m
+    union, acc = union[keep], acc[keep]
+    mask = _serve_mask(index, union)
+    if mask is not None:
+        union, acc = union[mask], acc[mask]
+    return _finalize_fast(acc, union, k)
+
+
 def ranked_and(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
                prec: _Prec = P32):
     pls = _lists(index, terms, prec)

@@ -462,3 +462,25 @@ def test_boosted_search(qidx):
             want[d] = np.float32(want.get(d, np.float32(0)) + np.float32(c))
     top = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:K]
     assert [d for _, d in got] == [d for d, _ in top]
+
+
+def test_ranked_or_msm(qidx):
+    """msm(m) sits between ranked_or (m=1) and ranked_and (m=n):
+    equal at the extremes, brute-force-filtered in between."""
+    from rayfts import search as S
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    terms = [vocab[0], vocab[3], vocab[6]]
+    assert S.ranked_or_msm(idx, terms, 1, k=K) == \
+        S.ranked_or(idx, terms, k=K)
+    r_and = S.ranked_and(idx, terms, k=K)
+    _msm_all = S.ranked_or_msm(idx, terms, 3, k=K)
+    assert [d for _, d in _msm_all] == [d for _, d in r_and]
+    # m=2: every result matches >=2 terms; ranking is the filtered or
+    full = S.ranked_or(idx, terms, k=idx.num_docs)
+    def nhits(d):
+        return sum(1 for t in terms
+                   if d in set(idx.get(t).docs.tolist()))
+    want = [(s, d) for s, d in full if nhits(d) >= 2][:K]
+    assert S.ranked_or_msm(idx, terms, 2, k=K) == want
+    assert S.ranked_or_msm(idx, terms, 4, k=K) == []
