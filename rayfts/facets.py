@@ -56,6 +56,14 @@ def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
     filtering is an Arrow ``is_in`` kernel; only matching docIDs leave
     the tasks."""
     docs_dir = os.path.join(index_dir, "docs")
+    first = sorted(f for f in os.listdir(docs_dir)
+                   if f.endswith(".parquet"))
+    if first:
+        schema = pq.read_schema(os.path.join(docs_dir, first[0]))
+        if column not in schema.names:
+            raise ValueError(
+                f"unknown facet column {column!r}; docs-meta has "
+                f"{[n for n in schema.names]}")
     vals = list(values)
 
     def _match(t):

@@ -192,7 +192,12 @@ def search(index, q: str, k: int = 10, pidx=None,
                 hit = np.unique(np.concatenate(
                     [symbol_allowlist(index, v) for v in vals]))
             else:
-                hit = facet_allowlist(index.index_dir, col, vals)
+                try:
+                    hit = facet_allowlist(index.index_dir, col, vals)
+                except ValueError:
+                    # unknown facet column in a search-box string:
+                    # match nothing (same contract as sym:undefined)
+                    hit = np.empty(0, dtype=np.int64)
             if memo is not None:
                 memo[key] = hit
         allowed = _intersect_sorted(allowed, hit)

@@ -484,3 +484,35 @@ def test_ranked_or_msm(qidx):
     want = [(s, d) for s, d in full if nhits(d) >= 2][:K]
     assert S.ranked_or_msm(idx, terms, 2, k=K) == want
     assert S.ranked_or_msm(idx, terms, 4, k=K) == []
+
+
+def test_parser_never_crashes(qidx):
+    """Property: ANY string is a valid search-box input — the parser
+    and compiled search never raise (except the documented
+    phrase-without-positions case, excluded by stripping quotes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rayfts.fuzzy import build_fuzzy_sidecar
+    from rayfts.query import parse_query, search
+
+    idx, pidx, _ = qidx
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)  # `x~` inputs
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=60))
+    def check(q):
+        plan = parse_query(q)
+        assert isinstance(plan["terms"], list)
+        search(idx, q, k=3, pidx=pidx)
+
+    check()
+
+
+def test_unknown_facet_column_matches_nothing(qidx):
+    from rayfts.facets import facet_allowlist
+    from rayfts.query import search
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    assert search(idx, f"{vocab[0]} nosuchcol:x", K) == []
+    with pytest.raises(ValueError):
+        facet_allowlist(idx.index_dir, "nosuchcol", ["x"])
