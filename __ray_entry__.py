@@ -582,6 +582,38 @@ def _unified_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: slop-phrase workload: (qid, word_a, word_b, slop, extra terms)
+SLOP_QUERIES = [
+    (1, "data", "table", 3, ["scan"]),
+    (2, "filter", "scan", 2, []),
+    (3, "window", "stream", 5, ["merge"]),
+    (4, "key", "qqqq_unknown", 4, ["value"]),   # no proximity -> empty
+]
+
+
+def _slop_search(sf_dir: str) -> pd.DataFrame:
+    """Slop phrases (`"data table"~3 scan`): both words within N
+    tokens, resolved by the positional proximity kernel into the
+    allow set; ranking over all words."""
+    from rayfts import search as S
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    pidx, _ = _positions_for(sf_dir)
+    rows = []
+    for qid, a, b, w, extra in SLOP_QUERIES:
+        qs = " ".join([f'"{a} {b}"~{w}', *extra])
+        res = qsearch(idx, qs, k=4 * K, pidx=pidx, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda x: (-x[0], x[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 #: boost workload: (qid, [(term, boost)])
 BOOST_QUERIES = [
     (1, [("filter", 3.0), ("scan", 1.0)]),
@@ -1540,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": _fuzzy_search,
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
+        "slop_search": _slop_search,
         "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
@@ -1828,6 +1861,39 @@ topk AS (
                                           AS BIGINT) DESC,
                                      doc_id ASC) AS rank
   FROM scores)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # slop phrases: scores constrained by a proximity EXISTS (the
+    # same abs(p-q)<=W list comprehension the proximity oracle uses)
+    _sv2 = ", ".join(f"({qid}, '{t}')"
+                     for qid, a, b, w, extra in SLOP_QUERIES
+                     for t in (a, b, *extra))
+    _sf = []
+    for qid, a, b, w, extra in SLOP_QUERIES:
+        prox = (f"len([p for p in [i for i in range(1, len(k.ts) + 1) "
+                f"if k.ts[i] = '{a}'] "
+                f"if len([q for q in [j for j in range(1, len(k.ts) + 1) "
+                f"if k.ts[j] = '{b}'] if abs(p - q) <= {w}]) > 0]) > 0")
+        _sf.append(f"SELECT s.query_id, s.doc_id, s.score FROM scores s "
+                   f"WHERE s.query_id = {qid} AND EXISTS ("
+                   f"SELECT 1 FROM sdts k WHERE k.doc_id = s.doc_id "
+                   f"AND {prox})")
+    sqls["slop_search"] = f"""
+{_bm25_scores_sql(_sv2)},
+sdts AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '{TOKEN_SQL_RE}') AS ts
+  FROM documents),
+f AS ({' UNION ALL '.join(_sf)}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM f)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # boosted: scores CTE with a per-term boost column; the

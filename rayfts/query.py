@@ -48,7 +48,7 @@ import numpy as np
 
 from . import search as S
 
-_TOKEN = re.compile(r"\"[^\"]*\"|\S+")
+_TOKEN = re.compile(r"\"[^\"]*\"(?:~\d+)?|\S+")
 
 
 def parse_query(q: str) -> dict:
@@ -64,10 +64,20 @@ def parse_query(q: str) -> dict:
     neg_prefixes: list[str] = []
     fuzzy: list[str] = []
     boosts: dict[str, float] = {}
+    slop_phrases: list[tuple[str, str, int]] = []
     for tok in _TOKEN.findall(q):
-        if tok.startswith('"') and tok.endswith('"'):
-            ws = TOKEN_RE.findall(tok[1:-1].lower())
-            if ws:
+        if tok.startswith('"') and '"' in tok[1:]:
+            body, _, slop_s = tok[1:].rpartition('"')
+            ws = TOKEN_RE.findall(body.lower())
+            if not ws:
+                continue
+            if slop_s.startswith("~"):
+                # slop phrase "a b"~N: both words within N tokens
+                if len(ws) != 2:
+                    raise ValueError(
+                        "slop phrases take exactly two words")
+                slop_phrases.append((ws[0], ws[1], int(slop_s[1:])))
+            else:
                 phrases.append(ws)
         elif tok.startswith("-") and len(tok) > 1:
             if tok.endswith("*") and len(tok) > 2:
@@ -107,7 +117,7 @@ def parse_query(q: str) -> dict:
     return {"terms": terms, "phrases": phrases, "neg": neg,
             "facets": facets, "prefixes": prefixes,
             "neg_prefixes": neg_prefixes, "fuzzy": fuzzy,
-            "boosts": boosts}
+            "boosts": boosts, "slop_phrases": slop_phrases}
 
 
 def _intersect_sorted(a: np.ndarray | None,
@@ -170,6 +180,8 @@ def search(index, q: str, k: int = 10, pidx=None,
     rank_terms = list(plan["terms"])
     for ws in plan["phrases"]:
         rank_terms.extend(ws)
+    for a, b, _w in plan["slop_phrases"]:
+        rank_terms.extend((a, b))
     for p in plan["prefixes"]:
         rank_terms.extend(expand_prefix(index, p))
     if plan["fuzzy"]:
@@ -206,6 +218,12 @@ def search(index, q: str, k: int = 10, pidx=None,
             raise ValueError("phrase query needs a positional index")
         from .positions import phrase_doc_counts
         docs, _ = phrase_doc_counts(pidx, ws)
+        allowed = _intersect_sorted(allowed, docs)
+    for a, b, w in plan["slop_phrases"]:
+        if pidx is None:
+            raise ValueError("slop phrase needs a positional index")
+        from .positions import proximity_doc_counts
+        docs, _ = proximity_doc_counts(pidx, a, b, w)
         allowed = _intersect_sorted(allowed, docs)
 
     neg_terms = list(plan["neg"])
@@ -271,6 +289,8 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
     rank_terms = list(plan["terms"])
     for ws in plan["phrases"]:
         rank_terms.extend(ws)
+    for a, b, _w in plan["slop_phrases"]:
+        rank_terms.extend((a, b))
     for p in plan["prefixes"]:
         # per-prefix union over the partitions' lexicons, deduped and
         # lexicographic — exactly the term multiset the monolithic
@@ -318,6 +338,13 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
             raise ValueError("phrase query needs a sharded positional "
                              "index")
         docs, _ = spidx.phrase_counts(ws)
+        allowed = _intersect_sorted(allowed, np.asarray(docs,
+                                                        dtype=np.int64))
+    for a, b, w in plan["slop_phrases"]:
+        if spidx is None:
+            raise ValueError("slop phrase needs a sharded positional "
+                             "index")
+        docs, _ = spidx.proximity_counts(a, b, w)
         allowed = _intersect_sorted(allowed, np.asarray(docs,
                                                         dtype=np.int64))
 

@@ -48,10 +48,13 @@ def test_parse_query():
     p3 = parse_query("a^2 b a^1.5 c^x c^-1")
     assert p3["boosts"] == {"a": 3.0}
     assert p3["terms"] == ["a", "b", "a", "c", "c"]
+    p4 = parse_query('"a b"~3 "c d" x')
+    assert p4["slop_phrases"] == [("a", "b", 3)]
+    assert p4["phrases"] == [["c", "d"]] and p4["terms"] == ["x"]
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
                                "facets": [], "prefixes": [],
                                "neg_prefixes": [], "fuzzy": [],
-                               "boosts": {}}
+                               "boosts": {}, "slop_phrases": []}
 
 
 def test_prefix_expansion(qidx):
@@ -516,3 +519,38 @@ def test_unknown_facet_column_matches_nothing(qidx):
     assert search(idx, f"{vocab[0]} nosuchcol:x", K) == []
     with pytest.raises(ValueError):
         facet_allowlist(idx.index_dir, "nosuchcol", ["x"])
+
+
+def test_slop_phrase(qidx):
+    """"a b"~N restricts to docs where the words co-occur within N
+    tokens (proximity kernel), monolithic and sharded-parity."""
+    from rayfts import search as S
+    from rayfts.positions import proximity_doc_counts
+    from rayfts.query import search
+
+    idx, pidx, _ = qidx
+    vocab = idx.all_terms()
+    # find a pair with a non-trivial proximity set
+    pair = None
+    for a in vocab:
+        for b in vocab[:60]:
+            if a == b:
+                continue
+            d, _ = proximity_doc_counts(pidx, a, b, 4)
+            if 0 < len(d) < idx.num_docs:
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "no proximate pair in fixture?"
+    a, b = pair
+    ok = set(proximity_doc_counts(pidx, a, b, 4)[0].tolist())
+    got = search(idx, f'"{a} {b}"~4 {vocab[0]}', K, pidx=pidx)
+    want = [(s, d) for s, d in
+            S.ranked_or(idx, [a, b, vocab[0]], k=idx.num_docs)
+            if d in ok][:K]
+    assert [d for _, d in got] == [d for _, d in want]
+    with pytest.raises(ValueError):
+        search(idx, '"a b c"~2', K, pidx=pidx)   # 2 words only
+    with pytest.raises(ValueError):
+        search(idx, '"a b"~2', K)                # needs positions
