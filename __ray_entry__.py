@@ -1171,13 +1171,22 @@ def _symbols(sf_dir: str) -> pd.DataFrame:
                            augment=True).to_pandas()
 
 
+#: symbol_stats driver view size (mirrored in the SQL LIMIT)
+SYMSTATS_K = 64
+
+
 def _symbol_stats(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide definition stats per (kind, symbol) — map-side
-    per-doc combine, then ONE symbol-universe-sized groupby."""
-    from rayfts.ops.symbols import extract_symbols, symbol_stats
-    return symbol_stats(
+    per-doc combine, ONE symbol-universe-sized groupby, then a
+    distributed sort/limit: only the top-SYMSTATS_K rows by
+    (n_defs desc, kind, symbol) reach the driver (the vocab-scale
+    aggregate itself stays a Dataset — rayfts/ops/symbols.py
+    symbol_stats_topk)."""
+    from rayfts.ops.symbols import extract_symbols, symbol_stats_topk
+    return symbol_stats_topk(
         extract_symbols(os.path.join(sf_dir, "documents.parquet"),
-                        text_col="text", id_col="doc_id", augment=True))
+                        text_col="text", id_col="doc_id", augment=True),
+        k=SYMSTATS_K)
 
 
 #: k-means gate parameters (mirrored in the SQL oracle)
@@ -2231,7 +2240,9 @@ FROM m GROUP BY 1, 2, 3"""
     sqls["symbol_stats"] = f"""{_sym_base}
 SELECT kind, symbol, count(DISTINCT doc_id)::BIGINT AS n_docs,
        count(*)::BIGINT AS n_defs
-FROM m GROUP BY 1, 2"""
+FROM m GROUP BY 1, 2
+ORDER BY n_defs DESC, kind ASC, symbol ASC
+LIMIT {SYMSTATS_K}"""
 
     # sym: filter — BM25 restricted to docs DEFINING the symbol
     _sym_vals = ", ".join(f"({qid}, '{t}')"

@@ -60,20 +60,23 @@ class QueryStage:
                  facets=None):
         self.index = InvertedIndex(index_dir)
         if allowed is not None:
-            # facet allowlist: sorted internal docIDs, or the ObjectRef
-            # of one (`ray.put` once on the driver, zero-copy read
-            # here — fn_constructor_kwargs don't auto-resolve refs)
-            self.index.allowed = np.asarray(self._resolve(allowed),
-                                            dtype=np.int64)
+            # facet filter: a ``(column, values)`` PREDICATE (resolved
+            # here, inside the actor, against this index's own
+            # docs-meta sidecar — the driver never assembles a docID
+            # array), or a pre-resolved sorted internal-docID array /
+            # ObjectRef of one (fn_constructor_kwargs don't
+            # auto-resolve refs)
+            self.index.allowed = self._resolve(allowed, index_dir)
         # named per-query facet views: shallow copies sharing every
-        # cache with the base reader, each pinned to one pre-resolved
-        # allowlist — a query row's `facet` column selects a view
+        # cache with the base reader, each pinned to one allowlist
+        # resolved actor-side — a query row's `facet` column selects
+        # a view
         self.views: dict[str, InvertedIndex] = {}
         if facets:
             import copy
             for name, arr in facets.items():
                 v = copy.copy(self.index)
-                v.allowed = np.asarray(self._resolve(arr), dtype=np.int64)
+                v.allowed = self._resolve(arr, index_dir)
                 self.views[name] = v
         self.op_name = op
         self.k = k
@@ -85,9 +88,31 @@ class QueryStage:
             self.ranked = True
 
     @staticmethod
-    def _resolve(arr):
+    def _resolve(arr, index_dir: str) -> np.ndarray:
         import ray
-        return ray.get(arr) if isinstance(arr, ray.ObjectRef) else arr
+        if isinstance(arr, ray.ObjectRef):
+            arr = ray.get(arr)
+        if isinstance(arr, tuple) and len(arr) == 2 \
+                and isinstance(arr[0], str):
+            from .facets import facet_allowlist
+            col, values = arr
+            return facet_allowlist(index_dir, col, list(values))
+        return np.asarray(arr, dtype=np.int64)
+
+    def _view(self, fname) -> InvertedIndex:
+        """The serving view for a query row's facet name.  An UNKNOWN
+        name raises — falling back to the unfiltered base would leak
+        documents outside the filter on a typo (named facets are often
+        tenant/lang restrictions); same contract as query.py's
+        'unknown facet matches nothing'."""
+        if not fname:
+            return self.index
+        try:
+            return self.views[fname]
+        except KeyError:
+            raise KeyError(
+                f"unknown facet {fname!r}; registered facets: "
+                f"{sorted(self.views)}") from None
 
     def run(self, qids: list, terms_list: list,
             facet_names: list | None = None) -> "pa.Table":
@@ -98,12 +123,10 @@ class QueryStage:
         out_s: list = []
         k = self.k
         kernel = self.kernel
-        views = self.views
-        base = self.index
         fns = facet_names or [None] * len(qids)
         if self.ranked:
             for qid, terms, fname in zip(qids, terms_list, fns):
-                index = views.get(fname, base) if fname else base
+                index = self._view(fname)
                 res = kernel(index, list(terms), k)
                 n = len(res)
                 out_q.extend([qid] * n)
@@ -112,7 +135,7 @@ class QueryStage:
                 out_s.extend(s for s, _ in res)
         else:
             for qid, terms, fname in zip(qids, terms_list, fns):
-                index = views.get(fname, base) if fname else base
+                index = self._view(fname)
                 for docid in kernel(index, list(terms)):
                     out_q.append(qid)
                     out_r.append(0)
@@ -158,29 +181,24 @@ def run_queries(index_dir: str, queries: list,
     starves the input-feeding tasks and deadlocks the stage.
 
     ``facet=(column, values)`` restricts serving to the matching
-    documents: resolved ONCE on the driver (distributed docs-meta
-    scan), broadcast via ``ray.put``, applied at collect time inside
-    the C kernels with global stats (rayfts/facets.py)."""
+    documents: the PREDICATE ships to the pool and each actor resolves
+    it in ``__init__`` against its own docs-meta sidecar (one local
+    column-pruned pushdown scan, rayfts/facets.py) — the driver never
+    holds a docID array; the filter applies at collect time inside
+    the C kernels with global stats."""
     import ray
 
-    from .facets import facet_allowlist
     cpus = int(ray.cluster_resources().get("CPU", concurrency + 1))
     concurrency = max(1, min(concurrency, cpus - 1))
-    allowed_ref = None
-    if facet is not None:
-        col, values = facet
-        allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
-    facet_refs = None
-    if facets:
-        facet_refs = {
-            name: ray.put(facet_allowlist(index_dir, col, values))
-            for name, (col, values) in facets.items()}
+    facet_preds = ({name: (col, list(values))
+                    for name, (col, values) in facets.items()}
+                   if facets else None)
     ds = queries_dataset(queries, parallelism=concurrency * 2)
     return ds.map_batches(
         QueryStage,
         fn_constructor_kwargs={"index_dir": index_dir, "op": op, "k": k,
-                               "exact": exact, "allowed": allowed_ref,
-                               "facets": facet_refs},
+                               "exact": exact, "allowed": facet,
+                               "facets": facet_preds},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
@@ -201,26 +219,20 @@ class QueryService:
                  facet=None, facets=None):
         """``facet=(col, values)`` restricts the WHOLE pool;
         ``facets={"name": (col, values)}`` registers named filters a
-        query can select per-row — each resolves once on the driver
-        and is broadcast; workers keep shallow views sharing all
-        caches, so N registered facets cost one index's memory."""
+        query can select per-row.  Predicates ship to the workers and
+        each resolves them in ``__init__`` against its own docs-meta
+        sidecar (local pushdown scan) — no driver-side docID array;
+        workers keep shallow views sharing all caches, so N registered
+        facets cost one index's memory."""
         import ray
 
-        from .facets import facet_allowlist
-        allowed_ref = None
-        if facet is not None:
-            # resolve the facet once, share it zero-copy with the pool
-            col, values = facet
-            allowed_ref = ray.put(facet_allowlist(index_dir, col, values))
-        facet_refs = None
-        if facets:
-            facet_refs = {
-                name: ray.put(facet_allowlist(index_dir, col, values))
-                for name, (col, values) in facets.items()}
+        facet_preds = ({name: (col, list(values))
+                        for name, (col, values) in facets.items()}
+                       if facets else None)
         worker = ray.remote(num_cpus=1)(QueryStage)
         self.workers = [
             worker.remote(index_dir, op=op, k=k, exact=exact,
-                          allowed=allowed_ref, facets=facet_refs)
+                          allowed=facet, facets=facet_preds)
             for _ in range(concurrency)]
 
     def warm(self, queries=None) -> None:

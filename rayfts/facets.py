@@ -23,14 +23,18 @@ facet results are a strict subsequence of the unfaceted ranking.  That
 is the contract search engines ship (scoring ignores the filter), and
 it is what the SQL oracle asserts.
 
-Scale shape: the docs-meta scan is one Ray Data pass over
-doc-range-partitioned parquet with only (doc_id, facet columns) read;
-the allowlist that comes back is selectivity-bounded (answer-scale),
-is broadcast once via ``ray.put`` to a serving pool, and membership
-inside kernels is O(log n) per candidate with no per-query rebuild.
-For very low-selectivity facets (say >1/64 of a 10^12-doc corpus) the
-sorted-array form should flip to a compressed bitmap over docID
-ranges; the cutover is a representation swap behind the same
+Scale shape: the predicate resolves INSIDE the serving process that
+owns the index slice — a threaded, column-pruned, predicate-pushdown
+pyarrow scan of that slice's own docs-meta sidecar (the same local
+read discipline as the lexicon shards).  The driver never assembles a
+global docID array: a monolithic pool's actors each resolve against
+the one index they serve, and a doc-partitioned pool's actors resolve
+only their own partition's doc range (sharded._SubSearcher), so
+driver-side facet state is O(partitions) predicates, not O(docs) ids.
+Membership inside kernels is O(log n) per candidate with no per-query
+rebuild.  For very low-selectivity facets (say >1/64 of a 10^12-doc
+corpus) the sorted-array form should flip to a compressed bitmap over
+docID ranges; the cutover is a representation swap behind the same
 ``index.allowed`` contract.
 """
 
@@ -41,7 +45,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -51,30 +54,30 @@ def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
     """Resolve ``column IN values`` over the index's docs-meta sidecar
     to a sorted array of internal docIDs.
 
-    One distributed column-pruned scan of ``<index_dir>/docs`` (the
-    content-free stage-1 checkpoint, build.py:190-197); per-batch
-    filtering is an Arrow ``is_in`` kernel; only matching docIDs leave
-    the tasks."""
+    A LOCAL threaded pyarrow scan of ``<index_dir>/docs`` (the
+    content-free stage-1 checkpoint, build.py:190-197) with column
+    pruning and ``is_in`` predicate pushdown — only matching docIDs
+    ever leave the row groups.  This runs inside the serving process
+    that owns the index slice (a pool actor's ``__init__``, or a
+    doc-partition's _SubSearcher over ITS OWN doc range), so no global
+    docID array is ever assembled on the driver — the driver ships the
+    (column, values) predicate only."""
+    import pyarrow.dataset as pads
+
     docs_dir = os.path.join(index_dir, "docs")
-    first = sorted(f for f in os.listdir(docs_dir)
+    files = sorted(os.path.join(docs_dir, f) for f in os.listdir(docs_dir)
                    if f.endswith(".parquet"))
-    if first:
-        schema = pq.read_schema(os.path.join(docs_dir, first[0]))
-        if column not in schema.names:
-            raise ValueError(
-                f"unknown facet column {column!r}; docs-meta has "
-                f"{[n for n in schema.names]}")
-    vals = list(values)
-
-    def _match(t):
-        m = pc.is_in(t.column(column),
-                     value_set=pa.array(vals, type=t.column(column).type))
-        return t.filter(m).select(["doc_id"])
-
-    ds = rd.read_parquet(docs_dir, columns=["doc_id", column])
-    parts = ds.map_batches(_match, batch_format="pyarrow") \
-              .take_all()
-    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    dset = pads.dataset(files, format="parquet")
+    if column not in dset.schema.names:
+        raise ValueError(
+            f"unknown facet column {column!r}; docs-meta has "
+            f"{[n for n in dset.schema.names]}")
+    vals = pa.array(list(values), type=dset.schema.field(column).type)
+    t = dset.to_table(columns=["doc_id"],
+                      filter=pads.field(column).isin(vals))
+    ids = t.column("doc_id").to_numpy().astype(np.int64, copy=True)
     ids.sort()
     return ids
 
@@ -86,44 +89,24 @@ def facet_allowlist_sharded(parent_dir: str, column: str,
     from each partition's docs-meta, offset by the partition's
     ``doc_base``.
 
-    ONE distributed pass over every partition's meta files (not one
-    Ray job per partition): the read carries file paths, and each
-    batch rebases its rows by the owning partition's doc_base — at
-    256 partitions this is still a single column-pruned scan."""
+    This is the GLOBAL (analytics / in-process-broker) view — serving
+    never calls it.  The distributed pools push the (column, values)
+    predicate into each partition's actor, which resolves only its own
+    doc-range slice via :func:`facet_allowlist` (sharded._SubSearcher),
+    so the concatenated global array below exists only when a caller
+    explicitly asks for it."""
     import json
 
     with open(os.path.join(parent_dir, "sharded.json")) as f:
         meta = json.load(f)
-    base_of = {}
-    files = []
+    parts = []
     for sub in meta["subs"]:
-        d = os.path.normpath(os.path.join(parent_dir, sub["dir"],
-                                          "docs"))
-        base_of[d] = int(sub["doc_base"])
-        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                     if f.endswith(".parquet"))
-    if not files:
+        sub_dir = os.path.join(parent_dir, sub["dir"])
+        parts.append(facet_allowlist(sub_dir, column, values)
+                     + int(sub["doc_base"]))
+    if not parts:
         return np.empty(0, dtype=np.int64)
-    vals = list(values)
-
-    def _match(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t.column(column),
-                     value_set=pa.array(vals, type=t.column(column).type))
-        t = t.filter(m)
-        ids = t.column("doc_id").to_numpy()
-        bases = np.fromiter(
-            (base_of[os.path.normpath(os.path.dirname(p))]
-             for p in t.column("path").to_pylist()),
-            dtype=np.int64, count=t.num_rows)
-        return pa.table({"doc_id": pa.array(ids + bases,
-                                            type=pa.int64())})
-
-    ds = rd.read_parquet(files, columns=["doc_id", column],
-                         include_paths=True)
-    parts = ds.map_batches(_match, batch_format="pyarrow").take_all()
-    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
-    ids.sort()
-    return ids
+    return np.concatenate(parts)
 
 
 def slice_allowed_local(allowed_global: np.ndarray, base: int,
@@ -148,15 +131,21 @@ def facet_counts(index, terms: list, column: str,
     scan of the docs-meta sidecar filtered to the match set — at scale
     a distributed semi-join (match docIDs broadcast once, each meta
     fragment counts its own rows), here one Ray Data pass."""
+    import ray
+
     from . import search as S
 
     docs = S.or_query(index, terms)
     if len(docs) == 0:
         return {}
     ddir = docs_dir or os.path.join(index.index_dir, "docs")
-    hits = np.asarray(docs, dtype=np.int64)   # sorted (or_query output)
+    # broadcast the sorted match set ONCE (ray.put); each counting task
+    # reads it zero-copy from the object store instead of re-shipping
+    # the array inside every serialized task closure
+    hits_ref = ray.put(np.asarray(docs, dtype=np.int64))
 
     def _count(t: pa.Table) -> pa.Table:
+        hits = ray.get(hits_ref)
         ids = t.column("doc_id").to_numpy()
         pos = np.searchsorted(hits, ids)
         pos[pos >= len(hits)] = len(hits) - 1

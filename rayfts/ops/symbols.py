@@ -117,11 +117,18 @@ def extract_symbols(docs_path: str, text_col: str = "text",
         batch_size=None, batch_format="pyarrow")
 
 
-def symbol_stats(sym_ds: rd.Dataset) -> pd.DataFrame:
+def symbol_stats(sym_ds: rd.Dataset) -> rd.Dataset:
     """Corpus-wide definition stats per (kind, symbol): n_docs =
     documents defining it, n_defs = total definitions.  The input rows
     are already per-(doc, kind, symbol) combined, so the single
-    groupby exchanges one row per symbol per doc."""
+    groupby exchanges one row per symbol per doc.
+
+    Returns the LAZY Dataset(kind, symbol, n_docs, n_defs) — the
+    aggregate is VOCABULARY-scale (every distinct symbol in the
+    corpus), which at 10^12 files is far beyond any one process, so it
+    must stay distributed: ``write_parquet`` it, feed further Dataset
+    stages, or take a bounded driver view via
+    :func:`symbol_stats_topk`."""
     from ray.data.aggregate import Count, Sum
 
     def key(t: pa.Table) -> pa.Table:
@@ -131,22 +138,41 @@ def symbol_stats(sym_ds: rd.Dataset) -> pd.DataFrame:
             t.column("symbol").cast(pa.string()), "\x01")
         return pa.table({"k": k, "n": t.column("n")})
 
-    agg = (sym_ds.map_batches(key, batch_size=None,
-                              batch_format="pyarrow")
-           .groupby("k")
-           .aggregate(Count(alias_name="n_docs"),
-                      Sum("n", alias_name="n_defs"))
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(t.column("k").cast(pa.string()),
+                                 "\x01", max_splits=1)
+        return pa.table({
+            "kind": pc.list_element(parts, 0),
+            "symbol": pc.list_element(parts, 1),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_defs": t.column("n_defs").cast(pa.int64())})
+
+    return (sym_ds.map_batches(key, batch_size=None,
+                               batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n", alias_name="n_defs"))
+            .map_batches(split, batch_size=None,
+                         batch_format="pyarrow"))
+
+
+def symbol_stats_topk(sym_ds: rd.Dataset, k: int = 100) -> pd.DataFrame:
+    """Bounded driver view of :func:`symbol_stats`: the k most-defined
+    symbols by (n_defs desc, kind asc, symbol asc — a total order,
+    (kind, symbol) is the group key).  The sort/limit runs
+    distributed; only k rows reach the driver."""
+    out = (symbol_stats(sym_ds)
+           .sort(["n_defs", "kind", "symbol"],
+                 descending=[True, False, False])
+           .limit(k)
            .to_pandas())
-    if len(agg) == 0:
+    if len(out) == 0:
         return pd.DataFrame({"kind": pd.Series([], dtype=object),
                              "symbol": pd.Series([], dtype=object),
                              "n_docs": pd.Series([], dtype=np.int64),
                              "n_defs": pd.Series([], dtype=np.int64)})
-    ks = agg["k"].str.split("\x01", n=1, expand=True)
-    out = pd.DataFrame({"kind": ks[0], "symbol": ks[1],
-                        "n_docs": agg["n_docs"].astype(np.int64),
-                        "n_defs": agg["n_defs"].astype(np.int64)})
-    return out.sort_values(["kind", "symbol"]).reset_index(drop=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,13 @@ def parse_query(q: str) -> dict:
             "boosts": boosts, "slop_phrases": slop_phrases}
 
 
+#: global expansion guards — ONE cap, applied to the GLOBAL candidate
+#: set in both the monolithic and the doc-partitioned layout, so the
+#: two serve bit-identical rankings even past the cap
+PREFIX_CAP = 1024
+FUZZY_CAP = 64
+
+
 def _intersect_sorted(a: np.ndarray | None,
                       b: np.ndarray) -> np.ndarray:
     if a is None:
@@ -127,7 +134,7 @@ def _intersect_sorted(a: np.ndarray | None,
     return a[S._in_sorted(b, a)]
 
 
-def expand_prefix(index, prefix: str, cap: int = 1024) -> list[str]:
+def expand_prefix(index, prefix: str, cap: int = PREFIX_CAP) -> list[str]:
     """Terms starting with ``prefix`` (lexicographic order, at most
     ``cap`` — the multi-term-query expansion guard every engine has).
 
@@ -183,11 +190,11 @@ def search(index, q: str, k: int = 10, pidx=None,
     for a, b, _w in plan["slop_phrases"]:
         rank_terms.extend((a, b))
     for p in plan["prefixes"]:
-        rank_terms.extend(expand_prefix(index, p))
+        rank_terms.extend(expand_prefix(index, p, PREFIX_CAP))
     if plan["fuzzy"]:
         from .fuzzy import expand_fuzzy
         for t in plan["fuzzy"]:
-            rank_terms.extend(expand_fuzzy(index, t))
+            rank_terms.extend(expand_fuzzy(index, t, FUZZY_CAP))
     if not rank_terms:
         return []
 
@@ -228,7 +235,7 @@ def search(index, q: str, k: int = 10, pidx=None,
 
     neg_terms = list(plan["neg"])
     for p in plan["neg_prefixes"]:
-        neg_terms.extend(expand_prefix(index, p))
+        neg_terms.extend(expand_prefix(index, p, PREFIX_CAP))
     denied = None
     if neg_terms:
         denied = S.or_query(index, neg_terms)   # already serve-masked
@@ -267,23 +274,78 @@ def search(index, q: str, k: int = 10, pidx=None,
     return res[offset:] if offset else res
 
 
+#: per-worker-process cache of lightweight sub-index readers for the
+#: stateless probe tasks below (tasks reuse warm workers, so repeated
+#: queries hit warm lexicon/sidecar caches)
+_PROBE_SUBS: dict[str, object] = {}
+
+
+def _probe_one(sub_dir: str, kind: str, arg: str, cap: int):
+    """One partition-local expansion/sidecar probe: ``prefix`` /
+    ``fuzzy`` return term lists, ``sym`` returns LOCAL docIDs."""
+    idx = _PROBE_SUBS.get(sub_dir)
+    if idx is None:
+        from .index import InvertedIndex
+        idx = _PROBE_SUBS[sub_dir] = InvertedIndex(sub_dir)
+    if kind == "prefix":
+        return expand_prefix(idx, arg, cap)
+    if kind == "fuzzy":
+        from .fuzzy import expand_fuzzy
+        return expand_fuzzy(idx, arg, cap)
+    from .ops.symbols import symbol_allowlist
+    return symbol_allowlist(idx, arg)
+
+
+_PROBE_REMOTE = None
+
+
+def _probe_subs(sharded, probes: list[tuple]) -> dict[tuple, list]:
+    """Fan every (partition × probe) lookup out as Ray tasks and gather
+    in ONE ``ray.get`` round — at 256 partitions a fuzzy query pays one
+    parallel round, not 256 sequential sidecar reads on the driver.
+    -> {(kind, arg): [per-partition result, in partition order]}."""
+    if not probes:
+        return {}
+    import ray
+
+    global _PROBE_REMOTE
+    if _PROBE_REMOTE is None:
+        _PROBE_REMOTE = ray.remote(num_cpus=0.5)(_probe_one)
+    dirs = [sharded.sub_dir(i) for i in range(len(sharded))]
+    futs = [_PROBE_REMOTE.remote(d, kind, arg, cap)
+            for (kind, arg, cap) in probes for d in dirs]
+    got = ray.get(futs)
+    n = len(dirs)
+    return {(kind, arg): got[j * n:(j + 1) * n]
+            for j, (kind, arg, _cap) in enumerate(probes)}
+
+
 def search_sharded(sharded, q: str, k: int = 10, spidx=None,
                    op: str = "maxscore", prec=None):
     """The unified query language over the doc-partitioned layout
     (rayfts/sharded.py ShardedIndex): parse once, compile every
-    constraint to GLOBAL docID sets, then scatter-gather — each
-    partition serves with its rebased allow/deny slices and the
-    global-stats handshake, so results equal the monolithic
-    `search()` bit-for-bit.
+    constraint, then scatter-gather — each partition serves with its
+    rebased allow/deny slices and the global-stats handshake, so
+    results equal the monolithic `search()` bit-for-bit, INCLUDING
+    queries whose wildcard/fuzzy expansion exceeds the cap:
 
-    * wildcard expansion unions each partition's term-range lexicon
-      probe and dedupes (a term present in several partitions is one
-      query term);
+    * wildcard/fuzzy expansion unions each partition's (capped)
+      lexicon probe, then applies the SAME global cap and ordering the
+      monolithic path uses.  This is exact: any term in the global
+      first-``cap`` is, within its own partition, preceded only by
+      terms that also precede it globally (fewer than ``cap`` of
+      them), so it survives its partition's cap and the capped union
+      contains the whole global selection;
+    * all per-partition probes (wildcards, fuzzy, ``sym:``) fan out as
+      Ray tasks in one gather round — no sequential per-partition
+      driver loop;
     * phrases need ``spidx`` (ShardedPositionalIndex — global docs);
-    * facets resolve once across all partitions' docs-meta.
+    * metadata facets ship as predicates and resolve per-partition
+      inside the serve loop (each partition scans only its OWN
+      docs-meta; no global docID array is assembled).
     """
     from . import search as S
-    from .facets import facet_allowlist_sharded, slice_allowed_local
+    from .facets import slice_allowed_local
 
     plan = parse_query(q)
     rank_terms = list(plan["terms"])
@@ -291,48 +353,44 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
         rank_terms.extend(ws)
     for a, b, _w in plan["slop_phrases"]:
         rank_terms.extend((a, b))
+
+    # one batched probe round for everything partition-local
+    sym_vals = [v for col, vals in plan["facets"] if col == "sym"
+                for v in vals]
+    probes = list(dict.fromkeys(
+        [("prefix", p, PREFIX_CAP)
+         for p in plan["prefixes"] + plan["neg_prefixes"]]
+        + [("fuzzy", t, FUZZY_CAP) for t in plan["fuzzy"]]
+        + [("sym", v, 0) for v in sym_vals]))
+    probed = _probe_subs(sharded, probes)
+
     for p in plan["prefixes"]:
-        # per-prefix union over the partitions' lexicons, deduped and
-        # lexicographic — exactly the term multiset the monolithic
-        # expand_prefix produces
-        seen: set = set()
-        for i in range(len(sharded)):
-            seen.update(expand_prefix(sharded.sub(i), p))
-        rank_terms.extend(sorted(seen))
-    if plan["fuzzy"]:
-        # per-term union over the partitions' deletion sidecars
-        # (each partition indexes its own vocabulary); exact-first
-        # ordering like the monolithic expand_fuzzy
-        from .fuzzy import expand_fuzzy
-        for t in plan["fuzzy"]:
-            seen = set()
-            for i in range(len(sharded)):
-                seen.update(expand_fuzzy(sharded.sub(i), t))
-            exp = sorted(seen)
-            if t in seen:
-                exp.remove(t)
-                exp.insert(0, t)
-            rank_terms.extend(exp)
+        seen = set().union(*probed[("prefix", p)])
+        rank_terms.extend(sorted(seen)[:PREFIX_CAP])
+    for t in plan["fuzzy"]:
+        seen = set().union(*probed[("fuzzy", t)])
+        exp = sorted(seen)
+        if t in seen:                 # exact match ranks first
+            exp.remove(t)
+            exp.insert(0, t)
+        rank_terms.extend(exp[:FUZZY_CAP])
     if not rank_terms:
         return []
 
     allowed = None
+    facet_preds = []                  # resolved per-partition below
     for col, vals in plan["facets"]:
         if col == "sym":
             # per-partition symbol sidecars, rebased to global docIDs
-            from .ops.symbols import symbol_allowlist
-            hits = []
-            for i, base in enumerate(sharded.bases):
-                sub = sharded.sub(i)
-                for v in vals:
-                    hits.append(symbol_allowlist(sub, v) + base)
+            hits = [arr + base
+                    for v in vals
+                    for base, arr in zip(sharded.bases,
+                                         probed[("sym", v)])]
             hit = (np.unique(np.concatenate(hits)) if hits
                    else np.empty(0, dtype=np.int64))
             allowed = _intersect_sorted(allowed, hit)
             continue
-        allowed = _intersect_sorted(
-            allowed,
-            facet_allowlist_sharded(sharded.parent_dir, col, vals))
+        facet_preds.append((col, vals))
     for ws in plan["phrases"]:
         if spidx is None:
             raise ValueError("phrase query needs a sharded positional "
@@ -350,8 +408,8 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
 
     neg_terms = list(plan["neg"])
     for p in plan["neg_prefixes"]:
-        for i in range(len(sharded)):
-            neg_terms.extend(expand_prefix(sharded.sub(i), p))
+        seen = set().union(*probed[("prefix", p)])
+        neg_terms.extend(sorted(seen)[:PREFIX_CAP])
     denied = (sharded.or_docs(sorted(set(neg_terms)))
               if neg_terms else None)
 
@@ -365,13 +423,33 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
     per_sub = []
     for i, base in enumerate(sharded.bases):
         sub = sharded.sub(i)
+        # metadata facets: THIS partition's slice only, resolved from
+        # its own docs-meta (memoized per sub reader) — the same
+        # 'unknown facet column matches nothing' contract as search()
+        local_allow = (slice_allowed_local(allowed, base, sub.num_docs)
+                       if allowed is not None else None)
+        for col, vals in facet_preds:
+            memo = getattr(sub, "_facets_memo", None)
+            if memo is None:
+                memo = sub._facets_memo = {}
+            key = (col, tuple(vals))
+            hit = memo.get(key)
+            if hit is None:
+                from .facets import facet_allowlist
+                try:
+                    hit = facet_allowlist(sub.index_dir, col, vals)
+                except ValueError:
+                    hit = np.empty(0, dtype=np.int64)
+                memo[key] = hit
+            local_allow = (hit if local_allow is None
+                           else _intersect_sorted(local_allow, hit))
         view = sub
-        if allowed is not None or denied is not None:
+        if local_allow is not None or denied is not None:
             view = copy.copy(sub)
-            if allowed is not None:
-                la = slice_allowed_local(allowed, base, sub.num_docs)
-                view.allowed = (la if view.allowed is None else
-                                _intersect_sorted(view.allowed, la))
+            if local_allow is not None:
+                view.allowed = (local_allow if view.allowed is None else
+                                _intersect_sorted(view.allowed,
+                                                  local_allow))
             if denied is not None:
                 ld = slice_allowed_local(denied, base, sub.num_docs)
                 d = view.deleted
@@ -437,19 +515,21 @@ class SearchService:
 
     def run(self, queries: list, chunk: int = 32) -> list:
         """queries: [(qid, query_string)]; -> [(qid, [(score, doc)])]
-        in input order."""
+        in input order.  Results are keyed by INPUT POSITION, so
+        duplicate query_ids each get their own row (they don't
+        collapse to the last duplicate's hits)."""
         import ray
         futs = []
         for i, lo in enumerate(range(0, len(queries), chunk)):
             part = queries[lo:lo + chunk]
             w = self.workers[i % len(self.workers)]
-            futs.append(w.run.remote([q for q, _ in part],
-                                     [s for _, s in part]))
-        got: dict = {}
-        for res in ray.get(futs):
-            for qid, hits in res:
-                got[qid] = hits
-        return [(qid, got.get(qid, [])) for qid, _ in queries]
+            futs.append((lo, w.run.remote([q for q, _ in part],
+                                          [s for _, s in part])))
+        out: list = [None] * len(queries)
+        for (lo, _), res in zip(futs, ray.get([f for _, f in futs])):
+            for off, (qid, hits) in enumerate(res):
+                out[lo + off] = (qid, hits)
+        return out
 
     def shutdown(self) -> None:
         import ray

@@ -354,6 +354,9 @@ class ShardedIndex:
     def __len__(self):
         return len(self.meta["subs"])
 
+    def sub_dir(self, i: int) -> str:
+        return os.path.join(self.parent_dir, self.meta["subs"][i]["dir"])
+
     def sub(self, i: int) -> InvertedIndex:
         idx = self._subs.get(i)
         if idx is None:
@@ -393,33 +396,21 @@ class _SubSearcher:
     reader, answers batches over its slice, returns global docids."""
 
     def __init__(self, parent_dir: str, i: int, op: str, k: int,
-                 allowed_global=None, facets_global=None):
+                 allowed=None, facets=None):
         import copy
 
         from . import search as S
         self.idx = open_sub(parent_dir, i)
         self.base = self.idx.doc_base
-        if allowed_global is not None:
-            # the shared global facet array (broadcast once via
-            # ray.put, auto-resolved in actor args); this actor keeps
-            # only its partition's rebased slice
-            from .facets import slice_allowed_local
-            self.idx.allowed = slice_allowed_local(
-                allowed_global, self.base, self.idx.num_docs)
+        if allowed is not None:
+            self.idx.allowed = self._resolve(allowed)
         # named per-query facets: shallow views sharing every cache,
-        # each pinned to this partition's rebased slice of one global
-        # allowlist
+        # each pinned to this partition's own slice of the filter
         self.views: dict[str, InvertedIndex] = {}
-        if facets_global:
-            import ray as _ray
-
-            from .facets import slice_allowed_local
-            for name, arr in facets_global.items():
-                if isinstance(arr, _ray.ObjectRef):
-                    arr = _ray.get(arr)
+        if facets:
+            for name, arr in facets.items():
                 v = copy.copy(self.idx)
-                v.allowed = slice_allowed_local(arr, self.base,
-                                                self.idx.num_docs)
+                v.allowed = self._resolve(arr)
                 self.views[name] = v
         self.fn = {"ranked_or": S.ranked_or_fast,
                    "ranked_and": S.ranked_and_fast,
@@ -427,12 +418,43 @@ class _SubSearcher:
                    "block_max_wand": S.block_max_wand_fast}[op]
         self.k = k
 
+    def _resolve(self, arr) -> np.ndarray:
+        """This partition's LOCAL allowlist from a facet spec: a
+        ``(column, values)`` predicate resolves against THIS
+        partition's own docs-meta sidecar (one local pushdown scan —
+        the actor only ever materializes its own doc-range slice, the
+        driver ships the predicate); a pre-resolved GLOBAL sorted
+        array (or its ObjectRef, broadcast once via ray.put) is sliced
+        and rebased."""
+        if isinstance(arr, ray.ObjectRef):
+            arr = ray.get(arr)
+        if isinstance(arr, tuple) and len(arr) == 2 \
+                and isinstance(arr[0], str):
+            from .facets import facet_allowlist
+            col, values = arr
+            return facet_allowlist(self.idx.index_dir, col, list(values))
+        from .facets import slice_allowed_local
+        return slice_allowed_local(arr, self.base, self.idx.num_docs)
+
+    def _view(self, fname) -> InvertedIndex:
+        """Unknown facet names RAISE (they would otherwise silently
+        serve unfiltered — a document leak when named facets are
+        tenant/lang restrictions); same contract as engine.QueryStage."""
+        if not fname:
+            return self.idx
+        try:
+            return self.views[fname]
+        except KeyError:
+            raise KeyError(
+                f"unknown facet {fname!r}; registered facets: "
+                f"{sorted(self.views)}") from None
+
     def run(self, qids: list, terms_list: list,
             facet_names: list | None = None):
         out = []
         fns = facet_names or [None] * len(qids)
         for qid, terms, fname in zip(qids, terms_list, fns):
-            idx = self.views.get(fname, self.idx) if fname else self.idx
+            idx = self._view(fname)
             res = self.fn(idx, terms, self.k)
             out.append((qid, [(float(s), self.base + d) for s, d in res]))
         return out
@@ -449,27 +471,25 @@ class ShardedSearcher:
                  facets=None):
         with open(os.path.join(parent_dir, SHARDED_META)) as f:
             meta = json.load(f)
-        from .facets import facet_allowlist_sharded
-        allowed_ref = None
-        if facet is not None:
-            # resolve the facet once over every partition's docs-meta,
-            # broadcast the global sorted array; each actor slices its
-            # own partition's range
-            col, values = facet
-            allowed_ref = ray.put(
-                facet_allowlist_sharded(parent_dir, col, values))
-        facet_refs = None
-        if facets:
-            # named per-query filters: one global resolution each,
-            # broadcast once (refs inside a dict arg are not
-            # auto-resolved; _SubSearcher ray.gets them)
-            facet_refs = {
-                name: ray.put(
-                    facet_allowlist_sharded(parent_dir, col, values))
-                for name, (col, values) in facets.items()}
+        # facet specs ship as (column, values) PREDICATES: each
+        # partition actor resolves its own doc-range slice from its
+        # own docs-meta sidecar in __init__ — the driver never holds
+        # (or broadcasts) a global docID array, its facet state is
+        # O(1) predicates.  Pre-resolved arrays still work (broadcast
+        # once via ray.put, sliced per actor) for callers that
+        # computed a custom doc set.
+        def _spec(v):
+            if isinstance(v, tuple) and len(v) == 2 \
+                    and isinstance(v[0], str):
+                return (v[0], list(v[1]))
+            return ray.put(np.asarray(v, dtype=np.int64))
+
+        facet_spec = _spec(facet) if facet is not None else None
+        facet_specs = ({name: _spec(v) for name, v in facets.items()}
+                       if facets else None)
         actor = ray.remote(_SubSearcher).options(num_cpus=num_cpus)
-        self.actors = [actor.remote(parent_dir, i, op, k, allowed_ref,
-                                    facet_refs)
+        self.actors = [actor.remote(parent_dir, i, op, k, facet_spec,
+                                    facet_specs)
                        for i in range(len(meta["subs"]))]
         self.k = k
 

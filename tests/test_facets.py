@@ -408,3 +408,104 @@ def test_collapsed_topk(faceted):
     ok = set(int(x) for x in faceted["allowed"])
     assert all(d in ok for _, d, _ in got)
     assert collapsed_topk(clean, ["zz_missing"], "lang") == []
+
+
+def test_no_driver_side_facet_resolution(faceted, sharded_faceted,
+                                         monkeypatch):
+    """The distributed pools ship facet PREDICATES: the driver process
+    never resolves a global docID allowlist (its facet state is
+    O(partitions), not O(docs)).  Asserted by poisoning both resolvers
+    in the driver process — actor processes import their own module
+    copy, so construction + serving only pass if resolution happens
+    actor-side — then checking ranking parity with the pre-resolved
+    view."""
+    import rayfts.facets as F
+    from rayfts import search as S
+    from rayfts.engine import QueryService
+    from rayfts.sharded import ShardedSearcher
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "driver-side global facet resolution is forbidden")
+
+    monkeypatch.setattr(F, "facet_allowlist", _boom)
+    monkeypatch.setattr(F, "facet_allowlist_sharded", _boom)
+
+    view = faceted["view"]
+    parent, _, _ = sharded_faceted
+    vocab = faceted["clean"].all_terms()
+    queries = [(i, [vocab[i], vocab[2 * i + 3]]) for i in range(4)]
+    pred = ("lang", list(faceted["langs"]))
+
+    svc = ShardedSearcher(parent, op="maxscore", k=K, facet=pred,
+                          facets={"l": pred})
+    try:
+        svc.warm()
+        for qid, res in svc.run(queries):
+            want = S.maxscore_fast(view, queries[qid][1], K)
+            assert [(float(s), int(d)) for s, d in res] == \
+                [(float(s), int(d)) for s, d in want], qid
+    finally:
+        svc.shutdown()
+
+    qsvc = QueryService(faceted["idx_dir"], op="maxscore", k=K,
+                        concurrency=2, facet=pred, facets={"l": pred})
+    try:
+        qsvc.warm()
+        t = qsvc.run(queries)
+        got: dict = {}
+        for qid, r, d in zip(t.column("query_id").to_pylist(),
+                             t.column("rank").to_pylist(),
+                             t.column("doc_id").to_pylist()):
+            got.setdefault(qid, []).append((r, int(d)))
+        for qid, terms in queries:
+            want = [d for _, d in S.maxscore_fast(view, terms, K)]
+            assert [d for _, d in sorted(got.get(qid, []))] == want, qid
+    finally:
+        qsvc.shutdown()
+
+
+def test_unknown_facet_name_raises(faceted, sharded_faceted):
+    """A query row naming an UNREGISTERED facet raises instead of
+    silently serving unfiltered (a typo must not leak documents past
+    a tenant/lang restriction) — QueryStage and _SubSearcher alike."""
+    import pytest as _pytest
+
+    from rayfts.engine import QueryStage
+    from rayfts.sharded import ShardedSearcher
+
+    vocab = faceted["clean"].all_terms()
+    pred = ("lang", list(faceted["langs"]))
+    stage = QueryStage(faceted["idx_dir"], op="maxscore", k=K,
+                       facets={"l": pred})
+    t = stage.run([0], [[vocab[0], vocab[1]]], ["l"])
+    assert t.num_rows > 0
+    with _pytest.raises(KeyError, match="unknown facet"):
+        stage.run([0], [[vocab[0]]], ["typo"])
+
+    parent, _, _ = sharded_faceted
+    svc = ShardedSearcher(parent, op="maxscore", k=K,
+                          facets={"l": pred})
+    try:
+        svc.warm()
+        with _pytest.raises(Exception, match="unknown facet"):
+            svc.run([(0, [vocab[0]], "typo")])
+    finally:
+        svc.shutdown()
+
+
+def test_query_stage_predicate_equals_array(faceted):
+    """QueryStage(allowed=(col, values)) — the predicate resolved
+    inside the stage — serves exactly the pre-resolved array view."""
+    from rayfts import search as S
+    from rayfts.engine import QueryStage
+
+    view = faceted["view"]
+    vocab = faceted["clean"].all_terms()
+    stage = QueryStage(faceted["idx_dir"], op="maxscore", k=K,
+                       allowed=("lang", list(faceted["langs"])))
+    assert stage.index.allowed.tolist() == faceted["allowed"].tolist()
+    terms = [vocab[0], vocab[4], vocab[-1]]
+    t = stage.run([7], [terms])
+    want = S.maxscore_fast(view, terms, K)
+    assert t.column("doc_id").to_pylist() == [d for _, d in want]

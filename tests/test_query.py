@@ -554,3 +554,80 @@ def test_slop_phrase(qidx):
         search(idx, '"a b c"~2', K, pidx=pidx)   # 2 words only
     with pytest.raises(ValueError):
         search(idx, '"a b"~2', K)                # needs positions
+
+
+def test_expansion_past_cap_sharded_identical(qidx, tmp_path_factory,
+                                              monkeypatch):
+    """Shrink the global expansion caps below the expansion sizes:
+    the sharded path must select exactly the monolithic term set
+    (ONE global cap over the deduped union of per-partition capped
+    probes — each partition's cap is a superset guard, the union's
+    first-cap is the global first-cap), so rankings stay bit-identical
+    even past the cap."""
+    import rayfts.query as Q
+    from rayfts.fuzzy import build_fuzzy_sidecar, expand_fuzzy
+    from rayfts.query import expand_prefix, search, search_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    idx, _, _ = qidx
+    src = corpus_parquet(150, seed=77)
+    parent = str(tmp_path_factory.mktemp("qcap_sharded"))
+    build_sharded_index(src, parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    sharded = ShardedIndex(parent)
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    for i in range(len(sharded)):
+        build_fuzzy_sidecar(sharded.sub(i).index_dir, num_shards=4)
+
+    vocab = idx.all_terms()
+    # a prefix that expands past the (shrunk) cap
+    pre = vocab[0][:1]
+    n_pre = len(expand_prefix(idx, pre, cap=10**9))
+    assert n_pre > 3, "fixture vocabulary too thin for the cap test"
+    # a fuzzy probe with more neighbors than the (shrunk) cap, if any
+    fuzzy_probe = None
+    for t in vocab[:40]:
+        if len(expand_fuzzy(idx, t[1:], cap=10**9)) > 2:
+            fuzzy_probe = t[1:]
+            break
+
+    monkeypatch.setattr(Q, "PREFIX_CAP", 3)
+    monkeypatch.setattr(Q, "FUZZY_CAP", 2)
+    t1 = vocab[len(vocab) // 2]
+    queries = [f"{pre}* {t1}", f"{t1} -{pre}*"]
+    if fuzzy_probe is not None:
+        queries.append(f"{fuzzy_probe}~ {t1}")
+    for qs in queries:
+        want = [(float(s), int(d))
+                for s, d in search(idx, qs, k=K, op="maxscore")]
+        got = [(float(s), int(d))
+               for s, d in search_sharded(sharded, qs, k=K,
+                                          op="maxscore")]
+        assert got == want, qs
+
+
+def test_search_service_duplicate_qids(qidx):
+    """Duplicate query_ids in one run() call each keep their own
+    results (keyed by input position, not qid)."""
+    from rayfts.query import SearchService, search
+
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    q_a = f"{vocab[0]} {vocab[1]}"
+    q_b = f"{vocab[2]} {vocab[3]}"
+    svc = SearchService(idx.index_dir, op="maxscore", k=K,
+                        concurrency=2)
+    try:
+        svc.warm()
+        out = svc.run([(1, q_a), (1, q_b), (2, q_a)], chunk=1)
+    finally:
+        svc.shutdown()
+    assert [qid for qid, _ in out] == [1, 1, 2]
+    want_a = [(float(s), int(d))
+              for s, d in search(idx, q_a, k=K, op="maxscore")]
+    want_b = [(float(s), int(d))
+              for s, d in search(idx, q_b, k=K, op="maxscore")]
+    assert out[0][1] == want_a
+    assert out[1][1] == want_b            # would be want_a pre-fix
+    assert out[2][1] == want_a

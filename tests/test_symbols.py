@@ -52,7 +52,7 @@ def test_symbol_stats_distributed(ray_session, tmp_path):
         pa.table({"doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
                   "text": pa.array([x for _, x in DOCS], pa.string())}),
         p, row_group_size=2)
-    got = symbol_stats(extract_symbols(p))
+    got = symbol_stats(extract_symbols(p)).to_pandas()
     want = {}
     for d, k, s, n in _brute():
         docs, defs = want.get((k, s), (0, 0))
@@ -62,6 +62,16 @@ def test_symbol_stats_distributed(ray_session, tmp_path):
     assert got_rows == want
     # alpha is defined in two docs
     assert got_rows[("function", "alpha")] == (2, 2)
+
+    # the bounded driver view: top-k by (n_defs desc, kind, symbol) —
+    # the vocab-scale aggregate itself never lands on the driver
+    from rayfts.ops.symbols import symbol_stats_topk
+    topk = symbol_stats_topk(extract_symbols(p), k=3)
+    full = sorted(((k, s, d, n) for (k, s), (d, n) in want.items()),
+                  key=lambda r: (-r[3], r[0], r[1]))
+    assert [(r.kind, r.symbol, int(r.n_docs), int(r.n_defs))
+            for r in topk.itertuples()] == \
+        [(k, s, d, n) for k, s, d, n in full[:3]]
 
 
 def test_augmentation_is_deterministic_and_extractable():
