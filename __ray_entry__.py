@@ -1008,6 +1008,49 @@ def _ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_cosine_topk(_emb_ds(sf_dir), qv, k=K)
 
 
+#: recall-gate parameters: probe-heavy configs (the synthetic
+#: embeddings are weakly clustered, so sparse probing has near-zero
+#: recall by construction) and thresholds with margin below the
+#: measured per-query minima at sf0.001/sf0.01 (4 and 6 resp.)
+LSH_RECALL = {"num_planes": 4, "num_probes": 6, "min_hits": 3}
+IVF_RECALL = {"num_clusters": 16, "nprobe": 8, "min_hits": 4}
+
+
+def _ann_queries(sf_dir: str) -> np.ndarray:
+    qdf = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    return np.array(qdf["embedding"].tolist(), dtype=np.float64)
+
+
+def _ann_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 gate for multi-probe LSH vs the (separately oracled)
+    brute-force top-k: (query_id, meets) with meets = overlap >=
+    min_hits.  Deterministic given the fixed seed, so the SQL oracle
+    asserts TRUE for every query — a recall regression in the LSH
+    path turns this row red instead of being unmeasured."""
+    from rayfts.ops.ann import ann_recall, brute_cosine_topk, \
+        lsh_cosine_topk
+    qv = _ann_queries(sf_dir)
+    brute = brute_cosine_topk(_emb_ds(sf_dir), qv, k=K)
+    lsh = lsh_cosine_topk(_emb_ds(sf_dir), qv, k=K,
+                          num_planes=LSH_RECALL["num_planes"],
+                          num_probes=LSH_RECALL["num_probes"])
+    return ann_recall(lsh, brute, LSH_RECALL["min_hits"])
+
+
+def _ann_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 gate for IVF (see _ann_lsh_recall)."""
+    from rayfts.ops.ann import ann_recall, brute_cosine_topk, \
+        ivf_cosine_topk
+    qv = _ann_queries(sf_dir)
+    brute = brute_cosine_topk(_emb_ds(sf_dir), qv, k=K)
+    ivf = ivf_cosine_topk(_emb_ds(sf_dir), qv, k=K,
+                          num_clusters=IVF_RECALL["num_clusters"],
+                          nprobe=IVF_RECALL["nprobe"])
+    return ann_recall(ivf, brute, IVF_RECALL["min_hits"])
+
+
 def _hybrid_rrf(sf_dir: str) -> pd.DataFrame:
     """Hybrid retrieval: BM25 top-20 over `documents` (text query) and
     brute-force cosine top-20 over `embeddings` (the query document's
@@ -1625,6 +1668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symbol_stats": _symbol_stats,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
+        "ann_lsh_recall": _ann_lsh_recall,
+        "ann_ivf_recall": _ann_ivf_recall,
         # text analysis / multimodal
         "text_quality": _quality,
         "repetition_stats": _repetition,
@@ -2161,6 +2206,16 @@ topk AS (
                             ORDER BY cos_q DESC, vec_id ASC) AS rank
   FROM sims)
 SELECT query_id, rank, vec_id, cos_q FROM topk WHERE rank <= {K}"""
+
+    # recall gates: the approximate retrievers are not SQL-expressible,
+    # but their recall vs the (oracled) brute-force top-k is a
+    # deterministic fact under fixed seeds — the oracle asserts every
+    # query meets the threshold, so a recall regression hash-mismatches
+    _recall_true = """
+SELECT query_id, TRUE AS meets
+FROM (VALUES (0), (1), (2), (3), (4)) q(query_id)"""
+    sqls["ann_lsh_recall"] = _recall_true
+    sqls["ann_ivf_recall"] = _recall_true
 
     from rayfts.ops.fusion import POOL as _POOL, RRF_C as _RRF_C
     sqls["hybrid_rrf_topk"] = f"""

@@ -241,13 +241,27 @@ def lsh_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
     proj = qn @ hasher.planes.T
     qbits = proj > 0
     qsig = (qbits * (1 << np.arange(num_planes))).sum(axis=1)
-    # probe sequence per query: exact bucket, then flip the lowest-
-    # |margin| planes one at a time (most likely misassigned bits)
-    probes = np.empty((len(qn), max(1, num_probes)), dtype=np.int64)
+    # probe sequence per query (multi-probe LSH, Lv et al. VLDB'07):
+    # exact bucket first, then perturbation sets of 1-2 bit flips
+    # ordered by total |margin| of the flipped planes (the bits most
+    # likely misassigned come first); num_probes clamps to the number
+    # of distance<=2 perturbations available
+    singles = [(j,) for j in range(num_planes)]
+    pairs = [(i, j) for i in range(num_planes)
+             for j in range(i + 1, num_planes)]
+    cands = singles + pairs
+    num_probes = max(1, min(num_probes, 1 + len(cands)))
+    probes = np.empty((len(qn), num_probes), dtype=np.int64)
     probes[:, 0] = qsig
-    order = np.argsort(np.abs(proj), axis=1)
-    for p in range(1, max(1, num_probes)):
-        probes[:, p] = qsig ^ (1 << order[:, p - 1])
+    am = np.abs(proj)
+    for qi in range(len(qn)):
+        cost = sorted(cands, key=lambda c: (sum(am[qi, j] for j in c),
+                                            c))
+        for p in range(1, num_probes):
+            flip = 0
+            for j in cost[p - 1]:
+                flip |= 1 << j
+            probes[qi, p] = qsig[qi] ^ flip
     q_ref = ray.put((qn, probes))
     if concurrency is None:
         concurrency = max(2, int(_ray.cluster_resources()
@@ -291,6 +305,24 @@ def lsh_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1)
         out.append(g[["query_id", "rank", id_col, "cos_q"]])
     return pd.concat(out, ignore_index=True)
+
+
+def ann_recall(approx: pd.DataFrame, brute: pd.DataFrame, min_hits: int,
+               id_col: str = "vec_id") -> pd.DataFrame:
+    """Per-query recall gate for an approximate retriever: overlap of
+    its top-k ids with the brute-force top-k, thresholded ->
+    ``(query_id, meets)``.  Both inputs are deterministic (seeded
+    hyperplanes/centroids, quantized tie-breaks), so ``meets`` is a
+    stable, oracle-checkable fact — a recall regression in the
+    approximate path flips it to False."""
+    qids = sorted(set(int(q) for q in brute["query_id"]))
+    rows = []
+    for qi in qids:
+        bs = set(brute.loc[brute["query_id"] == qi, id_col])
+        gs = (set(approx.loc[approx["query_id"] == qi, id_col])
+              if len(approx) else set())
+        rows.append({"query_id": qi, "meets": len(bs & gs) >= min_hits})
+    return pd.DataFrame(rows, columns=["query_id", "meets"])
 
 
 # ---------------------------------------------------------------------------

@@ -473,3 +473,41 @@ def test_kmeans_quantized_batch_invariant(ray_session):
     for r in range(3):
         assert len(set(lab[r::3])) == 1
     assert len(set(lab[:3])) == 3
+
+
+def test_lsh_multiprobe_past_single_flips(ray_session):
+    """num_probes beyond num_planes+1 extends to distance-2
+    perturbation sets (cost-ordered) instead of crashing, and more
+    probes never hurt recall."""
+    import ray.data as rd
+
+    from rayfts.ops.ann import ann_recall, brute_cosine_topk, \
+        lsh_cosine_topk
+    rng = np.random.RandomState(9)
+    d, k = 16, 10
+    centers = rng.normal(size=(30, d))
+    m = np.repeat(centers, 10, axis=0) + rng.normal(
+        scale=0.05, size=(300, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array(m.tolist(), type=pa.list_(pa.float64()))}))
+    q = centers[:3] + rng.normal(scale=0.02, size=(3, d))
+    exact = brute_cosine_topk(ds, q, k=k)
+
+    def hits(probes):
+        got = lsh_cosine_topk(ds, q, k=k, num_planes=6,
+                              num_probes=probes, concurrency=2)
+        return sum(
+            len(set(exact[exact.query_id == qi]["vec_id"])
+                & set(got[got.query_id == qi]["vec_id"]))
+            for qi in range(3))
+
+    h_single, h_deep = hits(7), hits(20)     # 7 = planes+1 boundary
+    assert h_deep >= h_single
+    # ann_recall: thresholded per-query gate over the same overlap
+    got = lsh_cosine_topk(ds, q, k=k, num_planes=6, num_probes=20,
+                          concurrency=2)
+    r = ann_recall(got, exact, min_hits=0)
+    assert r["meets"].all() and len(r) == 3
+    r_hi = ann_recall(got, exact, min_hits=k + 1)
+    assert not r_hi["meets"].any()
