@@ -1435,8 +1435,14 @@ def _window_agg(sf_dir: str) -> pd.DataFrame:
 
 
 def _sessionize(sf_dir: str) -> pd.DataFrame:
-    from rayfts.ops.events import sessionize
-    return sessionize(_events_ds(sf_dir), SESSION_GAP_US).to_pandas()
+    """Gap sessionization via the SKEW-BOUNDED two-phase path
+    (rayfts/ops/events.py sessionize_chunked — per-(user, time-chunk)
+    local sessions, session-scale boundary merge); output identical to
+    the single-group sessionize(), asserted in tests with a bot-user
+    fixture."""
+    from rayfts.ops.events import sessionize_chunked
+    return sessionize_chunked(_events_ds(sf_dir),
+                              SESSION_GAP_US).to_pandas()
 
 
 def _asof_join(sf_dir: str) -> pd.DataFrame:

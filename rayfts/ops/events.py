@@ -15,9 +15,11 @@ correctness).  All three are expressed Ray-Data-first:
     the canonical distributed shape for per-key ordered logic (Ray
     hash-partitions users across the cluster; each group's kernel is
     vectorized numpy over that user's sorted events).  Per-user event
-    counts bound the group size; a pathological single-user firehose
-    would need docID-style salting + session stitching, noted here as
-    the scale escape hatch.
+    counts bound the group size; for the pathological single-user
+    firehose, ``sessionize_chunked`` is the skew-bounded variant:
+    group by (user, time-chunk), emit chunk-local session intervals,
+    stitch across boundaries in a session-scale merge — identical
+    output, largest task bounded by rate x chunk, not user volume.
 
 Timestamps flow as int64 microseconds (``epoch_us`` in the oracle) —
 no timezone or float round-trip anywhere.
@@ -114,6 +116,84 @@ def sessionize(events_ds, gap_us: int, ts_col: str = "ts",
 
     return events_ds.groupby(user_col).map_groups(
         per_user, batch_format="pandas")
+
+
+def sessionize_chunked(events_ds, gap_us: int, chunk_us: int | None = None,
+                       ts_col: str = "ts", user_col: str = "user_id",
+                       id_col: str = "event_id"):
+    """Skew-bounded sessionization — identical output to
+    :func:`sessionize` (asserted in tests), but no task ever holds one
+    user's whole history:
+
+    1. group by ``(user, ts // chunk_us)``: a firehose user (bot,
+       misconfigured client) splits across time chunks, so the largest
+       task is one chunk of one user — bounded by the user's event
+       RATE × chunk_us, not by their total volume;
+    2. each chunk emits its local sessions as intervals (start, end,
+       n_events) — SESSION-scale rows, at most one per gap;
+    3. one groupby(user) merge pass stitches sessions that touch chunk
+       boundaries (next.start - prev.end <= gap_us; intervals inside a
+       chunk are already > gap apart) and ranks session_ids.
+
+    The phase-3 group is session-scale: a user must stay active for
+    chunk_us (default 1024 gaps) to produce ONE boundary row, so even
+    the bot case is ~(time range / chunk_us) rows, not events.
+    ``chunk_us`` must be > gap_us."""
+    if chunk_us is None:
+        chunk_us = gap_us * 1024
+    if chunk_us <= gap_us:
+        raise ValueError("chunk_us must exceed gap_us")
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t.column(ts_col))
+        return t.append_column(
+            "chunk", pa.array(ts // chunk_us, type=pa.int64()))
+
+    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "start_us": pd.Series([], dtype=np.int64),
+            "end_us": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values([ts_col, id_col])
+        ts = _ts_us(g[ts_col])
+        brk = np.ones(len(ts), dtype=np.int64)
+        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts)) - 1
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), int(g[user_col].iloc[0]),
+                               dtype=np.int64),
+            "n_events": (ends - starts + 1).astype(np.int64),
+            "start_us": ts[starts],
+            "end_us": ts[ends]})
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("start_us")
+        starts = g["start_us"].to_numpy()
+        ends = g["end_us"].to_numpy()
+        ns = g["n_events"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        brk[1:] = (starts[1:] - ends[:-1] > gap_us).astype(np.int64)
+        first = np.flatnonzero(brk)
+        last = np.append(first[1:], len(g)) - 1
+        return pd.DataFrame({
+            "user_id": np.full(len(first), int(g["user_id"].iloc[0]),
+                               dtype=np.int64),
+            "session_id": np.arange(1, len(first) + 1, dtype=np.int64),
+            "n_events": np.add.reduceat(ns, first).astype(np.int64),
+            "start_us": starts[first],
+            "end_us": ends[last]})
+
+    local = (events_ds
+             .map_batches(add_chunk, batch_size=None,
+                          batch_format="pyarrow")
+             .groupby([user_col, "chunk"])
+             .map_groups(per_chunk, batch_format="pandas"))
+    return local.groupby("user_id").map_groups(
+        merge_user, batch_format="pandas")
 
 
 def asof_latest(events_ds, left_type: str = "click",

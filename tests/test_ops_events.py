@@ -159,3 +159,58 @@ def test_funnel_vs_bruteforce(ray_session):
         "value": pa.array([0.0, 0.0], type=pa.float64())})
     assert len(funnel(rd.from_arrow(t), ["view", "click"])
                .to_pandas()) == 0
+
+
+def test_sessionize_chunked_identical_and_skew_bounded(ray_session):
+    """sessionize_chunked == sessionize on the fixture AND on a skewed
+    log where one bot user dominates the table (events spanning many
+    time chunks, incl. sessions crossing chunk boundaries and ts
+    ties at boundaries), while no phase-1 group ever exceeds one
+    user-chunk."""
+    import ray.data as rd
+
+    from rayfts.ops.events import sessionize, sessionize_chunked
+
+    gap = 30 * MIN
+
+    def canon(df):
+        return sorted(map(tuple, df[["user_id", "session_id",
+                                     "n_events", "start_us",
+                                     "end_us"]].to_numpy().tolist()))
+
+    # fixture parity (chunk barely above the gap: many boundaries)
+    a = sessionize(rd.from_arrow(_table()), gap).to_pandas()
+    b = sessionize_chunked(rd.from_arrow(_table()), gap,
+                           chunk_us=31 * MIN).to_pandas()
+    assert canon(a) == canon(b)
+
+    # skewed log: bot user 7 fires every 2 min for ~8000 events with
+    # periodic 31-min silences (session breaks), two normal users
+    rng = np.random.RandomState(4)
+    rows = []
+    t = 0
+    for i in range(8000):
+        rows.append((10_000 + i, t, 7, "view", 0.5))
+        t += 2 * MIN if (i % 97) else 31 * MIN
+    for i in range(40):
+        rows.append((30_000 + i, int(rng.randint(0, t)), 8, "click", 1.0))
+        rows.append((40_000 + i, int(rng.randint(0, t)), 9, "view", 1.0))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+    want = sessionize(rd.from_arrow(tbl), gap).to_pandas()
+    got = sessionize_chunked(rd.from_arrow(tbl), gap,
+                             chunk_us=200 * MIN).to_pandas()
+    assert canon(want) == canon(got)
+    # the bot split into many chunks: phase-1 group bound holds
+    n_chunks = len(set(int(r[1]) // (200 * MIN) for r in rows
+                       if r[2] == 7))
+    assert n_chunks > 20
+    # chunk_us must exceed gap_us
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize_chunked(rd.from_arrow(tbl), gap, chunk_us=gap)
