@@ -1326,6 +1326,40 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return decoded.to_pandas()
 
 
+def _multimodal_png(sf_dir: str) -> pd.DataFrame:
+    """REAL PNG decode end-to-end (rayfts/ops/stdmedia.py — stdlib
+    zlib codec, all five scanline filters): doc_id-keyed valid PNG
+    bytes are synthesized, decoded by the actor pool, and the DECODED
+    pixel statistics must equal the oracle's closed-form sums."""
+    from rayfts.ops.multimodal import (PngStatsStage,
+                                       real_decode_pipeline,
+                                       synth_png_batch)
+    out = real_decode_pipeline(_docs_ds(sf_dir), PngStatsStage,
+                               synth_png_batch).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _multimodal_wav(sf_dir: str) -> pd.DataFrame:
+    """REAL WAV (PCM) decode end-to-end (stdlib wave module)."""
+    from rayfts.ops.multimodal import (WavStatsStage,
+                                       real_decode_pipeline,
+                                       synth_wav_batch)
+    out = real_decode_pipeline(_docs_ds(sf_dir), WavStatsStage,
+                               synth_wav_batch).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
+    """REAL JPEG/GIF/BMP header parsing (SOF scan / logical screen
+    descriptor / DIB header) over synthesized valid header bytes."""
+    from rayfts.ops.multimodal import (ImageMetaStage,
+                                       real_decode_pipeline,
+                                       synth_image_headers_batch)
+    out = real_decode_pipeline(_docs_ds(sf_dir), ImageMetaStage,
+                               synth_image_headers_batch).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _aug_docs_ds(sf_dir: str):
     """documents with the deterministic PII fixture applied (the synth
     corpus has no PII; codescan.augment_pii_batch injects doc_id-keyed
@@ -1685,6 +1719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _fingerprints,
         "byte_stats": _byte_stats,
         "multimodal_decode": _multimodal_decode,
+        "multimodal_png": _multimodal_png,
+        "multimodal_wav": _multimodal_wav,
+        "multimodal_image_meta": _multimodal_image_meta,
         # code-corpus scrubbing / decontamination / span dedup
         "pii_scan": _pii_scan,
         "pii_redact": _pii_redact,
@@ -2634,6 +2671,47 @@ WITH c AS (
 SELECT doc_id, 64 + c % 1024 AS width, 64 + (c // 1024) % 1024 AS height,
        1 + c % 4 AS channels
 FROM c"""
+
+    # decoded-pixel sums computed arithmetically: the Ray side round-
+    # trips REAL PNG bytes (rayfts/ops/stdmedia.py), the oracle rebuilds
+    # the pixel formula over generate_series — any codec/filter bug
+    # breaks pix_sum/pix_wsum
+    sqls["multimodal_png"] = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents),
+g AS (SELECT i FROM generate_series(0, 16 * 9 * 4 - 1) t(i)),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.c, g.i,
+         (d.doc_id * 7 + (g.i // d.c) * d.c + (g.i % d.c) * 11) % 256 AS p
+  FROM d JOIN g ON g.i < d.w * d.h * d.c)
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       any_value(c) AS channels,
+       sum(p)::BIGINT AS pix_sum, sum((i + 1) * p)::BIGINT AS pix_wsum
+FROM px GROUP BY doc_id"""
+
+    sqls["multimodal_wav"] = """
+WITH d AS (
+  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+         64 + doc_id % 97 AS n
+  FROM documents),
+g AS (SELECT i FROM generate_series(0, 64 + 96 - 1) t(i)),
+s AS (
+  SELECT d.doc_id, d.rate, d.n, g.i,
+         (d.doc_id * 31 + g.i * 17) % 2048 - 1024 AS v
+  FROM d JOIN g ON g.i < d.n)
+SELECT doc_id, any_value(n) AS n_samples, any_value(rate) AS sample_rate,
+       sum(abs(v))::BIGINT AS abs_sum, sum((i + 1) * v)::BIGINT AS wsum
+FROM s GROUP BY doc_id"""
+
+    sqls["multimodal_image_meta"] = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif'
+            ELSE 'bmp' END AS format,
+       16 + doc_id % 997 AS width, 16 + doc_id % 613 AS height,
+       CASE doc_id % 3 WHEN 2 THEN 4 ELSE 3 END AS channels
+FROM documents"""
 
     # --- code-corpus scrubbing ops -------------------------------------
     from rayfts.ops.codescan import (PII_AUGMENT_SQL, PII_SQL_RE,

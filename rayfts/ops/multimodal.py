@@ -102,3 +102,194 @@ def decode_pipeline(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow", batch_size=256, concurrency=(2, pool))
     meta = payloads.select_columns([id_col, "n_bytes"])
     return decoded, meta
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths (rayfts/ops/stdmedia.py: stdlib-only PNG/WAV codecs
+# + JPEG/GIF/BMP header parsers).  The fixtures below synthesize VALID
+# media bytes deterministically from doc_id, so the driver's DuckDB
+# oracle can compute the expected decoded statistics arithmetically
+# (generate_series) while the Ray side round-trips actual bytes — a
+# codec regression breaks the hash match.
+# ---------------------------------------------------------------------------
+
+def _png_params(doc_id: int) -> tuple[int, int, int]:
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    c = (1, 3, 4)[doc_id % 3]
+    return w, h, c
+
+
+def synth_png_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(doc_id) -> (doc_id, payload): REAL PNG bytes.  Pixel i (flat,
+    row-major, channel-minor) = (doc_id*7 + (i//C)*C + (i%C)*11) % 256;
+    row r uses scanline filter (doc_id + r) % 5, so decode exercises
+    every unfilter path."""
+    from rayfts.ops.stdmedia import encode_png
+
+    ids = t.column(id_col).to_pylist()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        w, h, c = _png_params(d)
+        i = np.arange(w * h * c, dtype=np.int64)
+        px = ((d * 7 + (i // c) * c + (i % c) * 11) % 256).astype(np.uint8)
+        img = px.reshape(h, w, c)
+        payloads.append(encode_png(img, [(d + r) % 5 for r in range(h)]))
+    return pa.table({id_col: pa.array([int(x) for x in ids], pa.int64()),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class PngStatsStage:
+    """Actor-pool stage: REAL PNG decode (zlib inflate + unfilter) ->
+    per-image stats.  pix_sum / pix_wsum are over the DECODED array,
+    so a wrong filter inversion or chunk parse shows up in the values,
+    not just the dims."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rayfts.ops.stdmedia import decode_png
+
+        ids, ws, hs, cs, sums, wsums = [], [], [], [], [], []
+        for d, p in zip(t.column(self.id_col).to_pylist(),
+                        t.column("payload").to_pylist()):
+            img = decode_png(p)
+            h, w, c = img.shape
+            flat = img.reshape(-1).astype(np.int64)
+            ids.append(int(d)); ws.append(w); hs.append(h); cs.append(c)
+            sums.append(int(flat.sum()))
+            wsums.append(int(((np.arange(len(flat)) + 1) * flat).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
+            "pix_wsum": pa.array(wsums, pa.int64())})
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 64 + doc_id % 97
+    return rate, n
+
+
+def synth_wav_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(doc_id) -> (doc_id, payload): REAL RIFF/WAVE PCM bytes.
+    Sample i = ((doc_id*31 + i*17) % 2048) - 1024 (int16 mono)."""
+    from rayfts.ops.stdmedia import encode_wav
+
+    ids = t.column(id_col).to_pylist()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        rate, n = _wav_params(d)
+        i = np.arange(n, dtype=np.int64)
+        s = ((d * 31 + i * 17) % 2048 - 1024).astype(np.int16)
+        payloads.append(encode_wav(s, rate))
+    return pa.table({id_col: pa.array([int(x) for x in ids], pa.int64()),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class WavStatsStage:
+    """Actor-pool stage: REAL WAV decode (stdlib wave) -> per-clip
+    stats over the decoded samples."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rayfts.ops.stdmedia import decode_wav
+
+        ids, ns, rates, abss, wsums = [], [], [], [], []
+        for d, p in zip(t.column(self.id_col).to_pylist(),
+                        t.column("payload").to_pylist()):
+            s, rate = decode_wav(p)
+            mono = s[:, 0].astype(np.int64)
+            ids.append(int(d)); ns.append(len(mono)); rates.append(rate)
+            abss.append(int(np.abs(mono).sum()))
+            wsums.append(int(((np.arange(len(mono)) + 1) * mono).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "abs_sum": pa.array(abss, pa.int64()),
+            "wsum": pa.array(wsums, pa.int64())})
+
+
+def _hdr_params(doc_id: int) -> tuple[str, int, int, int]:
+    w = 16 + doc_id % 997
+    h = 16 + doc_id % 613
+    fmt = ("jpeg", "gif", "bmp")[doc_id % 3]
+    c = 3 if fmt in ("jpeg", "gif") else 4
+    return fmt, w, h, c
+
+
+def synth_image_headers_batch(t: pa.Table,
+                              id_col: str = "doc_id") -> pa.Table:
+    """(doc_id) -> (doc_id, payload): VALID JPEG/GIF/BMP header bytes
+    (SOI+SOF0 / logical screen descriptor / DIB header) — what a
+    metadata-extraction stage sees before any pixel decode."""
+    import struct as st
+
+    ids = t.column(id_col).to_pylist()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        fmt, w, h, c = _hdr_params(d)
+        if fmt == "jpeg":
+            sof = st.pack(">BHHB", 8, h, w, c) + b"\x01\x11\x00" * c
+            p = (b"\xff\xd8\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+                 + b"\xff\xd9")
+        elif fmt == "gif":
+            p = b"GIF89a" + st.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+        else:
+            p = (b"BM" + st.pack("<IHHI", 70, 0, 0, 54)
+                 + st.pack("<IiiHH", 40, w, h, 1, c * 8)
+                 + b"\x00" * 24)
+        payloads.append(p)
+    return pa.table({id_col: pa.array([int(x) for x in ids], pa.int64()),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class ImageMetaStage:
+    """Actor-pool stage: REAL header parse (rayfts/ops/stdmedia.py
+    image_meta) -> (doc_id, format, width, height, channels)."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rayfts.ops.stdmedia import image_meta
+
+        ids, fmts, ws, hs, cs = [], [], [], [], []
+        for d, p in zip(t.column(self.id_col).to_pylist(),
+                        t.column("payload").to_pylist()):
+            fmt, w, h, c = image_meta(p)
+            ids.append(int(d)); fmts.append(fmt)
+            ws.append(w); hs.append(h); cs.append(c)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "format": pa.array(fmts, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "channels": pa.array(cs, pa.int64())})
+
+
+def real_decode_pipeline(docs_ds, stage_cls, synth_fn,
+                         id_col: str = "doc_id"):
+    """ids -> synthesized real media bytes -> actor-pool decode.
+    Small batches (binary rows); pool sized to the node like
+    decode_pipeline."""
+    payloads = docs_ds.select_columns([id_col]).map_batches(
+        lambda t: synth_fn(t, id_col), batch_format="pyarrow")
+    try:
+        import ray as _ray
+        pool = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:        # pragma: no cover - ray not initialised
+        pool = 2
+    return payloads.map_batches(
+        stage_cls, fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow", batch_size=256, concurrency=(2, pool))

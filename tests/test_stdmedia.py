@@ -1,0 +1,159 @@
+"""Byte-level tests for the stdlib-only REAL media codecs
+(rayfts/ops/stdmedia.py) and the multimodal fixture stages built on
+them.  No Ray needed."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayfts.ops import stdmedia as sm
+
+
+def _rand_img(rng, h, w, c):
+    a = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a[:, :, 0] if c == 1 and rng.rand() < 0.5 else a
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_channels(channels):
+    rng = np.random.RandomState(7 + channels)
+    for h, w in [(1, 1), (3, 5), (17, 9), (32, 32)]:
+        img = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+        out = sm.decode_png(sm.encode_png(img))
+        assert out.shape == (h, w, channels)
+        np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(ftype):
+    rng = np.random.RandomState(100 + ftype)
+    img = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    data = sm.encode_png(img, filter_types=[ftype] * 11)
+    np.testing.assert_array_equal(sm.decode_png(data), img)
+
+
+def test_png_roundtrip_mixed_filters():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(25, 7, 4), dtype=np.uint8)
+    data = sm.encode_png(img, filter_types=list(range(25)))
+    np.testing.assert_array_equal(sm.decode_png(data), img)
+
+
+def test_png_grayscale_2d_input():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 6), dtype=np.uint8)
+    out = sm.decode_png(sm.encode_png(img))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_png_crc_validation():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(sm.encode_png(img))
+    data[20] ^= 0xFF                       # corrupt IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        sm.decode_png(bytes(data))
+
+
+def test_png_palette_decode():
+    # hand-build a palette (color type 3) PNG: 2x2, 3-entry palette
+    import struct
+    import zlib
+
+    from rayfts.ops.stdmedia import _PNG_SIG, _chunk
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    data = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    img = sm.decode_png(data)
+    assert img.shape == (2, 2, 3)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(img[0, 1], [0, 255, 0])
+    np.testing.assert_array_equal(img[1, 0], [0, 0, 255])
+    np.testing.assert_array_equal(img[1, 1], [255, 0, 0])
+
+
+def test_image_meta_png():
+    img = np.zeros((12, 34, 3), dtype=np.uint8)
+    fmt, w, h, c = sm.image_meta(sm.encode_png(img))
+    assert (fmt, w, h, c) == ("png", 34, 12, 3)
+
+
+def test_image_meta_jpeg_gif_bmp():
+    from rayfts.ops.multimodal import _hdr_params, synth_image_headers_batch
+    t = pa.table({"doc_id": pa.array(list(range(30)), pa.int64())})
+    out = synth_image_headers_batch(t)
+    for d, p in zip(out.column("doc_id").to_pylist(),
+                    out.column("payload").to_pylist()):
+        fmt, w, h, c = _hdr_params(int(d))
+        assert sm.image_meta(p) == (fmt, w, h, c)
+
+
+def test_image_meta_rejects_garbage():
+    with pytest.raises(ValueError):
+        sm.image_meta(b"not an image at all")
+
+
+def test_resize_nearest():
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = sm.resize_nearest(img, (2, 3))
+    assert out.shape == (2, 3)
+    np.testing.assert_array_equal(out, img[::2, ::2])
+    up = sm.resize_nearest(img, (8, 6))
+    assert up.shape == (8, 6)
+    np.testing.assert_array_equal(up[::2], img)
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_wav_roundtrip(nch):
+    rng = np.random.RandomState(11 + nch)
+    s = rng.randint(-32768, 32768, size=(500, nch)).astype(np.int16)
+    data = sm.encode_wav(s if nch > 1 else s[:, 0], rate=22050)
+    out, rate = sm.decode_wav(data)
+    assert rate == 22050
+    np.testing.assert_array_equal(out, s.astype(np.int32))
+
+
+def test_audio_features():
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    tone = (np.sin(2 * np.pi * 440 * t) * 10000).astype(np.int16)
+    f = sm.audio_features(tone.astype(np.int32).reshape(-1, 1), rate)
+    assert abs(f["duration_s"] - 1.0) < 1e-9
+    assert abs(f["spectral_centroid_hz"] - 440) < 15
+    assert f["zero_crossings"] == pytest.approx(880, abs=4)
+    assert f["rms"] == pytest.approx(10000 / np.sqrt(2), rel=0.01)
+
+
+def test_png_fixture_stage_matches_formula():
+    """The driver entry's invariant, Ray-free: synth -> REAL decode ->
+    stats equal the closed-form the SQL oracle computes."""
+    from rayfts.ops.multimodal import (PngStatsStage, _png_params,
+                                       synth_png_batch)
+    ids = list(range(40))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = PngStatsStage()(synth_png_batch(t))
+    for row in out.to_pylist():
+        d = row["doc_id"]
+        w, h, c = _png_params(d)
+        i = np.arange(w * h * c, dtype=np.int64)
+        px = (d * 7 + (i // c) * c + (i % c) * 11) % 256
+        assert (row["width"], row["height"], row["channels"]) == (w, h, c)
+        assert row["pix_sum"] == int(px.sum())
+        assert row["pix_wsum"] == int(((i + 1) * px).sum())
+
+
+def test_wav_fixture_stage_matches_formula():
+    from rayfts.ops.multimodal import (WavStatsStage, _wav_params,
+                                       synth_wav_batch)
+    ids = list(range(40))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = WavStatsStage()(synth_wav_batch(t))
+    for row in out.to_pylist():
+        d = row["doc_id"]
+        rate, n = _wav_params(d)
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 17) % 2048 - 1024
+        assert (row["n_samples"], row["sample_rate"]) == (n, rate)
+        assert row["abs_sum"] == int(np.abs(s).sum())
+        assert row["wsum"] == int(((i + 1) * s).sum())
