@@ -1014,6 +1014,10 @@ def _ann_ivf(sf_dir: str) -> pd.DataFrame:
 #: measured per-query minima at sf0.001/sf0.01 (4 and 6 resp.)
 LSH_RECALL = {"num_planes": 4, "num_probes": 6, "min_hits": 3}
 IVF_RECALL = {"num_clusters": 16, "nprobe": 8, "min_hits": 4}
+#: banding for the near-dup LSH recall gate: 16 bands x 4 hyperplane
+#: bits gives ~0.93 pair recall at tau=0.35 (measured at sf0.001/0.01;
+#: the theoretical 1-(1-p^4)^16 with p = 1 - acos(0.35)/pi is 0.91)
+EMB_LSH_GATE = {"num_planes": 64, "bands": 16, "min_recall": 0.85}
 
 
 def _ann_queries(sf_dir: str) -> np.ndarray:
@@ -1110,6 +1114,31 @@ def _embedding_dups_lsh(sf_dir: str) -> pd.DataFrame:
     out["cos_q"] = _quantize(out["cos"])
     return (out[["a", "b", "cos_q"]].sort_values(["a", "b"])
             .reset_index(drop=True))
+
+
+def _embedding_dup_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Pair-level recall gate for the LSH near-dup path vs the exact
+    block-pair sweep at the same tau (the _embedding_dups oracle):
+    one row (n_exact, meets) with meets = found/exact >=
+    EMB_LSH_GATE["min_recall"].  Deterministic given the fixed seed;
+    the SQL oracle recomputes n_exact exactly via the self-join and
+    asserts meets — an LSH recall regression turns this row red
+    instead of being unmeasured (VERDICT r03 #6 pattern)."""
+    from rayfts.ops.ann import embedding_pairs_lsh
+    exact = _embedding_dups(sf_dir)
+    lsh = embedding_pairs_lsh(_emb_ds(sf_dir), tau=0.35,
+                              num_planes=EMB_LSH_GATE["num_planes"],
+                              bands=EMB_LSH_GATE["bands"]).to_pandas()
+    ex = set(zip(exact["a"].astype(np.int64),
+                 exact["b"].astype(np.int64)))
+    got = set(zip(lsh["a"].astype(np.int64),
+                  lsh["b"].astype(np.int64)))
+    n_exact = len(ex)
+    found = len(ex & got)
+    meets = (found >= EMB_LSH_GATE["min_recall"] * n_exact
+             if n_exact else True)
+    return pd.DataFrame({"n_exact": [np.int64(n_exact)],
+                         "meets": [bool(meets)]})
 
 
 #: substring (distributed grep) workload — embedded in the SQL oracle.
@@ -1697,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _simhash,
         "embedding_dup_pairs": _embedding_dups,
         "embedding_dup_pairs_lsh": _embedding_dups_lsh,
+        "embedding_dup_lsh_recall": _embedding_dup_lsh_recall,
         # similarity search
         "ann_topk": _ann_topk,
         "hybrid_rrf_topk": _hybrid_rrf,
@@ -2259,6 +2289,11 @@ SELECT query_id, TRUE AS meets
 FROM (VALUES (0), (1), (2), (3), (4)) q(query_id)"""
     sqls["ann_lsh_recall"] = _recall_true
     sqls["ann_ivf_recall"] = _recall_true
+
+    sqls["embedding_dup_lsh_recall"] = """
+SELECT count(*)::BIGINT AS n_exact, TRUE AS meets
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"""
 
     from rayfts.ops.fusion import POOL as _POOL, RRF_C as _RRF_C
     sqls["hybrid_rrf_topk"] = f"""

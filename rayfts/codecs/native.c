@@ -23,6 +23,7 @@
 typedef int64_t i64;
 
 static int g_simd = -1;   /* -1 unprobed, 0 scalar, 1 avx2 */
+static int g_bmi2 = -1;   /* -1 unprobed, 0 portable, 1 bmi2 select */
 
 int rayfts_simd_mode(void) {
 #ifdef RAYFTS_X86
@@ -34,8 +35,9 @@ int rayfts_simd_mode(void) {
 }
 
 void rayfts_simd_set(int on) {
-    if (!on) { g_simd = 0; return; }
+    if (!on) { g_simd = 0; g_bmi2 = 0; return; }
     g_simd = -1;
+    g_bmi2 = -1;
     rayfts_simd_mode();
 }
 
@@ -810,9 +812,16 @@ typedef struct {
     i64 dwin_len, fwin_len;
 } lzdesc;
 
-/* ---- bounded bit scans over uint64 words ---- */
+/* ---- bounded bit scans over uint64 words ----
+ *
+ * Two tiers, runtime-dispatched like the AVX2 block decoders: the
+ * portable loop walks set bits one at a time; the BMI2 tier skips
+ * whole words by popcount and selects the k-th bit of the final word
+ * with PDEP (the classic select-in-word trick, cf. the broadword
+ * select behind ds2i's succinct bit_vector).  rayfts_simd_set(0)
+ * forces the portable tier so tests can assert identical output. */
 
-static i64 scan1_from(const uint64_t *w, i64 pos, i64 k) {
+static i64 scan1_from_portable(const uint64_t *w, i64 pos, i64 k) {
     /* absolute position of the k-th (0-based) one at/after pos */
     i64 wi = pos >> 6;
     int bi = (int)(pos & 63);
@@ -829,7 +838,7 @@ static i64 scan1_from(const uint64_t *w, i64 pos, i64 k) {
     }
 }
 
-static i64 scan0_from(const uint64_t *w, i64 pos, i64 k) {
+static i64 scan0_from_portable(const uint64_t *w, i64 pos, i64 k) {
     i64 wi = pos >> 6;
     int bi = (int)(pos & 63);
     uint64_t word = (~w[wi]) >> bi;
@@ -843,6 +852,57 @@ static i64 scan0_from(const uint64_t *w, i64 pos, i64 k) {
         wi++; bi = 0;
         word = ~w[wi];
     }
+}
+
+#ifdef RAYFTS_X86
+__attribute__((target("bmi2,popcnt")))
+static i64 scan1_from_bmi2(const uint64_t *w, i64 pos, i64 k) {
+    i64 wi = pos >> 6;
+    uint64_t word = w[wi] & (~0ULL << (pos & 63));
+    for (;;) {
+        i64 pc = (i64)__builtin_popcountll(word);
+        if (k < pc)
+            return (wi << 6) +
+                   __builtin_ctzll(_pdep_u64(1ULL << k, word));
+        k -= pc;
+        word = w[++wi];
+    }
+}
+
+__attribute__((target("bmi2,popcnt")))
+static i64 scan0_from_bmi2(const uint64_t *w, i64 pos, i64 k) {
+    i64 wi = pos >> 6;
+    uint64_t word = (~w[wi]) & (~0ULL << (pos & 63));
+    for (;;) {
+        i64 pc = (i64)__builtin_popcountll(word);
+        if (k < pc)
+            return (wi << 6) +
+                   __builtin_ctzll(_pdep_u64(1ULL << k, word));
+        k -= pc;
+        word = ~w[++wi];
+    }
+}
+
+static inline int bmi2_mode(void) {
+    if (g_bmi2 < 0)
+        g_bmi2 = (rayfts_simd_mode() &&
+                  __builtin_cpu_supports("bmi2")) ? 1 : 0;
+    return g_bmi2;
+}
+#endif
+
+static inline i64 scan1_from(const uint64_t *w, i64 pos, i64 k) {
+#ifdef RAYFTS_X86
+    if (bmi2_mode()) return scan1_from_bmi2(w, pos, k);
+#endif
+    return scan1_from_portable(w, pos, k);
+}
+
+static inline i64 scan0_from(const uint64_t *w, i64 pos, i64 k) {
+#ifdef RAYFTS_X86
+    if (bmi2_mode()) return scan0_from_bmi2(w, pos, k);
+#endif
+    return scan0_from_portable(w, pos, k);
 }
 
 static i64 popcount_range(const uint64_t *w, i64 start, i64 end) {

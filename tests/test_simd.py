@@ -92,3 +92,37 @@ def test_mixed_magnitude_blocks():
             assert e1 == e2 == end
             np.testing.assert_array_equal(a, b)
             np.testing.assert_array_equal(a, vals)
+
+
+@pytest.mark.parametrize("index_type", ["ef", "single", "uniform", "opt"])
+def test_bmi2_select_vs_portable_scan(index_type):
+    """The BMI2 select tier (popcount word-skip + PDEP select in
+    scan1_from/scan0_from) must traverse the EF/PEF bit-level layouts
+    identically to the portable bit-walk: full lazy walks and
+    arbitrary-order next_geq probes byte-for-byte equal with
+    simd_set(True) vs simd_set(False)."""
+    from rayfts.codecs.lazy import (
+        decode_all_lazy, encoded_from_bytes, probe_geq_lazy,
+    )
+    from rayfts.codecs.posting import encode_posting_list
+
+    rng = np.random.RandomState(41)
+    for n, num_docs in [(5, 1_000), (129, 100_000), (1000, 2_000_000),
+                        (5000, 6_000), (4096, 4096)]:
+        docs = np.sort(rng.choice(num_docs, n, replace=False)).astype(np.int64)
+        freqs = rng.zipf(1.7, size=n).clip(1, 50).astype(np.int64)
+        db, fb = encode_posting_list(index_type, docs, freqs, num_docs)
+        probes = rng.randint(0, num_docs + 1, size=200).astype(np.int64)
+
+        out = []
+        for on in (True, False):
+            nl.simd_set(on)
+            el = encoded_from_bytes(index_type, db, fb, num_docs)
+            gd, gf = decode_all_lazy(el, num_docs)
+            el2 = encoded_from_bytes(index_type, db, fb, num_docs)
+            pos, val, fq = probe_geq_lazy(el2, num_docs, probes)
+            out.append((gd, gf, pos, val, fq))
+        for a, b in zip(out[0], out[1]):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(out[0][0], docs)
+        np.testing.assert_array_equal(out[0][1], freqs)
