@@ -1378,6 +1378,21 @@ def _multimodal_wav(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _multimodal_jpeg(sf_dir: str) -> pd.DataFrame:
+    """REAL baseline JPEG pixel decode end-to-end
+    (rayfts/ops/jpegcodec.py — Huffman entropy decode, dequantize,
+    IDCT): doc_id-keyed valid JFIF bytes are synthesized (constant per
+    8x8 block, quality 50), decoded by the actor pool, and the DECODED
+    pixel statistics must equal the oracle's closed-form quantization
+    round trip clamp(2*floor((v-128)/2 + 0.5) + 128)."""
+    from rayfts.ops.multimodal import (JpegStatsStage,
+                                       real_decode_pipeline,
+                                       synth_jpeg_batch)
+    out = real_decode_pipeline(_docs_ds(sf_dir), JpegStatsStage,
+                               synth_jpeg_batch).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _multimodal_image_meta(sf_dir: str) -> pd.DataFrame:
     """REAL JPEG/GIF/BMP header parsing (SOF scan / logical screen
     descriptor / DIB header) over synthesized valid header bytes."""
@@ -1751,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _multimodal_decode,
         "multimodal_png": _multimodal_png,
         "multimodal_wav": _multimodal_wav,
+        "multimodal_jpeg": _multimodal_jpeg,
         "multimodal_image_meta": _multimodal_image_meta,
         # code-corpus scrubbing / decontamination / span dedup
         "pii_scan": _pii_scan,
@@ -2739,6 +2755,27 @@ s AS (
 SELECT doc_id, any_value(n) AS n_samples, any_value(rate) AS sample_rate,
        sum(abs(v))::BIGINT AS abs_sum, sum((i + 1) * v)::BIGINT AS wsum
 FROM s GROUP BY doc_id"""
+
+    sqls["multimodal_jpeg"] = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh
+  FROM documents),
+g AS (SELECT i FROM generate_series(0, 4 * 3 - 1) t(i)),
+b AS (  -- one row per 8x8 block: raster index i, grid position, value
+  SELECT d.doc_id, 8 * d.bw AS w, 8 * d.bh AS h, g.i,
+         g.i % d.bw AS bc, g.i // d.bw AS br,
+         (d.doc_id * 7 + g.i * 13) % 256 AS v
+  FROM d JOIN g ON g.i < d.bw * d.bh),
+p AS (  -- closed-form decode of a DC-only block at quality 50 (q00=16)
+  SELECT doc_id, w, h, br, bc,
+         LEAST(255, GREATEST(0,
+             2 * FLOOR((v - 128) / 2.0 + 0.5) + 128))::BIGINT AS vp
+  FROM b)
+SELECT doc_id, any_value(w) AS width, any_value(h) AS height,
+       (64 * sum(vp))::BIGINT AS pix_sum,
+       sum(vp * (64 * (8 * br * w + 8 * bc + 1)
+                 + 224 * w + 224))::BIGINT AS pix_wsum
+FROM p GROUP BY doc_id"""
 
     sqls["multimodal_image_meta"] = """
 SELECT doc_id,

@@ -219,6 +219,62 @@ class WavStatsStage:
             "wsum": pa.array(wsums, pa.int64())})
 
 
+def _jpeg_params(doc_id: int) -> tuple[int, int]:
+    """(blocks wide, blocks high) of the synthetic JPEG for doc_id."""
+    return 1 + doc_id % 4, 1 + doc_id % 3
+
+
+def synth_jpeg_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(doc_id) -> (doc_id, payload): REAL baseline JPEG bytes
+    (rayfts/ops/jpegcodec.py) at quality 50, grayscale, constant per
+    8x8 block — block b (raster order) = (doc_id*7 + b*13) % 256 — so
+    every decoded pixel has the exact closed form
+    ``clamp(2*floor((v-128)/2 + 0.5) + 128)`` the DuckDB oracle
+    recomputes arithmetically."""
+    from rayfts.ops.jpegcodec import encode_jpeg
+
+    ids = t.column(id_col).to_pylist()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        bw, bh = _jpeg_params(d)
+        b = np.arange(bh * bw, dtype=np.int64)
+        v = (d * 7 + b * 13) % 256
+        img = np.repeat(np.repeat(v.reshape(bh, bw), 8, 0), 8, 1)
+        payloads.append(encode_jpeg(img.astype(np.uint8), quality=50))
+    return pa.table({id_col: pa.array([int(x) for x in ids], pa.int64()),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class JpegStatsStage:
+    """Actor-pool stage: REAL baseline JPEG pixel decode (Huffman +
+    dequantize + IDCT, rayfts/ops/jpegcodec.py) -> per-image stats over
+    the DECODED pixel array; a wrong coefficient, quant table, or block
+    placement changes pix_sum / pix_wsum, not just the dims."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rayfts.ops.jpegcodec import decode_jpeg
+
+        ids, ws, hs, sums, wsums = [], [], [], [], []
+        for d, p in zip(t.column(self.id_col).to_pylist(),
+                        t.column("payload").to_pylist()):
+            img = decode_jpeg(p)
+            h, w = img.shape[:2]
+            flat = img.reshape(-1).astype(np.int64)
+            ids.append(int(d)); ws.append(w); hs.append(h)
+            sums.append(int(flat.sum()))
+            wsums.append(int(((np.arange(len(flat)) + 1) * flat).sum()))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "pix_sum": pa.array(sums, pa.int64()),
+            "pix_wsum": pa.array(wsums, pa.int64())})
+
+
 def _hdr_params(doc_id: int) -> tuple[str, int, int, int]:
     w = 16 + doc_id % 997
     h = 16 + doc_id % 613

@@ -1,0 +1,242 @@
+"""Tests for the full baseline JPEG codec (rayfts/ops/jpegcodec.py).
+
+Layered like the codec: (1) the entropy layer is LOSSLESS — decoded
+quantized coefficients must equal the encoded ones bit-exactly, over
+adversarial blocks (long zero runs > 16 -> ZRL, all-zero -> EOB,
+max-magnitude ACs, large DC swings); (2) DC-only images have an exact
+closed form (the driver-gate oracle); (3) full round trips bound the
+reconstruction error on smooth content; (4) format plumbing — header
+metadata, odd sizes, color/subsampling shapes, error paths.
+No Ray needed."""
+
+import numpy as np
+import pytest
+
+from rayfts.ops import jpegcodec as J
+
+
+# ---------------------------------------------------------------------------
+# entropy layer: exact
+# ---------------------------------------------------------------------------
+
+def _entropy_roundtrip(blocks, preds_start=0):
+    w = J._BitWriter()
+    pred = preds_start
+    for zz in blocks:
+        pred = J._encode_block(w, zz, pred)
+    # the writer emits the STUFFED stream (0xFF -> 0xFF00); the reader
+    # operates on destuffed bytes, as in decode_jpeg's scan parse
+    r = J._BitReader(w.flush().replace(b"\xff\x00", b"\xff"))
+    dl = J._build_lut(J.DC_BITS, J.DC_VALS)
+    al = J._build_lut(J.AC_BITS, J.AC_VALS)
+    out = []
+    pred = preds_start
+    for _ in blocks:
+        zz, pred = J._decode_block(r, dl, al, pred)
+        out.append(zz)
+    return out
+
+
+def test_entropy_layer_lossless_random():
+    rng = np.random.RandomState(42)
+    blocks = []
+    for _ in range(200):
+        zz = np.zeros(64, dtype=np.int64)
+        # sparse coefficients with extreme magnitudes and positions
+        nnz = rng.randint(0, 20)
+        pos = rng.choice(64, size=nnz, replace=False)
+        zz[pos] = rng.randint(-1023, 1024, size=nnz)
+        zz[0] = rng.randint(-2047, 2048)     # DC diff cat up to 12? cat<=11
+        zz[0] = np.clip(zz[0], -1024, 1023)
+        blocks.append(zz)
+    out = _entropy_roundtrip(blocks)
+    for a, b in zip(blocks, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_entropy_layer_zrl_eob_edges():
+    cases = [
+        np.zeros(64, dtype=np.int64),                      # pure EOB
+        np.eye(1, 64, 63, dtype=np.int64)[0],              # 62-zero run -> 3 ZRL
+        np.eye(1, 64, 17, dtype=np.int64)[0] * -1,         # exactly 16 run
+    ]
+    z = np.zeros(64, dtype=np.int64)
+    z[1] = 1023
+    z[63] = -1023                                          # max-size ACs
+    cases.append(z)
+    z2 = np.zeros(64, dtype=np.int64)
+    z2[0] = -1024                                          # big negative DC
+    cases.append(z2)
+    out = _entropy_roundtrip(cases)
+    for a, b in zip(cases, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dc_prediction_chain():
+    rng = np.random.RandomState(3)
+    blocks = []
+    for _ in range(50):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = rng.randint(-500, 500)
+        blocks.append(zz)
+    out = _entropy_roundtrip(blocks)
+    for a, b in zip(blocks, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bitwriter_ff_stuffing():
+    w = J._BitWriter()
+    w.put(0xFF, 8)
+    w.put(0xFF, 8)
+    data = w.flush()
+    assert data == b"\xff\x00\xff\x00"
+    r = J._BitReader(data.replace(b"\xff\x00", b"\xff"))
+    assert r.read(8) == 0xFF and r.read(8) == 0xFF
+
+
+# ---------------------------------------------------------------------------
+# DC-only closed form (what the driver oracle recomputes)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("quality", [25, 50, 75, 95])
+def test_dc_only_closed_form(quality):
+    rng = np.random.RandomState(quality)
+    for _ in range(6):
+        bh, bw = rng.randint(1, 4), rng.randint(1, 5)
+        vals = rng.randint(0, 256, (bh, bw))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg(img, quality=quality))
+        exp = np.repeat(np.repeat(J.dc_only_roundtrip(vals, quality),
+                                  8, 0), 8, 1)
+        np.testing.assert_array_equal(out.astype(np.int64), exp)
+
+
+def test_dc_only_every_value():
+    # all 256 constant levels, one block each, q=50 (the gate quality)
+    vals = np.arange(256).reshape(16, 16)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=50))
+    exp = np.repeat(np.repeat(J.dc_only_roundtrip(vals, 50), 8, 0), 8, 1)
+    np.testing.assert_array_equal(out.astype(np.int64), exp)
+
+
+# ---------------------------------------------------------------------------
+# full round trips: error-bounded
+# ---------------------------------------------------------------------------
+
+def _smooth(h, w):
+    x = np.arange(w)
+    y = np.arange(h)
+    return (128 + 60 * np.sin(x[None, :] / 7)
+            * np.cos(y[:, None] / 5)).astype(np.uint8)
+
+
+def test_gray_roundtrip_error_bound():
+    img = _smooth(24, 40)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_color_444_roundtrip_error_bound():
+    g = _smooth(24, 40)
+    img = np.stack([g, g[::-1], np.roll(g, 3, 1)], axis=2)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling="444"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+
+def test_color_420_roundtrip_error_bound():
+    g = _smooth(24, 40)
+    img = np.stack([g, g[::-1], np.roll(g, 3, 1)], axis=2)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling="420"))
+    assert out.shape == img.shape
+    # chroma is 2x2-averaged + nearest-upsampled: looser bound
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+    # luma itself must stay tight
+    from rayfts.ops.jpegcodec import rgb_to_ycbcr
+    dy = np.abs(rgb_to_ycbcr(out)[:, :, 0] - rgb_to_ycbcr(img)[:, :, 0])
+    assert dy.max() <= 8
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (17, 13), (8, 24),
+                                 (19, 27), (16, 16)])
+def test_odd_sizes_gray(h, w):
+    rng = np.random.RandomState(h * 100 + w)
+    img = (rng.randint(0, 9, (h, w)) * 16 + 64).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert out.shape == (h, w)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (9, 11), (19, 27), (32, 16)])
+def test_odd_sizes_420(h, w):
+    rng = np.random.RandomState(h * 100 + w + 1)
+    g = (rng.randint(0, 9, (h, w)) * 16 + 64).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    out = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsampling="420"))
+    assert out.shape == (h, w, 3)
+
+
+def test_quality_monotone_size():
+    img = _smooth(32, 48)
+    sizes = [len(J.encode_jpeg(img, quality=q)) for q in (10, 50, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# format plumbing
+# ---------------------------------------------------------------------------
+
+def test_header_meta_matches():
+    from rayfts.ops.stdmedia import image_meta
+    img = _smooth(21, 33)
+    fmt, w, h, c = image_meta(J.encode_jpeg(img, quality=50))
+    assert (fmt, w, h, c) == ("jpeg", 33, 21, 1)
+    img3 = np.stack([img] * 3, axis=2)
+    fmt, w, h, c = image_meta(J.encode_jpeg(img3, subsampling="420"))
+    assert (fmt, w, h, c) == ("jpeg", 33, 21, 3)
+
+
+def test_decoder_reads_tables_from_stream():
+    # corrupting the DQT must change decoded pixels (tables are not
+    # assumed, they are parsed)
+    img = _smooth(16, 16)
+    data = bytearray(J.encode_jpeg(img, quality=50))
+    i = data.find(b"\xff\xdb")
+    assert i >= 0
+    data[i + 5] = 255                      # q[0,0] 16 -> 255
+    out_bad = J.decode_jpeg(bytes(data))
+    out_ok = J.decode_jpeg(J.encode_jpeg(img, quality=50))
+    assert not np.array_equal(out_bad, out_ok)
+
+
+def test_error_paths():
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"notajpeg")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xd9")             # no SOF/SOS
+    img = _smooth(8, 8)
+    data = bytearray(J.encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2                                  # pretend progressive
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        J.encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8),
+                      subsampling="422")
+
+
+def test_zigzag_is_the_standard_scan():
+    # spot-check the canonical prefix of the zigzag sequence
+    assert list(J.ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(J.ZIGZAG.tolist()) == list(range(64))
+    np.testing.assert_array_equal(J.ZIGZAG[J.UNZIGZAG], np.arange(64))
+
+
+def test_quality_scale_identity_at_50():
+    np.testing.assert_array_equal(J.quality_scale(J.QUANT_LUMA, 50),
+                                  J.QUANT_LUMA)
+    assert (J.quality_scale(J.QUANT_LUMA, 1) >= J.QUANT_LUMA).all()
+    assert (J.quality_scale(J.QUANT_LUMA, 100) == 1).all()
