@@ -197,6 +197,37 @@ def _msm_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: more-like-this parameters (mirrored in the SQL oracle)
+MLT_N_SRC = 5      # source docs: the 5 smallest doc_ids
+MLT_TERMS = 8      # characteristic terms kept per source
+
+
+def _more_like_this(sf_dir: str) -> pd.DataFrame:
+    """More-like-this (rayfts/mlt.py): per source document, keep its 8
+    most characteristic terms by 1e7-quantized tf*idf (ties -> term
+    ASC), then BM25 top-10 with the source excluded via the tombstone
+    view — Lucene MoreLikeThis semantics on the proven ranked_or
+    kernel.  The oracle recomputes term selection AND the ranked list
+    in SQL."""
+    from rayfts import mlt
+    from rayfts import search as S
+
+    idx = _index_for(sf_dir, "opt")
+    src = (_docs_ds(sf_dir).select_columns(["doc_id", "text"])
+           .sort("doc_id").limit(MLT_N_SRC).to_pandas())
+    rows = []
+    for _, r in src.iterrows():
+        res = mlt.more_like_this(idx, int(r.doc_id), r.text,
+                                 n_terms=MLT_TERMS, k=K, prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": int(r.doc_id), "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -1728,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
         "msm_topk": _msm_topk,
+        "more_like_this": _more_like_this,
         "bool_or": _bool_or,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -2190,6 +2222,35 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
 ranked AS (
   SELECT scores.query_id, scores.doc_id, score
   FROM scores WHERE scores.n_terms_hit >= {MSM}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # more-like-this: term selection (quantized tf*idf, ties -> term
+    # ASC) feeds the standard BM25 scorer as a computed q body; the
+    # source doc is excluded in the ranked CTE (query_id IS the source)
+    _mlt_qbody = f"""
+SELECT src_id AS query_id, term FROM (
+  SELECT src.doc_id AS src_id, tf.term,
+         row_number() OVER (
+           PARTITION BY src.doc_id
+           ORDER BY floor(tf.tf * greatest(1e-6,
+                      ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+                    * 10000000 + 0.5) DESC, tf.term ASC) AS r
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id
+        LIMIT {MLT_N_SRC}) src
+  JOIN tf ON tf.doc_id = src.doc_id
+  JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats) WHERE r <= {MLT_TERMS}"""
+    sqls["more_like_this"] = f"""
+{_bm25_scores_sql(qbody=_mlt_qbody)},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores WHERE scores.doc_id <> scores.query_id),
 topk AS (
   SELECT query_id, doc_id,
          CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,

@@ -1,0 +1,123 @@
+"""More-like-this: find documents similar to a source document.
+
+The classic engine feature (Lucene's MoreLikeThis, reference query
+driver's ranked ops family): take a source document's term vector,
+keep its N most characteristic terms by tf*idf, and run the ordinary
+ranked-OR BM25 kernel with those terms, excluding the source document
+itself.  Everything downstream of term selection reuses the proven
+search stack (rayfts/search.py kernels, tombstone exclusion via
+``index.deleted``), so MLT inherits the encoded-domain performance and
+the oracle-checked BM25 semantics.
+
+Determinism contract (mirrored by the driver's DuckDB oracle):
+
+* selection score = tf_in_source * idf, idf = max(1e-6,
+  ln((N - df + 0.5) / (df + 0.5))) — the same clamped BM25 idf;
+* quantized to int at 1e7 BEFORE ranking, ties broken by term ASC, so
+  numpy and DuckDB rank identically;
+* ranked list = BM25 top-k with (score DESC, docid ASC) tie-break,
+  source doc excluded, GLOBAL stats untouched (Lucene filtered-search
+  contract, same as the tombstone path).
+
+Scale: term selection touches one document's text (point read with
+key predicate pushdown) and its terms' df rows (``dfs.parquet``
+filtered read, row-group pruning) — O(|doc|) work regardless of
+corpus size; the query itself is the resident serving kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+
+from .tokenizer import tokenize_text
+
+#: quantization grid shared with the oracle (score_q convention)
+_Q = 1e7
+
+
+def _idf(df: np.ndarray, n_docs: int) -> np.ndarray:
+    """Clamped BM25 idf (reference bm25::query_term_weight shape)."""
+    return np.maximum(1e-6, np.log((n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _df_lookup(index_dir: str, terms: list) -> dict:
+    """df per term from the build's dfs.parquet sidecar (filtered read,
+    row-group predicate pushdown — never the full lexicon)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    path = os.path.join(index_dir, "dfs")
+    if not os.path.isdir(path):                 # legacy single-file layout
+        path = os.path.join(index_dir, "dfs.parquet")
+    dset = pads.dataset(path, format="parquet")
+    t = dset.to_table(columns=["term", "df"],
+                      filter=pads.field("term").isin(
+                          pa.array(sorted(set(terms)), type=pa.string())))
+    return dict(zip(t.column("term").to_pylist(),
+                    t.column("df").to_numpy().astype(np.int64)))
+
+
+def select_terms(text: str, index, n_terms: int = 8) -> list:
+    """The source document's ``n_terms`` most characteristic terms by
+    quantized tf*idf (ties -> term ASC).  Terms absent from the index
+    lexicon (df=0 after deletes/compaction drift) are skipped."""
+    tf = Counter(tokenize_text(text or ""))
+    if not tf:
+        return []
+    terms = sorted(tf)
+    dfs = _df_lookup(index.index_dir, terms)
+    scored = []
+    for term in terms:
+        df = int(dfs.get(term, 0))
+        if df <= 0:
+            continue
+        idf = float(_idf(np.array([df], dtype=np.float64),
+                         index.score_num_docs)[0])
+        sel_q = int(np.floor(tf[term] * idf * _Q + 0.5))
+        scored.append((-sel_q, term))
+    scored.sort()
+    return [t for _, t in scored[:n_terms]]
+
+
+def _internal_id(index, ext_doc_id: int) -> int | None:
+    """External doc_id -> internal docID via the src_doc_ids sidecar
+    (memmapped; the point lookup is a binary search when the build's
+    range-bucketed assignment left it sorted, else one linear scan)."""
+    sid = getattr(index, "src_doc_ids", None)
+    if sid is None:
+        path = os.path.join(index.index_dir, "sidecar", "src_doc_ids.i64")
+        sid = np.memmap(path, dtype=np.int64, mode="r")
+        index.src_doc_ids = sid
+    n = len(sid)
+    lo = int(np.searchsorted(sid, ext_doc_id))
+    if lo < n and int(sid[lo]) == int(ext_doc_id):
+        return lo                       # sorted fast path
+    hits = np.flatnonzero(np.asarray(sid) == int(ext_doc_id))
+    return int(hits[0]) if len(hits) else None
+
+
+def more_like_this(index, source_doc_id: int, source_text: str,
+                   n_terms: int = 8, k: int = 10, prec=None) -> list:
+    """[(score, internal_docid)] of the k docs most similar to the
+    source, source excluded.  ``source_text`` is the document's text
+    (callers fetch it with a key-predicate point read)."""
+    import copy
+
+    from . import search as S
+
+    terms = select_terms(source_text, index, n_terms)
+    if not terms:
+        return []
+    view = copy.copy(index)
+    internal = _internal_id(index, source_doc_id)
+    if internal is not None:
+        tomb = np.array([internal], dtype=np.int64)
+        d = view.deleted
+        view.deleted = (tomb if d is None
+                        else np.unique(np.concatenate([d, tomb])))
+    if prec is not None:
+        return S.ranked_or(view, terms, k=k, prec=prec)
+    return S.ranked_or(view, terms, k=k)

@@ -1,0 +1,137 @@
+"""More-like-this (rayfts/mlt.py) vs a brute-force reference: term
+selection by quantized tf*idf and the ranked list with the source doc
+excluded must match an independent full-scan recompute."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+from rayfts.tokenizer import tokenize_text
+
+K = 10
+N_TERMS = 8
+
+
+@pytest.fixture(scope="module")
+def midx(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    root = tmp_path_factory.mktemp("mlt")
+    # re-key the synthetic corpus by a sparse integer doc_id (the
+    # driver's `documents` shape; sparseness exercises the ext->internal
+    # mapping rather than an identity assumption)
+    base = pq.read_table(corpus_parquet(120, seed=31),
+                         columns=["content"])
+    import pyarrow as pa
+    ids = [i * 3 + 7 for i in range(base.num_rows)]
+    src = str(root / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": base.column("content")}),
+                   src, row_group_size=64)
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", key_cols=["doc_id"],
+                text_col="text", salt_threshold=64, num_shards=4)
+    idx = InvertedIndex(idx_dir)
+    # materialize the internal->source map exactly as the driver does
+    dm = pq.read_table(os.path.join(idx_dir, "docs"),
+                       columns=["doc_id", "src_doc_id"])
+    sid = np.zeros(idx.num_docs, dtype=np.int64)
+    sid[dm.column("doc_id").to_numpy()] = \
+        dm.column("src_doc_id").to_numpy()
+    sid_path = os.path.join(idx_dir, "sidecar", "src_doc_ids.i64")
+    with open(sid_path, "wb") as f:
+        f.write(sid.tobytes())
+    texts = dict(zip(ids, base.column("content").to_pylist()))
+    return idx, texts, sid
+
+
+def _brute_stats(texts):
+    toks = {d: tokenize_text(t or "") for d, t in texts.items()}
+    nd = len(texts)
+    lengths = {d: len(v) for d, v in toks.items()}
+    avg_len = sum(lengths.values()) / nd
+    df = {}
+    for v in toks.values():
+        for term in set(v):
+            df[term] = df.get(term, 0) + 1
+    return toks, nd, lengths, avg_len, df
+
+
+def _idf(df, nd):
+    return max(1e-6, np.log((nd - df + 0.5) / (df + 0.5)))
+
+
+def test_select_terms_matches_brute(midx):
+    from rayfts.mlt import select_terms
+
+    idx, texts, _sid = midx
+    toks, nd, _l, _a, df = _brute_stats(texts)
+    for src in sorted(texts)[:6]:
+        tf = {}
+        for t in toks[src]:
+            tf[t] = tf.get(t, 0) + 1
+        exp = sorted(
+            ((-int(np.floor(tf[t] * _idf(df[t], nd) * 1e7 + 0.5)), t)
+             for t in tf))
+        expected = [t for _, t in exp[:N_TERMS]]
+        got = select_terms(texts[src], idx, N_TERMS)
+        assert got == expected, (src, got, expected)
+
+
+def test_mlt_ranking_matches_brute(midx):
+    from rayfts import mlt
+
+    idx, texts, sid = midx
+    toks, nd, lengths, avg_len, df = _brute_stats(texts)
+    internal_of = {int(e): i for i, e in enumerate(sid)}
+    for src in sorted(texts)[:4]:
+        terms = mlt.select_terms(texts[src], idx, N_TERMS)
+        # brute BM25 over every doc except the source (internal space
+        # so the (score desc, docid asc) tie-break is exact)
+        scores = {}
+        for d, tl in toks.items():
+            if d == src:
+                continue
+            tf = {}
+            for t in tl:
+                tf[t] = tf.get(t, 0) + 1
+            s = 0.0
+            hit = False
+            for t in terms:
+                if t not in tf:
+                    continue
+                hit = True
+                s += (_idf(df[t], nd) * 2.2 * tf[t]
+                      / (tf[t] + 1.2 * (0.5 + 0.5 * lengths[d] / avg_len)))
+            if hit:
+                scores[internal_of[d]] = s
+        exp = sorted(((-s, i) for i, s in scores.items()))[:K]
+        exp_pairs = [(int(np.floor(-neg_s * 1e7 + 0.5)), i)
+                     for neg_s, i in exp]
+        from rayfts import search as S
+        got_raw = mlt.more_like_this(idx, src, texts[src],
+                                     n_terms=N_TERMS, k=K, prec=S.P64)
+        got_pairs = [(int(np.floor(float(s) * 1e7 + 0.5)), int(d))
+                     for s, d in got_raw]
+        # quantized (score, internal docid) pairs, in rank order
+        assert got_pairs == exp_pairs, (src, got_pairs, exp_pairs)
+        # source doc never appears
+        assert internal_of[src] not in [d for _, d in got_pairs]
+
+
+def test_mlt_edge_cases(midx):
+    from rayfts import mlt
+
+    idx, texts, sid = midx
+    assert mlt.more_like_this(idx, -1, "", n_terms=8, k=5) == []
+    # terms absent from the lexicon are skipped
+    got = mlt.select_terms("zzzznotaterm qqqqnothere", idx, 8)
+    assert got == []
+    # unknown source id: no exclusion, query still runs
+    src = sorted(texts)[0]
+    res = mlt.more_like_this(idx, -999, texts[src], n_terms=4, k=5)
+    assert len(res) <= 5 and len(res) > 0
