@@ -749,6 +749,33 @@ def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: spell workload: (qid, misspelled term) — no neighbor for qid 5
+SPELL_QUERIES = [(1, "filtr"),          # -> filter
+                 (2, "sart"),           # -> {part, sort}: df tie-break
+                 (3, "sow"),            # -> {row, slow}
+                 (4, "strem"),          # -> stream
+                 (5, "qqqq_nothing")]   # no neighbor -> no rows
+
+
+def _spell_suggest(sf_dir: str) -> pd.DataFrame:
+    """Did-you-mean (rayfts/fuzzy.py:suggest): top-5 edit-distance-1
+    lexicon neighbors per misspelled term, ranked by (df desc, term
+    asc) — candidates from the deletion-neighborhood sidecar, dfs via
+    predicate-pushdown lexicon reads.  Mirrored in SQL by DuckDB's
+    levenshtein over the dfs CTE."""
+    from rayfts.fuzzy import build_fuzzy_sidecar, suggest
+
+    idx = _index_for(sf_dir, "opt")
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    rows = []
+    for qid, t in SPELL_QUERIES:
+        for rank, (s, df) in enumerate(suggest(idx, t, k=K), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "suggestion": s, "df": df})
+    return pd.DataFrame(rows, columns=["query_id", "rank",
+                                       "suggestion", "df"])
+
+
 #: wildcard workload: (qid, prefix, extra bare terms)
 WILDCARD_QUERIES = [
     (1, "s", ["row"]),          # s* -> scan/sort/shuffle/stream/...
@@ -1737,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
         "fuzzy_search": _fuzzy_search,
+        "spell_suggest": _spell_suggest,
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
         "slop_search": _slop_search,
@@ -2121,6 +2149,23 @@ topk AS (
                                      doc_id ASC) AS rank
   FROM scores)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # spell suggestion: ed<=1 lexicon neighbors (the term itself
+    # excluded) ranked by df desc, term asc
+    _sp = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfs "
+        f"WHERE levenshtein(term, '{t}') <= 1 AND term <> '{t}'"
+        for qid, t in SPELL_QUERIES)
+    sqls["spell_suggest"] = f"""
+WITH {_TOK.strip()},
+cand AS ({_sp}),
+ranked AS (
+  SELECT query_id, term, df,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df DESC, term ASC) AS rank
+  FROM cand)
+SELECT query_id, rank, term AS suggestion, df
+FROM ranked WHERE rank <= {K}"""
 
     # highlighting: per top-k hit, each query term's 1-based first
     # token position + occurrence count (the q CTE inside the bm25

@@ -371,9 +371,30 @@ def cmd_search(args) -> int:
         pidx = PositionalIndex(args.positions)
     res = search(idx, args.query, k=args.k, pidx=pidx, op=args.op,
                  offset=args.offset)
-    print(json.dumps({"event": "search_done", "query": args.query,
-                      "hits": [{"doc_id": int(d), "score": float(s)}
-                               for s, d in res]}))
+    out = {"event": "search_done", "query": args.query,
+           "hits": [{"doc_id": int(d), "score": float(s)}
+                    for s, d in res]}
+    if getattr(args, "suggest", False):
+        from .fuzzy import build_fuzzy_sidecar, did_you_mean
+        build_fuzzy_sidecar(idx.index_dir)      # resumable no-op if built
+        out["did_you_mean"] = did_you_mean(idx, args.query)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    """Did-you-mean: `rayfts suggest --index I tabel filtr` — per
+    term, the k best edit-distance-1 corrections ranked by document
+    frequency (rayfts/fuzzy.py:suggest)."""
+    _ensure_ray(args.num_cpus)
+    from .fuzzy import build_fuzzy_sidecar, suggest
+    from .index import InvertedIndex
+
+    idx = InvertedIndex(args.index)
+    build_fuzzy_sidecar(idx.index_dir)
+    print(json.dumps({"event": "suggest_done", "suggestions": {
+        t: [{"term": c, "df": df} for c, df in suggest(idx, t, k=args.k)]
+        for t in args.terms}}))
     return 0
 
 
@@ -483,7 +504,16 @@ def main(argv=None) -> int:
     se.add_argument("--offset", type=int, default=0,
                     help="pagination: return results [offset, offset+k)")
     se.add_argument("--op", default="block_max_wand")
+    se.add_argument("--suggest", action="store_true",
+                    help="include a did_you_mean correction when the "
+                         "query has unknown bare terms")
     se.set_defaults(fn=cmd_search)
+
+    sg = sub.add_parser("suggest", parents=[common])
+    sg.add_argument("terms", nargs="+", help="misspelled term(s)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("-k", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     sc = sub.add_parser("scrub", parents=[common])
     sc.add_argument("--input", required=True,

@@ -150,5 +150,79 @@ def expand_fuzzy(index, term: str, cap: int = 64) -> list[str]:
     if term in cand:                      # exact match ranks first
         out.remove(term)
         out.insert(0, term)
-    memo[term] = out[:cap]
-    return out[:cap]
+    memo[term] = out                      # memo the FULL verified set;
+    return out[:cap]                      # the cap is applied per call
+
+
+def term_dfs(index, terms: list[str]) -> dict[str, int]:
+    """Document frequency for each term, via predicate-pushdown reads
+    of the term-range-sharded lexicon (columns ``term, n`` only) —
+    terms are grouped by owning shard so each shard file is opened at
+    most once; absent terms get df 0."""
+    by_shard: dict[int, list[str]] = {}
+    for t in set(terms):
+        s = index._shard_of_term(t)
+        if s is not None:
+            by_shard.setdefault(s, []).append(t)
+    out = {t: 0 for t in terms}
+    for s, ts in by_shard.items():
+        tbl = pq.read_table(index._shard_paths[s], columns=["term", "n"],
+                            filters=[("term", "in", ts)])
+        for t, n in zip(tbl.column("term").to_pylist(),
+                        tbl.column("n").to_pylist()):
+            out[t] = int(n)
+    return out
+
+
+def suggest(index, term: str, k: int = 5,
+            max_candidates: int = 4096) -> list[tuple[str, int]]:
+    """Did-you-mean: the ``k`` best spelling corrections for ``term``
+    — lexicon terms at edit distance exactly 1 (the term itself is
+    never suggested), ranked by (df desc, term asc).
+
+    Candidate recall is complete for distance 1: if lev(a, b) <= 1
+    then the 1-deletion neighborhoods of a and b intersect, so the
+    sidecar probe misses nothing.  Cost is O(|term|) sharded sidecar
+    probes + one grouped lexicon df lookup — never a vocabulary scan
+    (the reference has no spell surface; capability parity with
+    Lucene's DirectSpellChecker)."""
+    cands = [c for c in expand_fuzzy(index, term, cap=max_candidates)
+             if c != term]
+    dfs = term_dfs(index, cands)
+    ranked = sorted(cands, key=lambda c: (-dfs[c], c))[:k]
+    return [(c, dfs[c]) for c in ranked]
+
+
+def did_you_mean(index, query: str,
+                 min_ratio: float = 0.0) -> str | None:
+    """Whole-query correction: rewrite each BARE term that is absent
+    from the lexicon (df == 0) to its best :func:`suggest` candidate;
+    operator tokens (phrases, ``term~``, ``pre*``, ``col:v``, ``-neg``,
+    boosts) pass through untouched.  Returns the corrected query
+    string, or ``None`` when every bare term is already known (the
+    "did you mean" box stays hidden).  ``min_ratio`` optionally
+    requires the suggestion's df to clear ``min_ratio`` (reserved for
+    a rare-but-present source term policy; 0 keeps the classic
+    only-correct-unknown-terms behavior)."""
+    from .tokenizer import TOKEN_RE
+
+    out, changed = [], False
+    for tok in query.split():
+        bare = (TOKEN_RE.fullmatch(tok.lower())
+                and not tok.startswith(('"', '-'))
+                and "~" not in tok and "*" not in tok
+                and ":" not in tok and "^" not in tok)
+        if not bare:
+            out.append(tok)
+            continue
+        t = tok.lower()
+        if term_dfs(index, [t])[t] > 0:
+            out.append(tok)
+            continue
+        best = suggest(index, t, k=1)
+        if best and best[0][1] > min_ratio:
+            out.append(best[0][0])
+            changed = True
+        else:
+            out.append(tok)
+    return " ".join(out) if changed else None

@@ -141,3 +141,25 @@ def test_cli_positions_and_phrase(cli_index, ray_session, capsys,
     # a proximity match set always contains the exact-phrase matches
     for o, p in zip(out, prox):
         assert p["n_docs"] >= o["n_docs"]
+
+
+def test_cli_suggest_and_search_suggest(cli_index, ray_session, capsys):
+    """`rayfts suggest` returns df-ranked ed-1 corrections; `search
+    --suggest` attaches a did_you_mean for unknown bare terms."""
+    from rayfts.index import InvertedIndex
+
+    vocab = InvertedIndex(cli_index).all_terms()
+    t = max(vocab, key=len)
+    bad = t[:-1] + ("x" if t[-1] != "x" else "y")   # ed1, likely unknown
+    ev = _run_cli(capsys, ["suggest", "--index", cli_index, bad, t])
+    sug = ev[-1]["suggestions"]
+    assert any(c["term"] == t for c in sug[bad])
+    assert all(c["df"] > 0 for c in sug[bad])
+    assert t not in [c["term"] for c in sug[t]]     # never itself
+
+    out = _run_cli(capsys, ["search", f"{bad}", "--index", cli_index,
+                            "--suggest"])
+    dym = out[-1]["did_you_mean"]
+    assert dym is None or bad not in dym.split()
+    if bad not in vocab:
+        assert dym is not None and t in dym.split() or sug[bad]

@@ -306,6 +306,40 @@ def test_fuzzy_expansion(qidx):
     assert search(idx, f"{t}~", K) == want
 
 
+def test_spell_suggest(qidx):
+    """suggest() == brute-force (levenshtein == 1, df desc, term asc)
+    over the full vocabulary; did_you_mean() corrects only unknown
+    bare terms and passes operators through."""
+    from rayfts.fuzzy import (build_fuzzy_sidecar, did_you_mean,
+                              suggest, term_dfs)
+
+    idx, _, _ = qidx
+    build_fuzzy_sidecar(idx.index_dir, num_shards=4)
+    vocab = idx.all_terms()
+    df = {c: len(idx.get(c).docs) for c in vocab}
+    assert term_dfs(idx, vocab[:10] + ["zz_absent"]) == {
+        **{c: df[c] for c in vocab[:10]}, "zz_absent": 0}
+
+    probes = ([t[1:] for t in vocab[:5]] + [t + "x" for t in vocab[:5]]
+              + ["q" + t[1:] for t in vocab[:5]] + list(vocab[:5])
+              + ["zzzz_nothing_close"])
+    for t in probes:
+        want = sorted((c for c in vocab if c != t and _lev(t, c) <= 1),
+                      key=lambda c: (-df[c], c))
+        assert suggest(idx, t, k=5) == [(c, df[c]) for c in want[:5]], t
+
+    # did_you_mean: unknown bare term -> best suggestion; known terms
+    # and operator tokens untouched; all-known query -> None
+    t0, t1 = vocab[0], vocab[1]
+    bad = t1 + "x"                       # ed1 from t1, not in vocab
+    assert bad not in df
+    best = suggest(idx, bad, k=1)[0][0]
+    fixed = did_you_mean(idx, f"{t0} {bad} -{t1} {t0[:2]}* lang:py")
+    assert fixed == f"{t0} {best} -{t1} {t0[:2]}* lang:py"
+    assert did_you_mean(idx, f"{t0} {t1}") is None
+    assert did_you_mean(idx, "zzzz_nothing_close") is None
+
+
 def test_explain(qidx):
     """explain()'s per-term contributions sum to exactly the score
     ranked_or assigns the doc, and report the right tf/df."""
