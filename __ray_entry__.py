@@ -809,6 +809,40 @@ def _wildcard_search(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: term-regex workload: (qid, pattern, extra bare terms)
+REGEXP_QUERIES = [
+    (1, "s.*n", ["row"]),            # -> scan
+    (2, "[tf]able?", []),            # char class + optional
+    (3, ".o.", ["data"]),            # unanchored wildcard
+    (4, "zzz.*", ["key"]),           # no match -> plain term query
+    (5, "(scan|merge|join)", []),    # alternation
+]
+
+
+def _regexp_search(sf_dir: str) -> pd.DataFrame:
+    """Term regexes (`re:s.*n row` — Lucene RegexpQuery / Zoekt): the
+    pattern's literal prefix prunes to the intersecting term-range
+    lexicon shards (rayfts/query.py expand_regex), matched terms rank
+    as a union — mirrored in SQL by regexp_full_match over the dfs
+    vocabulary unioned with the bare terms."""
+    from rayfts import search as S
+    from rayfts.query import search as qsearch
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, pat, extra in REGEXP_QUERIES:
+        qs = " ".join([f"re:{pat}", *extra])
+        res = qsearch(idx, qs, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _unified_search_sharded(sf_dir: str) -> pd.DataFrame:
     """The unified query language over the DOC-PARTITIONED layout
     (rayfts/query.py search_sharded): constraints compile to GLOBAL
@@ -1765,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": _wildcard_search,
         "fuzzy_search": _fuzzy_search,
         "spell_suggest": _spell_suggest,
+        "regexp_search": _regexp_search,
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
         "slop_search": _slop_search,
@@ -2140,6 +2175,25 @@ SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
         _fq.extend(f"SELECT {qid}, '{x}'" for x in extra)
     sqls["fuzzy_search"] = f"""
 {_bm25_scores_sql(qbody=' UNION ALL '.join(_fq))},
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # term regexes: regexp_full_match candidates over the vocabulary
+    # unioned with the bare terms
+    _rq = []
+    for qid, pat, extra in REGEXP_QUERIES:
+        _rq.append(f"SELECT {qid} AS query_id, term FROM dfs "
+                   f"WHERE regexp_full_match(term, '{pat}')")
+        _rq.extend(f"SELECT {qid}, '{t}'" for t in extra)
+    sqls["regexp_search"] = f"""
+{_bm25_scores_sql(qbody=' UNION ALL '.join(_rq))},
 topk AS (
   SELECT query_id, doc_id,
          CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,

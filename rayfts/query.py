@@ -18,6 +18,9 @@ driver stops at whitespace-separated term lists, queries.hpp:15-27):
 * ``word~``           — fuzzy: expands to lexicon terms within edit
                         distance 1 via the deletion-neighborhood
                         sidecar (rayfts/fuzzy.py, FuzzyQuery shape)
+* ``re:pattern``      — term regex: expands to fully-matching lexicon
+                        terms, pruned by the pattern's literal prefix
+                        (Lucene RegexpQuery / Zoekt term-regex shape)
 * ``word^2.5``        — boost: multiplies the term's query weight
                         (boosted queries rank via the vectorized
                         union kernel)
@@ -63,6 +66,7 @@ def parse_query(q: str) -> dict:
     prefixes: list[str] = []
     neg_prefixes: list[str] = []
     fuzzy: list[str] = []
+    regexps: list[str] = []
     boosts: dict[str, float] = {}
     slop_phrases: list[tuple[str, str, int]] = []
     for tok in _TOKEN.findall(q):
@@ -108,7 +112,11 @@ def parse_query(q: str) -> dict:
                 terms.extend(ws)
         elif ":" in tok and not tok.startswith('"'):
             col, _, vals = tok.partition(":")
-            if col and vals:
+            if col == "re" and vals:
+                # term regex (Lucene RegexpQuery / Zoekt): matched
+                # terms rank as a union, like pre* wildcards
+                regexps.append(vals)
+            elif col and vals:
                 facets.append((col, vals.split(",")))
             else:
                 terms.extend(TOKEN_RE.findall(tok.lower()))
@@ -117,7 +125,8 @@ def parse_query(q: str) -> dict:
     return {"terms": terms, "phrases": phrases, "neg": neg,
             "facets": facets, "prefixes": prefixes,
             "neg_prefixes": neg_prefixes, "fuzzy": fuzzy,
-            "boosts": boosts, "slop_phrases": slop_phrases}
+            "regexps": regexps, "boosts": boosts,
+            "slop_phrases": slop_phrases}
 
 
 #: global expansion guards — ONE cap, applied to the GLOBAL candidate
@@ -172,6 +181,80 @@ def expand_prefix(index, prefix: str, cap: int = PREFIX_CAP) -> list[str]:
     return out
 
 
+_RE_META = set("\\.^$*+?()[]{}|")
+
+
+def _literal_prefix(pattern: str) -> str:
+    """Leading literal chars of a regex (stop at the first metachar;
+    back off one char when it is quantified, e.g. ``ab*`` -> ``a``) —
+    the shard-pruning anchor Lucene's RegexpQuery extracts from the
+    pattern's automaton (CompiledAutomaton.commonPrefix)."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch in _RE_META:
+            if ch in "*+?{" and out:      # quantifier binds the prev char
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def expand_regex(index, pattern: str, cap: int = PREFIX_CAP) -> list[str]:
+    """Lexicon terms fully matching ``pattern`` (lexicographic order,
+    at most ``cap``) — the Lucene RegexpQuery / Zoekt term-regex
+    surface.  The pattern's literal prefix prunes to the intersecting
+    term-range shards and, inside each shard, to the prefix's row
+    interval (exactly :func:`expand_prefix`'s pruning); an unanchored
+    pattern scans the cached per-shard term arrays — bounded per
+    partition because the lexicon itself is sharded.  Memoized per
+    (reader, pattern)."""
+    import bisect
+
+    memo = getattr(index, "_regex_memo", None)
+    if memo is None:
+        memo = index._regex_memo = {}
+    hit = memo.get(pattern)
+    if hit is not None:
+        return hit[:cap]
+    try:
+        rx = re.compile(pattern)
+    except re.error:
+        # hardened search-box contract (any string is valid input):
+        # an invalid pattern expands to no terms
+        memo[pattern] = []
+        return []
+    prefix = _literal_prefix(pattern)
+    upper = (prefix[:-1] + chr(ord(prefix[-1]) + 1)) if prefix else None
+    cache = getattr(index, "_shard_terms_cache", None)
+    if cache is None:
+        cache = index._shard_terms_cache = {}
+    out: list[str] = []
+    los = index._term_los
+    start = (max(0, bisect.bisect_right(los, prefix) - 1) if prefix
+             else 0)
+    for i in range(start, len(los)):
+        if upper is not None and los[i] >= upper:
+            break
+        s = index._shard_ids[i]
+        terms = cache.get(s)
+        if terms is None:
+            import pyarrow.parquet as pq
+            terms = pq.read_table(index._shard_paths[s],
+                                  columns=["term"]) \
+                      .column("term").to_pylist()
+            cache[s] = terms
+        if prefix:
+            lo = bisect.bisect_left(terms, prefix)
+            hi = bisect.bisect_left(terms, upper)
+            terms = terms[lo:hi]
+        out.extend(t for t in terms if rx.fullmatch(t))
+        if len(out) >= cap:
+            out = out[:cap]
+            break
+    memo[pattern] = out
+    return out
+
+
 def search(index, q: str, k: int = 10, pidx=None,
            op: str = "block_max_wand", prec=None, offset: int = 0):
     """Parse + compile + run one query string; -> [(score, docid)].
@@ -191,6 +274,8 @@ def search(index, q: str, k: int = 10, pidx=None,
         rank_terms.extend((a, b))
     for p in plan["prefixes"]:
         rank_terms.extend(expand_prefix(index, p, PREFIX_CAP))
+    for pat in plan["regexps"]:
+        rank_terms.extend(expand_regex(index, pat, PREFIX_CAP))
     if plan["fuzzy"]:
         from .fuzzy import expand_fuzzy
         for t in plan["fuzzy"]:
@@ -289,6 +374,8 @@ def _probe_one(sub_dir: str, kind: str, arg: str, cap: int):
         idx = _PROBE_SUBS[sub_dir] = InvertedIndex(sub_dir)
     if kind == "prefix":
         return expand_prefix(idx, arg, cap)
+    if kind == "regex":
+        return expand_regex(idx, arg, cap)
     if kind == "fuzzy":
         from .fuzzy import expand_fuzzy
         return expand_fuzzy(idx, arg, cap)
@@ -360,12 +447,16 @@ def search_sharded(sharded, q: str, k: int = 10, spidx=None,
     probes = list(dict.fromkeys(
         [("prefix", p, PREFIX_CAP)
          for p in plan["prefixes"] + plan["neg_prefixes"]]
+        + [("regex", pat, PREFIX_CAP) for pat in plan["regexps"]]
         + [("fuzzy", t, FUZZY_CAP) for t in plan["fuzzy"]]
         + [("sym", v, 0) for v in sym_vals]))
     probed = _probe_subs(sharded, probes)
 
     for p in plan["prefixes"]:
         seen = set().union(*probed[("prefix", p)])
+        rank_terms.extend(sorted(seen)[:PREFIX_CAP])
+    for pat in plan["regexps"]:
+        seen = set().union(*probed[("regex", pat)])
         rank_terms.extend(sorted(seen)[:PREFIX_CAP])
     for t in plan["fuzzy"]:
         seen = set().union(*probed[("fuzzy", t)])

@@ -54,7 +54,11 @@ def test_parse_query():
     assert parse_query("") == {"terms": [], "phrases": [], "neg": [],
                                "facets": [], "prefixes": [],
                                "neg_prefixes": [], "fuzzy": [],
-                               "boosts": {}, "slop_phrases": []}
+                               "regexps": [], "boosts": {},
+                               "slop_phrases": []}
+    p5 = parse_query("re:fil.*er scan re:[gh]ash")
+    assert p5["regexps"] == ["fil.*er", "[gh]ash"]
+    assert p5["terms"] == ["scan"] and p5["facets"] == []
 
 
 def test_prefix_expansion(qidx):
@@ -235,6 +239,7 @@ def test_search_sharded_matches_monolithic(qidx, tmp_path_factory):
         f"{t0} {t1} -{t2[:4]}*",
         f"{t0} {t1} -{t2} lang:{','.join(langs)} {t2[:3]}*",
         f"{t1}~ {t0}",
+        f"re:{t0[:2]}.* {t1}",
     ]
     for qs in queries:
         want = [(float(s), int(d))
@@ -304,6 +309,42 @@ def test_fuzzy_expansion(qidx):
     want = (S.ranked_or if len(S.query_freqs(exp)) > 64
             else S.block_max_wand_fast)(idx, exp, K)
     assert search(idx, f"{t}~", K) == want
+
+
+def test_regex_expansion(qidx):
+    """expand_regex == brute re.fullmatch over the vocabulary; the
+    literal-prefix pruning never changes the result; re: queries rank
+    the expanded union."""
+    import re as _re
+
+    from rayfts import search as S
+    from rayfts.query import _literal_prefix, expand_regex, search
+
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    assert _literal_prefix("abc") == "abc"
+    assert _literal_prefix("ab.*") == "ab"
+    assert _literal_prefix("ab*c") == "a"      # quantifier binds b
+    assert _literal_prefix("a+bc") == ""
+    assert _literal_prefix(r"\w+") == ""
+    assert _literal_prefix("[ab]c") == ""
+
+    pats = [vocab[0], vocab[1][:2] + ".*", ".*" + vocab[2][-2:],
+            f"({vocab[0]}|{vocab[3]})", vocab[4][:1] + "[a-z]*",
+            "z{9}q", vocab[5][:2] + "[a-z]?" + vocab[5][3:]]
+    for pat in pats:
+        rx = _re.compile(pat)
+        want = [t for t in vocab if rx.fullmatch(t)]
+        assert expand_regex(idx, pat) == want, pat
+    assert expand_regex(idx, "(((") == []       # invalid -> no terms
+
+    # re: query ranks over the expansion, like pre* wildcards
+    pat = vocab[1][:2] + ".*"
+    exp = expand_regex(idx, pat)
+    assert exp
+    want = (S.ranked_or if len(S.query_freqs(exp)) > 64
+            else S.block_max_wand_fast)(idx, exp, K)
+    assert search(idx, f"re:{pat}", K) == want
 
 
 def test_spell_suggest(qidx):
