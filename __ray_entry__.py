@@ -371,6 +371,27 @@ def _topk_table_sharded(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
 
 
+def _topk_table_pruned(sf_dir: str) -> pd.DataFrame:
+    """Bound-PRUNED doc-partitioned BM25 (sharded.topk_pruned): each
+    query visits only partitions whose admissible score bound
+    (lexicon-stats only, wand_data lifted to partition level) can still
+    reach its top-k — the resource-selection step a 256-partition
+    deployment needs — while staying rank- AND score-identical to the
+    broadcast scatter-gather, checked by the same SQL oracle as
+    bm25_topk."""
+    from rayfts import search as S
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = si.topk_pruned(terms, k=K, op="ranked_or", prec=S.P64,
+                             batch=1)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(si.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
+
+
 def _postings_table_merged(sf_dir: str) -> pd.DataFrame:
     """Decode the MERGED index — the doc-partitioned builds folded back
     into one monolithic term-sharded index (sharded.merge_sharded_index,
@@ -1810,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query engine
         "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
         "bm25_topk_sharded": _topk_table_sharded,
+        "bm25_topk_pruned": _topk_table_pruned,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
         "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
@@ -2309,6 +2331,7 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
     sqls["block_max_wand_topk_native"] = rank_sql
     sqls["bm25_topk"] = _topk_sql(False)
     sqls["bm25_topk_sharded"] = _topk_sql(False)
+    sqls["bm25_topk_pruned"] = _topk_sql(False)
     sqls["wand_topk"] = _topk_sql(False)
     sqls["maxscore_topk"] = _topk_sql(False)
     sqls["block_max_wand_topk"] = _topk_sql(False)

@@ -296,6 +296,33 @@ class InvertedIndex:
             self._enc_by_tid[term_id] = el
         return el
 
+    def term_stats(self, term: str) -> tuple[int, float] | None:
+        """Lexicon-only probe: ``(n_local, max_weight)`` for a term,
+        or None if absent — NEVER touches the postings payload bytes.
+        Backed by a column-pruned read of the lexicon shard's
+        (n, max_weight) columns, cached per shard, so a probe costs one
+        dict lookup after the first touch.  This is the wand_data
+        "term upper bound" surface (wand_data.hpp:34-49) used for
+        partition pruning (sharded.py): at 10^12-doc scale the serving
+        broker consults these stats for EVERY partition before deciding
+        which ones a query must visit."""
+        s = self._shard_of_term(term)
+        if s is None:
+            return None
+        row = self._lex(s)[0].get(term)
+        if row is None:
+            return None
+        cache = getattr(self, "_shard_stats", None)
+        if cache is None:
+            cache = self._shard_stats = {}
+        cols = cache.get(s)
+        if cols is None:
+            t = pq.read_table(self._shard_paths[s],
+                              columns=["n", "max_weight"])
+            cols = cache[s] = (t.column("n").to_numpy(),
+                               t.column("max_weight").to_numpy())
+        return int(cols[0][row]), float(cols[1][row])
+
     def get(self, term: str) -> PostingList | None:
         s = self._shard_of_term(term)
         if s is None:

@@ -318,6 +318,41 @@ def _merge_topk(per_sub: list[list], k: int) -> list:
     return merged[:k]
 
 
+def query_bound(idx, terms: list, prec=None) -> float:
+    """Admissible per-partition score upper bound for a query: the
+    sequential ``prec.dtype`` sum, in ascending term order, of each
+    distinct term's WAND bound ``prec.bound(qw * max_weight)`` — the
+    wand_data surface (wand_data.hpp:34-49) lifted from term level to
+    PARTITION level.
+
+    Admissibility (so pruning on it is EXACT, not approximate): every
+    kernel accumulates a doc's score as ``prec.dtype`` additions of
+    ``prec.dtype(qw * dtw)`` contributions in ascending term order
+    (search.py `_union_scores`), rounding-to-nearest addition is
+    monotone, each contribution is ≤ its term bound, and a doc matches
+    a SUBSET of the query terms (dropping a non-negative term from a
+    sequential sum never increases it) — so every doc's score in this
+    partition is ≤ this bound under the exact same floating-point
+    arithmetic the kernels use.
+
+    Lexicon-stats only (`index.term_stats`): probing a partition costs
+    dict lookups, never a postings decode."""
+    from . import bm25 as _bm25
+    from . import search as S
+    prec = prec or S.P32
+    b = prec.zero()
+    for term, mult in S.query_freqs(terms):
+        st = idx.term_stats(term)
+        if st is None:
+            continue
+        n_local, mw = st
+        df = (idx.score_dfs(term) or n_local) if idx.score_dfs \
+            else n_local
+        qw = prec.qtw(mult, df, idx.score_num_docs)
+        b = prec.dtype(b + prec.bound(prec.dtype(qw) * prec.dtype(mw)))
+    return float(b)
+
+
 class ShardedIndex:
     """In-process broker over the partition sub-indexes (the
     conformance surface; ShardedSearcher is the distributed pool)."""
@@ -376,6 +411,59 @@ class ShardedIndex:
         for i, base in enumerate(self.bases):
             res = fn(self.sub(i), terms, k, prec)
             per_sub.append([(s, base + d) for s, d in res])
+        return _merge_topk(per_sub, k)
+
+    def topk_pruned(self, terms: list, k: int = 10,
+                    op: str = "block_max_wand", prec=None,
+                    batch: int | None = None):
+        """EXACT top-k that visits only the partitions that can still
+        place a document: partitions are probed for their admissible
+        query bound (:func:`query_bound` — lexicon stats only, no
+        postings decode), served in bound-descending order, and a
+        partition is skipped once the running kth score strictly
+        exceeds its bound (equality still serves: an equal-score doc
+        can win the docid-ascending tie-break).  This is the resource-
+        selection step a 10^12-doc doc-partitioned deployment needs —
+        a term-skewed query (rare terms live in few partitions, or
+        max-weights vary) touches a handful of the 256 partitions
+        instead of all of them — while staying bit-identical to
+        :meth:`topk` (the all-partitions scatter-gather).
+
+        ``batch`` partitions are served per wave (default: ceil(P/4)),
+        so the broker re-checks the prune threshold every wave.
+        ``self.last_pruned`` records {"touched", "total"}."""
+        from . import search as S
+        prec = prec or S.P32
+        fn = {"ranked_or": S.ranked_or_fast, "ranked_and": S.ranked_and_fast,
+              "wand": S.wand_fast, "maxscore": S.maxscore_fast,
+              "block_max_wand": S.block_max_wand_fast}[op]
+        P = len(self.bases)
+        bounds = [query_bound(self.sub(i), terms, prec) for i in range(P)]
+        # zero-bound partitions hold none of the query's terms — they
+        # can never contribute a hit (every hit has ≥1 matching term
+        # and the idf clamp keeps contributions > 0)
+        order = [i for i in sorted(range(P), key=lambda i: (-bounds[i], i))
+                 if bounds[i] > 0.0]
+        if batch is None:
+            batch = max(1, (P + 3) // 4)
+        per_sub: list[list] = []
+        touched = 0
+        for lo in range(0, len(order), batch):
+            wave = order[lo:lo + batch]
+            cur = _merge_topk(per_sub, k)
+            if len(cur) >= k:
+                theta = float(cur[k - 1][0])
+                # bounds are sorted descending: once the best remaining
+                # bound is strictly below the kth score, no remaining
+                # partition can contribute — stop entirely
+                if bounds[wave[0]] < theta:
+                    break
+                wave = [i for i in wave if bounds[i] >= theta]
+            for i in wave:
+                res = fn(self.sub(i), terms, k, prec)
+                per_sub.append([(s, self.bases[i] + d) for s, d in res])
+            touched += len(wave)
+        self.last_pruned = {"touched": touched, "total": P}
         return _merge_topk(per_sub, k)
 
     def and_docs(self, terms: list) -> np.ndarray:
@@ -459,6 +547,12 @@ class _SubSearcher:
             out.append((qid, [(float(s), self.base + d) for s, d in res]))
         return out
 
+    def bounds(self, terms_list: list) -> list[float]:
+        """This partition's admissible score bound per query (see
+        :func:`query_bound`) — lexicon-stat probes only, the cheap
+        phase-0 of pruned scatter-gather."""
+        return [query_bound(self.idx, terms) for terms in terms_list]
+
 
 class ShardedSearcher:
     """Scatter-gather serving pool: one resident actor per partition
@@ -517,6 +611,82 @@ class ShardedSearcher:
                     results.setdefault(qid, []).append(res)
         return [(q[0], _merge_topk(results.get(q[0], []), self.k))
                 for q in queries]
+
+    def run_pruned(self, queries: list, fanout: int | None = None) -> list:
+        """Bound-pruned scatter-gather: bit-identical results to
+        :meth:`run`, but each query visits only the partitions that can
+        still place a document in its top-k.
+
+        Protocol (2 gather rounds + the cheap bound round, vs ``run``'s
+        1 round to ALL partitions):
+
+        0. every actor reports its admissible per-query bound
+           (:func:`query_bound` — lexicon-stat dict lookups);
+        1. each query fans out to its ``fanout`` highest-bound
+           partitions (default ceil(P/4)); the merged result gives a
+           kth-score threshold θ;
+        2. each query fans out to the REMAINING partitions whose bound
+           ≥ θ (equality can still win the docid tie-break; all
+           remaining if phase 1 found < k results).  Zero-bound
+           partitions (no query term present) are never visited.
+
+        At 256 partitions this turns a broadcast into a handful of
+        partition visits for term-skewed queries while keeping the
+        exact-top-k contract.  ``self.last_pruned`` records
+        {"partition_queries", "total"} for the batch."""
+        P = len(self.actors)
+        Q = len(queries)
+        if Q == 0:
+            return []
+        if fanout is None:
+            fanout = max(1, (P + 3) // 4)
+        terms_list = [q[1] for q in queries]
+        bounds = ray.get([a.bounds.remote(terms_list)
+                          for a in self.actors])          # [P][Q]
+
+        def _gather(assign: dict) -> dict:
+            """{actor_i: [qpos]} -> {qpos: [per-partition hit lists]},
+            one parallel round."""
+            futs = [(i, qs, self.actors[i].run.remote(
+                        qs, [terms_list[q] for q in qs]))
+                    for i, qs in assign.items() if qs]
+            got: dict = {}
+            for (_i, qs, _f), sub_res in zip(
+                    futs, ray.get([f for _, _, f in futs])):
+                for qpos, res in sub_res:
+                    got.setdefault(qpos, []).append(res)
+            return got
+
+        per_q: dict = {q: [] for q in range(Q)}
+        order_of = []
+        assign1: dict = {i: [] for i in range(P)}
+        for qpos in range(Q):
+            order = [i for i in sorted(range(P),
+                                       key=lambda i: (-bounds[i][qpos], i))
+                     if bounds[i][qpos] > 0.0]
+            order_of.append(order)
+            for i in order[:fanout]:
+                assign1[i].append(qpos)
+        for qpos, parts in _gather(assign1).items():
+            per_q[qpos].extend(parts)
+
+        assign2: dict = {i: [] for i in range(P)}
+        for qpos in range(Q):
+            cur = _merge_topk(per_q[qpos], self.k)
+            theta = float(cur[self.k - 1][0]) if len(cur) >= self.k \
+                else float("-inf")
+            for i in order_of[qpos][fanout:]:
+                if bounds[i][qpos] >= theta:
+                    assign2[i].append(qpos)
+        for qpos, parts in _gather(assign2).items():
+            per_q[qpos].extend(parts)
+
+        self.last_pruned = {
+            "partition_queries": sum(len(v) for v in assign1.values())
+            + sum(len(v) for v in assign2.values()),
+            "total": P * Q}
+        return [(queries[qpos][0], _merge_topk(per_q[qpos], self.k))
+                for qpos in range(Q)]
 
     def shutdown(self) -> None:
         for a in self.actors:

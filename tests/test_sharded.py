@@ -226,3 +226,77 @@ def test_sharded_positions_match_monolithic(built):
     d1, c1 = proximity_doc_counts(mp, "def", "return", 3)
     d2, c2 = sp.proximity_counts("def", "return", 3)
     assert d1.tolist() == d2.tolist() and c1.tolist() == c2.tolist()
+
+
+def test_topk_pruned_bit_identical(built):
+    """Bound-pruned broker serving == all-partitions scatter-gather,
+    for every operator, every wave size, both precisions — the pruning
+    is a visit-order optimization, never a semantics change."""
+    from rayfts import search as S
+    _, _, _, _, _, mono, sharded = built
+    qs = _queries(mono)
+    for terms in qs:
+        for op in OPS:
+            expect = sharded.topk(terms, K, op)
+            for batch in (1, 2, None):
+                got = sharded.topk_pruned(terms, K, op, batch=batch)
+                assert [(float(s), int(d)) for s, d in got] == \
+                    [(float(s), int(d)) for s, d in expect], \
+                    (op, batch, terms)
+    for terms in qs[:10]:
+        expect = sharded.topk(terms, K, "ranked_or", S.P64)
+        got = sharded.topk_pruned(terms, K, "ranked_or", S.P64, batch=1)
+        assert got == expect, terms
+
+
+def test_topk_pruned_skips_absent_partitions(built):
+    """A term that lives in fewer partitions than exist must not cost a
+    visit to the others (zero-bound partitions are never served)."""
+    _, _, _, _, _, mono, sharded = built
+    P = len(sharded)
+    present_in = None
+    rare = None
+    for t in mono.all_terms():
+        n = sum(1 for i in range(P)
+                if sharded.sub(i).term_stats(t) is not None)
+        if 0 < n < P:
+            rare, present_in = t, n
+            break
+    assert rare is not None, "fixture has no partition-skewed term"
+    got = sharded.topk_pruned([rare], K)
+    assert sharded.last_pruned["touched"] <= present_in
+    assert sharded.last_pruned["total"] == P
+    expect = sharded.topk([rare], K)
+    assert [(float(s), int(d)) for s, d in got] == \
+        [(float(s), int(d)) for s, d in expect]
+
+
+def test_run_pruned_matches_run(built):
+    """Distributed two-phase pruned scatter-gather: bit-identical to
+    the broadcast pool, and the partition-visit count never exceeds
+    (and for skewed queries undershoots) the broadcast count."""
+    from rayfts.sharded import ShardedSearcher
+    _, _, parent_dir, _, _, mono, sharded = built
+    queries = [(i, t) for i, t in enumerate(_queries(mono)[:16])]
+    # one partition-skewed single-term query in the mix
+    P = len(sharded)
+    for t in mono.all_terms():
+        if sum(1 for i in range(P)
+               if sharded.sub(i).term_stats(t) is not None) == 1:
+            queries.append((len(queries), [t]))
+            break
+    svc = ShardedSearcher(parent_dir, op="block_max_wand", k=K)
+    try:
+        svc.warm()
+        expect = dict(svc.run(queries, chunk=7))
+        for fanout in (1, 2, None):
+            got = svc.run_pruned(queries, fanout=fanout)
+            assert len(got) == len(queries)
+            for qid, res in got:
+                assert [(float(s), int(d)) for s, d in res] == \
+                    [(float(s), int(d)) for s, d in expect[qid]], \
+                    (fanout, qid)
+            lp = svc.last_pruned
+            assert lp["partition_queries"] <= lp["total"]
+    finally:
+        svc.shutdown()
