@@ -778,6 +778,28 @@ SPELL_QUERIES = [(1, "filtr"),          # -> filter
                  (5, "qqqq_nothing")]   # no neighbor -> no rows
 
 
+#: autocomplete workload: (qid, prefix) — qid 4 expands to nothing
+COMPLETE_QUERIES = [(1, "s"), (2, "fi"), (3, "re"), (4, "qqqq"), (5, "d")]
+
+
+def _complete(sf_dir: str) -> pd.DataFrame:
+    """Search-box autocomplete (rayfts/query.py:complete): top-k
+    completions of each prefix by (df desc, term asc), computed as
+    per-lexicon-shard top-k over the prefix's term range + a k-row
+    merge — never a vocabulary scan.  Oracle: the dfs CTE filtered by
+    LIKE 'prefix%'."""
+    from rayfts.query import complete
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, p in COMPLETE_QUERIES:
+        for rank, (term, df) in enumerate(complete(idx, p, k=K), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "completion": term, "df": df})
+    return pd.DataFrame(rows, columns=["query_id", "rank",
+                                       "completion", "df"])
+
+
 def _spell_suggest(sf_dir: str) -> pd.DataFrame:
     """Did-you-mean (rayfts/fuzzy.py:suggest): top-5 edit-distance-1
     lexicon neighbors per misspelled term, ranked by (df desc, term
@@ -1820,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": _wildcard_search,
         "fuzzy_search": _fuzzy_search,
         "spell_suggest": _spell_suggest,
+        "complete": _complete,
         "regexp_search": _regexp_search,
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
@@ -2232,6 +2255,22 @@ SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
         f"SELECT {qid} AS query_id, term, df FROM dfs "
         f"WHERE levenshtein(term, '{t}') <= 1 AND term <> '{t}'"
         for qid, t in SPELL_QUERIES)
+    # autocomplete: prefix completions ranked by df desc, term asc
+    _co = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, term, df FROM dfs "
+        f"WHERE term LIKE '{p}%'"
+        for qid, p in COMPLETE_QUERIES)
+    sqls["complete"] = f"""
+WITH {_TOK.strip()},
+cand AS ({_co}),
+ranked AS (
+  SELECT query_id, term, df,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY df DESC, term ASC) AS rank
+  FROM cand)
+SELECT query_id, rank, term AS completion, df
+FROM ranked WHERE rank <= {K}"""
+
     sqls["spell_suggest"] = f"""
 WITH {_TOK.strip()},
 cand AS ({_sp}),

@@ -181,6 +181,58 @@ def expand_prefix(index, prefix: str, cap: int = PREFIX_CAP) -> list[str]:
     return out
 
 
+def complete(index, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+    """Query autocomplete: the ``k`` completions of ``prefix`` with the
+    highest document frequency, ordered (df desc, term asc) — the
+    search-box suggest surface (Lucene's analyzing suggester ranks the
+    same way).
+
+    EXACT top-k without a vocabulary materialization: the lexicon is
+    term-range sharded, so only shards intersecting [prefix, prefix+ε)
+    are touched; each contributes its own top-k over its slice (sorted
+    term list + column-pruned df array, both cached on the reader — the
+    same probe state expand_prefix / term_stats use) and the merge keeps
+    k rows.  Driver cost is O(k · intersecting shards), never the
+    expansion size, so a 1-character prefix over a 10^9-term vocabulary
+    stays cheap."""
+    import bisect
+    import heapq
+
+    if not prefix:
+        return []
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    tcache = getattr(index, "_shard_terms_cache", None)
+    if tcache is None:
+        tcache = index._shard_terms_cache = {}
+    scache = getattr(index, "_shard_stats", None)
+    if scache is None:
+        scache = index._shard_stats = {}
+    best: list = []
+    los = index._term_los
+    start = max(0, bisect.bisect_right(los, prefix) - 1)
+    for i in range(start, len(los)):
+        if los[i] >= upper:
+            break
+        s = index._shard_ids[i]
+        terms = tcache.get(s)
+        cols = scache.get(s)
+        if terms is None or cols is None:
+            import pyarrow.parquet as pq
+            t = pq.read_table(index._shard_paths[s],
+                              columns=["term", "n", "max_weight"])
+            if terms is None:
+                terms = tcache[s] = t.column("term").to_pylist()
+            if cols is None:
+                cols = scache[s] = (t.column("n").to_numpy(),
+                                    t.column("max_weight").to_numpy())
+        lo = bisect.bisect_left(terms, prefix)
+        hi = bisect.bisect_left(terms, upper)
+        ns = cols[0]
+        best.extend(heapq.nsmallest(
+            k, ((-int(ns[r]), terms[r]) for r in range(lo, hi))))
+    return [(t, -negdf) for negdf, t in heapq.nsmallest(k, best)]
+
+
 _RE_META = set("\\.^$*+?()[]{}|")
 
 

@@ -706,3 +706,23 @@ def test_search_service_duplicate_qids(qidx):
     assert out[0][1] == want_a
     assert out[1][1] == want_b            # would be want_a pre-fix
     assert out[2][1] == want_a
+
+
+def test_complete_matches_bruteforce(qidx):
+    """Autocomplete top-k == brute force (df desc, term asc) over the
+    full vocabulary, for single- and multi-char prefixes, k above and
+    below the expansion size; empty/unknown prefixes yield nothing."""
+    from rayfts.query import complete
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    prefixes = sorted({t[:1] for t in vocab[:40]}
+                      | {t[:3] for t in vocab[:40]})
+    for pre in prefixes:
+        want = sorted(((t, idx.get(t).n) for t in vocab
+                       if t.startswith(pre)),
+                      key=lambda x: (-x[1], x[0]))
+        for k in (1, 5, 10, len(want) + 3):
+            got = complete(idx, pre, k=k)
+            assert got == want[:k], (pre, k)
+    assert complete(idx, "") == []
+    assert complete(idx, "zzzz_nothing") == []
