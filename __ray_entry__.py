@@ -290,6 +290,38 @@ def _postings_for(index_type: str):
     return fn
 
 
+def _postings_table_reordered(sf_dir: str) -> pd.DataFrame:
+    """Decode the BP-REORDERED index (rayfts/reorder.py — recursive
+    graph bisection docID reassignment, KDD'16) and map internal ids
+    back through the docs-meta: must equal the same SQL term/doc table
+    as `postings` exactly — the reorder is a gap-compression
+    optimization, never a semantics change."""
+    from rayfts.index import InvertedIndex
+    from rayfts.reorder import bp_permutation, build_reordered
+
+    base = _index_for(sf_dir, "opt")
+    out_dir = base.index_dir.rstrip("/") + "_bp"
+    idx = _INDEX_CACHE.get(out_dir)
+    if idx is None:
+        if not os.path.exists(os.path.join(out_dir, "meta.json")):
+            perm = bp_permutation(base.index_dir, iters=10)
+            build_reordered(base.index_dir, out_dir, perm)
+        idx = InvertedIndex(out_dir)
+        _INDEX_CACHE[out_dir] = idx
+    dm = pq.read_table(os.path.join(out_dir, "docs"),
+                       columns=["doc_id", "src_doc_id"])
+    src_ids = np.zeros(idx.num_docs, dtype=np.int64)
+    src_ids[dm.column("doc_id").to_numpy()] = \
+        dm.column("src_doc_id").to_numpy()
+    rows_t, rows_d, rows_f = [], [], []
+    for term in idx.all_terms():
+        pl = idx.get(term)
+        rows_t.extend([term] * pl.n)
+        rows_d.extend(src_ids[pl.docs].tolist())
+        rows_f.extend(pl.freqs.tolist())
+    return pd.DataFrame({"term": rows_t, "doc_id": rows_d, "tf": rows_f})
+
+
 def _hybrid_index_for(sf_dir: str):
     """λ-optimized mixed-block re-encode of the block index
     (optimal_hybrid_index parity; rayfts/hybrid.py)."""
@@ -1831,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_block_g8iu": _postings_for("block_g8iu"),
         "postings_block_qmx": _postings_for("block_qmx"),
         "postings_merged": _postings_table_merged,
+        "postings_reordered": _postings_table_reordered,
         "postings_appended": _postings_table_appended,
         "postings_compacted": _postings_table_compacted,
         "bm25_topk_deleted": _bm25_topk_deleted,
@@ -2028,6 +2061,7 @@ SELECT term, doc_id, tf FROM tf"""
                "block_mixed", "block_optpfd", "block_g8iu", "block_qmx"):
         sqls[f"postings_{_t}"] = postings_sql
     sqls["postings_merged"] = postings_sql
+    sqls["postings_reordered"] = postings_sql
     sqls["postings_appended"] = postings_sql
 
     # compaction: same postings identity over the corpus minus the

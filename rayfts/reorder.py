@@ -1,0 +1,319 @@
+"""DocID reordering for index compression: recursive graph bisection.
+
+The reference assigns docIDs by URL-like key order (our build's
+(repo, path, commit) global rank — SURVEY.md §2.4); the classic next
+step in its lineage is *recursive graph bisection* (Dhulipala,
+Kabiljo, Karrer, Ottaviano, Pupyrev, Shalita: "Compressing Graphs and
+Indexes with Recursive Graph Bisection", KDD 2016 — Ottaviano is the
+ds2i author; ds2i's successor ships this as
+`recursive_graph_bisection`).  BP reassigns docIDs so that documents
+sharing terms get nearby ids, shrinking the d-gaps every codec in
+rayfts/codecs encodes; the objective is the log-gap cost
+Σ_t Σ_gaps log2(gap), locally approximated per bisection node by
+
+    cost(deg, n) = deg · log2(n / (deg + 1))
+
+(the expected bits for `deg` postings uniformly spread over `n` docs
+— exactly the partitioned-EF cost model, optimal_partition.hpp:24-35).
+
+Algorithm (paper §3): split the doc set in half, iterate
+swap rounds — each doc gets a *move gain* (cost delta of moving it to
+the other side, summed over its terms), the two sides' top gainers
+swap pairwise while the combined gain is positive — then recurse on
+the halves.  Everything here is deterministic: the initial split is
+the incoming (key-order) docID order, sorts are stable, no rng.
+
+Ray shape: the doc-term graph is the build's own `tokens` checkpoint
+(term, doc_id) read column-pruned; the recursion tree is embarrassingly
+parallel (disjoint doc sets), so each node runs as a Ray task —
+subtree tasks receive the CSR via zero-copy object-store refs and
+recurse locally once their slice fits one worker (`task_docs`).  At
+10^12-doc scale the same tree runs with the CSR sharded by doc range
+(each node's gather touches only its own slice); the per-node work is
+O(postings in slice) numpy, and total work is O(total postings · depth).
+
+``build_reordered`` then rebuilds the index under the permutation by
+rewriting the three doc-keyed stage-1 checkpoints (docs, lengths,
+tokens — one distributed remap pass each; dfs is permutation-invariant
+and shared) and re-running the normal resumable encode stages, so the
+reordered index is a first-class index: same lexicon, same term_ids,
+same stats, different (smaller) d-gaps.  The positional sidecar's
+docidmap replay assumes key-rank ids, so build positions BEFORE
+reordering (or over the source index) — build_reordered does not copy
+the docidmap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+import ray
+
+
+# ---------------------------------------------------------------------------
+# graph loading: tokens checkpoint -> doc-major CSR
+# ---------------------------------------------------------------------------
+
+def _load_csr(index_dir: str, min_df: int = 2,
+              max_df_frac: float = 1.0) -> tuple:
+    """(indptr, indices, num_docs): doc-major CSR of the doc-term graph
+    from the build's tokens checkpoint (term, doc_id — tf is irrelevant
+    to gap structure and never read).  Terms outside [min_df,
+    max_df_frac·n] are dropped (df=1 terms have no gaps to shrink;
+    near-universal terms cost O(n) per iteration for ~0 gain — the
+    paper prunes the same way)."""
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "docs.done.json")) as f:
+        num_docs = int(json.load(f)["num_docs"])
+    t = pq.read_table(os.path.join(index_dir, "tokens"),
+                      columns=["term", "doc_id"])
+    enc = t.column("term").combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = t.column("doc_id").to_numpy()
+    df = np.bincount(codes, minlength=0)
+    hi = max(min_df, int(max_df_frac * num_docs))
+    keep = (df[codes] >= min_df) & (df[codes] <= hi)
+    codes, docs = codes[keep], docs[keep]
+    order = np.argsort(docs, kind="stable")
+    docs, codes = docs[order], codes[order]
+    indptr = np.zeros(num_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(docs, minlength=num_docs), out=indptr[1:])
+    return indptr, codes.astype(np.int64, copy=False), num_docs
+
+
+def _flat(indptr: np.ndarray, docs: np.ndarray
+          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat positions into `indices`, per-doc lens, per-occurrence doc
+    slot) for a doc subset — the vectorized multi-range gather."""
+    starts = indptr[docs]
+    lens = indptr[docs + 1] - starts
+    total = int(lens.sum())
+    reps = np.repeat(np.arange(docs.size), lens)
+    if total == 0:
+        return np.empty(0, np.int64), lens, reps
+    offs = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    return starts[reps] + offs, lens, reps
+
+
+def _cost(deg: np.ndarray, n: int) -> np.ndarray:
+    """deg · log2(n / (deg+1)), the expected-bits model (deg ≥ 0)."""
+    d = np.maximum(deg, 0).astype(np.float64)
+    return d * (np.log2(float(n)) - np.log2(d + 1.0))
+
+
+def _bisect(indices: np.ndarray, indptr: np.ndarray, docs: np.ndarray,
+            depth: int, iters: int, min_part: int) -> np.ndarray:
+    """One node of the recursion, fully local: returns `docs` reordered."""
+    n = docs.size
+    if depth <= 0 or n <= min_part:
+        return docs
+    flat, lens, reps = _flat(indptr, docs)
+    tloc = indices[flat]
+    uniq, nind = np.unique(tloc, return_inverse=True)
+    T = uniq.size
+    half = n // 2
+    inL = np.zeros(n, dtype=bool)
+    inL[:half] = True
+    nL, nR = half, n - half
+    for _ in range(iters):
+        occL = inL[reps]
+        degL = np.bincount(nind[occL], minlength=T)
+        degR = np.bincount(nind[~occL], minlength=T)
+        fL, fR = _cost(degL, nL), _cost(degR, nR)
+        cur = fL + fR
+        g_l2r = cur - (_cost(degL - 1, nL) + _cost(degR + 1, nR))
+        g_r2l = cur - (_cost(degL + 1, nL) + _cost(degR - 1, nR))
+        occ_gain = np.where(occL, g_l2r[nind], g_r2l[nind])
+        doc_gain = np.bincount(reps, weights=occ_gain, minlength=n)
+        Lpos = np.flatnonzero(inL)
+        Rpos = np.flatnonzero(~inL)
+        # stable desc sort: equal gains keep current order -> determinism
+        Ls = Lpos[np.argsort(-doc_gain[Lpos], kind="stable")]
+        Rs = Rpos[np.argsort(-doc_gain[Rpos], kind="stable")]
+        m = min(Ls.size, Rs.size)
+        pair_gain = doc_gain[Ls[:m]] + doc_gain[Rs[:m]]
+        bad = np.flatnonzero(pair_gain <= 0.0)
+        s = int(bad[0]) if bad.size else m
+        if s == 0:
+            break
+        inL[Ls[:s]] = False
+        inL[Rs[:s]] = True
+    left = _bisect(indices, indptr, docs[inL], depth - 1, iters, min_part)
+    right = _bisect(indices, indptr, docs[~inL], depth - 1, iters, min_part)
+    return np.concatenate([left, right])
+
+
+@ray.remote
+def _node_task(indices, indptr, docs, depth, iters, min_part, task_docs):
+    """One recursion node as a Ray task.  Small slices finish locally
+    ("done"); large ones compute just their own split and hand the
+    halves back for further fan-out ("split")."""
+    if depth <= 0 or docs.size <= max(min_part, task_docs):
+        return ("done", _bisect(indices, indptr, docs, depth, iters,
+                                min_part))
+    n = docs.size
+    out = _bisect(indices, indptr, docs, 1, iters, min_part)  # one split
+    half = n // 2
+    return ("split", out[:half], out[half:])
+
+
+def bp_permutation(index_dir: str, *, iters: int = 20,
+                   min_part: int = 32, max_depth: int | None = None,
+                   min_df: int = 2, max_df_frac: float = 1.0,
+                   task_docs: int = 1 << 14) -> np.ndarray:
+    """BP permutation for a built index: perm[old_doc_id] = new_doc_id.
+
+    Nodes with more than ``task_docs`` docs run as Ray tasks (the CSR
+    ships once via object-store refs, zero-copy to every task); smaller
+    subtrees recurse inside their task.  Deterministic regardless of
+    task scheduling: the tree shape and every node's output depend only
+    on the input order."""
+    indptr, indices, n = _load_csr(index_dir, min_df, max_df_frac)
+    if max_depth is None:
+        max_depth = max(1, int(np.ceil(np.log2(max(2, n / max(1, min_part))))))
+    all_docs = np.arange(n, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    if n <= task_docs:
+        order[:] = _bisect(indices, indptr, all_docs, max_depth, iters,
+                           min_part)
+    else:
+        ind_ref, ptr_ref = ray.put(indices), ray.put(indptr)
+        pending = {_node_task.remote(ind_ref, ptr_ref, all_docs,
+                                     max_depth, iters, min_part,
+                                     task_docs): (0, max_depth)}
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            fut = done[0]
+            off, depth = pending.pop(fut)
+            res = ray.get(fut)
+            if res[0] == "done":
+                seg = res[1]
+                order[off:off + seg.size] = seg
+            else:
+                _, left, right = res
+                pending[_node_task.remote(
+                    ind_ref, ptr_ref, left, depth - 1, iters, min_part,
+                    task_docs)] = (off, depth - 1)
+                pending[_node_task.remote(
+                    ind_ref, ptr_ref, right, depth - 1, iters, min_part,
+                    task_docs)] = (off + left.size, depth - 1)
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n, dtype=np.int64)
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# rebuild under a permutation
+# ---------------------------------------------------------------------------
+
+def log_gap_bits(index_dir: str, perm: np.ndarray | None = None) -> float:
+    """Σ_t Σ log2(gap) over the tokens checkpoint (optionally under a
+    permutation) — the codec-independent compression objective, for
+    before/after reporting."""
+    indptr, indices, n = _load_csr(index_dir, min_df=1)
+    docs = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(indptr))
+    if perm is not None:
+        docs = np.asarray(perm, dtype=np.int64)[docs]
+    order = np.lexsort((docs, indices))
+    t_s, d_s = indices[order], docs[order]
+    first = np.empty(t_s.size, dtype=bool)
+    first[:1] = True
+    np.not_equal(t_s[1:], t_s[:-1], out=first[1:])
+    gaps = np.where(first, d_s + 1, np.concatenate(
+        ([0], d_s[1:] - d_s[:-1])))
+    return float(np.log2(np.maximum(gaps, 1).astype(np.float64)).sum())
+
+
+def build_reordered(src_index_dir: str, out_dir: str,
+                    perm: np.ndarray, *, index_type: str | None = None,
+                    num_shards: int | None = None,
+                    salt_threshold: int | None = None) -> dict:
+    """Rebuild ``src_index_dir`` under docID permutation ``perm``
+    (perm[old] = new) into ``out_dir``: the three doc-keyed stage-1
+    checkpoints are remapped by distributed Ray Data passes (the
+    permutation broadcast ONCE via ray.put, read zero-copy per task —
+    at 10^12 docs this becomes a doc-range-partitioned map join), the
+    permutation-invariant dfs checkpoint is shared, and the normal
+    resumable encode stages run unchanged — so the result is a
+    first-class index with identical lexicon/term_ids/stats and
+    permuted (smaller-gap) postings."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .build import build_index
+
+    with open(os.path.join(src_index_dir, "docs.done.json")) as f:
+        docs_meta = json.load(f)
+    with open(os.path.join(src_index_dir, "meta.json")) as f:
+        src_meta = json.load(f)
+    lineage = src_meta["lineage"]
+    num_docs = int(docs_meta["num_docs"])
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.size != num_docs:
+        raise ValueError(f"perm has {perm.size} entries, index has "
+                         f"{num_docs} docs")
+    os.makedirs(out_dir, exist_ok=True)
+    perm_path = os.path.join(out_dir, "perm.i64")
+    if not os.path.exists(perm_path):
+        with open(perm_path + ".tmp", "wb") as f:
+            f.write(perm.tobytes())
+        os.replace(perm_path + ".tmp", perm_path)
+    perm_ref = ray.put(perm)
+
+    def _remap(t: pa.Table) -> pa.Table:
+        p = ray.get(perm_ref)
+        ids = p[t.column("doc_id").to_numpy()]
+        i = t.column_names.index("doc_id")
+        return t.set_column(i, "doc_id", pa.array(ids, type=pa.int64()))
+
+    marker = os.path.join(out_dir, "docs.done.json")
+    if not os.path.exists(marker):
+        for sub, sort in (("docs", True), ("lengths_parts", True),
+                          ("tokens", False)):
+            src_d = os.path.join(src_index_dir, sub)
+            dst_d = os.path.join(out_dir, sub)
+            if os.path.exists(dst_d):
+                shutil.rmtree(dst_d)
+            ds = rd.read_parquet(src_d).map_batches(
+                _remap, batch_size=None, batch_format="pyarrow")
+            if sort:
+                # doc-sorted files keep the sidecar/facet range reads
+                # O(range) via row-group predicate pushdown
+                ds = ds.sort("doc_id")
+            ds.write_parquet(dst_d)
+        # dfs (term->df) is permutation-invariant: share it
+        for d in ("dfs",):
+            src_d = os.path.join(src_index_dir, d)
+            dst_d = os.path.join(out_dir, d)
+            if os.path.isdir(src_d) and not os.path.exists(dst_d):
+                os.symlink(os.path.abspath(src_d), dst_d)
+        for fn in ("dfs.done.json", "tokens.done.json"):
+            src_f = os.path.join(src_index_dir, fn)
+            if os.path.exists(src_f):
+                shutil.copyfile(src_f, os.path.join(out_dir, fn))
+        shutil.copyfile(os.path.join(src_index_dir, "docs.done.json"),
+                        marker)
+
+    meta = build_index(
+        lineage["input"], out_dir,
+        index_type=index_type or src_meta["index_type"],
+        key_cols=list(lineage["key_cols"]),
+        text_col=lineage["text_col"],
+        salt_threshold=salt_threshold or int(lineage["salt_threshold"]),
+        num_shards=(num_shards if num_shards is not None
+                    else len(src_meta["shards"])),
+        tokenizer=lineage.get("tokenizer", "code"))
+    meta["reorder"] = {"algo": "bp", "source": src_index_dir}
+    mpath = os.path.join(out_dir, "meta.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(mpath + ".tmp", mpath)
+    return meta

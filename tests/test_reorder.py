@@ -1,0 +1,132 @@
+"""BP docID reordering (rayfts/reorder.py): permutation validity,
+exactness of the rebuilt index under the permutation, determinism,
+parallel-path identity, and a real compression win on clustered data
+(the case the KDD'16 algorithm exists for)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 300
+
+
+def _clustered_corpus(path: str, n: int = 400, topics: int = 8,
+                      seed: int = 5) -> str:
+    """Docs drawn from per-topic vocabularies but keyed in a topic-
+    INTERLEAVED order, so key-order docIDs are maximally scattered and
+    a term-aware reordering has real gaps to reclaim."""
+    rng = np.random.RandomState(seed)
+    vocabs = [[f"t{t}_w{w}" for w in range(40)] for t in range(topics)]
+    rows = []
+    for i in range(n):
+        t = i % topics                       # interleave topics
+        words = list(rng.choice(vocabs[t], size=30)) + ["common"]
+        rows.append({"repo": "r", "path": f"f{i:05d}.py", "commit": "c",
+                     "lang": "py", "content": " ".join(words)})
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    root = tmp_path_factory.mktemp("reorder")
+    src = corpus_parquet(NUM_DOCS, seed=13)
+    base = str(root / "base")
+    build_index(src, base, index_type="opt", salt_threshold=64,
+                num_shards=4)
+    return src, base, InvertedIndex(base), root
+
+
+def test_permutation_valid_and_deterministic(built):
+    from rayfts.reorder import bp_permutation
+    _, base, idx, _ = built
+    p1 = bp_permutation(base, iters=10)
+    p2 = bp_permutation(base, iters=10)
+    assert np.array_equal(p1, p2)
+    assert np.array_equal(np.sort(p1), np.arange(idx.num_docs))
+
+
+def test_parallel_path_matches_local(built):
+    """Forcing the Ray-task recursion (task_docs below the doc count)
+    must give the identical permutation — determinism is independent of
+    task scheduling."""
+    from rayfts.reorder import bp_permutation
+    _, base, idx, _ = built
+    local = bp_permutation(base, iters=5)
+    parallel = bp_permutation(base, iters=5, task_docs=64)
+    assert np.array_equal(local, parallel)
+
+
+def test_reordered_index_exact(built):
+    """The rebuilt index holds exactly the original postings under the
+    permutation: same terms, same (doc, tf) multiset after mapping ids
+    back, same stats/lexicon, and identical BM25 score multisets."""
+    from rayfts import search as S
+    from rayfts.index import InvertedIndex
+    from rayfts.reorder import bp_permutation, build_reordered
+    _, base, i0, root = built
+    perm = bp_permutation(base, iters=10)
+    out = str(root / "bp")
+    m1 = build_reordered(base, out, perm)
+    i1 = InvertedIndex(out)
+    assert i1.num_docs == i0.num_docs
+    assert i1.avg_len == i0.avg_len
+    assert i1.all_terms() == i0.all_terms()
+    inv = np.empty(perm.size, dtype=np.int64)
+    inv[perm] = np.arange(perm.size)
+    for term in i0.all_terms():
+        p0, p1 = i0.get(term), i1.get(term)
+        assert p0.term_id == p1.term_id
+        back = inv[p1.docs]
+        o = np.argsort(back)
+        np.testing.assert_array_equal(back[o], p0.docs)
+        np.testing.assert_array_equal(p1.freqs[o], p0.freqs)
+    # ranking parity: same score multiset, docids map through perm
+    vocab = i0.all_terms()
+    rng = np.random.RandomState(3)
+    for _ in range(15):
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
+        r0 = S.ranked_or_fast(i0, terms, 10)
+        r1 = S.ranked_or_fast(i1, terms, 10)
+        assert sorted(float(s) for s, _ in r0) == \
+            sorted(float(s) for s, _ in r1), terms
+        # docid sets agree wherever scores are untied (tie-boundary
+        # members may legitimately differ: the kernels break ties on
+        # INTERNAL docid, which the permutation reorders)
+        from collections import Counter
+        c0 = Counter(float(s) for s, _ in r0)
+        d0 = {int(d) for s, d in r0 if c0[float(s)] == 1}
+        mapped = {float(s): int(inv[d]) for s, d in r1
+                  if c0.get(float(s)) == 1}
+        for s, d in r0:
+            if c0[float(s)] == 1:
+                assert mapped[float(s)] == int(d), terms
+
+
+def test_bp_improves_clustered_corpus(built, tmp_path_factory):
+    """On a topic-interleaved corpus BP must reclaim real gap bits:
+    the log-gap objective and the encoded index size both shrink."""
+    from rayfts.build import build_index
+    from rayfts.reorder import (bp_permutation, build_reordered,
+                                log_gap_bits)
+    root = tmp_path_factory.mktemp("clustered")
+    src = _clustered_corpus(str(root / "corpus.parquet"))
+    base = str(root / "base")
+    m0 = build_index(src, base, index_type="opt", salt_threshold=64,
+                     num_shards=4)
+    perm = bp_permutation(base, iters=20)
+    before = log_gap_bits(base)
+    after = log_gap_bits(base, perm)
+    assert after < 0.8 * before, (before, after)
+    m1 = build_reordered(base, str(root / "bp"), perm)
+    assert m1["docs_bits"] < m0["docs_bits"], (m0["docs_bits"],
+                                               m1["docs_bits"])
