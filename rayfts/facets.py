@@ -155,12 +155,13 @@ def facet_counts(index, terms: list, column: str,
                 .aggregate([([], "count_all")])
         return agg.rename_columns([column, "n"])
 
-    parts = rd.read_parquet(ddir, columns=["doc_id", column]) \
-              .map_batches(_count, batch_format="pyarrow").take_all()
-    out: dict = {}
-    for r in parts:
-        out[r[column]] = out.get(r[column], 0) + int(r["n"])
-    return out
+    # per-batch partials (one row per distinct value per batch) reduce
+    # through a distributed groupby-sum; only the final answer-scale
+    # table (one row per facet value) reaches the driver
+    rows = (rd.read_parquet(ddir, columns=["doc_id", column])
+              .map_batches(_count, batch_format="pyarrow")
+              .groupby(column).sum("n").take_all())
+    return {r[column]: int(r["sum(n)"]) for r in rows}
 
 
 def _doc_keys(index, column: str) -> np.ndarray:
