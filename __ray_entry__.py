@@ -228,6 +228,69 @@ def _more_like_this(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: BM25F fielded scoring: body = full text (w=1.0), title = leading
+#: TITLE_CHARS chars of the text (w=TITLE_W); per-field df/avg_len/
+#: norms, combined as the weighted sum (rayfts/fields.py)
+TITLE_CHARS = 100
+TITLE_W = 2.0
+
+
+def _fielded_for(sf_dir: str):
+    """[(index, weight)] for the two-field documents layout: the base
+    body index plus a title index over a DERIVED field parquet (title
+    = leading TITLE_CHARS chars of text), both built by the standard
+    pipeline on the same key_cols, so they land on the same docID
+    space (deterministic global-rank assignment)."""
+    import pyarrow.compute as pc
+
+    from rayfts.build import build_index
+    from rayfts.fields import derive_field_parquet
+    from rayfts.index import InvertedIndex
+
+    body = _index_for(sf_dir, "opt")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:title{TITLE_CHARS}".encode()).hexdigest()[:12]
+    tdir = os.path.join(_IDX_ROOT, tag)
+    idx = _INDEX_CACHE.get(tdir)
+    if idx is None:
+        if not os.path.exists(os.path.join(tdir, "meta.json")):
+            fsrc = derive_field_parquet(
+                src, tdir + "_src", field_col="title",
+                expr=lambda t: pc.utf8_slice_codeunits(
+                    t.column("text"), 0, TITLE_CHARS),
+                keep_cols=("doc_id",), read_cols=("doc_id", "text"))
+            build_index(fsrc, tdir, index_type="opt",
+                        key_cols=["doc_id"], text_col="title",
+                        salt_threshold=1 << 17, num_shards=8)
+        idx = InvertedIndex(tdir)
+        _INDEX_CACHE[tdir] = idx
+    return [(body, 1.0), (idx, TITLE_W)]
+
+
+def _bm25f_topk(sf_dir: str, kernel: str = "union") -> pd.DataFrame:
+    """Fielded BM25F top-10 (rayfts/fields.py): score = 1.0*BM25(body)
+    + TITLE_W*BM25(title), each field with its own statistics.
+    ``kernel="maxscore"`` serves through the fielded essential-list
+    DAAT instead of the vectorized union; both rows must match the
+    same SQL oracle."""
+    from rayfts import search as S
+    from rayfts.fields import maxscore_fielded, ranked_or_fielded
+
+    fields = _fielded_for(sf_dir)
+    fn = ranked_or_fielded if kernel == "union" else maxscore_fielded
+    body = fields[0][0]
+    rows = []
+    for qid, terms in QUERIES:
+        res = fn(fields, terms, k=K, prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(body.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -1900,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
         "msm_topk": _msm_topk,
+        "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
+        "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
         "more_like_this": _more_like_this,
         "bool_or": _bool_or,
         # dedup
@@ -2424,6 +2489,66 @@ topk AS (
                             ORDER BY score DESC, doc_id ASC) AS rank
   FROM ranked)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # BM25F fielded scoring: per-field tokenize/tf/dl/stats/dfs CTEs
+    # (body = text, title = substr(text, 1, TITLE_CHARS)), per-field
+    # BM25 with its own statistics, weighted sum over a full outer join
+    _bm25f_sql = f"""
+WITH {_TOK.strip()},
+tok_t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(substr(text, 1, {TITLE_CHARS})),
+                                   '{TOKEN_SQL_RE}')) AS term
+  FROM documents),
+tf_t AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_t GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, count(*)::BIGINT AS length FROM tok_t GROUP BY 1),
+st_t AS (
+  SELECT (SELECT count(*) FROM documents) AS nd,
+         (SELECT sum(length) FROM dl_t)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avg_len),
+df_t AS (SELECT term, count(*)::BIGINT AS df FROM tf_t GROUP BY 1),
+q(query_id, term) AS (VALUES {_q_values()}),
+s_b AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+              * 2.2
+              * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len))
+            ) AS score
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dfs ON dfs.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+s_t AS (
+  SELECT q.query_id, tf_t.doc_id,
+         sum( greatest(1e-6, ln((st_t.nd - df_t.df + 0.5) / (df_t.df + 0.5)))
+              * 2.2
+              * tf_t.tf / (tf_t.tf + 1.2 * (0.5 + 0.5 * dl_t.length / st_t.avg_len))
+            ) AS score
+  FROM q
+  JOIN tf_t ON tf_t.term = q.term
+  JOIN df_t ON df_t.term = q.term
+  JOIN dl_t ON dl_t.doc_id = tf_t.doc_id
+  CROSS JOIN st_t
+  GROUP BY 1, 2),
+comb AS (
+  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         1.0 * coalesce(b.score, 0) + {TITLE_W} * coalesce(t.score, 0)
+           AS score
+  FROM s_b b
+  FULL OUTER JOIN s_t t
+    ON b.query_id = t.query_id AND b.doc_id = t.doc_id),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+    sqls["bm25f_topk"] = _bm25f_sql
+    sqls["bm25f_topk_maxscore"] = _bm25f_sql
 
     # more-like-this: term selection (quantized tf*idf, ties -> term
     # ASC) feeds the standard BM25 scorer as a computed q body; the

@@ -1,0 +1,178 @@
+"""Multi-field (BM25F-style) scoring: rank over several indexed FIELDS
+of the same document with per-field weights.
+
+A code/web search engine scores fields differently — a query hit in the
+filename/title is worth more than one in the body (Zoekt's filename
+boost, Lucene's per-field queries combined by a boolean/dismax).  The
+reference engine is single-field by construction (its queries are dense
+term-id lists over one collection, queries.cpp:129-142), so this layer
+is a beyond-reference extension built entirely on proven parts:
+
+* **one index per field**, built by the standard pipeline
+  (rayfts/build.py) over the same source rows with the same
+  ``key_cols`` — docID assignment is the deterministic global rank of
+  the key columns, so every field index lands on the SAME docID space
+  with no extra coordination (the same replay property
+  rayfts/positions.py relies on);
+* each field keeps its OWN statistics (df, avg_len, norms) — a term
+  rare in titles but common in bodies gets a high title idf, the
+  per-field length normalization Robertson's BM25F argues for;
+* the combined score is the weighted sum of per-field BM25:
+  ``score(q, d) = sum_f w_f * BM25_f(q, d)`` — the "linear combination
+  of fields" form (per-field idf + per-field normalization), which
+  composes from the existing per-index kernels without touching them.
+
+Serving cost: the union pass decodes each (field, term) posting list
+once — exactly what a single-field ranked_or over F separate queries
+pays.  DAAT pruning generalizes by treating each (field, term) pair as
+an independent scored list with upper bound ``w_f * max_weight_f(t)``;
+:func:`maxscore_fielded` implements that over the per-field WAND
+sidecar data, result-identical to the exact union.
+
+Deletions/facets: collect-time masks are per-VIEW state; the fielded
+kernels take them from the PRIMARY (first) field's index, the one that
+owns the document lifecycle (tombstones, allowlists).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from . import search as S
+from .index import InvertedIndex
+
+
+def derive_field_parquet(src_path: str, out_dir: str, *,
+                         field_col: str, expr, keep_cols=("doc_id",),
+                         read_cols=None) -> str:
+    """Materialize a derived field column as parquet (streaming Ray
+    Data pass; resumable via marker) — the per-field ingest step when
+    the field is computed rather than stored (e.g. title = the leading
+    slice of the body).  ``expr(table) -> pa.Array`` computes the field
+    from the pruned source batch."""
+    marker = os.path.join(out_dir, "_derived.done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in keep_cols}
+        cols[field_col] = expr(t)
+        return pa.table(cols)
+
+    (rd.read_parquet(src_path, columns=list(read_cols or None)
+                     if read_cols else None)
+       .map_batches(fn, batch_format="pyarrow")
+       .write_parquet(out_dir))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _weighted_lists(fields, terms, prec):
+    """[(index, posting list, w_f * qw)] across fields — one entry per
+    (field, term) pair that exists; each field's query weight uses that
+    field's own df/N statistics."""
+    out = []
+    for idx, w in fields:
+        for pl, qw in S._lists(idx, terms, prec):
+            out.append((idx, pl, prec.dtype(qw * prec.dtype(w))))
+    return out
+
+
+def ranked_or_fielded(fields: list, terms: list, k: int = 10,
+                      prec=S.P32):
+    """Exact fielded top-k: ``sum_f w_f * BM25_f`` over the union of
+    all fields' matches.  ``fields`` is ``[(InvertedIndex, weight)]``
+    over the same docID space; the first entry is the PRIMARY field
+    whose tombstone/facet masks govern servability.
+
+    Vectorized term-at-a-time: per field the standard union
+    accumulation (ascending term order, the reference's sum order),
+    then one aligned add across fields in the given field order."""
+    if not fields:
+        return []
+    per = []
+    for idx, w in fields:
+        pls = S._lists(idx, terms, prec)
+        if not pls:
+            continue
+        u, a = S._union_scores(idx, pls, prec)
+        per.append((u, (prec.dtype(w) * a).astype(prec.dtype)))
+    if not per:
+        return []
+    union = np.unique(np.concatenate([u for u, _ in per]))
+    total = np.zeros(len(union), dtype=prec.dtype)
+    for u, a in per:
+        total[np.searchsorted(union, u)] += a
+    m = S._serve_mask(fields[0][0], union)
+    if m is not None:
+        union, total = union[m], total[m]
+    return S._finalize_fast(total, union, k)
+
+
+def maxscore_fielded(fields: list, terms: list, k: int = 10,
+                     prec=S.P32):
+    """Fielded MAXSCORE: the essential/non-essential split
+    (queries.hpp:478-591 control flow) over (field, term) scored
+    lists, each with upper bound ``w_f * qw_f * max_weight_f(t)`` from
+    its own field's WAND sidecar and scored with its own field's
+    norms.  Rank-identical to :func:`ranked_or_fielded` (pruning only
+    skips docs that cannot enter the top-k; f32 accumulation order
+    differs, so use P64 for bit-exact score comparison).
+
+    Python DAAT protocol reference — the vectorized union is the fast
+    path at test scale; at cluster scale each doc-partition runs this
+    over its own range."""
+    if not fields:
+        return []
+    primary = fields[0][0]
+    num_docs = primary.num_docs
+    enums = []
+    for idx, w in fields:
+        norms = S._norms(idx, prec)
+        for pl, qw in S._lists(idx, terms, prec):
+            wq = prec.dtype(prec.dtype(w) * qw)
+            enums.append([S._enum(pl, num_docs), pl, wq,
+                          prec.bound(wq * pl.max_weight), norms])
+    if not enums:
+        return []
+    ordered = sorted(enums, key=lambda x: x[3])  # increasing maxscore
+    upper_bounds = np.zeros(len(ordered), dtype=prec.dtype)
+    upper_bounds[0] = ordered[0][3]
+    for i in range(1, len(ordered)):
+        upper_bounds[i] = upper_bounds[i - 1] + ordered[i][3]
+
+    topk = S._topk_for(primary, k)
+    non_essential = 0
+    cur_doc = min(e[0].value for e in enums)
+    while non_essential < len(ordered) and cur_doc < num_docs:
+        score = prec.zero()
+        next_doc = num_docs
+        for i in range(non_essential, len(ordered)):
+            e, pl, qw, _, norms = ordered[i]
+            if e.value == cur_doc:
+                score = score + qw * prec.dtw(
+                    pl.freqs[e.position], norms[cur_doc])
+                e.next()
+            if e.value < next_doc:
+                next_doc = e.value
+        for i in range(non_essential - 1, -1, -1):
+            if not topk.would_enter(score + upper_bounds[i]):
+                break
+            e, pl, qw, _, norms = ordered[i]
+            e.next_geq(cur_doc)
+            if e.value == cur_doc:
+                score = score + qw * prec.dtw(
+                    pl.freqs[e.position], norms[cur_doc])
+        if topk.insert(score, cur_doc):
+            while (non_essential < len(ordered)
+                   and not topk.would_enter(upper_bounds[non_essential])):
+                non_essential += 1
+        cur_doc = next_doc
+    return topk.finalize()

@@ -22,6 +22,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_sel(s: np.ndarray, ids: np.ndarray, top: int,
+              quant: float = 1e4) -> np.ndarray:
+    """Per-batch top candidates under the FINAL ranking key (quantized
+    score desc, id asc).  Raw-score argpartition breaks quantized ties
+    arbitrarily, so a lower-id member of a tied group at the k boundary
+    could be dropped from a batch partial and the distributed union
+    would miss it; selecting with the final key makes the partial
+    provably contain the global top-k."""
+    if len(s) <= top:
+        return np.arange(len(s))
+    sq = np.floor(s * quant + 0.5)
+    return np.lexsort((ids, -sq))[:top]
+
+
 def brute_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> pd.DataFrame:
@@ -40,7 +54,7 @@ def brute_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
         top = min(k, len(ids))
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
-            part = np.argpartition(-s, top - 1)[:top] if len(s) > top else np.arange(len(s))
+            part = _topk_sel(s, ids, top)
             rows_q.extend([qi] * len(part))
             rows_id.extend(ids[part].tolist())
             rows_s.extend(s[part].tolist())
@@ -388,8 +402,7 @@ def ivf_cosine_topk(emb_ds, query_vecs: np.ndarray, k: int = 10,
             if not sel.any():
                 continue
             s = mn[sel] @ q[qi]
-            part = (np.argpartition(-s, top - 1)[:top]
-                    if len(s) > top else np.arange(len(s)))
+            part = _topk_sel(s, ids[sel], top)
             rows_q.extend([qi] * len(part))
             rows_id.extend(ids[sel][part].tolist())
             rows_s.extend(s[part].tolist())

@@ -230,12 +230,24 @@ def _filter_args(index):
 
 
 def _finalize_fast(scores: np.ndarray, docs: np.ndarray, k: int):
-    """Top-k by (score desc, docid asc) from parallel arrays."""
+    """Top-k by (score desc, docid asc) from parallel arrays.
+
+    argpartition alone breaks score TIES arbitrarily, so when the
+    k-th score is shared the boundary group is re-selected by lowest
+    docid — (score desc, docid asc) holds even with >k tied docs (the
+    exact kernels' and the SQL oracle's row_number order)."""
     if len(scores) == 0:
         return []
     if len(scores) > k:
         part = np.argpartition(scores, len(scores) - k)[len(scores) - k:]
-        scores, docs = scores[part], docs[part]
+        kth = scores[part].min()
+        above = np.nonzero(scores > kth)[0]          # <= k-1 of these
+        tied = np.nonzero(scores == kth)[0]
+        need = k - len(above)
+        if len(tied) > need:
+            tied = tied[np.argpartition(docs[tied], need - 1)[:need]]
+        sel = np.concatenate([above, tied])
+        scores, docs = scores[sel], docs[sel]
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return [(scores[i], int(docs[i])) for i in order]  # keep native dtype
 

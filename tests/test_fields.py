@@ -1,0 +1,196 @@
+"""Multi-field (BM25F-style) scoring (rayfts/fields.py).
+
+* field indexes built over the same source + key_cols land on the SAME
+  docID space (deterministic global-rank assignment);
+* ranked_or_fielded equals a from-scratch numpy recompute of
+  sum_f w_f * BM25_f with per-field statistics;
+* maxscore_fielded is rank-identical to the exact union;
+* single-field fielded == plain ranked_or;
+* primary-field tombstones/facets govern servability.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 150
+K = 10
+W_CONTENT, W_PATH = 1.0, 3.0
+
+QUERIES = [
+    ["join", "hash"],
+    ["data", "table", "scan"],
+    ["src"],                      # path-ish token
+    ["stream"],
+    ["qqq_unknown", "filter"],
+]
+
+
+@pytest.fixture(scope="module")
+def fielded(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    src = corpus_parquet(NUM_DOCS, seed=77)
+    root = tmp_path_factory.mktemp("fields")
+    cdir, pdir = str(root / "content"), str(root / "path")
+    build_index(src, cdir, index_type="opt", text_col="content",
+                salt_threshold=64, num_shards=4)
+    build_index(src, pdir, index_type="opt", text_col="path",
+                salt_threshold=64, num_shards=4)
+    ci, pi = InvertedIndex(cdir), InvertedIndex(pdir)
+    assert ci.num_docs == pi.num_docs == NUM_DOCS
+    # same docID space: the docs-meta keys agree row-for-row (the
+    # indexed text column is excluded from each index's meta, so
+    # compare on the shared key/metadata columns)
+    cols = ["doc_id", "repo", "commit", "lang"]
+    kc = pq.read_table(os.path.join(cdir, "docs"),
+                       columns=cols).sort_by("doc_id")
+    kp = pq.read_table(os.path.join(pdir, "docs"),
+                       columns=cols).sort_by("doc_id")
+    assert kc.equals(kp)
+    return {"src": src, "content": ci, "path": pi,
+            "fields": [(ci, W_CONTENT), (pi, W_PATH)]}
+
+
+def _brute_bm25f(src, fields_spec, terms):
+    """f64 recompute of sum_f w_f * BM25_f from the raw parquet."""
+    from rayfts.tokenizer import tokenize_text
+
+    t = pq.read_table(src)
+    # doc order by build key (repo, path, commit) global rank
+    import pandas as pd
+    df = t.to_pandas().sort_values(["repo", "path", "commit"]) \
+        .reset_index(drop=True)
+    scores = np.zeros(len(df), dtype=np.float64)
+    for col, w in fields_spec:
+        toks = [tokenize_text(x) for x in df[col]]
+        lens = np.array([len(x) for x in toks], dtype=np.float64)
+        avg = lens.sum() / len(df)
+        for term in sorted(set(terms)):
+            tf = np.array([x.count(term) for x in toks], dtype=np.float64)
+            dfreq = int((tf > 0).sum())
+            if dfreq == 0:
+                continue
+            idf = max(1e-6, np.log((len(df) - dfreq + 0.5) / (dfreq + 0.5)))
+            mult = sum(1 for x in terms if x == term)
+            qw = mult * idf * 2.2
+            dw = tf / (tf + 1.2 * (0.5 + 0.5 * lens / avg))
+            scores += w * qw * dw
+    return scores
+
+
+def test_matches_brute_force(fielded):
+    from rayfts import search as S
+    from rayfts.fields import ranked_or_fielded
+
+    spec = [("content", W_CONTENT), ("path", W_PATH)]
+    for terms in QUERIES:
+        got = ranked_or_fielded(fielded["fields"], terms, k=K, prec=S.P64)
+        brute = _brute_bm25f(fielded["src"], spec, terms)
+        order = np.lexsort((np.arange(len(brute)), -brute))
+        want = [(brute[d], int(d)) for d in order if brute[d] > 0][:K]
+        assert [d for _, d in got] == [d for _, d in want], terms
+        for (sg, _), (sw, _) in zip(got, want):
+            assert float(sg) == pytest.approx(sw, rel=1e-12)
+
+
+def test_maxscore_fielded_rank_identical(fielded):
+    from rayfts import search as S
+    from rayfts.fields import maxscore_fielded, ranked_or_fielded
+
+    for terms in QUERIES:
+        a = ranked_or_fielded(fielded["fields"], terms, k=K, prec=S.P64)
+        b = maxscore_fielded(fielded["fields"], terms, k=K, prec=S.P64)
+        assert [d for _, d in a] == [d for _, d in b], terms
+        for (sa, _), (sb, _) in zip(a, b):
+            assert float(sa) == pytest.approx(float(sb), rel=1e-12)
+    # f32 serving precision too
+    for terms in QUERIES:
+        a = ranked_or_fielded(fielded["fields"], terms, k=K)
+        b = maxscore_fielded(fielded["fields"], terms, k=K)
+        assert [d for _, d in a] == [d for _, d in b], terms
+
+
+def test_single_field_equals_plain(fielded):
+    from rayfts import search as S
+    from rayfts.fields import ranked_or_fielded
+
+    for terms in QUERIES:
+        got = ranked_or_fielded([(fielded["content"], 1.0)], terms,
+                                k=K, prec=S.P64)
+        want = S.ranked_or(fielded["content"], terms, k=K, prec=S.P64)
+        assert got == want
+
+
+def test_path_boost_promotes_filename_hits(fielded):
+    """A strong path weight must rank docs whose PATH matches above
+    body-only matches (the Zoekt filename-boost behavior)."""
+    from rayfts import search as S
+    from rayfts.fields import ranked_or_fielded
+
+    pi = fielded["path"]
+    term = None
+    for t in ("src", "main", "util", "file"):
+        if pi.get(t) is not None:
+            term = t
+            break
+    if term is None:
+        pytest.skip("no path token in the synthetic corpus")
+    path_docs = set(pi.get(term).docs.tolist())
+    res = ranked_or_fielded([(fielded["content"], 1.0),
+                             (fielded["path"], 50.0)], [term], k=K,
+                            prec=S.P64)
+    top = [d for _, d in res[:min(K, len(path_docs))]]
+    assert set(top) <= path_docs
+
+
+def test_primary_masks_apply(fielded):
+    import copy
+
+    from rayfts import search as S
+    from rayfts.fields import maxscore_fielded, ranked_or_fielded
+
+    # pick real vocabulary terms (the synthetic corpus is seeded word
+    # soup; don't assume any fixed word survives)
+    terms = [t for t in fielded["content"].all_terms()][:2]
+    base = ranked_or_fielded(fielded["fields"], terms, k=K, prec=S.P64)
+    assert base
+    dead = base[0][1]
+    prim = copy.copy(fielded["content"])
+    prim.deleted = np.asarray([dead], dtype=np.int64)
+    flt = [(prim, W_CONTENT), (fielded["path"], W_PATH)]
+    for fn in (ranked_or_fielded, maxscore_fielded):
+        got = fn(flt, terms, k=K, prec=S.P64)
+        assert dead not in [d for _, d in got]
+        assert [d for _, d in got] == \
+            [d for _, d in base if d != dead][:len(got)]
+
+
+def test_derive_field_parquet(ray_session, tmp_path_factory):
+    import pyarrow.compute as pc
+
+    from rayfts.fields import derive_field_parquet
+
+    src = corpus_parquet(40, seed=78)
+    out = str(tmp_path_factory.mktemp("derived") / "title")
+    derive_field_parquet(
+        src, out, field_col="title",
+        expr=lambda t: pc.utf8_slice_codeunits(t.column("content"),
+                                               0, 50),
+        keep_cols=("repo", "path", "commit"),
+        read_cols=("repo", "path", "commit", "content"))
+    got = pq.read_table(out).sort_by([("repo", "ascending"),
+                                      ("path", "ascending")])
+    want = pq.read_table(src).sort_by([("repo", "ascending"),
+                                       ("path", "ascending")])
+    assert got.num_rows == 40
+    assert got.column("title").to_pylist() == \
+        [x[:50] for x in want.column("content").to_pylist()]
+    # resumable: second call is a no-op via marker
+    derive_field_parquet(src, out, field_col="title",
+                         expr=lambda t: 1 / 0, keep_cols=("repo",))

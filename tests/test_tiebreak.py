@@ -1,0 +1,60 @@
+"""Tie-break correctness at the top-k selection boundary.
+
+Regression for a latent argpartition bug: with more than k candidates
+sharing the k-th score, raw argpartition selects an arbitrary subset,
+violating the (score desc, docid asc) contract the exact kernels and
+the SQL oracle's row_number enforce.  Surfaced by fielded path queries
+where an idf-clamped term gives every doc an identical score.
+"""
+
+import numpy as np
+
+from rayfts.ops.ann import _topk_sel
+from rayfts.search import _finalize_fast
+
+
+def test_finalize_fast_all_tied():
+    n, k = 1000, 10
+    docs = np.arange(n, dtype=np.int64)[::-1].copy()  # descending ids
+    scores = np.full(n, 0.5, dtype=np.float32)
+    got = _finalize_fast(scores, docs, k)
+    assert [d for _, d in got] == list(range(k))
+
+
+def test_finalize_fast_boundary_tie():
+    # 3 distinct high scores, then 50 tied at the k-th score, then low
+    docs = np.arange(100, dtype=np.int64)
+    scores = np.full(100, 1.0, dtype=np.float32)
+    scores[:3] = [9.0, 8.0, 7.0]
+    scores[60:] = 0.25
+    rng = np.random.RandomState(7)
+    perm = rng.permutation(100)
+    got = _finalize_fast(scores[perm], docs[perm], 10)
+    assert [d for _, d in got] == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    assert [float(s) for s, _ in got] == [9.0, 8.0, 7.0] + [1.0] * 7
+
+
+def test_finalize_fast_no_tie_unchanged():
+    rng = np.random.RandomState(3)
+    scores = rng.rand(500).astype(np.float32)
+    docs = np.arange(500, dtype=np.int64)
+    got = _finalize_fast(scores, docs, 10)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:10]
+    assert [d for _, d in got] == [int(docs[i]) for i in order]
+
+
+def test_ann_partial_keeps_low_ids_on_quantized_tie():
+    # raw scores differ below the 1e4 quantization, ids descending:
+    # the partial must keep the LOWEST ids of the tied group
+    ids = np.arange(20, dtype=np.int64)[::-1].copy()
+    s = 0.5 + np.linspace(0, 0.4e-5, 20)  # all quantize to 5000
+    sel = _topk_sel(s, ids, 5)
+    assert sorted(ids[sel].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_ann_partial_distinct_scores():
+    ids = np.arange(50, dtype=np.int64)
+    s = np.linspace(0, 1, 50)
+    sel = _topk_sel(s, ids, 7)
+    assert sorted(ids[sel].tolist()) == list(range(43, 50))
+    assert len(_topk_sel(s[:5], ids[:5], 7)) == 5
