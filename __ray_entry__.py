@@ -1448,6 +1448,39 @@ RE_PATTERNS: list[tuple[int, str]] = [
 ]
 
 
+#: term-regex expansion patterns for the kgram lexicon sidecar — a
+#: pure infix (the motivating case), prefix/suffix anchors, a class
+#: between runs, and one with only short runs (scan-fallback path)
+KGRAM_PATTERNS: list[str] = [
+    ".*art.*", "fil.*", ".*ter", "c[a-z]*tion", "s.*am",
+    ".*a.*", "s.*", ".*o[a-z]+",     # unprunable: scan-fallback rows
+]
+
+
+def _regex_terms_kgram(sf_dir: str) -> pd.DataFrame:
+    """Trigram-LEXICON regex term expansion (rayfts/kgram.py): build
+    the gram->term_id sidecar over the index's sharded lexicon, expand
+    each pattern by required-gram intersection + one fullmatch verify
+    (query.expand_regex routes through the sidecar; patterns without a
+    >=3 literal run exercise the scan fallback).  Oracle: DuckDB
+    regexp_full_match over the distinct tokenized vocabulary."""
+    from rayfts.kgram import build_kgram_sidecar
+    from rayfts.query import expand_regex
+
+    idx = _index_for(sf_dir, "opt")
+    build_kgram_sidecar(idx.index_dir, num_shards=8)
+    # the shared cached reader may have probed (and memoized) "no
+    # sidecar" before the build above; drop the stale probe + memo
+    for attr in ("_kgram_shards", "_regex_memo"):
+        if hasattr(idx, attr):
+            delattr(idx, attr)
+    rows = []
+    for pat in KGRAM_PATTERNS:
+        for t in expand_regex(idx, pat, cap=1 << 20):
+            rows.append({"pattern": pat, "term": t})
+    return pd.DataFrame(rows, columns=["pattern", "term"])
+
+
 def _regex_search(sf_dir: str) -> pd.DataFrame:
     """Trigram-pruned distributed regex grep over `documents`
     (rayfts/ops/grep.py regex_search): the pattern compiles to a
@@ -1987,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_search": _substring_search,
         "substring_line_search": _substring_line_search,
         "regex_search": _regex_search,
+        "regex_terms_kgram": _regex_terms_kgram,
         "symbols": _symbols,
         "symbol_stats": _symbol_stats,
         "ann_lsh_topk": _ann_lsh,
@@ -2808,6 +2842,14 @@ WITH p(pattern_id, pat) AS (VALUES {_p_values})
 SELECT p.pattern_id, d.doc_id,
        len(regexp_extract_all(d.text, p.pat)) AS n_matches
 FROM p JOIN documents d ON regexp_matches(d.text, p.pat)"""
+
+    _kg_values = ", ".join(f"('{p}')" for p in KGRAM_PATTERNS)
+    sqls["regex_terms_kgram"] = f"""
+WITH {_TOK.strip()},
+vocab AS (SELECT DISTINCT term FROM tf),
+pats(pattern) AS (VALUES {_kg_values})
+SELECT p.pattern, v.term
+FROM pats p JOIN vocab v ON regexp_full_match(v.term, p.pattern)"""
 
     from rayfts.ops.cluster import QUANT_SCALE as _QS
     _iter_sql = """

@@ -276,6 +276,16 @@ def cmd_positions(args) -> int:
     return 0
 
 
+def cmd_kgram(args) -> int:
+    """Build the trigram lexicon sidecar (sublinear infix wildcard /
+    regex term expansion) for an existing index."""
+    _ensure_ray(args.num_cpus)
+    from .kgram import build_kgram_sidecar
+    meta = build_kgram_sidecar(args.index, num_shards=args.num_shards)
+    print(json.dumps({"event": "kgram_done", **meta}))
+    return 0
+
+
 def cmd_phrase(args) -> int:
     """Phrase / proximity lookups over a positional sidecar.  Queries:
     one per line; words separated by spaces.  With --window W, each
@@ -548,6 +558,11 @@ def main(argv=None) -> int:
     po.add_argument("--output", required=True)
     po.add_argument("--num-shards", type=int, default=16)
     po.set_defaults(fn=cmd_positions)
+
+    kg = sub.add_parser("kgram", parents=[common])
+    kg.add_argument("--index", required=True)
+    kg.add_argument("--num-shards", type=int, default=8)
+    kg.set_defaults(fn=cmd_kgram)
 
     phq = sub.add_parser("phrase", parents=[common])
     phq.add_argument("--positions", required=True,

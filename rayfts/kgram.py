@@ -1,0 +1,291 @@
+"""Trigram (k-gram) lexicon index: sublinear infix wildcard / regex
+term expansion.
+
+``expand_regex`` prunes by the pattern's literal PREFIX (Lucene's
+CompiledAutomaton.commonPrefix analogue) — an unanchored pattern like
+``.*_impl`` or ``re:.*fo+o.*`` degrades to scanning every lexicon
+shard's term array, which at a 10^9-term vocabulary is the wrong
+shape.  The standard fix (Google Code Search, Cox 2012 "Regular
+Expression Matching with a Trigram Index"; Zoekt's ngram index) is an
+inverted index over the LEXICON itself: trigram -> the term_ids of
+every vocabulary term containing that trigram.  A pattern's required
+literal runs (substrings every match must contain) become required
+trigrams; intersecting their (short) term_id lists yields a candidate
+set that one compiled-regex verification pass filters — never a
+vocabulary scan.
+
+Build shape (corpus scale): the lexicon is already term-range-sharded
+parquet, so the build is one Ray pipeline over those shards —
+vectorized trigram explode (the SAME kernel the trigram tokenizer
+uses, rayfts/tokenizer.py::trigram_batch, with term_id standing in
+for doc_id) -> hash-shard by gram -> per-shard sorted (gram, term_id)
+parquet under ``<index_dir>/kgram/``.  Lookups are answer-scale:
+predicate-pushdown reads of one gram's rows from one hash shard.
+
+Terms shorter than 3 chars have no trigram — irrelevant here, because
+a query with a required run of length >= 3 can only match terms of
+length >= 3; patterns without such a run fall back to the existing
+scan path (they are also the patterns for which NO index can help,
+per Cox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+_RE_META = set("\\.^$*+?()[]{}|")
+
+
+def required_runs(pattern: str) -> list[str]:
+    """Literal substrings every match of ``pattern`` must contain
+    (conservative: may miss runs, never invents one).  Walks the
+    pattern once: metacharacters end the current run; a quantified
+    atom is dropped from (``?``/``*``/``{``) or kept at the end of
+    (``+``) its run; group bodies and character classes are skipped
+    whole; a TOP-LEVEL alternation means nothing is required ->
+    ``[]`` (callers fall back to the scan path)."""
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "|":                      # top-level alternation
+            return []
+        if ch == "(":                      # skip the group body
+            depth = 1
+            i += 1
+            while i < n and depth:
+                if pattern[i] == "\\":
+                    i += 1
+                elif pattern[i] == "(":
+                    depth += 1
+                elif pattern[i] == ")":
+                    depth -= 1
+                i += 1
+            flush()
+            continue
+        if ch == "[":                      # skip the class
+            i += 1
+            if i < n and pattern[i] == "]":
+                i += 1
+            while i < n and pattern[i] != "]":
+                if pattern[i] == "\\":
+                    i += 1
+                i += 1
+            i += 1
+            flush()
+            continue
+        if ch in "*?{":                    # optional/repeated atom
+            keep = False
+            if ch == "{":                  # {m,..}: required iff m >= 1
+                j = i + 1
+                while j < n and pattern[j].isdigit():
+                    j += 1
+                keep = j > i + 1 and int(pattern[i + 1:j]) >= 1
+                while i < n and pattern[i] != "}":
+                    i += 1
+            if not keep and cur:
+                cur.pop()
+            flush()                        # adjacency breaks either way
+            i += 1
+            continue
+        if ch == "+":                      # atom required >= once:
+            flush()                        # keep it, break adjacency
+            i += 1
+            continue
+        if ch in "^$":                     # zero-width anchors
+            flush()
+            i += 1
+            continue
+        if ch in "\\.":                    # escape / wildcard char
+            flush()
+            i += 2 if ch == "\\" else 1
+            continue
+        cur.append(ch)
+        i += 1
+    flush()
+    return [r for r in runs if r]
+
+
+def required_grams(pattern: str) -> list[str]:
+    """Distinct required trigrams of the pattern, [] when the trigram
+    index cannot prune (no literal run of length >= 3)."""
+    grams: set[str] = set()
+    for run in required_runs(pattern):
+        for i in range(len(run) - 2):
+            grams.add(run[i:i + 3])
+    return sorted(grams)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def build_kgram_sidecar(index_dir: str, num_shards: int = 8) -> dict:
+    """Distributed trigram-over-lexicon build -> hash-sharded,
+    (gram, term_id)-sorted parquet under ``<index_dir>/kgram/``.
+    Resumable via marker."""
+    from rayfts.ops.hashing import md5_u64
+    from rayfts.tokenizer import trigram_batch
+
+    out_dir = os.path.join(index_dir, "kgram")
+    marker = os.path.join(out_dir, "kgram.done.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        shards = json.load(f)["shards"]
+    lex_paths = [os.path.join(index_dir, "shards",
+                              f"shard_{m['shard']:05d}.parquet")
+                 for m in shards]
+
+    def explode(t: pa.Table) -> pa.Table:
+        g = trigram_batch(t, text_col="term", id_col="term_id")
+        s = (md5_u64(np.asarray(g.column("term").to_pylist(),
+                                dtype=object))
+             % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({"gram": g.column("term"),
+                         "term_id": g.column("doc_id"),
+                         "shard": pa.array(s)})
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        s = int(g.column("shard")[0].as_py())
+        g = g.sort_by([("gram", "ascending"), ("term_id", "ascending")])
+        path = os.path.join(out_dir, f"gram_{s:05d}.parquet")
+        pq.write_table(g.select(["gram", "term_id"]), path + ".tmp",
+                       row_group_size=4096)
+        os.replace(path + ".tmp", path)
+        return pa.table({"shard": pa.array([s], type=pa.int64()),
+                         "rows": pa.array([g.num_rows], type=pa.int64())})
+
+    manifest = (rd.read_parquet(lex_paths, columns=["term", "term_id"])
+                .map_batches(explode, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(write_shard, batch_format="pyarrow")
+                .to_pandas())
+    meta = {"num_shards": num_shards,
+            "rows": int(manifest["rows"].sum()) if len(manifest) else 0}
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# lookup
+# ---------------------------------------------------------------------------
+
+def _kgram_meta(index) -> int | None:
+    ns = getattr(index, "_kgram_shards", None)
+    if ns is None:
+        marker = os.path.join(index.index_dir, "kgram",
+                              "kgram.done.json")
+        if not os.path.exists(marker):
+            index._kgram_shards = ns = 0
+        else:
+            with open(marker) as f:
+                index._kgram_shards = ns = int(json.load(f)["num_shards"])
+    return ns or None
+
+
+def gram_term_ids(index, gram: str) -> np.ndarray:
+    """Sorted term_ids of vocabulary terms containing ``gram`` — one
+    predicate-pushdown read of the gram's hash shard, memoized on the
+    reader."""
+    from rayfts.ops.hashing import md5_u64
+
+    cache = getattr(index, "_kgram_cache", None)
+    if cache is None:
+        cache = index._kgram_cache = {}
+    hit = cache.get(gram)
+    if hit is not None:
+        return hit
+    ns = _kgram_meta(index)
+    if ns is None:
+        raise ValueError(
+            f"no kgram sidecar under {index.index_dir}; "
+            "run build_kgram_sidecar")
+    s = int(md5_u64(np.asarray([gram], dtype=object))[0]) % ns
+    path = os.path.join(index.index_dir, "kgram",
+                        f"gram_{s:05d}.parquet")
+    if not os.path.exists(path):
+        ids = np.empty(0, dtype=np.int64)
+    else:
+        t = pq.read_table(path, columns=["term_id"],
+                          filters=[("gram", "==", gram)])
+        ids = t.column("term_id").to_numpy().astype(np.int64)
+    cache[gram] = ids
+    return ids
+
+
+def _terms_by_ids(index, tids: np.ndarray) -> list[str]:
+    """term strings for sorted global term_ids, via the term-range
+    shard manifest (per-shard cached term arrays; rows touched =
+    candidates only)."""
+    out = []
+    for tid in tids.tolist():
+        s = index._shard_of_tid(int(tid))
+        if s is None:
+            continue
+        row = index._lex(s)[1].get(int(tid))
+        if row is None:
+            continue
+        terms = getattr(index, "_shard_terms_cache", None)
+        if terms is None:
+            terms = index._shard_terms_cache = {}
+        tl = terms.get(s)
+        if tl is None:
+            tl = terms[s] = pq.read_table(
+                index._shard_paths[s],
+                columns=["term"]).column("term").to_pylist()
+        out.append(tl[row])
+    return out
+
+
+def expand_regex_kgram(index, pattern: str, cap: int = 1024
+                       ) -> "list[str] | None":
+    """Trigram-pruned regex term expansion: candidates = the
+    intersection of the pattern's required-gram term_id lists
+    (smallest first, early-exit on empty), verified with one compiled
+    ``fullmatch`` pass; output contract identical to
+    ``query.expand_regex`` (lexicographic, capped).
+
+    Returns ``None`` when the index cannot help — no sidecar, an
+    invalid pattern handled upstream, or no required run of length
+    >= 3 — so callers fall back to the shard-scan path."""
+    if _kgram_meta(index) is None:
+        return None
+    grams = required_grams(pattern)
+    if not grams:
+        return None
+    try:
+        rx = re.compile(pattern)
+    except re.error:
+        return []
+    lists = sorted((gram_term_ids(index, g) for g in grams), key=len)
+    cand = lists[0]
+    for arr in lists[1:]:
+        if len(cand) == 0:
+            return []
+        cand = cand[np.isin(cand, arr, assume_unique=True)]
+    if len(cand) == 0:
+        return []
+    terms = _terms_by_ids(index, np.sort(cand))
+    out = sorted(t for t in terms if rx.fullmatch(t))
+    return out[:cap]

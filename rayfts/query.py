@@ -258,8 +258,11 @@ def expand_regex(index, pattern: str, cap: int = PREFIX_CAP) -> list[str]:
     term-range shards and, inside each shard, to the prefix's row
     interval (exactly :func:`expand_prefix`'s pruning); an unanchored
     pattern scans the cached per-shard term arrays — bounded per
-    partition because the lexicon itself is sharded.  Memoized per
-    (reader, pattern)."""
+    partition because the lexicon itself is sharded.  When the index
+    carries a trigram lexicon sidecar (rayfts/kgram.py), patterns with
+    a required literal run of length >= 3 expand by required-gram
+    intersection instead of any scan — same output, sublinear in the
+    vocabulary.  Memoized per (reader, pattern)."""
     import bisect
 
     memo = getattr(index, "_regex_memo", None)
@@ -275,6 +278,11 @@ def expand_regex(index, pattern: str, cap: int = PREFIX_CAP) -> list[str]:
         # an invalid pattern expands to no terms
         memo[pattern] = []
         return []
+    from .kgram import expand_regex_kgram
+    kg = expand_regex_kgram(index, pattern, cap)
+    if kg is not None:
+        memo[pattern] = kg
+        return kg[:cap]
     prefix = _literal_prefix(pattern)
     upper = (prefix[:-1] + chr(ord(prefix[-1]) + 1)) if prefix else None
     cache = getattr(index, "_shard_terms_cache", None)

