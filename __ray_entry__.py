@@ -291,6 +291,69 @@ def _bm25f_topk(sf_dir: str, kernel: str = "union") -> pd.DataFrame:
                                        "score_q"])
 
 
+#: impact (SAAT) quantized index parameters — 8-bit linear impacts;
+#: anytime gate: budget fraction of query postings, min overlap@10
+IMPACT_BITS = 8
+IMPACT_BUDGET = 0.7
+IMPACT_MIN_HITS = 3   # measured worst overlap at sf0.01 is 5; margin
+                      # absorbs per-round testdata regeneration
+
+
+def _impact_for(sf_dir: str):
+    from rayfts.impact import ImpactIndex, build_impact_index
+
+    base = _index_for(sf_dir, "opt")
+    out_dir = base.index_dir.rstrip("/") + "_impact"
+    impx = _INDEX_CACHE.get(out_dir)
+    if impx is None:
+        build_impact_index(base.index_dir, out_dir, bits=IMPACT_BITS)
+        impx = ImpactIndex(out_dir)
+        _INDEX_CACHE[out_dir] = impx
+    return impx
+
+
+def _impact_topk(sf_dir: str) -> pd.DataFrame:
+    """Impact-ordered score-at-a-time top-10 (rayfts/impact.py): BM25
+    contributions quantized to 8-bit integer impacts (u/U linear,
+    Anh-Moffat), postings stored impact-descending, scores are exact
+    integer sums — the SQL oracle recomputes the quantization and the
+    SAAT ranking end-to-end."""
+    from rayfts.impact import saat_topk
+
+    impx = _impact_for(sf_dir)
+    body = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, terms in QUERIES:
+        for rank, (score, d) in enumerate(saat_topk(impx, terms, k=K),
+                                          1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(body.src_doc_ids[d]),
+                         "score_i": int(score)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_i"])
+
+
+def _impact_anytime_recall(sf_dir: str) -> pd.DataFrame:
+    """Anytime-ranking gate: SAAT stopped at IMPACT_BUDGET of each
+    query's postings (highest weighted impacts first) must overlap the
+    exact impact top-10 in >= IMPACT_MIN_HITS docs per query.
+    Deterministic (integer scores, fixed segment order), so the oracle
+    asserts TRUE for every query — an early-termination regression
+    turns the row red instead of being unmeasured."""
+    from rayfts.impact import saat_topk
+
+    impx = _impact_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        exact = {d for _, d in saat_topk(impx, terms, k=K)}
+        part = {d for _, d in saat_topk(impx, terms, k=K,
+                                        budget=IMPACT_BUDGET)}
+        meets = (len(exact & part) >= min(IMPACT_MIN_HITS, len(exact))
+                 if exact else True)
+        rows.append({"query_id": qid, "meets": bool(meets)})
+    return pd.DataFrame(rows, columns=["query_id", "meets"])
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -1998,6 +2061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msm_topk": _msm_topk,
         "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
+        "impact_topk": _impact_topk,
+        "impact_anytime_recall": _impact_anytime_recall,
         "more_like_this": _more_like_this,
         "bool_or": _bool_or,
         # dedup
@@ -2583,6 +2648,45 @@ topk AS (
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
     sqls["bm25f_topk"] = _bm25f_sql
     sqls["bm25f_topk_maxscore"] = _bm25f_sql
+
+    # impact (SAAT) quantized index: recompute u = qtw*dtw in f64, the
+    # global max U, the 8-bit linear quantization, and the integer
+    # score sum — exact arithmetic end-to-end (no float hashing)
+    _imp_m = (1 << IMPACT_BITS) - 1
+    sqls["impact_topk"] = f"""
+WITH {_TOK.strip()},
+q(query_id, term) AS (VALUES {_q_values()}),
+u AS (
+  SELECT tf.term, tf.doc_id,
+         (greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+          * 2.2)
+         * (tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len)))
+           AS u
+  FROM tf
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+umax AS (SELECT max(u) AS big_u FROM u),
+qi AS (
+  SELECT term, doc_id,
+         least({_imp_m},
+               1 + CAST(floor(u / big_u * {_imp_m}) AS BIGINT)) AS qi
+  FROM u CROSS JOIN umax),
+scores AS (
+  SELECT q.query_id, qi.doc_id, sum(qi.qi)::BIGINT AS score_i
+  FROM q JOIN qi ON qi.term = q.term
+  GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, score_i,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_i DESC, doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score_i FROM topk WHERE rank <= {K}"""
+
+    _imp_qids = ", ".join(f"({qid})" for qid, _ in QUERIES)
+    sqls["impact_anytime_recall"] = f"""
+SELECT query_id, TRUE AS meets
+FROM (VALUES {_imp_qids}) q(query_id)"""
 
     # more-like-this: term selection (quantized tf*idf, ties -> term
     # ASC) feeds the standard BM25 scorer as a computed q body; the

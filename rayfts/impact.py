@@ -1,0 +1,259 @@
+"""Impact-ordered (score-at-a-time) quantized index: exact integer-
+scored top-k and budgeted ANYTIME early termination.
+
+ds2i's engines are all document-at-a-time over docID-sorted postings.
+The other classic index organization (Anh & Moffat, "Pruned query
+evaluation using pre-computed impacts", SIGIR'06; JASS, Lin & Trotman
+SIGIR'15) pre-computes each posting's score contribution, QUANTIZES it
+to a small integer (the "impact"), and stores each term's postings as
+impact-DESCENDING segments.  Query evaluation is score-at-a-time:
+process segments in decreasing weighted-impact order, adding
+``query_mult * impact`` into a document accumulator — which makes
+"anytime" ranking trivial: stop after any posting budget and the
+accumulator holds the best-effort ranking, with the highest-value
+postings guaranteed processed first.
+
+Definitions (mirrored EXACTLY by the SQL oracle):
+
+* ``u(t, d) = qtw_f64(1, df_t, N) * dtw_f64(tf, len_d/avg_len)`` — the
+  per-term f64 BM25 contribution the existing kernels sum (rayfts/bm25);
+* ``U = max u`` over every posting in the collection (stats pass);
+* ``impact(t, d) = min(M, 1 + floor(u/U * M))`` with ``M = 2^bits - 1``
+  — linear quantization into [1, M];
+* ``score(q, d) = sum_t mult_t * impact(t, d)`` — integers, so the
+  oracle comparison is exact (no float hashing subtleties).
+
+Build shape (corpus scale): two shard-parallel, shuffle-free Ray
+passes over the already-built index's term-range lexicon shards —
+actors hold a lazy reader (decode state per worker, reference
+`builder` analogue); pass 1 reduces the per-shard max ``u`` (one f64
+per shard reaches the driver), pass 2 quantizes and writes the
+impact-ordered sidecar shard-aligned with the lexicon.  Serving reads
+one term's segments with predicate pushdown from its range shard.
+
+Reference analogue: none (ds2i is DAAT-only); the quantization /
+segment layout follows the published SAAT literature cited above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def _u_arrays(idx, term: str, lengths64: np.ndarray, avg_len: float,
+              num_docs: int):
+    """(docs, u) for one term — f64 per-posting BM25 contributions in
+    the exact arithmetic the P64 kernels use."""
+    from . import bm25
+
+    pl = idx.get(term)
+    if pl is None:
+        return None, None
+    qw = bm25.query_term_weight_f64(1, pl.n, num_docs)
+    nl = lengths64[pl.docs] / np.float64(avg_len)
+    dw = bm25.doc_term_weight_f64(pl.freqs, nl)
+    return pl.docs, qw * dw
+
+
+class _ShardPass:
+    """Actor-pool stage over lexicon-shard ids: a lazy reader per
+    worker (decode buffers, mmapped lengths — loaded once in
+    ``__init__``, reference builder-state discipline)."""
+
+    def __init__(self, index_dir: str, out_dir: str | None = None,
+                 u_max: float | None = None, bits: int = 8):
+        from .index import InvertedIndex
+
+        self.idx = InvertedIndex(index_dir)
+        self.lengths64 = np.asarray(self.idx.lengths, dtype=np.float64)
+        self.avg_len = float(self.idx.avg_len)
+        self.num_docs = int(self.idx.num_docs)
+        self.out_dir = out_dir
+        self.u_max = u_max
+        self.M = (1 << bits) - 1
+
+    def _shard_terms(self, s: int) -> list[str]:
+        return pq.read_table(self.idx._shard_paths[s],
+                             columns=["term"]).column("term").to_pylist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for s in batch.column("shard").to_pylist():
+            rows.append(self._one(int(s)))
+        return pa.Table.from_pylist(rows)
+
+    def _one(self, s: int) -> dict:
+        terms = self._shard_terms(s)
+        if self.out_dir is None:                     # pass 1: max u
+            mx = 0.0
+            for t in terms:
+                _, u = _u_arrays(self.idx, t, self.lengths64,
+                                 self.avg_len, self.num_docs)
+                if u is not None and len(u):
+                    mx = max(mx, float(u.max()))
+            return {"shard": s, "u_max": mx, "rows": 0,
+                    "term_lo": terms[0] if terms else "",
+                    "term_hi": terms[-1] if terms else ""}
+        # pass 2: quantize + impact-descending segments
+        out_t, out_i, out_d = [], [], []
+        for t in terms:
+            docs, u = _u_arrays(self.idx, t, self.lengths64,
+                                self.avg_len, self.num_docs)
+            if docs is None or len(docs) == 0:
+                continue
+            qi = np.minimum(
+                self.M,
+                1 + np.floor(u / self.u_max * self.M).astype(np.int64)
+            ).astype(np.int32)
+            order = np.lexsort((docs, -qi))          # impact desc, doc asc
+            out_t.append(np.full(len(docs), t, dtype=object))
+            out_i.append(qi[order])
+            out_d.append(docs[order])
+        path = os.path.join(self.out_dir, f"impact_{s:05d}.parquet")
+        n = 0
+        if out_t:
+            tbl = pa.table({
+                "term": pa.array(np.concatenate(out_t), type=pa.string()),
+                "impact": pa.array(np.concatenate(out_i),
+                                   type=pa.int32()),
+                "doc_id": pa.array(np.concatenate(out_d),
+                                   type=pa.int64()),
+            })
+            pq.write_table(tbl, path + ".tmp", row_group_size=1 << 14)
+            os.replace(path + ".tmp", path)
+            n = tbl.num_rows
+        return {"shard": s, "u_max": 0.0, "rows": n,
+                "term_lo": terms[0] if terms else "",
+                "term_hi": terms[-1] if terms else ""}
+
+
+def build_impact_index(index_dir: str, out_dir: str,
+                       bits: int = 8, concurrency: int = 4) -> dict:
+    """Two shard-parallel passes (stats, then quantize+write) ->
+    impact sidecar under ``out_dir``; resumable via marker."""
+    marker = os.path.join(out_dir, "meta.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        src_meta = json.load(f)
+    shard_ids = [int(m["shard"]) for m in src_meta["shards"]]
+    items = [{"shard": s} for s in shard_ids]
+    conc = min(concurrency, max(1, len(items)))
+
+    p1 = (rd.from_items(items)
+          .map_batches(_ShardPass, batch_size=1, concurrency=conc,
+                       batch_format="pyarrow",
+                       fn_constructor_kwargs={"index_dir": index_dir,
+                                              "bits": bits})
+          .to_pandas())
+    u_max = float(p1["u_max"].max())
+    if not (u_max > 0):
+        raise ValueError("empty index: no postings to quantize")
+
+    p2 = (rd.from_items(items)
+          .map_batches(_ShardPass, batch_size=1, concurrency=conc,
+                       batch_format="pyarrow",
+                       fn_constructor_kwargs={"index_dir": index_dir,
+                                              "out_dir": out_dir,
+                                              "u_max": u_max,
+                                              "bits": bits})
+          .to_pandas())
+    meta = {
+        "u_max": u_max,                    # repr round-trips f64 exactly
+        "bits": bits,
+        "num_docs": int(src_meta["num_docs"]),
+        "rows": int(p2["rows"].sum()),
+        "source_index": index_dir,
+        "shards": sorted(
+            ({"shard": int(r.shard), "rows": int(r.rows),
+              "term_lo": str(r.term_lo), "term_hi": str(r.term_hi)}
+             for r in p2.itertuples()), key=lambda m: m["shard"]),
+    }
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+class ImpactIndex:
+    """Reader over the impact sidecar: per-term impact-descending
+    segments, term-range shard pruning, per-term cache."""
+
+    def __init__(self, out_dir: str):
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.num_docs = int(self.meta["num_docs"])
+        self.M = (1 << int(self.meta["bits"])) - 1
+        self._shards = [m for m in self.meta["shards"] if m["rows"]]
+        self._cache: dict = {}
+
+    def _path_for(self, term: str) -> str | None:
+        for m in self._shards:
+            if m["term_lo"] <= term <= m["term_hi"]:
+                return os.path.join(self.dir,
+                                    f"impact_{m['shard']:05d}.parquet")
+        return None
+
+    def segments(self, term: str) -> list[tuple[int, np.ndarray]]:
+        """[(impact, sorted doc array)] in impact-descending order."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        path = self._path_for(term)
+        segs: list[tuple[int, np.ndarray]] = []
+        if path is not None and os.path.exists(path):
+            t = pq.read_table(path, columns=["impact", "doc_id"],
+                              filters=[("term", "==", term)])
+            imps = t.column("impact").to_numpy()
+            docs = t.column("doc_id").to_numpy().astype(np.int64)
+            if len(imps):
+                # rows are (impact desc, doc asc): split at boundaries
+                cut = np.nonzero(np.diff(imps))[0] + 1
+                for lo, hi in zip(np.r_[0, cut], np.r_[cut, len(imps)]):
+                    segs.append((int(imps[lo]), docs[lo:hi]))
+        self._cache[term] = segs
+        return segs
+
+
+def saat_topk(impx: ImpactIndex, terms: list, k: int = 10,
+              budget: float | None = None):
+    """Score-at-a-time top-k: -> [(score_int, docid)] by (score desc,
+    docid asc).  ``budget`` caps the fraction of query postings
+    processed (segments stream in decreasing ``mult * impact`` order,
+    ties by term then impact — deterministic), making this the ANYTIME
+    ranking; ``budget=None``/1.0 processes everything and is EXACT for
+    the quantized scores (integer arithmetic, no fp subtleties)."""
+    from .search import _finalize_fast, query_freqs
+
+    qf = query_freqs(terms)
+    stream = []
+    total = 0
+    for term, mult in qf:
+        for imp, docs in impx.segments(term):
+            stream.append((mult * imp, term, imp, docs))
+            total += len(docs)
+    if not stream:
+        return []
+    stream.sort(key=lambda s: (-s[0], s[1], -s[2]))
+    limit = total if budget is None else int(np.ceil(total * budget))
+    acc = np.zeros(impx.num_docs, dtype=np.int64)
+    done = 0
+    for w, _t, _imp, docs in stream:
+        if done >= limit:
+            break
+        acc[docs] += w
+        done += len(docs)
+    nz = np.nonzero(acc)[0]
+    return [(int(s), d)
+            for s, d in _finalize_fast(acc[nz].astype(np.float64), nz, k)]
