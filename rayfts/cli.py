@@ -276,6 +276,34 @@ def cmd_positions(args) -> int:
     return 0
 
 
+def cmd_impact(args) -> int:
+    """Build the impact-ordered (SAAT) quantized sidecar for an
+    existing index, then optionally serve a query file exactly or
+    under an anytime posting budget."""
+    _ensure_ray(args.num_cpus)
+    from .impact import ImpactIndex, build_impact_index, saat_topk
+    meta = build_impact_index(args.index, args.output, bits=args.bits)
+    print(json.dumps({"event": "impact_done",
+                      **{k: meta[k] for k in
+                         ("u_max", "bits", "rows", "num_docs")}}))
+    if not args.queries:
+        return 0
+    impx = ImpactIndex(args.output)
+    with (open(args.queries) if args.queries != "-" else sys.stdin) as f:
+        queries = [(i, line.split()) for i, line in
+                   enumerate(l.strip() for l in f) if line]
+    t0 = time.perf_counter()
+    for qid, terms in queries:
+        res = saat_topk(impx, terms, k=args.k, budget=args.budget)
+        print(json.dumps({"query": qid, "terms": terms,
+                          "topk": [[s, d] for s, d in res]}))
+    dt = time.perf_counter() - t0
+    print(json.dumps({"event": "impact_query_done",
+                      "queries": len(queries), "budget": args.budget,
+                      "wall_sec": round(dt, 3)}))
+    return 0
+
+
 def cmd_kgram(args) -> int:
     """Build the trigram lexicon sidecar (sublinear infix wildcard /
     regex term expansion) for an existing index."""
@@ -558,6 +586,18 @@ def main(argv=None) -> int:
     po.add_argument("--output", required=True)
     po.add_argument("--num-shards", type=int, default=16)
     po.set_defaults(fn=cmd_positions)
+
+    im = sub.add_parser("impact", parents=[common])
+    im.add_argument("--index", required=True)
+    im.add_argument("--output", required=True)
+    im.add_argument("--bits", type=int, default=8)
+    im.add_argument("--queries", default=None,
+                    help="optional query file (terms per line; - = stdin)")
+    im.add_argument("--k", type=int, default=10)
+    im.add_argument("--budget", type=float, default=None,
+                    help="anytime fraction of query postings; omit "
+                         "for exact")
+    im.set_defaults(fn=cmd_impact)
 
     kg = sub.add_parser("kgram", parents=[common])
     kg.add_argument("--index", required=True)

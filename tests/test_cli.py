@@ -163,3 +163,38 @@ def test_cli_suggest_and_search_suggest(cli_index, ray_session, capsys):
     assert dym is None or bad not in dym.split()
     if bad not in vocab:
         assert dym is not None and t in dym.split() or sug[bad]
+
+
+def test_cli_impact_build_and_query(cli_index, ray_session, capsys,
+                                    tmp_path):
+    from rayfts.index import InvertedIndex
+
+    out = str(tmp_path / "impact")
+    qf = tmp_path / "q.txt"
+    terms = InvertedIndex(cli_index).all_terms()[:3]
+    qf.write_text(" ".join(terms) + "\n" + terms[0] + "\n")
+    lines = _run_cli(capsys, ["impact", "--index", cli_index,
+                              "--output", out, "--queries", str(qf),
+                              "--k", "5"])
+    done = [l for l in lines if l.get("event") == "impact_done"]
+    assert done and done[0]["rows"] > 0 and done[0]["bits"] == 8
+    qrows = [l for l in lines if "topk" in l]
+    assert len(qrows) == 2
+    assert all(len(r["topk"]) <= 5 for r in qrows)
+    assert qrows[0]["topk"], "frequent terms must match documents"
+    # integer scores, (score desc, doc asc)
+    sc = [s for s, _ in qrows[0]["topk"]]
+    assert sc == sorted(sc, reverse=True)
+    assert all(isinstance(s, int) for s in sc)
+    # anytime budget run over the same (resumed) sidecar
+    lines = _run_cli(capsys, ["impact", "--index", cli_index,
+                              "--output", out, "--queries", str(qf),
+                              "--k", "5", "--budget", "0.5"])
+    assert [l for l in lines if l.get("event") == "impact_query_done"]
+
+
+def test_cli_kgram_build(cli_index, ray_session, capsys):
+    lines = _run_cli(capsys, ["kgram", "--index", cli_index,
+                              "--num-shards", "3"])
+    done = [l for l in lines if l.get("event") == "kgram_done"]
+    assert done and done[0]["rows"] > 0
