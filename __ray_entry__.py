@@ -291,6 +291,55 @@ def _bm25f_topk(sf_dir: str, kernel: str = "union") -> pd.DataFrame:
                                        "score_q"])
 
 
+def _bm25f_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """BM25F over the doc-partitioned layout: one sharded build per
+    field (same source rows + key_cols => identical partition bases),
+    each field carrying its own collection-wide stats; per-partition
+    fielded scoring + top-k merge must hash-match the SAME SQL oracle
+    as the monolithic bm25f_topk."""
+    import pyarrow.compute as pc
+
+    from rayfts import search as S
+    from rayfts.fields import derive_field_parquet, \
+        ranked_or_fielded_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:bm25f_sharded".encode()).hexdigest()[:12]
+    root = os.path.join(_IDX_ROOT, tag)
+    key = f"{root}:sharded_fields"
+    sharded_fields = _INDEX_CACHE.get(key)
+    if sharded_fields is None:
+        tsrc = derive_field_parquet(
+            src, os.path.join(root, "title_src"), field_col="title",
+            expr=lambda t: pc.utf8_slice_codeunits(
+                t.column("text"), 0, TITLE_CHARS),
+            keep_cols=("doc_id",), read_cols=("doc_id", "text"))
+        bdir = os.path.join(root, "body")
+        tdir = os.path.join(root, "title")
+        build_sharded_index(src, bdir, num_doc_shards=3,
+                            index_type="opt", key_cols=["doc_id"],
+                            text_col="text", num_shards=4)
+        build_sharded_index(tsrc, tdir, num_doc_shards=3,
+                            index_type="opt", key_cols=["doc_id"],
+                            text_col="title", num_shards=4)
+        sharded_fields = [(ShardedIndex(bdir), 1.0),
+                          (ShardedIndex(tdir), TITLE_W)]
+        _INDEX_CACHE[key] = sharded_fields
+    body = _index_for(sf_dir, "opt")   # src_doc_ids map (same doc rank)
+    rows = []
+    for qid, terms in QUERIES:
+        res = ranked_or_fielded_sharded(sharded_fields, terms, k=K,
+                                        prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(body.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 #: impact (SAAT) quantized index parameters — 8-bit linear impacts;
 #: anytime gate: budget fraction of query postings, min overlap@10
 IMPACT_BITS = 8
@@ -2061,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msm_topk": _msm_topk,
         "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
+        "bm25f_topk_sharded": _bm25f_topk_sharded,
         "impact_topk": _impact_topk,
         "impact_anytime_recall": _impact_anytime_recall,
         "more_like_this": _more_like_this,
@@ -2648,6 +2698,7 @@ topk AS (
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
     sqls["bm25f_topk"] = _bm25f_sql
     sqls["bm25f_topk_maxscore"] = _bm25f_sql
+    sqls["bm25f_topk_sharded"] = _bm25f_sql
 
     # impact (SAAT) quantized index: recompute u = qtw*dtw in f64, the
     # global max U, the 8-bit linear quantization, and the integer

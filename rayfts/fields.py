@@ -116,6 +116,38 @@ def ranked_or_fielded(fields: list, terms: list, k: int = 10,
     return S._finalize_fast(total, union, k)
 
 
+def ranked_or_fielded_sharded(sharded_fields: list, terms: list,
+                              k: int = 10, prec=S.P32):
+    """Fielded top-k over the doc-partitioned layout: ``sharded_fields``
+    is ``[(ShardedIndex, weight)]`` — one sharded build per field over
+    the SAME source rows and key_cols, so the partition boundaries and
+    per-partition doc bases are identical across fields (the same
+    deterministic-key-rank property that aligns monolithic field
+    indexes).  Each partition scores its slice with
+    :func:`ranked_or_fielded` over its per-field sub-indexes — which
+    carry each field's COLLECTION-wide statistics via the sharded
+    global-stats handshake, so per-partition fielded scores equal the
+    monolithic fielded scores doc-for-doc — and the broker merges by
+    (score desc, global docid asc).  Rank- and score-identical to
+    monolithic ``ranked_or_fielded`` (asserted in tests)."""
+    if not sharded_fields:
+        return []
+    first = sharded_fields[0][0]
+    for s, _w in sharded_fields[1:]:
+        if s.bases != first.bases:
+            raise ValueError(
+                "field layouts disagree on partition bases: "
+                f"{s.bases} != {first.bases} — build every field over "
+                "the same source rows/key_cols/num_doc_shards")
+    from .sharded import _merge_topk
+    per_sub = []
+    for i, base in enumerate(first.bases):
+        fields_i = [(s.sub(i), w) for s, w in sharded_fields]
+        res = ranked_or_fielded(fields_i, terms, k, prec)
+        per_sub.append([(sc, base + d) for sc, d in res])
+    return _merge_topk(per_sub, k)
+
+
 def maxscore_fielded(fields: list, terms: list, k: int = 10,
                      prec=S.P32):
     """Fielded MAXSCORE: the essential/non-essential split

@@ -194,3 +194,39 @@ def test_derive_field_parquet(ray_session, tmp_path_factory):
     # resumable: second call is a no-op via marker
     derive_field_parquet(src, out, field_col="title",
                          expr=lambda t: 1 / 0, keep_cols=("repo",))
+
+
+def test_sharded_fielded_identical_to_monolithic(fielded, ray_session,
+                                                 tmp_path_factory):
+    """Two sharded builds (one per field) over the same source rows:
+    fielded scatter-gather must be rank- AND score-identical to the
+    monolithic fielded union (global-stats handshake per field)."""
+    from rayfts import search as S
+    from rayfts.fields import ranked_or_fielded, ranked_or_fielded_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    root = tmp_path_factory.mktemp("fields_sharded")
+    cdir, pdir = str(root / "content"), str(root / "path")
+    build_sharded_index(fielded["src"], cdir, num_doc_shards=3,
+                        index_type="opt", text_col="content",
+                        salt_threshold=64, num_shards=2)
+    build_sharded_index(fielded["src"], pdir, num_doc_shards=3,
+                        index_type="opt", text_col="path",
+                        salt_threshold=64, num_shards=2)
+    sc, sp = ShardedIndex(cdir), ShardedIndex(pdir)
+    assert sc.bases == sp.bases and len(sc.bases) >= 2
+    sharded_fields = [(sc, W_CONTENT), (sp, W_PATH)]
+    for terms in QUERIES:
+        mono = ranked_or_fielded(fielded["fields"], terms, k=K,
+                                 prec=S.P64)
+        shrd = ranked_or_fielded_sharded(sharded_fields, terms, k=K,
+                                         prec=S.P64)
+        assert [d for _, d in mono] == [d for _, d in shrd], terms
+        for (sm, _), (ss, _) in zip(mono, shrd):
+            assert float(sm) == pytest.approx(float(ss), rel=1e-12)
+    # mismatched layouts must be rejected loudly
+    from rayfts.sharded import ShardedIndex as SI
+    bad = SI(cdir)
+    bad.bases = [0, 1]
+    with pytest.raises(ValueError):
+        ranked_or_fielded_sharded([(sc, 1.0), (bad, 1.0)], ["x"], k=K)
