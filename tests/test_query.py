@@ -726,3 +726,40 @@ def test_complete_matches_bruteforce(qidx):
             assert got == want[:k], (pre, k)
     assert complete(idx, "") == []
     assert complete(idx, "zzzz_nothing") == []
+
+
+def test_regex_search_sharded_with_kgram_sidecars(qidx,
+                                                  tmp_path_factory):
+    """`re:` queries over the doc-partitioned layout when BOTH the
+    monolithic index and every partition carry trigram lexicon
+    sidecars (rayfts/kgram.py): per-partition probes route through
+    required-gram intersection, and because the kgram expansion's
+    output contract (lex order, global cap) is identical to the scan
+    path, sharded stays bit-identical to monolithic."""
+    from rayfts.kgram import build_kgram_sidecar
+    from rayfts.query import search, search_sharded
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    idx, _, _ = qidx
+    src = corpus_parquet(150, seed=77)
+    parent = str(tmp_path_factory.mktemp("qkgram_sharded"))
+    build_sharded_index(src, parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    sharded = ShardedIndex(parent)
+    build_kgram_sidecar(idx.index_dir, num_shards=4)
+    for i in range(len(sharded)):
+        build_kgram_sidecar(sharded.sub(i).index_dir, num_shards=4)
+
+    vocab = idx.all_terms()
+    t1 = vocab[len(vocab) // 2]
+    infix = vocab[0][1:4]  # a gram from a real term -> kgram-prunable
+    assert len(infix) == 3
+    for qs in (f"re:.*{infix}.* {t1}", f"re:{vocab[0][:3]}[a-z0-9_]*",
+               f"{t1} re:.*zz_nomatch.*"):
+        want = [(float(s), int(d))
+                for s, d in search(idx, qs, k=K, op="maxscore")]
+        got = [(float(s), int(d))
+               for s, d in search_sharded(sharded, qs, k=K,
+                                          op="maxscore")]
+        assert got == want, qs
