@@ -2008,6 +2008,30 @@ def _phrase_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
 
 
+def _phrase_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Phrase-scored BM25 top-10 (rayfts/positions.py
+    phrase_bm25_topk): the phrase is one pseudo-term (df = docs with
+    >=1 occurrence, tf = per-doc occurrences) through the standard
+    BM25 weights — the Lucene PhraseQuery ranking shape.  Oracle
+    recomputes occurrence positions, phrase df, and the score in
+    SQL."""
+    from rayfts import search as S
+    from rayfts.positions import phrase_bm25_topk
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    rows = []
+    for pid, words in PHRASES:
+        res = phrase_bm25_topk(pidx, idx, list(words), k=K, prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"phrase_id": pid, "rank": rank,
+                         "doc_id": int(sid[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["phrase_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _phrase_counts_sharded(sf_dir: str) -> pd.DataFrame:
     """Phrase counts over the DOC-PARTITIONED layout (one positional
     sidecar per partition, union broker) — must hash-match the same
@@ -2177,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional sidecar (beyond-reference full-text ops)
         "phrase_counts": _phrase_counts,
         "phrase_counts_sharded": _phrase_counts_sharded,
+        "phrase_bm25_topk": _phrase_bm25_topk,
         "proximity_counts": _proximity_counts,
     }
 
@@ -3664,6 +3689,33 @@ u AS ({' UNION ALL '.join(ph_parts)})
 SELECT phrase_id, doc_id, n_occ FROM u WHERE n_occ > 0"""
     # doc-partitioned phrase serving must produce the IDENTICAL result
     sqls["phrase_counts_sharded"] = sqls["phrase_counts"]
+
+    # phrase-scored BM25: the phrase as one pseudo-term (df = docs
+    # with >=1 occurrence, tf = occurrence count) through the exact
+    # BM25 arithmetic of the term entries
+    sqls["phrase_bm25_topk"] = f"""
+WITH {_w_toks_d},
+u0 AS ({' UNION ALL '.join(ph_parts)}),
+u AS (SELECT * FROM u0 WHERE n_occ > 0),
+{_TOK.strip()},
+pdf AS (SELECT phrase_id, count(*)::BIGINT AS df FROM u GROUP BY 1),
+scored AS (
+  SELECT u.phrase_id, u.doc_id,
+         (greatest(1e-6, ln((stats.nd - pdf.df + 0.5) / (pdf.df + 0.5)))
+          * 2.2)
+         * (u.n_occ / (u.n_occ + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len)))
+           AS score
+  FROM u
+  JOIN pdf ON pdf.phrase_id = u.phrase_id
+  JOIN dl  ON dl.doc_id = u.doc_id
+  CROSS JOIN stats),
+topk AS (
+  SELECT phrase_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY phrase_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT phrase_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     px_parts = []
     for pid, a, b in PROX_PAIRS:

@@ -603,3 +603,30 @@ class ShardedPositionalIndex:
         return self._union([
             (proximity_doc_counts(self.sub(i), t1, t2, window), b)
             for i, b in enumerate(self.bases)])
+
+
+def phrase_bm25_topk(pidx: PositionalIndex, index, terms: list[str],
+                     k: int = 10, prec=None):
+    """Phrase-scored BM25 top-k (the Lucene PhraseQuery ranking
+    shape): the exact phrase is treated as one pseudo-term whose
+    document frequency is the number of docs containing >= 1
+    occurrence and whose tf is the per-doc occurrence count —
+    idf/length-normalization/constants identical to the term kernels
+    (rayfts/bm25), so a phrase hit in a short doc outranks the same
+    count in a long one.  -> [(score, docid)] by (score desc, doc
+    asc); tombstones/facets of ``index`` apply at collect time."""
+    from . import search as S
+
+    prec = prec or S.P32
+    docs, counts = phrase_doc_counts(pidx, terms)
+    if len(docs) == 0:
+        return []
+    num_docs = index.score_num_docs if getattr(index, "score_num_docs",
+                                               None) else index.num_docs
+    qw = prec.qtw(1, len(docs), num_docs)
+    w = prec.dtw(counts, S._norms(index, prec)[docs])
+    scores = (qw * w).astype(prec.dtype)
+    m = S._serve_mask(index, docs)
+    if m is not None:
+        docs, scores = docs[m], scores[m]
+    return S._finalize_fast(scores, docs, k)

@@ -235,3 +235,46 @@ def test_best_window_matches_brute_force(pos_index):
             want = _brute_best_window(
                 [t for t in terms if t != "zzz_absent"], text)
             assert got == want, (terms, d, got, want)
+
+
+def test_phrase_bm25_topk(pos_index):
+    """Phrase-as-pseudo-term BM25: matches a from-scratch recompute
+    (df = docs with occurrences, tf = counts, standard weights), and
+    the collect-time masks apply."""
+    import copy
+
+    import numpy as np
+    import pytest
+
+    from rayfts import bm25
+    from rayfts import search as S
+    from rayfts.index import InvertedIndex
+    from rayfts.positions import phrase_bm25_topk, phrase_doc_counts
+
+    pidx, index_dir = pos_index
+    idx = InvertedIndex(index_dir)
+    ran = 0
+    for words in (["the", "fox"], ["quick", "brown"],
+                  ["brown", "fox"], ["zz", "miss"]):
+        docs, counts = phrase_doc_counts(pidx, words)
+        got = phrase_bm25_topk(pidx, idx, words, k=5, prec=S.P64)
+        if len(docs) == 0:
+            assert got == []
+            continue
+        ran += 1
+        qw = bm25.query_term_weight_f64(1, len(docs), idx.num_docs)
+        nl = np.asarray(idx.lengths, dtype=np.float64)[docs] \
+            / np.float64(idx.avg_len)
+        sc = qw * bm25.doc_term_weight_f64(counts, nl)
+        order = np.lexsort((docs, -sc))[:5]
+        want = [(float(sc[i]), int(docs[i])) for i in order]
+        assert [d for _, d in got] == [d for _, d in want]
+        for (sg, _), (sw, _) in zip(got, want):
+            assert float(sg) == pytest.approx(sw, rel=1e-12)
+        # tombstoning the top hit removes it
+        dead = got[0][1]
+        view = copy.copy(idx)
+        view.deleted = np.asarray([dead], dtype=np.int64)
+        got2 = phrase_bm25_topk(pidx, view, words, k=5, prec=S.P64)
+        assert dead not in [d for _, d in got2]
+    assert ran >= 3
