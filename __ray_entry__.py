@@ -177,6 +177,30 @@ def _topk_table_native(sf_dir: str, op: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"])
 
 
+#: Dirichlet smoothing parameter for the query-likelihood ranker
+QL_MU = 2000.0
+
+
+def _ql_topk(sf_dir: str) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (rayfts/search.py
+    query_likelihood_topk) from the same index — the language-model
+    ranker beside BM25; the oracle recomputes collection stats,
+    smoothing, and the ranking in SQL."""
+    from rayfts import search as S
+
+    idx = _index_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S.query_likelihood_topk(idx, terms, k=K, mu=QL_MU)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 MSM = 2
 
 
@@ -2132,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
         "msm_topk": _msm_topk,
+        "ql_topk": _ql_topk,
         "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
         "bm25f_topk_sharded": _bm25f_topk_sharded,
@@ -2648,6 +2673,37 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
     sqls["maxscore_topk"] = _topk_sql(False)
     sqls["block_max_wand_topk"] = _topk_sql(False)
     sqls["ranked_and_topk"] = _topk_sql(True)
+
+    # Dirichlet query likelihood: collection stats (T, cf) from the
+    # tokenize CTEs; |q| counts query terms present in the collection
+    sqls["ql_topk"] = f"""
+WITH {_TOK.strip()},
+tot AS (SELECT sum(length)::DOUBLE AS total FROM dl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_q_values()}),
+qn AS (SELECT q.query_id, count(*)::DOUBLE AS nq
+       FROM q JOIN dfs ON dfs.term = q.term GROUP BY 1),
+s1 AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + tf.tf / ({QL_MU} * (cf.cf / tot.total))) ) AS s
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN cf ON cf.term = q.term
+  CROSS JOIN tot
+  GROUP BY 1, 2),
+scored AS (
+  SELECT s1.query_id, s1.doc_id,
+         s1.s + qn.nq * ln({QL_MU} / (dl.length + {QL_MU})) AS score
+  FROM s1
+  JOIN qn ON qn.query_id = s1.query_id
+  JOIN dl ON dl.doc_id = s1.doc_id),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # minimum-should-match: the scores CTE already counts matched
     # terms per (query, doc)

@@ -410,6 +410,48 @@ def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
     return _finalize_fast(acc, union, k)
 
 
+def query_likelihood_topk(index: InvertedIndex, terms: list,
+                          k: int = K_DEFAULT, mu: float = 2000.0):
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    SIGIR'01) — the classic language-model alternative to BM25,
+    served from the SAME index (posting lists + lengths sidecar; the
+    per-term collection frequency is the posting list's freq sum):
+
+      score(q, d) = sum_t mult_t * ln(1 + tf_td / (mu * (cf_t / T)))
+                    + |q| * ln(mu / (len_d + mu))
+
+    over the union of matched docs, where T is the collection token
+    count and |q| counts query tokens whose term exists in the
+    collection (unknown terms drop from both the sum and the
+    constant, the standard convention).  float64 throughout — there
+    is no reference-f32 semantics to mirror — with the exact
+    expression shapes the SQL oracle uses.  -> [(score, docid)] by
+    (score desc, docid asc); tombstone/facet masks apply."""
+    qf = query_freqs(terms)
+    pls = [(index.get(t), m) for t, m in qf]
+    pls = [(pl, m) for pl, m in pls if pl is not None]
+    if not pls:
+        return []
+    lengths = np.asarray(index.lengths, dtype=np.float64)
+    T = getattr(index, "_total_len", None)
+    if T is None:
+        T = index._total_len = float(int(lengths.sum()))
+    union = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+    acc = np.zeros(len(union), dtype=np.float64)
+    nq = 0
+    for pl, m in pls:  # ascending term order (query_freqs contract)
+        nq += m
+        cf = float(int(pl.freqs.sum()))
+        idx = np.searchsorted(union, pl.docs)
+        x = pl.freqs.astype(np.float64) / (mu * (cf / T))
+        acc[idx] += m * np.log(1.0 + x)
+    acc += nq * np.log(mu / (lengths[union] + mu))
+    msk = _serve_mask(index, union)
+    if msk is not None:
+        union, acc = union[msk], acc[msk]
+    return _finalize_fast(acc, union, k)
+
+
 def ranked_or_msm(index: InvertedIndex, terms: list, m: int,
                   k: int = K_DEFAULT, prec: _Prec = P32):
     """Minimum-should-match ranking (Lucene's msm): BM25 union

@@ -763,3 +763,54 @@ def test_regex_search_sharded_with_kgram_sidecars(qidx,
                for s, d in search_sharded(sharded, qs, k=K,
                                           op="maxscore")]
         assert got == want, qs
+
+
+def test_query_likelihood_topk(qidx):
+    """Dirichlet QL ranker vs a from-scratch recompute over the raw
+    index arrays (cf = posting freq sums, T = length sum); unknown
+    terms drop from both the sum and the |q| constant; masks apply."""
+    import copy
+
+    import numpy as np
+    import pytest
+
+    from rayfts import search as S
+
+    idx, _, _ = qidx
+    vocab = idx.all_terms()
+    mu = 1500.0
+    lengths = np.asarray(idx.lengths, dtype=np.float64)
+    T = float(int(lengths.sum()))
+    queries = [[vocab[0], vocab[len(vocab) // 2]],
+               [vocab[1], vocab[1], vocab[2]],        # dup -> mult 2
+               ["zz_unknown", vocab[3]],
+               ["zz_unknown"]]
+    for terms in queries:
+        got = S.query_likelihood_topk(idx, terms, k=7, mu=mu)
+        found = [(t, m) for t, m in S.query_freqs(terms)
+                 if idx.get(t) is not None]
+        if not found:
+            assert got == []
+            continue
+        scores = {}
+        nq = sum(m for _, m in found)
+        for t, m in found:
+            pl = idx.get(t)
+            cf = float(int(pl.freqs.sum()))
+            for d, f in zip(pl.docs.tolist(), pl.freqs.tolist()):
+                scores[d] = scores.get(d, 0.0) + \
+                    m * np.log(1.0 + f / (mu * (cf / T)))
+        for d in scores:
+            scores[d] += nq * np.log(mu / (lengths[d] + mu))
+        want = sorted(((s, d) for d, s in scores.items()),
+                      key=lambda x: (-x[0], x[1]))[:7]
+        assert [d for _, d in got] == [d for _, d in want], terms
+        for (sg, _), (sw, _) in zip(got, want):
+            assert float(sg) == pytest.approx(sw, rel=1e-12)
+    # tombstone the top hit
+    base = S.query_likelihood_topk(idx, [vocab[0]], k=7, mu=mu)
+    assert base
+    view = copy.copy(idx)
+    view.deleted = np.asarray([base[0][1]], dtype=np.int64)
+    got = S.query_likelihood_topk(view, [vocab[0]], k=7, mu=mu)
+    assert base[0][1] not in [d for _, d in got]
