@@ -201,6 +201,33 @@ def _ql_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: pseudo-relevance-feedback parameters (mirrored in the SQL oracle)
+PRF_N_FB = 5
+PRF_N_EXP = 5
+
+
+def _prf_topk(sf_dir: str) -> pd.DataFrame:
+    """PRF-expanded BM25 (rayfts/mlt.py prf_topk): original query ->
+    top-5 pseudo-relevant docs -> 5 expansion terms by quantized
+    tf*idf (ties term ASC, originals excluded) -> ranked_or over the
+    expanded term set.  The oracle reruns the whole loop in SQL."""
+    from rayfts.mlt import prf_topk
+
+    idx = _index_for(sf_dir)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    rows = []
+    for qid, terms in QUERIES:
+        res = prf_topk(idx, docs_path, terms, k=K, n_fb=PRF_N_FB,
+                       n_exp=PRF_N_EXP)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 MSM = 2
 
 
@@ -2157,6 +2184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and_not": _bool_and_not,
         "msm_topk": _msm_topk,
         "ql_topk": _ql_topk,
+        "prf_topk": _prf_topk,
         "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
         "bm25f_topk_sharded": _bm25f_topk_sharded,
@@ -2673,6 +2701,65 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
     sqls["maxscore_topk"] = _topk_sql(False)
     sqls["block_max_wand_topk"] = _topk_sql(False)
     sqls["ranked_and_topk"] = _topk_sql(True)
+
+    # pseudo-relevance feedback: initial BM25 -> top-N_FB docs ->
+    # expansion terms by quantized tf*idf (originals excluded, ties
+    # term ASC) -> final BM25 over the expanded set.  The scores body
+    # appears twice (q0/s0 initial, q/scores final)
+    def _prf_scores(qname: str, sname: str) -> str:
+        return f"""
+{sname} AS (
+  SELECT {qname}.query_id, tf.doc_id,
+         sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+              * 2.2
+              * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len))
+            ) AS score
+  FROM {qname}
+  JOIN tf  ON tf.term = {qname}.term
+  JOIN dfs ON dfs.term = {qname}.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2)"""
+
+    sqls["prf_topk"] = f"""
+WITH {_TOK.strip()},
+q0(query_id, term) AS (VALUES {_q_values()}),
+{_prf_scores("q0", "s0").strip()},
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS r
+    FROM s0) WHERE r <= {PRF_N_FB}),
+cand AS (
+  SELECT fb.query_id, tf.term, sum(tf.tf)::DOUBLE AS tfb
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+  GROUP BY 1, 2),
+sel AS (
+  SELECT cand.query_id, cand.term,
+         CAST(floor(tfb * greatest(1e-6,
+                ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+              * 10000000 + 0.5) AS BIGINT) AS sel_q
+  FROM cand JOIN dfs ON dfs.term = cand.term CROSS JOIN stats
+  WHERE NOT EXISTS (SELECT 1 FROM q0
+                    WHERE q0.query_id = cand.query_id
+                      AND q0.term = cand.term)),
+expq AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sel_q DESC, term ASC) AS r
+    FROM sel) WHERE r <= {PRF_N_EXP}),
+q AS (SELECT query_id, term FROM q0
+      UNION ALL SELECT query_id, term FROM expq),
+{_prf_scores("q", "scores").strip()},
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # Dirichlet query likelihood: collection stats (T, cf) from the
     # tokenize CTEs; |q| counts query terms present in the collection

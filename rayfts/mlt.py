@@ -121,3 +121,74 @@ def more_like_this(index, source_doc_id: int, source_text: str,
     if prec is not None:
         return S.ranked_or(view, terms, k=k, prec=prec)
     return S.ranked_or(view, terms, k=k)
+
+
+def prf_expansion(index, docs_path: str, terms: list, *,
+                  n_fb: int = 5, n_exp: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  prec=None) -> list:
+    """Pseudo-relevance-feedback expansion terms (RM3-lite / Rocchio
+    shape): run the original query, take the ``n_fb`` top documents as
+    pseudo-relevant, rank their terms by quantized
+    ``total_tf_in_feedback * idf`` (the MLT selection arithmetic, ties
+    -> term ASC), drop the original query terms, keep ``n_exp``.
+
+    The feedback docs' text comes from one answer-scale predicate-
+    pushdown read of the corpus parquet — the stored-fields fetch
+    every engine does for its top hits."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from . import search as S
+    from .tokenizer import tokenize_text
+
+    prec = prec or S.P64
+    fb = S.ranked_or(index, terms, k=n_fb, prec=prec)
+    if not fb:
+        return []
+    sid = getattr(index, "src_doc_ids", None)
+    src_ids = [int(sid[d]) if sid is not None else int(d)
+               for _, d in fb]
+    dset = pads.dataset(docs_path, format="parquet")
+    t = dset.to_table(columns=[text_col],
+                      filter=pads.field(id_col).isin(
+                          pa.array(sorted(src_ids))))
+    tfb = Counter()
+    for x in t.column(text_col).to_pylist():
+        tfb.update(tokenize_text(x or ""))
+    orig = set(terms)
+    cand = sorted(t for t in tfb if t not in orig)
+    if not cand:
+        return []
+    dfs = _df_lookup(index.index_dir, cand)
+    scored = []
+    for term in cand:
+        df = int(dfs.get(term, 0))
+        if df <= 0:
+            continue
+        idf = float(_idf(np.array([df], dtype=np.float64),
+                         index.score_num_docs
+                         if getattr(index, "score_num_docs", None)
+                         else index.num_docs)[0])
+        sel_q = int(np.floor(float(tfb[term]) * idf * _Q + 0.5))
+        scored.append((-sel_q, term))
+    scored.sort()
+    return [term for _, term in scored[:n_exp]]
+
+
+def prf_topk(index, docs_path: str, terms: list, *, k: int = 10,
+             n_fb: int = 5, n_exp: int = 5, text_col: str = "text",
+             id_col: str = "doc_id", prec=None) -> list:
+    """Query expansion by pseudo-relevance feedback, then the standard
+    ranked-OR BM25 over original + expansion terms (each multiplicity
+    1) — [(score, internal_docid)] by (score desc, docid asc)."""
+    from . import search as S
+
+    prec = prec or S.P64
+    exp = prf_expansion(index, docs_path, terms, n_fb=n_fb,
+                        n_exp=n_exp, text_col=text_col, id_col=id_col,
+                        prec=prec)
+    full = sorted(set(terms)) + exp
+    if not full:
+        return []
+    return S.ranked_or(index, full, k=k, prec=prec)

@@ -135,3 +135,55 @@ def test_mlt_edge_cases(midx):
     src = sorted(texts)[0]
     res = mlt.more_like_this(idx, -999, texts[src], n_terms=4, k=5)
     assert len(res) <= 5 and len(res) > 0
+
+
+def test_prf_expansion_and_topk(midx):
+    """PRF (rayfts/mlt.py prf_expansion / prf_topk) vs a from-scratch
+    recompute: feedback docs = BM25 top-N_FB, expansion = top-N_EXP
+    candidate terms by quantized total-tf*idf (originals excluded,
+    ties term ASC), final = ranked_or over originals + expansion."""
+    import json
+    from collections import Counter
+
+    from rayfts import search as S
+    from rayfts.mlt import prf_expansion, prf_topk
+
+    idx, texts, sid = midx
+    with open(os.path.join(idx.index_dir, "meta.json")) as f:
+        src = json.load(f)["lineage"]["input"]
+    idx.src_doc_ids = sid
+    vocab = idx.all_terms()
+    queries = [[vocab[0], vocab[len(vocab) // 2]], [vocab[3]],
+               ["zz_unknown"]]
+    n_fb, n_exp = 4, 3
+    for terms in queries:
+        exp = prf_expansion(idx, src, terms, n_fb=n_fb, n_exp=n_exp,
+                            prec=S.P64)
+        fb = S.ranked_or(idx, terms, k=n_fb, prec=S.P64)
+        if not fb:
+            assert exp == []
+            continue
+        # brute recompute of the selection
+        tfb = Counter()
+        for _, d in fb:
+            tfb.update(tokenize_text(texts[int(sid[d])]))
+        cands = []
+        for t in sorted(tfb):
+            if t in set(terms):
+                continue
+            pl = idx.get(t)
+            if pl is None:
+                continue
+            idf = max(1e-6, np.log((idx.num_docs - pl.n + 0.5)
+                                   / (pl.n + 0.5)))
+            cands.append((-int(np.floor(tfb[t] * idf * 1e7 + 0.5)), t))
+        cands.sort()
+        assert exp == [t for _, t in cands[:n_exp]], terms
+        assert len(exp) <= n_exp
+        assert not (set(exp) & set(terms))
+        # final list == ranked_or over the expanded set
+        want = S.ranked_or(idx, sorted(set(terms)) + exp, k=K,
+                           prec=S.P64)
+        got = prf_topk(idx, src, terms, k=K, n_fb=n_fb, n_exp=n_exp,
+                       prec=S.P64)
+        assert got == want
