@@ -2083,6 +2083,30 @@ def _phrase_bm25_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _prox_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Proximity-scored BM25 top-10 (rayfts/positions.py
+    proximity_bm25_topk): the windowed pair as one pseudo-term (df =
+    docs with a near co-occurrence, tf = near count) through the
+    standard weights; oracle recomputes positions, pair df, and the
+    score in SQL."""
+    from rayfts import search as S
+    from rayfts.positions import proximity_bm25_topk
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    rows = []
+    for pid, a, b in PROX_PAIRS:
+        res = proximity_bm25_topk(pidx, idx, a, b, PROX_W, k=K,
+                                  prec=S.P64)
+        for rank, (score, d) in enumerate(res, 1):
+            rows.append({"pair_id": pid, "rank": rank,
+                         "doc_id": int(sid[d]),
+                         "score_q": int(np.floor(float(score) * 1e7
+                                                 + 0.5))})
+    return pd.DataFrame(rows, columns=["pair_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _phrase_counts_sharded(sf_dir: str) -> pd.DataFrame:
     """Phrase counts over the DOC-PARTITIONED layout (one positional
     sidecar per partition, union broker) — must hash-match the same
@@ -2255,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts": _phrase_counts,
         "phrase_counts_sharded": _phrase_counts_sharded,
         "phrase_bm25_topk": _phrase_bm25_topk,
+        "prox_bm25_topk": _prox_bm25_topk,
         "proximity_counts": _proximity_counts,
     }
 
@@ -3874,6 +3899,32 @@ FROM toks""")
 WITH {_w_toks_d},
 u AS ({' UNION ALL '.join(px_parts)})
 SELECT pair_id, doc_id, n_near FROM u WHERE n_near > 0"""
+
+    # proximity-scored BM25: the windowed pair as one pseudo-term,
+    # same arithmetic as phrase_bm25_topk
+    sqls["prox_bm25_topk"] = f"""
+WITH {_w_toks_d},
+u0 AS ({' UNION ALL '.join(px_parts)}),
+u AS (SELECT * FROM u0 WHERE n_near > 0),
+{_TOK.strip()},
+pdf AS (SELECT pair_id, count(*)::BIGINT AS df FROM u GROUP BY 1),
+scored AS (
+  SELECT u.pair_id, u.doc_id,
+         (greatest(1e-6, ln((stats.nd - pdf.df + 0.5) / (pdf.df + 0.5)))
+          * 2.2)
+         * (u.n_near / (u.n_near + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len)))
+           AS score
+  FROM u
+  JOIN pdf ON pdf.pair_id = u.pair_id
+  JOIN dl  ON dl.doc_id = u.doc_id
+  CROSS JOIN stats),
+topk AS (
+  SELECT pair_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY pair_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT pair_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

@@ -630,3 +630,27 @@ def phrase_bm25_topk(pidx: PositionalIndex, index, terms: list[str],
     if m is not None:
         docs, scores = docs[m], scores[m]
     return S._finalize_fast(scores, docs, k)
+
+
+def proximity_bm25_topk(pidx: PositionalIndex, index, t1: str, t2: str,
+                        window: int, k: int = 10, prec=None):
+    """Proximity-scored BM25 top-k: the windowed pair is one
+    pseudo-term (df = docs with >= 1 near co-occurrence, tf = the
+    near-occurrence count) through the standard BM25 weights — the
+    ranked companion of the boolean proximity filter, same
+    pseudo-term scoring shape as :func:`phrase_bm25_topk`."""
+    from . import search as S
+
+    prec = prec or S.P32
+    docs, counts = proximity_doc_counts(pidx, t1, t2, window)
+    if len(docs) == 0:
+        return []
+    num_docs = index.score_num_docs if getattr(index, "score_num_docs",
+                                               None) else index.num_docs
+    qw = prec.qtw(1, len(docs), num_docs)
+    w = prec.dtw(counts, S._norms(index, prec)[docs])
+    scores = (qw * w).astype(prec.dtype)
+    m = S._serve_mask(index, docs)
+    if m is not None:
+        docs, scores = docs[m], scores[m]
+    return S._finalize_fast(scores, docs, k)

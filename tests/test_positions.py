@@ -278,3 +278,36 @@ def test_phrase_bm25_topk(pos_index):
         got2 = phrase_bm25_topk(pidx, view, words, k=5, prec=S.P64)
         assert dead not in [d for _, d in got2]
     assert ran >= 3
+
+
+def test_proximity_bm25_topk(pos_index):
+    """Windowed-pair pseudo-term BM25 mirrors the phrase variant."""
+    import numpy as np
+    import pytest
+
+    from rayfts import bm25
+    from rayfts import search as S
+    from rayfts.index import InvertedIndex
+    from rayfts.positions import (proximity_bm25_topk,
+                                  proximity_doc_counts)
+
+    pidx, index_dir = pos_index
+    idx = InvertedIndex(index_dir)
+    ran = 0
+    for a, b, w in (("fox", "dog", 2), ("quick", "brown", 1),
+                    ("zz", "qq", 3)):
+        docs, counts = proximity_doc_counts(pidx, a, b, w)
+        got = proximity_bm25_topk(pidx, idx, a, b, w, k=5, prec=S.P64)
+        if len(docs) == 0:
+            assert got == []
+            continue
+        ran += 1
+        qw = bm25.query_term_weight_f64(1, len(docs), idx.num_docs)
+        nl = np.asarray(idx.lengths, dtype=np.float64)[docs] \
+            / np.float64(idx.avg_len)
+        sc = qw * bm25.doc_term_weight_f64(counts, nl)
+        order = np.lexsort((docs, -sc))[:5]
+        assert [d for _, d in got] == [int(docs[i]) for i in order]
+        for (sg, _), i in zip(got, order):
+            assert float(sg) == pytest.approx(float(sc[i]), rel=1e-12)
+    assert ran >= 2
