@@ -2152,10 +2152,76 @@ def _proximity_counts(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry order is load-bearing: the driver's CORRECTNESS sweep
+    # samples the FIRST 50 keys.  r1-r4 windows covered the core engine
+    # (tokenize -> postings x13 -> search family -> rankers); those are
+    # now multi-round green, so r5 rotates the 44 never-driver-oracled
+    # entries (scrub / events / relational / positions / impact /
+    # BM25F-sharded / ANN-recall / multimodal) into the window, keeping
+    # six core sentinels up front (VERDICT r04 "Next round" #1).
     return {
-        # tokenize / structure
+        # --- sentinels (multi-round-green core representatives) -------
         "tokenize": _tokenize,
         "postings": _postings_table,
+        "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
+        "wand_topk": lambda sf: _topk_table(sf, "wand"),
+        "block_max_wand_topk_native":
+            lambda sf: _topk_table_native(sf, "block_max_wand"),
+        "unified_search_sharded": _unified_search_sharded,
+        # --- never-oracled window (44 entries, r5 rotation) -----------
+        # rankers / impact / fielded
+        "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
+        "bm25f_topk_sharded": _bm25f_topk_sharded,
+        "impact_topk": _impact_topk,
+        "impact_anytime_recall": _impact_anytime_recall,
+        "more_like_this": _more_like_this,
+        # embedding near-dup / ANN (incl. the recall gates)
+        "embedding_dup_pairs_lsh": _embedding_dups_lsh,
+        "embedding_dup_lsh_recall": _embedding_dup_lsh_recall,
+        "hybrid_rrf_topk": _hybrid_rrf,
+        "kmeans_clusters": _kmeans,
+        "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
+        "ann_lsh_recall": _ann_lsh_recall,
+        "ann_ivf_recall": _ann_ivf_recall,
+        # substring / regex / symbols
+        "substring_search": _substring_search,
+        "substring_line_search": _substring_line_search,
+        "regex_search": _regex_search,
+        "regex_terms_kgram": _regex_terms_kgram,
+        "symbols": _symbols,
+        "symbol_stats": _symbol_stats,
+        # multimodal (stdlib codecs)
+        "multimodal_png": _multimodal_png,
+        "multimodal_wav": _multimodal_wav,
+        "multimodal_jpeg": _multimodal_jpeg,
+        "multimodal_image_meta": _multimodal_image_meta,
+        # code-corpus scrubbing / decontamination / span dedup
+        "pii_scan": _pii_scan,
+        "pii_redact": _pii_redact,
+        "decontaminate": _decontaminate,
+        "dup_spans": _dup_spans,
+        "top_ngrams": _top_ngrams,
+        "lm_score": _lm_score,
+        "decontaminate_clean": _decontaminate_clean,
+        "collocations": _collocations,
+        # event-stream operators (events table)
+        "window_agg": _window_agg,
+        "sessionize": _sessionize,
+        "asof_join": _asof_join,
+        "props_stats": _props_stats,
+        "session_assign": _session_assign,
+        "funnel": _funnel,
+        # relational patterns (TPC-H-shaped tables)
+        "lineitem_agg": _lineitem_agg,
+        "orders_by_nation": _orders_by_nation,
+        # positional sidecar
+        "phrase_counts": _phrase_counts,
+        "phrase_counts_sharded": _phrase_counts_sharded,
+        "phrase_bm25_topk": _phrase_bm25_topk,
+        "prox_bm25_topk": _prox_bm25_topk,
+        "proximity_counts": _proximity_counts,
+        # --- previously-oracled entries (green r1-r4) -----------------
         "postings_block": _postings_table_block,
         "postings_hybrid": _postings_table_hybrid,
         # one decode round-trip entry per remaining index type
@@ -2187,34 +2253,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
         "slop_search": _slop_search,
-        "unified_search_sharded": _unified_search_sharded,
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
         # query engine
-        "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
         "bm25_topk_sharded": _topk_table_sharded,
         "bm25_topk_pruned": _topk_table_pruned,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
-        "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
         "block_max_wand_topk": lambda sf: _topk_table(sf, "block_max_wand"),
-        # the f32 C encoded-domain kernels (what bench.py times), rank-
+        # the f32 C encoded-domain kernel (what bench.py times), rank-
         # checked against the same oracle (VERDICT r02 #6)
         "bm25_topk_native": lambda sf: _topk_table_native(sf, "ranked_or"),
-        "block_max_wand_topk_native":
-            lambda sf: _topk_table_native(sf, "block_max_wand"),
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
         "msm_topk": _msm_topk,
         "ql_topk": _ql_topk,
         "prf_topk": _prf_topk,
         "bm25f_topk": lambda sf: _bm25f_topk(sf, "union"),
-        "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
-        "bm25f_topk_sharded": _bm25f_topk_sharded,
-        "impact_topk": _impact_topk,
-        "impact_anytime_recall": _impact_anytime_recall,
-        "more_like_this": _more_like_this,
         "bool_or": _bool_or,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -2227,22 +2283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _simhash_dups,
         "simhash_fingerprints": _simhash,
         "embedding_dup_pairs": _embedding_dups,
-        "embedding_dup_pairs_lsh": _embedding_dups_lsh,
-        "embedding_dup_lsh_recall": _embedding_dup_lsh_recall,
         # similarity search
         "ann_topk": _ann_topk,
-        "hybrid_rrf_topk": _hybrid_rrf,
-        "kmeans_clusters": _kmeans,
-        "substring_search": _substring_search,
-        "substring_line_search": _substring_line_search,
-        "regex_search": _regex_search,
-        "regex_terms_kgram": _regex_terms_kgram,
-        "symbols": _symbols,
-        "symbol_stats": _symbol_stats,
-        "ann_lsh_topk": _ann_lsh,
-        "ann_ivf_topk": _ann_ivf,
-        "ann_lsh_recall": _ann_lsh_recall,
-        "ann_ivf_recall": _ann_ivf_recall,
         # text analysis / multimodal
         "text_quality": _quality,
         "repetition_stats": _repetition,
@@ -2252,35 +2294,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _fingerprints,
         "byte_stats": _byte_stats,
         "multimodal_decode": _multimodal_decode,
-        "multimodal_png": _multimodal_png,
-        "multimodal_wav": _multimodal_wav,
-        "multimodal_jpeg": _multimodal_jpeg,
-        "multimodal_image_meta": _multimodal_image_meta,
-        # code-corpus scrubbing / decontamination / span dedup
-        "pii_scan": _pii_scan,
-        "pii_redact": _pii_redact,
-        "decontaminate": _decontaminate,
-        "dup_spans": _dup_spans,
-        "top_ngrams": _top_ngrams,
-        "lm_score": _lm_score,
-        "decontaminate_clean": _decontaminate_clean,
-        "collocations": _collocations,
-        # event-stream operators (events table)
-        "window_agg": _window_agg,
-        "sessionize": _sessionize,
-        "asof_join": _asof_join,
-        "props_stats": _props_stats,
-        "session_assign": _session_assign,
-        "funnel": _funnel,
-        # relational patterns (TPC-H-shaped tables)
-        "lineitem_agg": _lineitem_agg,
-        "orders_by_nation": _orders_by_nation,
-        # positional sidecar (beyond-reference full-text ops)
-        "phrase_counts": _phrase_counts,
-        "phrase_counts_sharded": _phrase_counts_sharded,
-        "phrase_bm25_topk": _phrase_bm25_topk,
-        "prox_bm25_topk": _prox_bm25_topk,
-        "proximity_counts": _proximity_counts,
     }
 
 
