@@ -66,6 +66,17 @@ def test_parallel_path_matches_local(built):
     assert np.array_equal(local, parallel)
 
 
+def test_sharded_csr_matches_single_shard(built):
+    """Splitting the doc-term graph into many doc-range CSR shards
+    (shard_docs below the doc count) must give the identical
+    permutation — node gathers are exact regardless of shard layout."""
+    from rayfts.reorder import bp_permutation
+    _, base, idx, _ = built
+    one = bp_permutation(base, iters=5)
+    many = bp_permutation(base, iters=5, shard_docs=64, task_docs=64)
+    assert np.array_equal(one, many)
+
+
 def test_reordered_index_exact(built):
     """The rebuilt index holds exactly the original postings under the
     permutation: same terms, same (doc, tf) multiset after mapping ids
