@@ -1203,25 +1203,25 @@ def _collapsed_topk(sf_dir: str) -> pd.DataFrame:
     scores drive both the per-key argmax and the group ranking so
     cross-engine last-ulp ties collapse identically."""
     from rayfts import search as S
-    from rayfts.facets import _doc_keys
+    from rayfts.facets import collapse_best, key_codes
 
     idx = _index_for(sf_dir, "opt")
-    keys = _doc_keys(idx, "lang")
+    codes_mm, values = key_codes(idx, "lang")
     rows = []
     for qid, terms in QUERIES:
-        full = S.ranked_or(idx, terms, k=idx.num_docs, prec=S.P64)
-        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
-                        int(idx.src_doc_ids[d]), keys[d])
-                       for s, d in full),
-                      key=lambda t: (-t[0], t[1]))
-        best: dict = {}
-        for sq, doc, kv in cand:
-            if kv not in best:
-                best[kv] = (sq, doc, kv)
-        top = sorted(best.values(), key=lambda t: (-t[0], t[1]))[:K]
-        for rank, (sq, doc, kv) in enumerate(top, 1):
-            rows.append({"query_id": qid, "rank": rank, "lang": kv,
-                         "doc_id": doc, "score_q": sq})
+        pls = S._lists(idx, terms, S.P64)
+        if not pls:
+            continue
+        union, acc = S._union_scores(idx, pls, S.P64)
+        sq = np.floor(acc * 1e7 + 0.5).astype(np.int64)
+        src = idx.src_doc_ids[union]
+        codes = np.asarray(codes_mm[union])
+        sel = collapse_best(sq, src, codes, K)
+        for rank, i in enumerate(sel, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "lang": values[codes[i]],
+                         "doc_id": int(src[i]),
+                         "score_q": int(sq[i])})
     return pd.DataFrame(rows, columns=["query_id", "rank", "lang",
                                        "doc_id", "score_q"])
 

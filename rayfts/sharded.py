@@ -466,6 +466,36 @@ class ShardedIndex:
         self.last_pruned = {"touched": touched, "total": P}
         return _merge_topk(per_sub, k)
 
+    def facet_counts(self, terms: list, column: str) -> dict:
+        """Per-value match counts over the OR set: each partition
+        counts its own range against its own key sidecar (no match-set
+        ever leaves a partition — facets.facet_counts), and only the
+        answer-scale per-value partial dicts merge here."""
+        from .facets import facet_counts, merge_facet_counts
+        return merge_facet_counts(
+            [facet_counts(self.sub(i), terms, column)
+             for i in range(len(self.bases))])
+
+    def collapsed_topk(self, terms: list, column: str, k: int = 10,
+                       prec=None):
+        """Field collapsing across partitions: each partition collapses
+        locally (best-per-key over its own range — a distributive
+        aggregate, k=None so no key is truncated before the merge),
+        and the key-scale partials re-collapse here under the same
+        (score desc, global docid asc) comparator."""
+        from .facets import collapsed_topk
+        best: dict = {}
+        for i, base in enumerate(self.bases):
+            for s, d, kv in collapsed_topk(self.sub(i), terms, column,
+                                           k=None, prec=prec):
+                g = (s, base + d, kv)
+                cur = best.get(kv)
+                if cur is None or (-float(g[0]), g[1]) < \
+                        (-float(cur[0]), cur[1]):
+                    best[kv] = g
+        out = sorted(best.values(), key=lambda t: (-float(t[0]), t[1]))
+        return out[:k]
+
     def and_docs(self, terms: list) -> np.ndarray:
         from . import search as S
         out = [S.and_query(self.sub(i), terms) + base

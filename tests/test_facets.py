@@ -509,3 +509,72 @@ def test_query_stage_predicate_equals_array(faceted):
     t = stage.run([7], [terms])
     want = S.maxscore_fast(view, terms, K)
     assert t.column("doc_id").to_pylist() == [d for _, d in want]
+
+
+def test_key_codes_sidecar_is_mmapped(faceted):
+    """The key sidecar is a doc-indexed int32 memmap plus a key-scale
+    value table — never an O(num_docs) Python-object array in heap
+    (the norms/lengths sidecar discipline)."""
+    from rayfts.facets import key_codes
+
+    clean = faceted["clean"]
+    codes, values = key_codes(clean, "lang")
+    assert isinstance(codes, np.memmap)
+    assert codes.dtype == np.int32 and len(codes) == clean.num_docs
+    assert values.dtype == object
+    # round-trip: sidecar codes reproduce the docs-meta column exactly
+    docs = pq.read_table(os.path.join(faceted["idx_dir"], "docs"),
+                         columns=["doc_id", "lang"])
+    for d, lang in zip(docs.column("doc_id").to_pylist(),
+                       docs.column("lang").to_pylist()):
+        assert values[codes[d]] == lang
+    # cached second call returns the same mmap, no rebuild
+    codes2, _ = key_codes(clean, "lang")
+    assert codes2 is codes
+
+
+def test_collapsed_topk_one_dominant_key(ray_session, tmp_path_factory):
+    """Skew: when one key owns ~95% of all docs, the collapse still
+    surfaces every rare key's best hit (a rare key's representative
+    can sit arbitrarily deep in the ranking) and the dominant key
+    contributes exactly one row."""
+    import pyarrow as pa
+
+    from rayfts import search as S
+    from rayfts.build import build_index
+    from rayfts.facets import collapsed_topk
+    from rayfts.index import InvertedIndex
+
+    root = tmp_path_factory.mktemp("facet_skew")
+    n = 120
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(n)]
+    # 95% of docs share key "hot"; the rest spread over 5 rare keys
+    langs = ["hot" if i % 20 else f"rare{i // 20}" for i in range(n)]
+    src = str(root / "src.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * n, "path": [f"f{i:04d}.py" for i in range(n)],
+        "commit": ["c"] * n, "lang": langs, "size_bytes": [1] * n,
+        "content": texts}), src)
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=2)
+    idx = InvertedIndex(idx_dir)
+
+    docs = pq.read_table(os.path.join(idx_dir, "docs"),
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs.column("doc_id").to_pylist(),
+                       docs.column("lang").to_pylist()))
+    terms = ["tok0", "tok1", "tok2"]
+    got = collapsed_topk(idx, terms, "lang", k=10)
+    # brute force over the full ranking
+    best = {}
+    for s, d in S.ranked_or(idx, terms, k=idx.num_docs):
+        kv = lang_of[d]
+        if kv not in best:
+            best[kv] = (s, d, kv)
+    want = sorted(best.values(), key=lambda t: (-float(t[0]), t[1]))[:10]
+    assert got == want
+    assert sum(1 for _, _, kv in got if kv == "hot") == 1
+    assert len(got) == len(best)        # every key surfaced

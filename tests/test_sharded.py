@@ -300,3 +300,20 @@ def test_run_pruned_matches_run(built):
             assert lp["partition_queries"] <= lp["total"]
     finally:
         svc.shutdown()
+
+
+def test_facet_ops_sharded_match_mono(built):
+    """Per-partition facet counting and field collapsing (local
+    best-per-key, answer-scale merges) equal the monolithic results
+    exactly — no match set or ranking ever crosses a partition
+    boundary."""
+    from rayfts.facets import collapsed_topk, facet_counts
+
+    _, _, _, _, _, mono, sh = built
+    for terms in _queries(mono)[:8]:
+        assert sh.facet_counts(terms, "lang") == \
+            facet_counts(mono, terms, "lang")
+        got = sh.collapsed_topk(terms, "lang", k=5)
+        want = collapsed_topk(mono, terms, "lang", k=5)
+        assert [(float(s), d, kv) for s, d, kv in got] == \
+            [(float(s), d, kv) for s, d, kv in want]
