@@ -1776,6 +1776,14 @@ def _byte_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """LEGACY FAKE decode kernel (md5-seeded pseudo-dimensions) — kept
+    ONLY to exercise the no-decoder-library plumbing fallback
+    (rayfts/ops/multimodal.py ImageDecodeStage).  The real decode
+    capability is the multimodal_png / multimodal_wav /
+    multimodal_jpeg / multimodal_image_meta entries (stdlib codecs,
+    rayfts/ops/stdmedia.py + jpegcodec.py); this entry is registered
+    as `multimodal_legacy_fake` so the fake cannot be mistaken for
+    the capability."""
     from rayfts.ops.multimodal import decode_pipeline
     decoded, _ = decode_pipeline(_docs_ds(sf_dir))
     return decoded.to_pandas()
@@ -2293,7 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _langid,
         "doc_fingerprints": _fingerprints,
         "byte_stats": _byte_stats,
-        "multimodal_decode": _multimodal_decode,
+        "multimodal_legacy_fake": _multimodal_decode,
     }
 
 
@@ -3498,7 +3506,7 @@ jac AS (
 SELECT a, b, CAST(floor(inter / uni * 10000 + 0.5) AS BIGINT) AS jaccard_q
 FROM jac WHERE inter / uni >= 0.5"""
 
-    sqls["multimodal_decode"] = """
+    sqls["multimodal_legacy_fake"] = """
 WITH c AS (
   SELECT doc_id,
          ('0x'||substr(md5(coalesce(text, '')),1,8))::BIGINT AS c

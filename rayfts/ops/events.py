@@ -21,6 +21,10 @@ correctness).  All three are expressed Ray-Data-first:
     stitch across boundaries in a session-scale merge — identical
     output, largest task bounded by rate x chunk, not user volume.
 
+Every kernel is Arrow-native end-to-end (``batch_format="pyarrow"``
+into numpy views, group-bys as lexsort + reduceat) — no pandas
+conversion sits between the object store and the math.
+
 Timestamps flow as int64 microseconds (``epoch_us`` in the oracle) —
 no timezone or float round-trip anywhere.
 """
@@ -28,7 +32,6 @@ no timezone or float round-trip anywhere.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 #: value quantization: cents (the fixture's `value` column carries 2
@@ -37,11 +40,30 @@ VALUE_SCALE = 100
 
 
 def _ts_us(col) -> np.ndarray:
-    """Arrow timestamp[us] (or pandas datetime64) -> int64 epoch μs."""
+    """Arrow timestamp[us] (or anything int64-castable) -> epoch μs."""
     if isinstance(col, (pa.ChunkedArray, pa.Array)):
         return col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-    return pd.Series(col).astype("int64").to_numpy()
+    return np.asarray(col, dtype="datetime64[us]").astype(np.int64)
+
+
+def _i64(vals) -> pa.Array:
+    return pa.array(np.asarray(vals, dtype=np.int64), type=pa.int64())
+
+
+def _group_first(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sort order, first-row positions in sorted order) grouping rows
+    by the tuple of key arrays — the vectorized groupby primitive
+    (keys listed major-first)."""
+    order = np.lexsort(tuple(reversed(keys)))
+    n = order.size
+    brk = np.zeros(n, dtype=bool)
+    if n:
+        brk[0] = True
+        for k in keys:
+            s = k[order]
+            brk[1:] |= s[1:] != s[:-1]
+    return order, np.flatnonzero(brk)
 
 
 def tumbling_window(events_ds, window_us: int,
@@ -63,12 +85,17 @@ def tumbling_window(events_ds, window_us: int,
         win = (ts // window_us) * window_us
         vq = np.floor(t.column(value_col).to_numpy(zero_copy_only=False)
                       * VALUE_SCALE + 0.5).astype(np.int64)
-        df = pd.DataFrame({
-            "win_us": win,
-            "event_type": t.column(type_col).to_pandas(),
-            "n": np.ones(len(win), dtype=np.int64), "vq": vq})
-        g = df.groupby(["win_us", "event_type"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        enc = t.column(type_col).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order, first = _group_first(win, codes)
+        w_s, c_s, v_s = win[order], codes[order], vq[order]
+        n = np.diff(np.append(first, order.size))
+        return pa.table({
+            "win_us": _i64(w_s[first]),
+            "event_type": enc.dictionary.take(_i64(c_s[first])),
+            "n": _i64(n),
+            "vq": _i64(np.add.reduceat(v_s, first))})
 
     agg = (events_ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["win_us", "event_type"])
@@ -84,6 +111,29 @@ def tumbling_window(events_ds, window_us: int,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _session_intervals(t: pa.Table, gap_us: int, ts_col: str,
+                       id_col: str) -> tuple:
+    """(user events sorted by (ts, id)) -> per-session (starts index,
+    ends index, sorted ts) — the shared gap-split kernel."""
+    ts = _ts_us(t.column(ts_col))
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts))
+    ts = ts[order]
+    brk = np.ones(ts.size, dtype=np.int64)
+    brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], ts.size) - 1
+    return order, starts, ends, ts, brk
+
+
+_SESS_EMPTY = pa.table({
+    "user_id": pa.array([], type=pa.int64()),
+    "session_id": pa.array([], type=pa.int64()),
+    "n_events": pa.array([], type=pa.int64()),
+    "start_us": pa.array([], type=pa.int64()),
+    "end_us": pa.array([], type=pa.int64())})
+
+
 def sessionize(events_ds, gap_us: int, ts_col: str = "ts",
                user_col: str = "user_id", id_col: str = "event_id"):
     """-> Dataset(user_id, session_id, n_events, start_us, end_us):
@@ -91,31 +141,22 @@ def sessionize(events_ds, gap_us: int, ts_col: str = "ts",
     exceeds ``gap_us``; session_id is the 1-based session rank within
     the user (ordered by time)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype=np.int64),
-                "session_id": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "start_us": pd.Series([], dtype=np.int64),
-                "end_us": pd.Series([], dtype=np.int64)})
-        g = g.sort_values([ts_col, id_col])
-        ts = _ts_us(g[ts_col])
-        brk = np.ones(len(ts), dtype=np.int64)
-        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SESS_EMPTY
+        _, starts, ends, ts, brk = _session_intervals(
+            t, gap_us, ts_col, id_col)
         sid = np.cumsum(brk)
-        starts = np.flatnonzero(brk)
-        ends = np.append(starts[1:], len(ts)) - 1
-        return pd.DataFrame({
-            "user_id": np.full(len(starts), int(g[user_col].iloc[0]),
-                               dtype=np.int64),
-            "session_id": sid[starts],
-            "n_events": (ends - starts + 1).astype(np.int64),
-            "start_us": ts[starts],
-            "end_us": ts[ends]})
+        user = int(t.column(user_col)[0].as_py())
+        return pa.table({
+            "user_id": _i64(np.full(starts.size, user)),
+            "session_id": _i64(sid[starts]),
+            "n_events": _i64(ends - starts + 1),
+            "start_us": _i64(ts[starts]),
+            "end_us": _i64(ts[ends])})
 
     return events_ds.groupby(user_col).map_groups(
-        per_user, batch_format="pandas")
+        per_user, batch_format="pyarrow")
 
 
 def sessionize_chunked(events_ds, gap_us: int, chunk_us: int | None = None,
@@ -149,51 +190,51 @@ def sessionize_chunked(events_ds, gap_us: int, chunk_us: int | None = None,
         return t.append_column(
             "chunk", pa.array(ts // chunk_us, type=pa.int64()))
 
-    def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "user_id": pd.Series([], dtype=np.int64),
-            "n_events": pd.Series([], dtype=np.int64),
-            "start_us": pd.Series([], dtype=np.int64),
-            "end_us": pd.Series([], dtype=np.int64)})
-        if len(g) == 0:
-            return empty
-        g = g.sort_values([ts_col, id_col])
-        ts = _ts_us(g[ts_col])
-        brk = np.ones(len(ts), dtype=np.int64)
-        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        starts = np.flatnonzero(brk)
-        ends = np.append(starts[1:], len(ts)) - 1
-        return pd.DataFrame({
-            "user_id": np.full(len(starts), int(g[user_col].iloc[0]),
-                               dtype=np.int64),
-            "n_events": (ends - starts + 1).astype(np.int64),
-            "start_us": ts[starts],
-            "end_us": ts[ends]})
+    _CHUNK_EMPTY = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "n_events": pa.array([], type=pa.int64()),
+        "start_us": pa.array([], type=pa.int64()),
+        "end_us": pa.array([], type=pa.int64())})
 
-    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("start_us")
-        starts = g["start_us"].to_numpy()
-        ends = g["end_us"].to_numpy()
-        ns = g["n_events"].to_numpy()
-        brk = np.ones(len(g), dtype=np.int64)
+    def per_chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CHUNK_EMPTY
+        _, starts, ends, ts, _brk = _session_intervals(
+            t, gap_us, ts_col, id_col)
+        user = int(t.column(user_col)[0].as_py())
+        return pa.table({
+            "user_id": _i64(np.full(starts.size, user)),
+            "n_events": _i64(ends - starts + 1),
+            "start_us": _i64(ts[starts]),
+            "end_us": _i64(ts[ends])})
+
+    def merge_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SESS_EMPTY
+        starts = t.column("start_us").to_numpy()
+        ends = t.column("end_us").to_numpy()
+        ns = t.column("n_events").to_numpy()
+        order = np.argsort(starts, kind="stable")
+        starts, ends, ns = starts[order], ends[order], ns[order]
+        brk = np.ones(starts.size, dtype=np.int64)
         brk[1:] = (starts[1:] - ends[:-1] > gap_us).astype(np.int64)
         first = np.flatnonzero(brk)
-        last = np.append(first[1:], len(g)) - 1
-        return pd.DataFrame({
-            "user_id": np.full(len(first), int(g["user_id"].iloc[0]),
-                               dtype=np.int64),
-            "session_id": np.arange(1, len(first) + 1, dtype=np.int64),
-            "n_events": np.add.reduceat(ns, first).astype(np.int64),
-            "start_us": starts[first],
-            "end_us": ends[last]})
+        last = np.append(first[1:], starts.size) - 1
+        user = int(t.column("user_id")[0].as_py())
+        return pa.table({
+            "user_id": _i64(np.full(first.size, user)),
+            "session_id": _i64(np.arange(1, first.size + 1)),
+            "n_events": _i64(np.add.reduceat(ns, first)),
+            "start_us": _i64(starts[first]),
+            "end_us": _i64(ends[last])})
 
     local = (events_ds
              .map_batches(add_chunk, batch_size=None,
                           batch_format="pyarrow")
              .groupby([user_col, "chunk"])
-             .map_groups(per_chunk, batch_format="pandas"))
+             .map_groups(per_chunk, batch_format="pyarrow"))
     return local.groupby("user_id").map_groups(
-        merge_user, batch_format="pandas")
+        merge_user, batch_format="pyarrow")
 
 
 def asof_latest(events_ds, left_type: str = "click",
@@ -205,36 +246,44 @@ def asof_latest(events_ds, left_type: str = "click",
     (ties on ts broken by larger event_id — the (ts, event_id) order).
     -> Dataset(event_id, user_id, t_us, match_event_id, match_t_us),
     inner semantics (unmatched left events are dropped)."""
+    import pyarrow.compute as pc
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "event_id": pd.Series([], dtype=np.int64),
-            "user_id": pd.Series([], dtype=np.int64),
-            "t_us": pd.Series([], dtype=np.int64),
-            "match_event_id": pd.Series([], dtype=np.int64),
-            "match_t_us": pd.Series([], dtype=np.int64)})
-        lg = g[g[type_col] == left_type].sort_values([ts_col, id_col])
-        rg = g[g[type_col] == right_type].sort_values([ts_col, id_col])
-        if len(lg) == 0 or len(rg) == 0:
-            return empty
-        tl, tr = _ts_us(lg[ts_col]), _ts_us(rg[ts_col])
-        # last right with tr <= tl; rg sorted by (ts, id) so the last of
+    _EMPTY = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "t_us": pa.array([], type=pa.int64()),
+        "match_event_id": pa.array([], type=pa.int64()),
+        "match_t_us": pa.array([], type=pa.int64())})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        et = t.column(type_col)
+        ts = _ts_us(t.column(ts_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lmask = pc.equal(et, left_type).to_numpy(zero_copy_only=False)
+        rmask = pc.equal(et, right_type).to_numpy(zero_copy_only=False)
+        if not lmask.any() or not rmask.any():
+            return _EMPTY
+        # sorted by (ts, id) within each side; rg sorted so the last of
         # an equal-ts run carries the max event_id
+        lo = np.lexsort((ids[lmask], ts[lmask]))
+        ro = np.lexsort((ids[rmask], ts[rmask]))
+        tl, il = ts[lmask][lo], ids[lmask][lo]
+        tr, ir = ts[rmask][ro], ids[rmask][ro]
         ix = np.searchsorted(tr, tl, side="right") - 1
         ok = ix >= 0
         if not ok.any():
-            return empty
-        rid = rg[id_col].to_numpy()
-        return pd.DataFrame({
-            "event_id": lg[id_col].to_numpy()[ok].astype(np.int64),
-            "user_id": np.full(int(ok.sum()), int(g[user_col].iloc[0]),
-                               dtype=np.int64),
-            "t_us": tl[ok],
-            "match_event_id": rid[ix[ok]].astype(np.int64),
-            "match_t_us": tr[ix[ok]]})
+            return _EMPTY
+        user = int(t.column(user_col)[0].as_py())
+        return pa.table({
+            "event_id": _i64(il[ok]),
+            "user_id": _i64(np.full(int(ok.sum()), user)),
+            "t_us": _i64(tl[ok]),
+            "match_event_id": _i64(ir[ix[ok]]),
+            "match_t_us": _i64(tr[ix[ok]])})
 
     return events_ds.groupby(user_col).map_groups(
-        per_user, batch_format="pandas")
+        per_user, batch_format="pyarrow")
 
 
 def props_stats(events_ds, type_col: str = "event_type",
@@ -249,33 +298,48 @@ def props_stats(events_ds, type_col: str = "event_type",
         pl = None
     from ray.data.aggregate import Max, Min, Sum
 
+    _EMPTY = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "s": pa.array([], type=pa.int64()),
+        "mn": pa.array([], type=pa.int64()),
+        "mx": pa.array([], type=pa.int64())})
+
     def partial(t: pa.Table) -> pa.Table:
-        props = t.column(props_col).to_pylist()
+        if t.num_rows == 0:
+            return _EMPTY
         if pl is not None:
-            ks = (pl.Series("p", props, dtype=pl.Utf8)
+            ks = (pl.from_arrow(t.column(props_col).combine_chunks())
+                  .cast(pl.Utf8)
                   .str.json_path_match(f"$.{key}")
-                  .cast(pl.Int64, strict=False).to_numpy())
+                  .cast(pl.Int64, strict=False)
+                  .cast(pl.Float64).to_numpy())
         else:                 # pragma: no cover - semantic fallback
             import json as _json
             out = []
-            for p in props:
+            for p in t.column(props_col).to_pylist():
                 try:
                     v = _json.loads(p or "{}").get(key)
                 except ValueError:
                     v = None
                 out.append(np.nan if v is None else float(v))
             ks = np.array(out, dtype=np.float64)
-        ok = ~pd.isna(ks)
-        df = pd.DataFrame({
-            "event_type": pd.Series(t.column(type_col).to_pylist())[ok]
-            .to_numpy(),
-            "n": np.ones(int(ok.sum()), dtype=np.int64),
-            "s": ks[ok].astype(np.int64),
-            "mn": ks[ok].astype(np.int64),
-            "mx": ks[ok].astype(np.int64)})
-        g = df.groupby("event_type", as_index=False).agg(
-            {"n": "sum", "s": "sum", "mn": "min", "mx": "max"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        ok = ~np.isnan(ks)
+        if not ok.any():
+            return _EMPTY
+        enc = t.column(type_col).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[ok]
+        vals = ks[ok].astype(np.int64)
+        order, first = _group_first(codes)
+        c_s, v_s = codes[order], vals[order]
+        n = np.diff(np.append(first, order.size))
+        return pa.table({
+            "event_type": enc.dictionary.take(_i64(c_s[first])),
+            "n": _i64(n),
+            "s": _i64(np.add.reduceat(v_s, first)),
+            "mn": _i64(np.minimum.reduceat(v_s, first)),
+            "mx": _i64(np.maximum.reduceat(v_s, first))})
 
     agg = (events_ds.map_batches(partial, batch_format="pyarrow")
            .groupby("event_type")
@@ -303,24 +367,26 @@ def session_assign(events_ds, gap_us: int, ts_col: str = "ts",
     (ts BETWEEN start AND end) against the session table, so the gate
     checks interval-join semantics, not just the shared derivation."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "session_id": pd.Series([], dtype=np.int64)})
-        g = g.sort_values([ts_col, id_col])
-        ts = _ts_us(g[ts_col])
-        brk = np.ones(len(ts), dtype=np.int64)
-        brk[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        return pd.DataFrame({
-            "event_id": g[id_col].to_numpy().astype(np.int64),
-            "user_id": np.full(len(ts), int(g[user_col].iloc[0]),
-                               dtype=np.int64),
-            "session_id": np.cumsum(brk)})
+    _EMPTY = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "session_id": pa.array([], type=pa.int64())})
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        order, _starts, _ends, _ts, brk = _session_intervals(
+            t, gap_us, ts_col, id_col)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        user = int(t.column(user_col)[0].as_py())
+        return pa.table({
+            "event_id": _i64(ids),
+            "user_id": _i64(np.full(ids.size, user)),
+            "session_id": _i64(np.cumsum(brk))})
 
     return events_ds.groupby(user_col).map_groups(
-        per_user, batch_format="pandas")
+        per_user, batch_format="pyarrow")
 
 
 def funnel(events_ds, steps: list[str], ts_col: str = "ts",
@@ -332,31 +398,32 @@ def funnel(events_ds, steps: list[str], ts_col: str = "ts",
     such event).  -> Dataset(user_id, t_us_1..t_us_K) for completing
     users.  Greedy earliest-match is complete: a funnel has any valid
     assignment iff it has the greedy one."""
+    import pyarrow.compute as pc
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": pd.Series([], dtype=np.int64)}
-        cols.update({f"t_us_{i + 1}": pd.Series([], dtype=np.int64)
-                     for i in range(len(steps))})
-        empty = pd.DataFrame(cols)
-        if len(g) == 0:
-            return empty
-        g = g.sort_values([ts_col, id_col])
-        et = g[type_col].to_numpy()
-        ts = _ts_us(g[ts_col])
+    empty_cols = {"user_id": pa.array([], type=pa.int64())}
+    empty_cols.update({f"t_us_{i + 1}": pa.array([], type=pa.int64())
+                       for i in range(len(steps))})
+    _EMPTY = pa.table(empty_cols)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
+        ts = _ts_us(t.column(ts_col))
         prev = -1
         hit = []
         for s in steps:
-            t_s = ts[et == s]
+            m = pc.equal(t.column(type_col), s) \
+                .to_numpy(zero_copy_only=False)
+            t_s = np.sort(ts[m])
             i = np.searchsorted(t_s, prev, side="right")
-            if i >= len(t_s):
-                return empty
+            if i >= t_s.size:
+                return _EMPTY
             prev = int(t_s[i])
             hit.append(prev)
-        row = {"user_id": np.array([int(g[user_col].iloc[0])],
-                                   dtype=np.int64)}
-        row.update({f"t_us_{i + 1}": np.array([h], dtype=np.int64)
+        row = {"user_id": _i64([int(t.column(user_col)[0].as_py())])}
+        row.update({f"t_us_{i + 1}": _i64([h])
                     for i, h in enumerate(hit)})
-        return pd.DataFrame(row)
+        return pa.table(row)
 
     return events_ds.groupby(user_col).map_groups(
-        per_user, batch_format="pandas")
+        per_user, batch_format="pyarrow")

@@ -97,8 +97,8 @@ def test_minhash_sigs_oracle_parity(con, oracles):
     _cmp(got, con.sql(oracles["minhash_sigs"]).df())
 
 
-def test_multimodal_decode_oracle_parity(con, oracles):
+def test_multimodal_legacy_fake_oracle_parity(con, oracles):
     from rayfts.ops.multimodal import ImageDecodeStage, to_binary_payloads
     payloads = to_binary_payloads(_docs_table())
     got = ImageDecodeStage()(payloads).to_pandas()
-    _cmp(got, con.sql(oracles["multimodal_decode"]).df())
+    _cmp(got, con.sql(oracles["multimodal_legacy_fake"]).df())
