@@ -454,6 +454,43 @@ def _impact_anytime_recall(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "meets"])
 
 
+def _impact_sharded_for(sf_dir: str):
+    from rayfts.impact import (ShardedImpactIndex,
+                               build_impact_index_sharded)
+
+    si = _sharded_for(sf_dir)
+    out_dir = si.parent_dir.rstrip("/") + "_impact"
+    simpx = _INDEX_CACHE.get(out_dir)
+    if simpx is None:
+        build_impact_index_sharded(si.parent_dir, out_dir,
+                                   bits=IMPACT_BITS)
+        simpx = ShardedImpactIndex(out_dir)
+        _INDEX_CACHE[out_dir] = simpx
+    return simpx
+
+
+def _impact_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """Doc-partitioned impact serving (rayfts/impact.py
+    build_impact_index_sharded + saat_topk_sharded): per-partition
+    8-bit impact sidecars built under the global-stats handshake and
+    the ONE global u_max scalar, partition-local SAAT, answer-scale
+    merge — must hash-match the same oracle as the monolithic
+    impact_topk."""
+    from rayfts.impact import saat_topk_sharded
+
+    simpx = _impact_sharded_for(sf_dir)
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        for rank, (score, d) in enumerate(
+                saat_topk_sharded(simpx, terms, k=K), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(si.src_doc_ids[d]),
+                         "score_i": int(score)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_i"])
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -2172,7 +2209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _tokenize,
         "postings": _postings_table,
         "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
-        "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "block_max_wand_topk_native":
             lambda sf: _topk_table_native(sf, "block_max_wand"),
         "unified_search_sharded": _unified_search_sharded,
@@ -2181,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
         "bm25f_topk_sharded": _bm25f_topk_sharded,
         "impact_topk": _impact_topk,
+        "impact_topk_sharded": _impact_topk_sharded,
         "impact_anytime_recall": _impact_anytime_recall,
         "more_like_this": _more_like_this,
         # embedding near-dup / ANN (incl. the recall gates)
@@ -2268,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": _topk_table_sharded,
         "bm25_topk_pruned": _topk_table_pruned,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
+        "wand_topk": lambda sf: _topk_table(sf, "wand"),
         "maxscore_topk": lambda sf: _topk_table(sf, "maxscore"),
         "block_max_wand_topk": lambda sf: _topk_table(sf, "block_max_wand"),
         # the f32 C encoded-domain kernel (what bench.py times), rank-
@@ -2947,6 +2985,7 @@ topk AS (
                             ORDER BY score_i DESC, doc_id ASC) AS rank
   FROM scores)
 SELECT query_id, rank, doc_id, score_i FROM topk WHERE rank <= {K}"""
+    sqls["impact_topk_sharded"] = sqls["impact_topk"]
 
     _imp_qids = ", ".join(f"({qid})" for qid, _ in QUERIES)
     sqls["impact_anytime_recall"] = f"""

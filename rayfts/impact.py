@@ -50,13 +50,18 @@ import ray.data as rd
 def _u_arrays(idx, term: str, lengths64: np.ndarray, avg_len: float,
               num_docs: int):
     """(docs, u) for one term — f64 per-posting BM25 contributions in
-    the exact arithmetic the P64 kernels use."""
+    the exact arithmetic the P64 kernels use.  Honors the sharded
+    global-stats handshake (``score_dfs`` / caller-passed global N and
+    avg_len), so a doc partition's u values are bit-identical to the
+    monolithic build's."""
     from . import bm25
 
     pl = idx.get(term)
     if pl is None:
         return None, None
-    qw = bm25.query_term_weight_f64(1, pl.n, num_docs)
+    df = (idx.score_dfs(pl.term) or pl.n) \
+        if getattr(idx, "score_dfs", None) else pl.n
+    qw = bm25.query_term_weight_f64(1, df, num_docs)
     nl = lengths64[pl.docs] / np.float64(avg_len)
     dw = bm25.doc_term_weight_f64(pl.freqs, nl)
     return pl.docs, qw * dw
@@ -92,46 +97,54 @@ class _ShardPass:
     def _one(self, s: int) -> dict:
         terms = self._shard_terms(s)
         if self.out_dir is None:                     # pass 1: max u
-            mx = 0.0
-            for t in terms:
-                _, u = _u_arrays(self.idx, t, self.lengths64,
-                                 self.avg_len, self.num_docs)
-                if u is not None and len(u):
-                    mx = max(mx, float(u.max()))
+            mx = _pass1_max(self.idx, self.lengths64, self.avg_len,
+                            self.num_docs, terms)
             return {"shard": s, "u_max": mx, "rows": 0,
                     "term_lo": terms[0] if terms else "",
                     "term_hi": terms[-1] if terms else ""}
         # pass 2: quantize + impact-descending segments
-        out_t, out_i, out_d = [], [], []
-        for t in terms:
-            docs, u = _u_arrays(self.idx, t, self.lengths64,
-                                self.avg_len, self.num_docs)
-            if docs is None or len(docs) == 0:
-                continue
-            qi = np.minimum(
-                self.M,
-                1 + np.floor(u / self.u_max * self.M).astype(np.int64)
-            ).astype(np.int32)
-            order = np.lexsort((docs, -qi))          # impact desc, doc asc
-            out_t.append(np.full(len(docs), t, dtype=object))
-            out_i.append(qi[order])
-            out_d.append(docs[order])
         path = os.path.join(self.out_dir, f"impact_{s:05d}.parquet")
-        n = 0
-        if out_t:
-            tbl = pa.table({
-                "term": pa.array(np.concatenate(out_t), type=pa.string()),
-                "impact": pa.array(np.concatenate(out_i),
-                                   type=pa.int32()),
-                "doc_id": pa.array(np.concatenate(out_d),
-                                   type=pa.int64()),
-            })
-            pq.write_table(tbl, path + ".tmp", row_group_size=1 << 14)
-            os.replace(path + ".tmp", path)
-            n = tbl.num_rows
+        n = _pass2_write(self.idx, self.lengths64, self.avg_len,
+                         self.num_docs, terms, self.u_max, self.M, path)
         return {"shard": s, "u_max": 0.0, "rows": n,
                 "term_lo": terms[0] if terms else "",
                 "term_hi": terms[-1] if terms else ""}
+
+
+def _pass1_max(idx, lengths64, avg_len, num_docs, terms) -> float:
+    mx = 0.0
+    for t in terms:
+        _, u = _u_arrays(idx, t, lengths64, avg_len, num_docs)
+        if u is not None and len(u):
+            mx = max(mx, float(u.max()))
+    return mx
+
+
+def _pass2_write(idx, lengths64, avg_len, num_docs, terms,
+                 u_max: float, M: int, path: str) -> int:
+    out_t, out_i, out_d = [], [], []
+    for t in terms:
+        docs, u = _u_arrays(idx, t, lengths64, avg_len, num_docs)
+        if docs is None or len(docs) == 0:
+            continue
+        qi = np.minimum(
+            M, 1 + np.floor(u / u_max * M).astype(np.int64)
+        ).astype(np.int32)
+        order = np.lexsort((docs, -qi))              # impact desc, doc asc
+        out_t.append(np.full(len(docs), t, dtype=object))
+        out_i.append(qi[order])
+        out_d.append(docs[order])
+    n = 0
+    if out_t:
+        tbl = pa.table({
+            "term": pa.array(np.concatenate(out_t), type=pa.string()),
+            "impact": pa.array(np.concatenate(out_i), type=pa.int32()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+        })
+        pq.write_table(tbl, path + ".tmp", row_group_size=1 << 14)
+        os.replace(path + ".tmp", path)
+        n = tbl.num_rows
+    return n
 
 
 def build_impact_index(index_dir: str, out_dir: str,
@@ -224,6 +237,169 @@ class ImpactIndex:
                     segs.append((int(imps[lo]), docs[lo:hi]))
         self._cache[term] = segs
         return segs
+
+
+# ---------------------------------------------------------------------------
+# doc-partitioned impact sidecar (mirrors the positions sidecar's
+# per-partition + broker pattern)
+# ---------------------------------------------------------------------------
+
+class _PartShardPass:
+    """Actor-pool stage over (partition, lexicon-shard) pairs of a
+    doc-partitioned index (rayfts/sharded.py layout).  Each sub opens
+    via ``open_sub`` — the global-stats handshake (global N via
+    ``score_num_docs``, global df via ``score_dfs``, global avg_len
+    baked into the sub build) makes every u value bit-identical to the
+    monolithic build's, so the global ``u_max`` and every impact agree
+    exactly."""
+
+    def __init__(self, parent_dir: str, out_dir: str | None = None,
+                 u_max: float | None = None, bits: int = 8):
+        self.parent_dir = parent_dir
+        self.out_dir = out_dir
+        self.u_max = u_max
+        self.M = (1 << bits) - 1
+        self._subs: dict = {}
+
+    def _sub(self, part: int):
+        hit = self._subs.get(part)
+        if hit is None:
+            from .sharded import open_sub
+            idx = open_sub(self.parent_dir, part)
+            hit = self._subs[part] = (
+                idx, np.asarray(idx.lengths, dtype=np.float64))
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for part, s in zip(batch.column("part").to_pylist(),
+                           batch.column("shard").to_pylist()):
+            rows.append(self._one(int(part), int(s)))
+        return pa.Table.from_pylist(rows)
+
+    def _one(self, part: int, s: int) -> dict:
+        idx, lengths64 = self._sub(part)
+        terms = pq.read_table(idx._shard_paths[s],
+                              columns=["term"]).column("term").to_pylist()
+        avg_len = float(idx.avg_len)          # global (build override)
+        num_docs = int(idx.score_num_docs)    # global N for idf
+        if self.out_dir is None:
+            mx = _pass1_max(idx, lengths64, avg_len, num_docs, terms)
+            return {"part": part, "shard": s, "u_max": mx, "rows": 0,
+                    "term_lo": terms[0] if terms else "",
+                    "term_hi": terms[-1] if terms else ""}
+        pdir = os.path.join(self.out_dir, f"part_{part:03d}")
+        path = os.path.join(pdir, f"impact_{s:05d}.parquet")
+        n = _pass2_write(idx, lengths64, avg_len, num_docs, terms,
+                         self.u_max, self.M, path)
+        return {"part": part, "shard": s, "u_max": 0.0, "rows": n,
+                "term_lo": terms[0] if terms else "",
+                "term_hi": terms[-1] if terms else ""}
+
+
+def build_impact_index_sharded(parent_dir: str, out_dir: str,
+                               bits: int = 8,
+                               concurrency: int = 4) -> dict:
+    """Impact sidecar for a doc-partitioned index: the same two
+    shard-parallel passes, fanned over every (partition, lexicon
+    shard); the only cross-pass state is the ONE global ``u_max``
+    scalar (max of per-task partials).  Output is one ImpactIndex
+    layout per partition under ``out_dir/part_XXX`` — serving is
+    partition-local SAAT plus an answer-scale merge."""
+    marker = os.path.join(out_dir, "meta.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+
+    with open(os.path.join(parent_dir, "sharded.json")) as f:
+        smeta = json.load(f)
+    items = []
+    sub_meta = []
+    for i, sub in enumerate(smeta["subs"]):
+        with open(os.path.join(parent_dir, sub["dir"], "meta.json")) as f:
+            m = json.load(f)
+        sub_meta.append(m)
+        os.makedirs(os.path.join(out_dir, f"part_{i:03d}"), exist_ok=True)
+        for sm in m["shards"]:
+            items.append({"part": i, "shard": int(sm["shard"])})
+    conc = min(concurrency, max(1, len(items)))
+
+    p1 = (rd.from_items(items)
+          .map_batches(_PartShardPass, batch_size=1, concurrency=conc,
+                       batch_format="pyarrow",
+                       fn_constructor_kwargs={"parent_dir": parent_dir,
+                                              "bits": bits})
+          .to_pandas())
+    u_max = float(p1["u_max"].max())
+    if not (u_max > 0):
+        raise ValueError("empty index: no postings to quantize")
+
+    p2 = (rd.from_items(items)
+          .map_batches(_PartShardPass, batch_size=1, concurrency=conc,
+                       batch_format="pyarrow",
+                       fn_constructor_kwargs={"parent_dir": parent_dir,
+                                              "out_dir": out_dir,
+                                              "u_max": u_max,
+                                              "bits": bits})
+          .to_pandas())
+    parts = []
+    for i, sub in enumerate(smeta["subs"]):
+        mine = p2[p2["part"] == i]
+        pmeta = {
+            "u_max": u_max, "bits": bits,
+            "num_docs": int(sub_meta[i]["num_docs"]),
+            "rows": int(mine["rows"].sum()),
+            "source_index": os.path.join(parent_dir, sub["dir"]),
+            "shards": sorted(
+                ({"shard": int(r.shard), "rows": int(r.rows),
+                  "term_lo": str(r.term_lo), "term_hi": str(r.term_hi)}
+                 for r in mine.itertuples()), key=lambda m: m["shard"]),
+        }
+        ppath = os.path.join(out_dir, f"part_{i:03d}", "meta.json")
+        with open(ppath + ".tmp", "w") as f:
+            json.dump(pmeta, f, indent=1)
+        os.replace(ppath + ".tmp", ppath)
+        parts.append({"dir": f"part_{i:03d}",
+                      "doc_base": int(sub["doc_base"]),
+                      "rows": pmeta["rows"]})
+    meta = {"u_max": u_max, "bits": bits,
+            "num_docs": int(smeta["num_docs"]),
+            "rows": int(p2["rows"].sum()),
+            "source_index": parent_dir, "parts": parts}
+    with open(marker + ".tmp", "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(marker + ".tmp", marker)
+    return meta
+
+
+class ShardedImpactIndex:
+    """Broker over per-partition impact sidecars."""
+
+    def __init__(self, out_dir: str):
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.num_docs = int(self.meta["num_docs"])
+        self.parts = [ImpactIndex(os.path.join(out_dir, p["dir"]))
+                      for p in self.meta["parts"]]
+        self.bases = [int(p["doc_base"]) for p in self.meta["parts"]]
+
+
+def saat_topk_sharded(simpx: ShardedImpactIndex, terms: list,
+                      k: int = 10):
+    """Exact sharded SAAT top-k: every document's postings live in one
+    partition, so partition-local integer scores ARE the global scores
+    (global stats + global u_max at build time); per-partition top-k
+    lists merge answer-scale under the same (score desc, global docid
+    asc) comparator — bit-identical to monolithic :func:`saat_topk`."""
+    from .sharded import _merge_topk
+
+    per_sub = []
+    for impx, base in zip(simpx.parts, simpx.bases):
+        res = saat_topk(impx, terms, k)
+        per_sub.append([(s, base + d) for s, d in res])
+    return _merge_topk(per_sub, k)
 
 
 def saat_topk(impx: ImpactIndex, terms: list, k: int = 10,

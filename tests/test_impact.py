@@ -138,3 +138,33 @@ def test_unknown_terms_empty(impacted):
     from rayfts.impact import saat_topk
 
     assert saat_topk(impacted["impx"], ["zz_miss", "zz_miss2"], k=K) == []
+
+
+def test_saat_sharded_matches_monolithic(impacted, ray_session,
+                                         tmp_path_factory):
+    """Doc-partitioned impact build + scatter-gather SAAT equals the
+    monolithic ranking bit-for-bit: global stats + the single global
+    u_max make every partition's integer impacts identical to the
+    monolithic sidecar's, and the merge preserves (score desc, docid
+    asc)."""
+    from rayfts.impact import (ShardedImpactIndex,
+                               build_impact_index_sharded, saat_topk,
+                               saat_topk_sharded)
+    from rayfts.sharded import build_sharded_index
+
+    root = tmp_path_factory.mktemp("impact_sharded")
+    parent = str(root / "sharded")
+    build_sharded_index(impacted["src"], parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    out = str(root / "impact")
+    meta = build_impact_index_sharded(parent, out, bits=8,
+                                      concurrency=2)
+    assert meta["u_max"] == impacted["u_max"]        # same global max u
+    assert build_impact_index_sharded(parent, out) == meta  # resumable
+    simpx = ShardedImpactIndex(out)
+    for terms in QUERIES:
+        want = saat_topk(impacted["impx"], terms, k=K)
+        got = saat_topk_sharded(simpx, terms, k=K)
+        assert [(int(s), int(d)) for s, d in got] == \
+            [(int(s), int(d)) for s, d in want], terms
