@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--sharded", action="store_true",
                     help="doc-partitioned capstone: sharded build, "
                          "scatter-gather serving, merge back")
+    ap.add_argument("--bp", action="store_true",
+                    help="recursive-graph-bisection capstone: BP "
+                         "permutation over the built index, before/"
+                         "after log-gap bits and bits/posting")
+    ap.add_argument("--bp-iters", type=int, default=5)
     args = ap.parse_args()
 
     import ray
@@ -105,6 +110,41 @@ def main() -> None:
         out["postings_per_sec"] = round(meta["total_postings"] / build_s, 0)
         out["bits_per_doc"] = meta["bits_per_doc"]
         out["bits_per_freq"] = meta["bits_per_freq"]
+
+    if args.bp:
+        from rayfts.reorder import (bp_permutation, build_reordered,
+                                    log_gap_bits)
+        out["metric"] = "capstone BP reorder (sharded-CSR recursive " \
+                        "graph bisection)"
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            base_meta = json.load(f)
+        t0 = time.perf_counter()
+        perm = bp_permutation(index_dir, iters=args.bp_iters)
+        out["bp_perm_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        before = log_gap_bits(index_dir)
+        after = log_gap_bits(index_dir, perm)
+        out["log_gap_sec"] = round(time.perf_counter() - t0, 1)
+        bp_dir = index_dir.rstrip("/") + "_bp"
+        t0 = time.perf_counter()
+        bp_meta = build_reordered(index_dir, bp_dir, perm)
+        out["rebuild_sec"] = round(time.perf_counter() - t0, 1)
+        tp = int(base_meta["total_postings"])
+        out.update({
+            "bp_iters": args.bp_iters,
+            "total_postings": tp,
+            "log_gap_bits_before": round(before, 0),
+            "log_gap_bits_after": round(after, 0),
+            "log_gap_reduction_pct": round(100 * (1 - after / before), 2),
+            "bits_per_doc_before": base_meta["bits_per_doc"],
+            "bits_per_doc_after": bp_meta["bits_per_doc"],
+            "bits_per_freq_before": base_meta["bits_per_freq"],
+            "bits_per_freq_after": bp_meta["bits_per_freq"],
+        })
+        out["value"] = out["bp_perm_sec"]
+        print(json.dumps(out))
+        ray.shutdown()
+        return
 
     index = InvertedIndex(index_dir)
     queries = _gen_queries(index)
