@@ -275,12 +275,13 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
     map_dir = os.path.join(index_dir, "docidmap")
     os.makedirs(map_dir, exist_ok=True)
 
-    def bucket_keys(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:
-            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
-                                 "n": pd.Series([], dtype=np.int64)})
-        b = int(group["bucket"].iloc[0])
-        sk = np.sort(group["sortkey"].to_numpy())
+    def bucket_keys(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        b = int(group.column("bucket")[0].as_py())
+        sk = np.sort(group.column("sortkey")
+                     .to_numpy(zero_copy_only=False))
         if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
             dup = sk[1:][sk[1:] == sk[:-1]][0]
             raise ValueError(
@@ -291,12 +292,13 @@ def _stage_docs(source_path: str, index_dir: str, key_cols: list[str],
         pq.write_table(pa.table({"sortkey": pa.array(sk, type=pa.string())}),
                        tmp)
         os.replace(tmp, path)
-        return pd.DataFrame([{"bucket": b, "n": len(sk)}])
+        return pa.table({"bucket": pa.array([b], type=pa.int64()),
+                         "n": pa.array([len(sk)], type=pa.int64())})
 
     # the same shuffle also yields exact per-bucket counts -> offsets
     # (no separate counting pass over the keys)
     bucket_rows = keyed.groupby("bucket").map_groups(
-        bucket_keys, batch_format="pandas").take_all()
+        bucket_keys, batch_format="pyarrow").take_all()
     _mark("key_shuffle")
     num_buckets_eff = len(boundaries) + 1
     totals = np.zeros(num_buckets_eff, dtype=np.int64)

@@ -181,14 +181,17 @@ def embedding_pairs_lsh(emb_ds, tau: float, num_planes: int = 16,
                 pa.array(offsets), pa.array(vec_flat)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64),
-                              "cos": pd.Series([], dtype=np.float64)})
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].to_numpy()
-        m = np.array(g["vec"].tolist(), dtype=np.float64)
+    _COS_EMPTY = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64()),
+                           "cos": pa.array([], type=pa.float64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _COS_EMPTY
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        lst = t.column("vec").combine_chunks()
+        m = lst.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(ids), -1)
         if len(ids) > max_bucket:
             # degenerate bucket (mass-duplicated embedding): star edges
             # against the min-id anchor keep it O(n); downstream
@@ -198,24 +201,27 @@ def embedding_pairs_lsh(emb_ds, tau: float, num_planes: int = 16,
             s = m[1:] @ m[0]
             keep = s >= tau
             if not keep.any():
-                return empty
-            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0]),
-                                 "b": ids[1:][keep], "cos": s[keep]})
+                return _COS_EMPTY
+            return pa.table({
+                "a": pa.array(np.full(int(keep.sum()), ids[0])),
+                "b": pa.array(ids[1:][keep]),
+                "cos": pa.array(s[keep])})
         sims = m @ m.T
         ii, jj = np.nonzero(sims >= tau)
         keep = ids[ii] < ids[jj]
         if not keep.any():
-            return empty
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
-                             "cos": sims[ii, jj][keep]})
+            return _COS_EMPTY
+        return pa.table({
+            "a": pa.array(ids[ii][keep]), "b": pa.array(ids[jj][keep]),
+            "cos": pa.array(sims[ii, jj][keep])})
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
 
     return (emb_ds.map_batches(band_rows, batch_format="pyarrow")
             .groupby(["band", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["a", "b"]).map_groups(dedup, batch_format="pandas"))
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"]).map_groups(dedup, batch_format="pyarrow"))
 
 
 class LSHSignatures:

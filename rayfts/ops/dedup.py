@@ -218,22 +218,22 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
 
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.sort(t.column(id_col).to_numpy().astype(np.int64))
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
         if n > max_bucket:
             # degenerate bucket: star edges, O(n) not O(n^2)
-            return pd.DataFrame({"a": np.full(n - 1, ids[0]),
-                                 "b": ids[1:]})
+            return pa.table({"a": pa.array(np.full(n - 1, ids[0])),
+                             "b": pa.array(ids[1:])})
         ii, jj = np.triu_indices(n, 1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
     cand = (sigs.map_batches(explode_bands, batch_format="pyarrow")
             .groupby(key_cols)
-            .map_groups(pairs, batch_format="pandas"))
+            .map_groups(pairs, batch_format="pyarrow"))
     return cand
 
 
@@ -305,23 +305,27 @@ def verify_jaccard(pairs_ds, docs_ds, tau: float, k: int = 3,
     joined = members.join(sh_ds, "inner", num_partitions, on=(id_col,),
                           aggregator_ray_remote_args=agg_args)
 
-    def jac(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64),
-                              "jaccard_q": pd.Series([], dtype=np.int64)})
-        if len(g) != 2:        # a member doc missing from the corpus
-            return empty
+    _JAC_EMPTY = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64()),
+                           "jaccard_q": pa.array([], type=pa.int64())})
+
+    def jac(t: pa.Table) -> pa.Table:
+        if t.num_rows != 2:    # a member doc missing from the corpus
+            return _JAC_EMPTY
         sa, sb = (set(np.frombuffer(x, dtype=np.uint64).tolist())
-                  for x in g["sh"].tolist())
+                  for x in t.column("sh").to_pylist())
         union = len(sa | sb)
         j = len(sa & sb) / union if union else 1.0
         if j < tau:
-            return empty
-        return pd.DataFrame({"a": [int(g["a"].iloc[0])],
-                             "b": [int(g["b"].iloc[0])],
-                             "jaccard_q": [int(np.floor(j * 10000 + 0.5))]})
+            return _JAC_EMPTY
+        return pa.table({
+            "a": pa.array([t.column("a")[0].as_py()], type=pa.int64()),
+            "b": pa.array([t.column("b")[0].as_py()], type=pa.int64()),
+            "jaccard_q": pa.array([int(np.floor(j * 10000 + 0.5))],
+                                  type=pa.int64())})
 
-    return joined.groupby(["a", "b"]).map_groups(jac, batch_format="pandas")
+    return joined.groupby(["a", "b"]).map_groups(jac,
+                                                 batch_format="pyarrow")
 
 
 class SimHasher:
@@ -418,14 +422,16 @@ def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
             "fp": pa.array(np.tile(fp, bands)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64),
-                              "hamming": pd.Series([], dtype=np.int64)})
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].to_numpy()
-        fp = g["fp"].to_numpy().astype(np.uint64)
+    _HAM_EMPTY = pa.table({"a": pa.array([], type=pa.int64()),
+                           "b": pa.array([], type=pa.int64()),
+                           "hamming": pa.array([], type=pa.int64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return _HAM_EMPTY
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        fp = t.column("fp").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
         if len(ids) > max_bucket:
             # degenerate bucket: star edges against the min-id anchor,
             # O(n) xor-popcounts (connected_components restores clusters)
@@ -436,27 +442,29 @@ def simhash_dup_pairs(fps_ds, bands: int = 4, radius: int = 3,
                 x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
             keep = ham <= radius
             if not keep.any():
-                return empty
-            return pd.DataFrame({"a": np.full(int(keep.sum()), ids[0]),
-                                 "b": ids[1:][keep],
-                                 "hamming": ham[keep].astype(np.int64)})
+                return _HAM_EMPTY
+            return pa.table({
+                "a": pa.array(np.full(int(keep.sum()), ids[0])),
+                "b": pa.array(ids[1:][keep]),
+                "hamming": pa.array(ham[keep].astype(np.int64))})
         x = fp[:, None] ^ fp[None, :]
         ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
                             axis=2).sum(axis=2)
         ii, jj = np.nonzero(ham <= radius)
         keep = ids[ii] < ids[jj]
         if not keep.any():
-            return empty
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
-                             "hamming": ham[ii, jj][keep].astype(np.int64)})
+            return _HAM_EMPTY
+        return pa.table({
+            "a": pa.array(ids[ii][keep]), "b": pa.array(ids[jj][keep]),
+            "hamming": pa.array(ham[ii, jj][keep].astype(np.int64))})
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
 
     return (fps_ds.map_batches(explode, batch_format="pyarrow")
             .groupby(["band", "key"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["a", "b"]).map_groups(dedup, batch_format="pandas"))
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"]).map_groups(dedup, batch_format="pyarrow"))
 
 
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
