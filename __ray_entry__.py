@@ -1266,8 +1266,9 @@ def _collapsed_topk(sf_dir: str) -> pd.DataFrame:
 def _facet_counts(sf_dir: str) -> pd.DataFrame:
     """Search-engine faceting over the OR match set of each query:
     matching-document counts per `lang` (rayfts/facets.py
-    facet_counts — distributed semi-join of the match set against the
-    docs-meta sidecar)."""
+    facet_counts — a bincount over the mmapped doc-range key sidecar
+    in the process that already holds the match set; no broadcast,
+    no second pass)."""
     from rayfts.facets import facet_counts
 
     idx = _index_for(sf_dir, "opt")
@@ -1276,6 +1277,58 @@ def _facet_counts(sf_dir: str) -> pd.DataFrame:
         for lang, n in facet_counts(idx, terms, "lang").items():
             rows.append({"query_id": qid, "lang": lang, "n": int(n)})
     return pd.DataFrame(rows, columns=["query_id", "lang", "n"])
+
+
+def _facet_counts_sharded(sf_dir: str) -> pd.DataFrame:
+    """Doc-partitioned faceting (rayfts/sharded.py
+    ShardedIndex.facet_counts): each partition counts its own range
+    against its own key sidecar, only answer-scale per-value partial
+    dicts merge — shares the monolithic facet_counts oracle."""
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        for lang, n in si.facet_counts(terms, "lang").items():
+            rows.append({"query_id": qid, "lang": lang, "n": int(n)})
+    return pd.DataFrame(rows, columns=["query_id", "lang", "n"])
+
+
+def _collapsed_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """Doc-partitioned field collapsing: per-partition best-per-key on
+    QUANTIZED scores (facets.collapse_best with k=None — no key
+    truncated before the merge), key-scale partials re-collapsed under
+    the same (score desc, src doc asc) comparator — shares the
+    monolithic collapsed_topk oracle."""
+    from rayfts import search as S
+    from rayfts.facets import collapse_best, key_codes
+
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        best: dict = {}
+        for i, base in enumerate(si.bases):
+            sub = si.sub(i)
+            pls = S._lists(sub, terms, S.P64)
+            if not pls:
+                continue
+            union, acc = S._union_scores(sub, pls, S.P64)
+            sq = np.floor(acc * 1e7 + 0.5).astype(np.int64)
+            src = si.src_doc_ids[union + base]
+            codes_mm, values = key_codes(sub, "lang")
+            codes = np.asarray(codes_mm[union])
+            for j in collapse_best(sq, src, codes, k=None):
+                kv = values[codes[j]]
+                cand = (int(sq[j]), int(src[j]))
+                cur = best.get(kv)
+                if cur is None or (-cand[0], cand[1]) < \
+                        (-cur[0], cur[1]):
+                    best[kv] = cand
+        top = sorted(((s, d, kv) for kv, (s, d) in best.items()),
+                     key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq_v, doc, kv) in enumerate(top, 1):
+            rows.append({"query_id": qid, "rank": rank, "lang": kv,
+                         "doc_id": doc, "score_q": sq_v})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "lang",
+                                       "doc_id", "score_q"])
 
 
 def _doc_lengths(sf_dir: str) -> pd.DataFrame:
@@ -2287,7 +2340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": _bm25_topk_deleted,
         "bm25_topk_faceted": _bm25_topk_faceted,
         "facet_counts": _facet_counts,
+        "facet_counts_sharded": _facet_counts_sharded,
         "collapsed_topk": _collapsed_topk,
+        "collapsed_topk_sharded": _collapsed_topk_sharded,
         "highlight_offsets": _highlight_offsets,
         "unified_search": _unified_search,
         "wildcard_search": _wildcard_search,
@@ -2743,6 +2798,7 @@ topk AS (
   FROM best WHERE rn = 1)
 SELECT query_id, rank, lang, doc_id, score_q FROM topk
 WHERE rank <= {K}"""
+    sqls["collapsed_topk_sharded"] = sqls["collapsed_topk"]
 
     # faceting: per-query OR-match counts per metadata value
     sqls["facet_counts"] = f"""
@@ -2754,6 +2810,7 @@ m AS (
 SELECT m.query_id, d.lang, count(*) AS n
 FROM m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY 1, 2"""
+    sqls["facet_counts_sharded"] = sqls["facet_counts"]
 
     sqls["doc_lengths"] = f"""
 WITH {_TOK.strip()}
