@@ -16,7 +16,6 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -73,12 +72,13 @@ def verify_index(index_dir: str, sample_terms: int | None = None) -> dict:
                 offs, pa.array(tfs, type=pa.int64())),
         })
 
-    def check_shard(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:
-            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
-                                 "terms_checked": pd.Series([], dtype=np.int64),
-                                 "mismatches": pd.Series([], dtype=object)})
-        bucket = int(group["bucket"].iloc[0])
+    def check_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table({"shard": pa.array([], type=pa.int64()),
+                          "terms_checked": pa.array([], type=pa.int64()),
+                          "mismatches": pa.array([], type=pa.string())})
+        if group.num_rows == 0:
+            return empty
+        bucket = int(group.column("bucket")[0].as_py())
         shard = shard_ids[bucket]
         tbl = pq.read_table(
             os.path.join(shards_dir, f"shard_{shard:05d}.parquet"))
@@ -89,15 +89,26 @@ def verify_index(index_dir: str, sample_terms: int | None = None) -> dict:
 
         # merge per-batch partials per term (docID-sorted by construction
         # within a partial; stable sort across partials)
-        group = group.sort_values("term", kind="mergesort")
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        dl = group.column("doc_ids").to_pylist()
+        fl = group.column("freqs").to_pylist()
+        order = np.argsort(terms, kind="stable")
         bad = []
         checked = 0
-        seen = set()
-        for term, g in group.groupby("term", sort=False):
+        i = 0
+        while i < order.size:
             if sample_terms is not None and checked >= sample_terms:
                 break
-            docs = np.concatenate([np.asarray(d) for d in g["doc_ids"]])
-            freqs = np.concatenate([np.asarray(f) for f in g["freqs"]])
+            term = terms[order[i]]
+            j = i
+            while j < order.size and terms[order[j]] == term:
+                j += 1
+            rows_ix = order[i:j]
+            i = j
+            docs = np.concatenate(
+                [np.asarray(dl[r], dtype=np.int64) for r in rows_ix])
+            freqs = np.concatenate(
+                [np.asarray(fl[r], dtype=np.int64) for r in rows_ix])
             mo = np.argsort(docs, kind="stable")
             docs, freqs = docs[mo], freqs[mo]
             pair = enc.pop(term, None)
@@ -110,23 +121,24 @@ def verify_index(index_dir: str, sample_terms: int | None = None) -> dict:
                     or not np.array_equal(freqs, f2)):
                 bad.append({"term": str(term), "why": "postings differ"})
             checked += 1
-            seen.add(term)
         if enc and sample_terms is None:
             bad.append({"term": None,
                         "why": f"{len(enc)} extra terms in shard {shard}"})
-        return pd.DataFrame([{"shard": shard, "terms_checked": checked,
-                              "mismatches": bad}])
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int64()),
+            "terms_checked": pa.array([checked], type=pa.int64()),
+            "mismatches": pa.array([json.dumps(bad)], type=pa.string())})
 
     tokens = rd.read_parquet(os.path.join(index_dir, "tokens"),
                              columns=["term", "doc_id", "tf"])
     rows = (tokens
             .map_batches(combine, batch_size=None, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(check_shard, batch_format="pandas")
+            .map_groups(check_shard, batch_format="pyarrow")
             ).take_all()
 
     checked = int(sum(r["terms_checked"] for r in rows))
-    mismatches = [m for r in rows for m in r["mismatches"]]
+    mismatches = [m for r in rows for m in json.loads(r["mismatches"])]
     result = {"terms_checked": checked, "mismatches": mismatches}
     assert not mismatches, f"index verification failed: {mismatches[:5]}"
     return result
