@@ -491,6 +491,68 @@ def _impact_topk_sharded(sf_dir: str) -> pd.DataFrame:
                                        "score_i"])
 
 
+#: nested boolean expression workload (rayfts/boolquery.py) — the SQL
+#: oracle's predicate is GENERATED from the same AST the engine
+#: evaluates (boolquery.to_sql_predicate)
+BOOL_EXPRS: list[tuple[int, str]] = [
+    (0, "join AND hash"),
+    (1, "(filter OR scan) AND batch"),
+    (2, "data AND NOT table"),
+    (3, "(window OR stream) AND (merge OR sort)"),
+    (4, "sort AND NOT (shuffle AND join)"),
+    (5, "customer order line"),
+    (6, "(vector OR column) AND agg AND NOT spark"),
+    (7, "query AND NOT (slow OR big)"),
+    (8, "key OR value"),
+    (9, "(group AND part) OR (small AND fast)"),
+]
+
+
+def _bool_expr_topk(sf_dir: str) -> pd.DataFrame:
+    """Nested boolean expression top-k (rayfts/boolquery.py): Lucene
+    BooleanQuery shape — vectorized sorted-set algebra per AST node,
+    BM25 ranking over the expression's positive terms restricted to
+    the match set.  The oracle's WHERE clause derives from the SAME
+    parse tree via to_sql_predicate."""
+    from rayfts.boolquery import bool_expr_topk, parse
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, expr in BOOL_EXPRS:
+        for rank, (s, d) in enumerate(
+                bool_expr_topk(idx, parse(expr), k=K,
+                               prec=_P64_of()), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(s) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
+def _bool_expr_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """The same nested boolean workload over the doc-partitioned
+    layout (boolquery.bool_expr_topk_sharded — per-partition set
+    algebra, answer-scale merge); shares the monolithic oracle."""
+    from rayfts.boolquery import bool_expr_topk_sharded
+
+    si = _sharded_for(sf_dir)
+    rows = []
+    for qid, expr in BOOL_EXPRS:
+        for rank, (s, d) in enumerate(
+                bool_expr_topk_sharded(si, expr, k=K,
+                                       prec=_P64_of()), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(si.src_doc_ids[d]),
+                         "score_q": int(np.floor(float(s) * 1e7 + 0.5))})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
+def _P64_of():
+    from rayfts import search as S
+    return S.P64
+
+
 def _bool_and_not(sf_dir: str) -> pd.DataFrame:
     """Boolean NOT: docs containing the query's FIRST term but none of
     the remaining terms (rayfts/search.py and_not_query — sorted-set
@@ -2368,6 +2430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_native": lambda sf: _topk_table_native(sf, "ranked_or"),
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
+        "bool_expr_topk": _bool_expr_topk,
+        "bool_expr_topk_sharded": _bool_expr_topk_sharded,
         "msm_topk": _msm_topk,
         "ql_topk": _ql_topk,
         "prf_topk": _prf_topk,
@@ -3043,6 +3107,40 @@ topk AS (
   FROM scores)
 SELECT query_id, rank, doc_id, score_i FROM topk WHERE rank <= {K}"""
     sqls["impact_topk_sharded"] = sqls["impact_topk"]
+
+    # nested boolean expressions: predicate generated from the SAME
+    # AST the engine evaluates (rayfts/boolquery.py to_sql_predicate)
+    from rayfts.boolquery import parse as _bq_parse
+    from rayfts.boolquery import positive_terms as _bq_pos
+    from rayfts.boolquery import to_sql_predicate as _bq_sql
+    _bool_parts = []
+    for _qid, _expr in BOOL_EXPRS:
+        _n = _bq_parse(_expr)
+        _pred = _bq_sql(_n, tf_table="tf", doc_col="doc_id")
+        _qvals = ", ".join(f"({_qid}, '{t}')" for t in _bq_pos(_n))
+        _bool_parts.append(f"""
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT {_qid} AS query_id, s.doc_id,
+         CAST(floor(s.score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM (
+    SELECT tf.doc_id,
+           sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+                * 2.2
+                * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len))
+              ) AS score
+    FROM (VALUES {_qvals}) q(query_id, term)
+    JOIN tf  ON tf.term = q.term
+    JOIN dfs ON dfs.term = q.term
+    JOIN dl  ON dl.doc_id = tf.doc_id
+    JOIN (SELECT d.doc_id FROM dl d WHERE {_pred}) m
+      ON m.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id) s) WHERE rank <= {K}""")
+    sqls["bool_expr_topk"] = (
+        f"WITH {_TOK.strip()}\n"
+        + "\nUNION ALL\n".join(_bool_parts))
+    sqls["bool_expr_topk_sharded"] = sqls["bool_expr_topk"]
 
     _imp_qids = ", ".join(f"({qid})" for qid, _ in QUERIES)
     sqls["impact_anytime_recall"] = f"""

@@ -1,0 +1,268 @@
+"""Nested boolean expression queries: ``(a OR b) AND c AND NOT d``.
+
+The reference's boolean layer is flat (``and_query`` / ``or_query``
+over one term list, queries.hpp:35-131).  Search engines ship a nested
+BooleanQuery (Lucene's MUST / SHOULD / MUST_NOT tree); this module adds
+it on top of the same posting lists:
+
+* grammar (case-insensitive keywords, adjacency = AND):
+
+      expr    := or_expr
+      or_expr := and_expr ( OR and_expr )*
+      and_expr:= unary ( [AND] unary )*
+      unary   := NOT unary | '(' expr ')' | TERM
+
+* evaluation is vectorized sorted-set algebra per node — intersect /
+  union / difference of docID arrays (the leaves are the decoded
+  posting lists the ranked kernels already cache).  A pure-negative
+  expression (no positive leaf on some AND path) is rejected, like
+  Lucene's MatchNoDocsQuery contract.
+* ranking follows Lucene's BooleanScorer semantics: the score of a
+  matching doc is the BM25 sum over every DISTINCT positive term of
+  the expression that occurs in the doc (SHOULD clauses contribute
+  when they match even if another branch satisfied the query);
+  MUST_NOT terms never appear in matches.  Ties (score desc, docid
+  asc), serve filters (tombstones / facets) apply at collect time.
+
+Scale shape: set algebra runs where the posting lists live; on the
+doc-partitioned layout each partition evaluates the same tree over its
+own lists and the broker merges top-k answer-scale
+(:func:`bool_expr_topk_sharded` — exact, since every doc's postings
+are partition-local).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_TOKENS = re.compile(r"\(|\)|[A-Za-z0-9_]+")
+_KEYWORDS = {"and", "or", "not"}
+
+
+class Node:
+    __slots__ = ("op", "kids", "term")
+
+    def __init__(self, op: str, kids=None, term: str | None = None):
+        self.op = op          # "and" | "or" | "not" | "term"
+        self.kids = kids or []
+        self.term = term
+
+    def __repr__(self):                       # pragma: no cover - debug
+        if self.op == "term":
+            return self.term
+        if self.op == "not":
+            return f"(NOT {self.kids[0]!r})"
+        return "(" + f" {self.op.upper()} ".join(
+            repr(k) for k in self.kids) + ")"
+
+
+def parse(q: str) -> Node:
+    """Parse a boolean expression into a Node tree.  Bare words are
+    lowered through the engine tokenizer's word pattern; adjacency is
+    implicit AND (``a b`` == ``a AND b``)."""
+    from .tokenizer import TOKEN_RE
+
+    toks = _TOKENS.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> Node:
+        kids = [parse_and()]
+        while peek() is not None and peek().lower() == "or":
+            take()
+            kids.append(parse_and())
+        return kids[0] if len(kids) == 1 else Node("or", kids)
+
+    def parse_and() -> Node:
+        kids = [parse_unary()]
+        while True:
+            t = peek()
+            if t is None or t == ")" or t.lower() == "or":
+                break
+            if t.lower() == "and":
+                take()
+                t = peek()
+                if t is None or t == ")":
+                    raise ValueError("dangling AND")
+            kids.append(parse_unary())
+        return kids[0] if len(kids) == 1 else Node("and", kids)
+
+    def parse_unary() -> Node:
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        if t.lower() == "not":
+            take()
+            return Node("not", [parse_unary()])
+        if t == "(":
+            take()
+            n = parse_or()
+            if peek() != ")":
+                raise ValueError("unbalanced parenthesis")
+            take()
+            return n
+        if t == ")":
+            raise ValueError("unbalanced parenthesis")
+        take()
+        ws = TOKEN_RE.findall(t.lower())
+        if not ws:
+            raise ValueError(f"not a term: {t!r}")
+        return Node("term", term=ws[-1])
+
+    n = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens after expression: "
+                         f"{toks[pos:]}")
+    _check_not_pure_negative(n)
+    return n
+
+
+def _check_not_pure_negative(n: Node) -> None:
+    """Reject expressions the set algebra cannot evaluate without a
+    universe scan: NOT at the root or directly under OR (Lucene's
+    pure-negative contract — rewrite with De Morgan / distribution),
+    and AND groups with no positive clause.  Every NOT body must
+    itself be a valid (evaluable) expression."""
+    def validate(m: Node) -> None:
+        if m.op == "term":
+            return
+        if m.op == "not":
+            raise ValueError("pure-negative boolean expression")
+        if m.op == "or":
+            for k in m.kids:
+                if k.op == "not":
+                    raise ValueError(
+                        "NOT directly under OR is not supported; "
+                        "distribute it into the AND groups")
+                validate(k)
+            return
+        # and
+        pos = [k for k in m.kids if k.op != "not"]
+        if not pos:
+            raise ValueError("pure-negative AND group")
+        for k in m.kids:
+            validate(k.kids[0] if k.op == "not" else k)
+    validate(n)
+
+
+def positive_terms(n: Node) -> list[str]:
+    """Distinct positive (non-MUST_NOT) leaf terms, sorted — the
+    scoring clauses."""
+    out: set[str] = set()
+
+    def walk(m: Node, neg: bool) -> None:
+        if m.op == "term":
+            if not neg:
+                out.add(m.term)
+        elif m.op == "not":
+            walk(m.kids[0], not neg)
+        else:
+            for k in m.kids:
+                walk(k, neg)
+    walk(n, False)
+    return sorted(out)
+
+
+def _docs(index, term: str) -> np.ndarray:
+    pl = index.get(term)
+    if pl is None:
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(pl.docs, dtype=np.int64)
+
+
+def match_docs(index, n: Node) -> np.ndarray:
+    """Sorted docID array matching the expression (serve filters NOT
+    yet applied — callers mask once at the top)."""
+    if n.op == "term":
+        return _docs(index, n.term)
+    if n.op == "or":
+        out = match_docs(index, n.kids[0])
+        for k in n.kids[1:]:
+            out = np.union1d(out, match_docs(index, k))
+        return out
+    if n.op == "and":
+        pos = [k for k in n.kids if k.op != "not"]
+        negs = [k for k in n.kids if k.op == "not"]
+        if not pos:
+            raise ValueError("pure-negative AND group")
+        out = match_docs(index, pos[0])
+        for k in pos[1:]:
+            out = np.intersect1d(out, match_docs(index, k),
+                                 assume_unique=True)
+        for k in negs:
+            out = np.setdiff1d(out, match_docs(index, k.kids[0]),
+                               assume_unique=True)
+        return out
+    raise ValueError(f"cannot evaluate node {n.op!r} here")
+
+
+def bool_expr_topk(index, expr: str | Node, k: int = 10, prec=None):
+    """-> [(score, docid)] by (score desc, docid asc): BM25 over the
+    expression's positive terms, restricted to the boolean match set."""
+    from . import search as S
+
+    prec = prec or S.P32
+    n = parse(expr) if isinstance(expr, str) else expr
+    docs = match_docs(index, n)
+    if docs.size == 0:
+        return []
+    m = S._serve_mask(index, docs)
+    if m is not None:
+        docs = docs[m]
+    if docs.size == 0:
+        return []
+    pls = S._lists(index, positive_terms(n), prec)
+    union, acc = S._union_scores(index, pls, prec)
+    sel = np.searchsorted(union, docs)
+    # every match contains >=1 positive term, so sel hits are exact
+    return S._finalize_fast(acc[sel], docs, k)
+
+
+def bool_expr_docs(index, expr: str | Node) -> np.ndarray:
+    """Sorted matching docIDs with serve filters applied."""
+    from . import search as S
+
+    n = parse(expr) if isinstance(expr, str) else expr
+    docs = match_docs(index, n)
+    m = S._serve_mask(index, docs)
+    return docs if m is None else docs[m]
+
+
+def bool_expr_topk_sharded(sharded, expr: str, k: int = 10, prec=None):
+    """Exact over the doc-partitioned layout: evaluate the same tree
+    per partition (global-stats scoring makes per-doc scores
+    bit-identical to the monolithic index), merge top-k answer-scale."""
+    from .sharded import _merge_topk
+
+    n = parse(expr)
+    per_sub = []
+    for i, base in enumerate(sharded.bases):
+        res = bool_expr_topk(sharded.sub(i), n, k, prec)
+        per_sub.append([(s, base + d) for s, d in res])
+    return _merge_topk(per_sub, k)
+
+
+def to_sql_predicate(n: Node, tf_table: str = "tf",
+                     doc_col: str = "doc_id") -> str:
+    """The expression as a SQL boolean over EXISTS probes against the
+    (term, doc_id) table — used by the driver's DuckDB oracle so the
+    SQL is DERIVED from the same AST the engine evaluates."""
+    if n.op == "term":
+        return (f"EXISTS (SELECT 1 FROM {tf_table} t WHERE "
+                f"t.{doc_col} = d.{doc_col} AND t.term = '{n.term}')")
+    if n.op == "not":
+        return "NOT (" + to_sql_predicate(n.kids[0], tf_table,
+                                          doc_col) + ")"
+    joiner = " AND " if n.op == "and" else " OR "
+    return "(" + joiner.join(to_sql_predicate(k, tf_table, doc_col)
+                             for k in n.kids) + ")"

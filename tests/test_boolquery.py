@@ -1,0 +1,180 @@
+"""Nested boolean expression queries (rayfts/boolquery.py).
+
+* parser shapes (precedence NOT > AND > OR, implicit AND, parens);
+* invalid expressions rejected (pure-negative, NOT under OR,
+  unbalanced parens, dangling operators);
+* match sets equal a brute-force per-doc evaluation of the same tree;
+* ranking = BM25 over positive terms restricted to the match set,
+  (score desc, docid asc);
+* serve filters (facet allowlist) apply;
+* sharded evaluation bit-identical to monolithic;
+* to_sql_predicate mirrors the engine on a DuckDB re-tokenization.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayfts.boolquery import (Node, bool_expr_docs, bool_expr_topk,
+                              bool_expr_topk_sharded, parse,
+                              positive_terms, to_sql_predicate)
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 160
+EXPRS = [
+    "join AND hash",
+    "join OR hash",
+    "(join OR hash) AND data",
+    "data AND NOT join",
+    "filter scan",                       # implicit AND
+    "(a OR data) AND (table OR scan) AND NOT (join AND hash)",
+    "data AND NOT (join OR merge)",
+    "zz_missing OR data",
+    "zz_missing AND data",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+    from rayfts.sharded import ShardedIndex, build_sharded_index
+
+    src = corpus_parquet(NUM_DOCS, seed=77)
+    root = tmp_path_factory.mktemp("boolq")
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=4)
+    parent = str(root / "sharded")
+    build_sharded_index(src, parent, num_doc_shards=3,
+                        index_type="opt", salt_threshold=64,
+                        num_shards=4)
+    return InvertedIndex(idx_dir), ShardedIndex(parent), idx_dir
+
+
+def _brute_match(idx, node, doc_terms):
+    def ev(n, d):
+        if n.op == "term":
+            return n.term in doc_terms[d]
+        if n.op == "not":
+            return not ev(n.kids[0], d)
+        if n.op == "and":
+            return all(ev(k, d) for k in n.kids)
+        return any(ev(k, d) for k in n.kids)
+    return np.array([d for d in range(idx.num_docs) if ev(node, d)],
+                    dtype=np.int64)
+
+
+def _doc_terms(idx):
+    out = {d: set() for d in range(idx.num_docs)}
+    for t in idx.all_terms():
+        pl = idx.get(t)
+        for d in pl.docs.tolist():
+            out[d].add(t)
+    return out
+
+
+def test_parser_shapes():
+    n = parse("(join OR hash) AND data")
+    assert n.op == "and" and n.kids[0].op == "or" \
+        and n.kids[1].term == "data"
+    n = parse("a b c")                       # implicit AND
+    assert n.op == "and" and len(n.kids) == 3
+    n = parse("a AND NOT b OR c")            # OR binds loosest
+    assert n.op == "or"
+    assert n.kids[0].op == "and" and n.kids[0].kids[1].op == "not"
+    assert parse("Data").term == "data"      # lowered
+
+
+@pytest.mark.parametrize("bad", [
+    "NOT a", "a OR NOT b", "NOT a AND NOT b", "(a", "a)", "a AND",
+    "a OR", "()", "",
+])
+def test_invalid_rejected(bad):
+    with pytest.raises(ValueError):
+        parse(bad)
+
+
+def test_match_sets_equal_brute_force(built):
+    idx, _, _ = built
+    doc_terms = _doc_terms(idx)
+    for e in EXPRS:
+        n = parse(e)
+        got = bool_expr_docs(idx, n)
+        want = _brute_match(idx, n, doc_terms)
+        assert np.array_equal(got, want), e
+
+
+def test_ranking_is_bm25_over_positive_terms(built):
+    from rayfts import search as S
+    idx, _, _ = built
+    for e in EXPRS:
+        n = parse(e)
+        got = bool_expr_topk(idx, e, k=5)
+        docs = bool_expr_docs(idx, n)
+        pls = S._lists(idx, positive_terms(n), S.P32)
+        if docs.size == 0:
+            assert got == []
+            continue
+        union, acc = S._union_scores(idx, pls, S.P32)
+        sel = np.searchsorted(union, docs)
+        want = S._finalize_fast(acc[sel], docs, 5)
+        assert [(float(s), d) for s, d in got] == \
+            [(float(s), d) for s, d in want], e
+
+
+def test_serve_filter_applies(built):
+    import copy
+    idx, _, idx_dir = built
+    view = copy.copy(idx)
+    view.allowed = np.arange(0, idx.num_docs, 2, dtype=np.int64)
+    got = bool_expr_docs(view, "(join OR hash) AND data")
+    assert np.all(got % 2 == 0)
+    full = bool_expr_docs(idx, "(join OR hash) AND data")
+    assert np.array_equal(got, full[full % 2 == 0])
+
+
+def test_sharded_matches_monolithic(built):
+    idx, sh, _ = built
+    for e in EXPRS:
+        got = bool_expr_topk_sharded(sh, e, k=5)
+        want = bool_expr_topk(idx, e, k=5)
+        assert [(float(s), d) for s, d in got] == \
+            [(float(s), d) for s, d in want], e
+
+
+def test_sql_predicate_mirrors_engine(built):
+    import duckdb
+
+    from rayfts.tokenizer import TOKEN_SQL_RE
+    idx, _, idx_dir = built
+    docs = pq.read_table(os.path.join(idx_dir, "docs"))
+    lineage = __import__("json").load(
+        open(os.path.join(idx_dir, "docs.done.json")))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW src AS SELECT * FROM "
+            f"read_parquet('{lineage['input']}')")
+    con.sql(f"""CREATE VIEW tf AS
+      WITH tok AS (
+        SELECT repo || '|' || path || '|' || commit AS key,
+               unnest(regexp_extract_all(lower(content),
+                      '{TOKEN_SQL_RE}')) AS term
+        FROM src)
+      SELECT key, term, count(*) AS tf FROM tok GROUP BY 1, 2""")
+    # map engine docids -> keys
+    key_of = {}
+    for r in range(docs.num_rows):
+        key_of[docs.column("doc_id")[r].as_py()] = "|".join([
+            docs.column("repo")[r].as_py(),
+            docs.column("path")[r].as_py(),
+            docs.column("commit")[r].as_py()])
+    for e in EXPRS:
+        n = parse(e)
+        pred = to_sql_predicate(n, tf_table="tf", doc_col="key")
+        want = {r[0] for r in con.sql(
+            f"SELECT d.key FROM (SELECT DISTINCT key FROM tf) d "
+            f"WHERE {pred}").fetchall()}
+        got = {key_of[int(d)] for d in bool_expr_docs(idx, n)}
+        assert got == want, e
