@@ -2098,6 +2098,15 @@ def _window_agg(sf_dir: str) -> pd.DataFrame:
     return tumbling_window(_events_ds(sf_dir), WINDOW_US).to_pandas()
 
 
+def _hopping_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate: 1-hour windows sliding by
+    30 minutes (rayfts/ops/events.py hopping_window — each event in
+    exactly 2 windows; the oracle replicates via generate_series)."""
+    from rayfts.ops.events import hopping_window
+    return hopping_window(_events_ds(sf_dir), WINDOW_US,
+                          WINDOW_US // 2).to_pandas()
+
+
 def _sessionize(sf_dir: str) -> pd.DataFrame:
     """Gap sessionization via the SKEW-BOUNDED two-phase path
     (rayfts/ops/events.py sessionize_chunked — per-(user, time-chunk)
@@ -2367,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _collocations,
         # event-stream operators (events table)
         "window_agg": _window_agg,
+        "hopping_window_agg": _hopping_window_agg,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
         "props_stats": _props_stats,
@@ -3877,6 +3887,16 @@ SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS win_us,
        sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
          AS sum_value_q
 FROM events GROUP BY 1, 2"""
+
+    _hop = WINDOW_US // 2
+    sqls["hopping_window_agg"] = f"""
+SELECT (epoch_us(ts) // {_hop}) * {_hop} - i * {_hop} AS win_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_value_q
+FROM events CROSS JOIN generate_series(0, 1) s(i)
+GROUP BY 1, 2"""
 
     sqls["sessionize"] = f"""
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),

@@ -111,6 +111,64 @@ def tumbling_window(events_ds, window_us: int,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window(events_ds, window_us: int, hop_us: int,
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   value_col: str = "value"):
+    """Hopping (sliding) windows: per window of ``window_us`` sliding
+    by ``hop_us`` (which must divide it) and event type, the event
+    count and exact int64 sum of quantized values — each event lands
+    in exactly ``window_us / hop_us`` windows.
+    -> Dataset(win_us, event_type, n_events, sum_value_q).
+
+    Same shape as :func:`tumbling_window`: the window replication and
+    per-batch combine are stateless map work; the ONE exchange is the
+    aggregate-scale groupby over (window, type)."""
+    from ray.data.aggregate import Sum
+
+    if window_us % hop_us:
+        raise ValueError("hop_us must divide window_us")
+    nwin = window_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "win_us": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "vq": pa.array([], type=pa.int64())})
+        ts = _ts_us(t.column(ts_col))
+        base = (ts // hop_us) * hop_us
+        win = np.concatenate([base - i * hop_us for i in range(nwin)])
+        vq = np.tile(
+            np.floor(t.column(value_col).to_numpy(zero_copy_only=False)
+                     * VALUE_SCALE + 0.5).astype(np.int64), nwin)
+        enc = t.column(type_col).combine_chunks().dictionary_encode()
+        codes = np.tile(
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            nwin)
+        order, first = _group_first(win, codes)
+        w_s, c_s, v_s = win[order], codes[order], vq[order]
+        n = np.diff(np.append(first, order.size))
+        return pa.table({
+            "win_us": _i64(w_s[first]),
+            "event_type": enc.dictionary.take(_i64(c_s[first])),
+            "n": _i64(n),
+            "vq": _i64(np.add.reduceat(v_s, first))})
+
+    agg = (events_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["win_us", "event_type"])
+           .aggregate(Sum("n"), Sum("vq")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "win_us": t.column("win_us").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "n_events": t.column("sum(n)").cast(pa.int64()),
+            "sum_value_q": t.column("sum(vq)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _session_intervals(t: pa.Table, gap_us: int, ts_col: str,
                        id_col: str) -> tuple:
     """(user events sorted by (ts, id)) -> per-session (starts index,

@@ -214,3 +214,32 @@ def test_sessionize_chunked_identical_and_skew_bounded(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sessionize_chunked(rd.from_arrow(tbl), gap, chunk_us=gap)
+
+
+def test_hopping_window_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from rayfts.ops.events import hopping_window
+    w, hop = 10 * MIN, 5 * MIN
+    got = (hopping_window(rd.from_arrow(_table()), w, hop).to_pandas()
+           .set_index(["win_us", "event_type"]).sort_index())
+    want: dict = {}
+    for _, t, _, et, v in EVENTS:
+        base = (t // hop) * hop
+        for i in range(w // hop):
+            key = (base - i * hop, et)
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + int(np.floor(v * 100 + 0.5)))
+    assert len(got) == len(want)
+    for key, (n, s) in want.items():
+        assert int(got.loc[key, "n_events"]) == n
+        assert int(got.loc[key, "sum_value_q"]) == s
+    # hop == window degenerates to the tumbling aggregate
+    from rayfts.ops.events import tumbling_window
+    a = (hopping_window(rd.from_arrow(_table()), w, w).to_pandas()
+         .sort_values(["win_us", "event_type"]).reset_index(drop=True))
+    b = (tumbling_window(rd.from_arrow(_table()), w).to_pandas()
+         .sort_values(["win_us", "event_type"]).reset_index(drop=True))
+    assert a.equals(b)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hopping_window(rd.from_arrow(_table()), w, 3 * MIN)
