@@ -2276,6 +2276,33 @@ def _prox_bm25_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+RERANK_N = 50          # first-phase candidate depth
+
+
+def _rerank_prox_topk(sf_dir: str) -> pd.DataFrame:
+    """Two-stage retrieval (rayfts/positions.py rerank_prox_topk):
+    exact BM25 top-RERANK_N first phase, then rescore the candidates
+    with each adjacent query-term pair's proximity pseudo-BM25, every
+    component int64-quantized BEFORE summation so the oracle's SQL
+    (same cut, same pair features, same integer combine) matches
+    hash-for-hash."""
+    from rayfts import search as S
+    from rayfts.positions import rerank_prox_topk
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    rows = []
+    for qid, terms in QUERIES:
+        res = rerank_prox_topk(pidx, idx, terms, k=K,
+                               n_first=RERANK_N, window=PROX_W,
+                               prec=S.P64, quant=1e7)
+        for rank, (sq, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(sid[d]), "score_q": int(sq)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _phrase_counts_sharded(sf_dir: str) -> pd.DataFrame:
     """Phrase counts over the DOC-PARTITIONED layout (one positional
     sidecar per partition, union broker) — must hash-match the same
@@ -2390,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_counts_sharded": _phrase_counts_sharded,
         "phrase_bm25_topk": _phrase_bm25_topk,
         "prox_bm25_topk": _prox_bm25_topk,
+        "rerank_prox_topk": _rerank_prox_topk,
         "proximity_counts": _proximity_counts,
         # --- previously-oracled entries (green r1-r4) -----------------
         "postings_block": _postings_table_block,
@@ -4160,6 +4188,73 @@ topk AS (
                             ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored)
 SELECT pair_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    # two-stage retrieve + proximity rescoring: same first-phase cut,
+    # same pair features, components int64-quantized BEFORE summation
+    # so the combined score is summation-order independent
+    from rayfts.positions import adjacent_pairs as _adj_pairs
+    rr_parts = []
+    for _qid, _terms in QUERIES:
+        for _pi, (_a, _b) in enumerate(_adj_pairs(_terms)):
+            rr_parts.append(f"""
+SELECT {_qid} AS query_id, {_pi} AS pair_idx, doc_id,
+       len([p for p in [i for i in range(1, len(ts) + 1)
+                        if ts[i] = '{_a}']
+            if len([q for q in [j for j in range(1, len(ts) + 1)
+                                if ts[j] = '{_b}']
+                    if abs(p - q) <= {PROX_W}]) > 0])::BIGINT AS n_near
+FROM toks""")
+    sqls["rerank_prox_topk"] = f"""
+WITH {_w_toks_d},
+u0 AS ({' UNION ALL '.join(rr_parts)}),
+u AS (SELECT * FROM u0 WHERE n_near > 0),
+{_TOK.strip()},
+q(query_id, term) AS (VALUES {_q_values()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( greatest(1e-6, ln((stats.nd - dfs.df + 0.5) / (dfs.df + 0.5)))
+              * 2.2
+              * tf.tf / (tf.tf + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len))
+            ) AS score
+  FROM q
+  JOIN tf  ON tf.term = q.term
+  JOIN dfs ON dfs.term = q.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+firstn AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS r
+    FROM scores) WHERE r <= {RERANK_N}),
+pdf AS (SELECT query_id, pair_idx, count(*)::BIGINT AS df
+        FROM u GROUP BY 1, 2),
+pscore AS (
+  SELECT u.query_id, u.doc_id,
+         sum(CAST(floor(
+           (greatest(1e-6, ln((stats.nd - pdf.df + 0.5) / (pdf.df + 0.5)))
+            * 2.2)
+           * (u.n_near / (u.n_near + 1.2 * (0.5 + 0.5 * dl.length / stats.avg_len)))
+           * 10000000 + 0.5) AS BIGINT))::BIGINT AS ps_q
+  FROM u
+  JOIN pdf ON pdf.query_id = u.query_id AND pdf.pair_idx = u.pair_idx
+  JOIN dl  ON dl.doc_id = u.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2),
+rer AS (
+  SELECT f.query_id, f.doc_id,
+         CAST(floor(f.score * 10000000 + 0.5) AS BIGINT)
+           + coalesce(p.ps_q, 0) AS score_q
+  FROM firstn f
+  LEFT JOIN pscore p
+    ON p.query_id = f.query_id AND p.doc_id = f.doc_id),
+topk AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM rer)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

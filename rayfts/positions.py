@@ -654,3 +654,83 @@ def proximity_bm25_topk(pidx: PositionalIndex, index, t1: str, t2: str,
     if m is not None:
         docs, scores = docs[m], scores[m]
     return S._finalize_fast(scores, docs, k)
+
+
+def adjacent_pairs(terms: list[str]) -> list[tuple[str, str]]:
+    """Distinct adjacent (t_i, t_i+1) pairs with t_i != t_i+1, first
+    occurrence order — the rescoring features of
+    :func:`rerank_prox_topk`."""
+    out: list[tuple[str, str]] = []
+    seen = set()
+    for a, b in zip(terms, terms[1:]):
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            out.append((a, b))
+    return out
+
+
+def rerank_prox_topk(pidx: PositionalIndex, index, terms: list[str],
+                     k: int = 10, n_first: int = 100, window: int = 8,
+                     prec=None, quant: float | None = None):
+    """Two-stage retrieval (Lucene QueryRescorer shape): exact BM25
+    top-``n_first`` first phase, then rerank those candidates by the
+    base score plus each adjacent query-term pair's proximity
+    pseudo-BM25 (:func:`proximity_bm25_topk` scoring — df = docs with
+    a near co-occurrence, tf = near count).
+
+    With ``quant`` set, every component is quantized to
+    ``floor(x * quant + 0.5)`` int64 BEFORE summation, so the combined
+    score is independent of pair summation order and a SQL oracle can
+    reproduce it exactly; the return is then [(int_score, docid)].
+    The first phase stays a top-N cut by RAW score (ties docid asc) in
+    both engines.
+
+    Cost shape: stage 1 is the normal ranked union (at scale, WAND /
+    BMW produce the same exact top-N); stage 2 touches only
+    ``n_first`` candidates x ``len(pairs)`` positional probes — the
+    expensive positional features price only the short head, which is
+    the entire point of a rescoring stage."""
+    from . import search as S
+
+    prec = prec or S.P32
+    pls = S._lists(index, terms, prec)
+    if not pls:
+        return []
+    union, acc = S._union_scores(index, pls, prec)
+    m = S._serve_mask(index, union)
+    if m is not None:
+        union, acc = union[m], acc[m]
+    first = S._finalize_fast(acc, union, n_first)
+    if not first:
+        return []
+    cand = np.array([d for _, d in first], dtype=np.int64)
+    order = np.argsort(cand, kind="stable")
+    cand = cand[order]
+    base = np.array([float(s) for s, _ in first],
+                    dtype=np.float64)[order]
+    num_docs = index.score_num_docs if getattr(index, "score_num_docs",
+                                               None) else index.num_docs
+    if quant is not None:
+        total = np.floor(base * quant + 0.5).astype(np.int64)
+    else:
+        total = base.copy()
+    for a, b in adjacent_pairs(terms):
+        docs, counts = proximity_doc_counts(pidx, a, b, window)
+        if len(docs) == 0:
+            continue
+        qw = float(prec.qtw(1, len(docs), num_docs))
+        ps = np.asarray(qw * prec.dtw(counts,
+                                      S._norms(index, prec)[docs]),
+                        dtype=np.float64)
+        sel = np.searchsorted(docs, cand)
+        ok = (sel < len(docs)) & \
+            (docs[np.minimum(sel, len(docs) - 1)] == cand)
+        if quant is not None:
+            total[ok] += np.floor(ps[sel[ok]] * quant
+                                  + 0.5).astype(np.int64)
+        else:
+            total[ok] += ps[sel[ok]]
+    res = S._finalize_fast(total.astype(np.float64), cand, k)
+    if quant is not None:
+        return [(int(s), d) for s, d in res]
+    return res

@@ -311,3 +311,46 @@ def test_proximity_bm25_topk(pos_index):
         for (sg, _), i in zip(got, order):
             assert float(sg) == pytest.approx(float(sc[i]), rel=1e-12)
     assert ran >= 2
+
+
+def test_rerank_prox_topk_brute_force(pos_index):
+    """Two-stage rescoring equals the hand-computed combine: BM25
+    top-N cut (raw-score ties by docid), plus each adjacent pair's
+    proximity pseudo-BM25, quantized per component before summation;
+    final (score desc, docid asc)."""
+    import numpy as np
+
+    from rayfts import search as S
+    from rayfts.index import InvertedIndex
+    from rayfts.positions import (adjacent_pairs, proximity_doc_counts,
+                                  rerank_prox_topk)
+
+    pidx, index_dir = pos_index
+    idx = InvertedIndex(index_dir)
+    vocab = idx.all_terms()
+    queries = [[vocab[0], vocab[1]],
+               [vocab[2], vocab[0], vocab[3]],
+               [vocab[1]],                       # no pairs
+               [vocab[0], vocab[0], vocab[2]]]   # dup term
+    N, W, QU = 5, 2, 1e7
+    for terms in queries:
+        got = rerank_prox_topk(pidx, idx, terms, k=3, n_first=N,
+                               window=W, prec=S.P64, quant=QU)
+        pls = S._lists(idx, terms, S.P64)
+        union, acc = S._union_scores(idx, pls, S.P64)
+        first = S._finalize_fast(acc, union, N)
+        total = {d: int(np.floor(float(s) * QU + 0.5))
+                 for s, d in first}
+        for a, b in adjacent_pairs(terms):
+            docs, counts = proximity_doc_counts(pidx, a, b, W)
+            if len(docs) == 0:
+                continue
+            qw = float(S.P64.qtw(1, len(docs), idx.num_docs))
+            ps = qw * S.P64.dtw(counts.astype(np.float64),
+                                S._norms(idx, S.P64)[docs])
+            for d, p in zip(docs.tolist(), np.asarray(ps).tolist()):
+                if d in total:
+                    total[d] += int(np.floor(p * QU + 0.5))
+        want = sorted(((s, d) for d, s in total.items()),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        assert [(int(s), int(d)) for s, d in got] == want, terms
