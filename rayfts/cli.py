@@ -420,6 +420,41 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_boolq(args) -> int:
+    """Nested boolean expression query: `rayfts boolq --index I
+    '(join OR hash) AND data AND NOT merge'` (rayfts/boolquery.py) —
+    BM25-ranked over the expression's positive terms."""
+    _ensure_ray(args.num_cpus)
+    from .boolquery import bool_expr_topk
+    from .index import InvertedIndex
+
+    idx = InvertedIndex(args.index)
+    res = bool_expr_topk(idx, args.expr, k=args.k)
+    print(json.dumps({"event": "boolq_done", "expr": args.expr,
+                      "hits": [{"doc_id": int(d), "score": float(s)}
+                               for s, d in res]}))
+    return 0
+
+
+def cmd_rerank(args) -> int:
+    """Two-stage retrieval: `rayfts rerank --index I --positions P
+    join hash` — BM25 top-N first phase, adjacent-pair proximity
+    rescoring of the candidates (rayfts/positions.py
+    rerank_prox_topk)."""
+    _ensure_ray(args.num_cpus)
+    from .index import InvertedIndex
+    from .positions import PositionalIndex, rerank_prox_topk
+
+    idx = InvertedIndex(args.index)
+    pidx = PositionalIndex(args.positions)
+    res = rerank_prox_topk(pidx, idx, args.terms, k=args.k,
+                           n_first=args.n_first, window=args.window)
+    print(json.dumps({"event": "rerank_done", "terms": args.terms,
+                      "hits": [{"doc_id": int(d), "score": float(s)}
+                               for s, d in res]}))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     """Did-you-mean: `rayfts suggest --index I tabel filtr` — per
     term, the k best edit-distance-1 corrections ranked by document
@@ -546,6 +581,21 @@ def main(argv=None) -> int:
                     help="include a did_you_mean correction when the "
                          "query has unknown bare terms")
     se.set_defaults(fn=cmd_search)
+
+    bq = sub.add_parser("boolq", parents=[common])
+    bq.add_argument("expr", help="e.g. '(join OR hash) AND NOT merge'")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("-k", type=int, default=10)
+    bq.set_defaults(fn=cmd_boolq)
+
+    rr = sub.add_parser("rerank", parents=[common])
+    rr.add_argument("terms", nargs="+")
+    rr.add_argument("--index", required=True)
+    rr.add_argument("--positions", required=True)
+    rr.add_argument("-k", type=int, default=10)
+    rr.add_argument("--n-first", type=int, default=100)
+    rr.add_argument("--window", type=int, default=8)
+    rr.set_defaults(fn=cmd_rerank)
 
     sg = sub.add_parser("suggest", parents=[common])
     sg.add_argument("terms", nargs="+", help="misspelled term(s)")

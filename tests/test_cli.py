@@ -198,3 +198,27 @@ def test_cli_kgram_build(cli_index, ray_session, capsys):
                               "--num-shards", "3"])
     done = [l for l in lines if l.get("event") == "kgram_done"]
     assert done and done[0]["rows"] > 0
+
+
+def test_cli_boolq_and_rerank(cli_index, ray_session, capsys, tmp_path):
+    from rayfts.boolquery import bool_expr_topk
+    from rayfts.index import InvertedIndex
+
+    idx = InvertedIndex(cli_index)
+    vocab = idx.all_terms()
+    expr = f"({vocab[0]} OR {vocab[1]}) AND NOT {vocab[2]}"
+    ev = _run_cli(capsys, ["boolq", expr, "--index", cli_index, "-k", "5"])
+    assert ev[-1]["event"] == "boolq_done"
+    want = bool_expr_topk(idx, expr, k=5)
+    assert [h["doc_id"] for h in ev[-1]["hits"]] == [d for _, d in want]
+
+    pos_dir = str(tmp_path / "pos_rr")
+    _run_cli(capsys, ["positions", "--index", cli_index,
+                      "--output", pos_dir, "--num-shards", "2"])
+    ev = _run_cli(capsys, ["rerank", vocab[0], vocab[1],
+                           "--index", cli_index, "--positions", pos_dir,
+                           "-k", "5", "--n-first", "20", "--window", "3"])
+    assert ev[-1]["event"] == "rerank_done"
+    assert len(ev[-1]["hits"]) <= 5
+    assert all(a["score"] >= b["score"] for a, b in
+               zip(ev[-1]["hits"], ev[-1]["hits"][1:]))
