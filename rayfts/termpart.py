@@ -1,0 +1,152 @@
+"""Term-partitioned (global-index) serving — the classic alternative
+to the doc-partitioned layout in rayfts/sharded.py.
+
+In a term-partitioned deployment every server owns a TERM RANGE of the
+one global index (here: a subset of the build's term-range shard
+files, meta.json `shards`); a query routes each term to its owner,
+gathers the posting lists, and scores at a coordinator.  Tradeoffs
+(Moffat et al., "A pipelined architecture for distributed text query
+evaluation"): document-partitioning ships k results per partition per
+query; term-partitioning ships whole posting lists — cheap for rare
+terms, expensive for stop-word-like ones — but touches only
+|query terms| servers instead of all partitions, and each term's df /
+list lives in exactly one place (no global-stats handshake needed).
+This module implements the honest version of that architecture so both
+classic layouts exist side by side; the per-list shipping cost is the
+documented reason sharded.py (doc-partitioned) is the default scale
+path.
+
+Exactness: the coordinator rebuilds the same ascending-term
+(posting list, query weight) sequence `search._lists` produces and
+accumulates with the same vectorized union kernel, so rankings are
+bit-identical to the monolithic index (asserted in tests).
+
+Scale shape: actors serve from their own shard files via the index's
+lazy per-term reads (nothing decoded until asked, per-actor list
+cache); one batched round-trip per touched server per query batch.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+
+import numpy as np
+
+import ray
+
+from .search import _finalize_fast, _norms, _serve_mask, query_freqs
+
+
+class _PL:
+    """Lightweight posting-list shim matching the attributes the
+    scoring kernels read."""
+
+    __slots__ = ("term", "docs", "freqs", "n")
+
+    def __init__(self, term, docs, freqs, n):
+        self.term = term
+        self.docs = docs
+        self.freqs = freqs
+        self.n = n
+
+
+@ray.remote
+class TermShardServer:
+    """Owns a subset of the index's term-range shards; serves raw
+    posting lists for its terms (lazy reads + per-actor cache)."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int]):
+        from .index import InvertedIndex
+
+        self.idx = InvertedIndex(index_dir)
+        self.shard_ids = set(int(s) for s in shard_ids)
+
+    def lists(self, terms: list[str]):
+        out = []
+        for t in terms:
+            pl = self.idx.get(t)
+            out.append(None if pl is None else
+                       (t, np.asarray(pl.docs), np.asarray(pl.freqs),
+                        int(pl.n)))
+        return out
+
+
+class TermPartitionedSearcher:
+    """Coordinator: term-range routing table + stats/norms sidecars
+    (never posting lists); ``num_servers`` actors each own a
+    contiguous slice of the term-range shards."""
+
+    def __init__(self, index_dir: str, num_servers: int = 4):
+        from .index import InvertedIndex
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        shards = sorted(meta["shards"], key=lambda m: m["term_id_lo"])
+        self._term_los = [str(m["term_lo"]) for m in shards]
+        n = max(1, min(num_servers, len(shards)))
+        # contiguous slices keep each server's shard set range-local
+        per = (len(shards) + n - 1) // n
+        self._owner = []                 # shard position -> server id
+        groups: list[list[int]] = [[] for _ in range(n)]
+        for i, m in enumerate(shards):
+            groups[i // per].append(int(m["shard"]))
+            self._owner.append(i // per)
+        self.servers = [TermShardServer.remote(index_dir, g)
+                        for g in groups if g]
+        self.idx = InvertedIndex(index_dir)   # stats + mmapped sidecars
+
+    def _route(self, term: str) -> int:
+        pos = max(0, bisect.bisect_right(self._term_los, term) - 1)
+        return self._owner[pos]
+
+    def _gather(self, terms: list[str]) -> dict:
+        """One batched round: distinct terms -> their (docs, freqs, df)
+        from the owning servers."""
+        want: dict[int, list[str]] = {}
+        for t in terms:
+            want.setdefault(self._route(t), []).append(t)
+        refs = {srv: self.servers[srv].lists.remote(ts)
+                for srv, ts in want.items()}
+        got: dict[str, tuple] = {}
+        for srv, ref in refs.items():
+            for item in ray.get(ref):
+                if item is not None:
+                    got[item[0]] = item[1:]
+        return got
+
+    def topk(self, terms: list, k: int = 10, prec=None):
+        """BM25 top-k, bit-identical to the monolithic vectorized
+        union (same ascending-term accumulation, same tie-break)."""
+        from .search import P32
+
+        prec = prec or P32
+        qf = query_freqs(terms)
+        fetched = self._gather([t for t, _ in qf])
+        pls = []
+        for term, mult in qf:             # ascending term order
+            hit = fetched.get(term)
+            if hit is None:
+                continue
+            docs, freqs, df = hit
+            qw = prec.qtw(mult, df, self.idx.num_docs)
+            pls.append((_PL(term, docs, freqs, df), prec.dtype(qw)))
+        if not pls:
+            return []
+        union = np.unique(np.concatenate([pl.docs for pl, _ in pls]))
+        acc = np.zeros(len(union), dtype=prec.dtype)
+        norms = _norms(self.idx, prec)
+        for pl, qw in pls:
+            ix = np.searchsorted(union, pl.docs)
+            w = prec.dtw(pl.freqs, norms[pl.docs])
+            acc[ix] += (qw * w).astype(prec.dtype)
+        m = _serve_mask(self.idx, union)
+        if m is not None:
+            union, acc = union[m], acc[m]
+        return _finalize_fast(acc, union, k)
+
+    def shutdown(self) -> None:
+        for a in self.servers:
+            ray.kill(a)
+        self.servers = []

@@ -1,0 +1,78 @@
+"""Term-partitioned serving (rayfts/termpart.py): routing by the
+build's term-range shards, posting lists gathered from owner actors,
+coordinator scoring bit-identical to the monolithic union kernel."""
+
+import numpy as np
+import pytest
+
+from rayfts.corpus import corpus_parquet
+
+NUM_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from rayfts.build import build_index
+    from rayfts.index import InvertedIndex
+
+    src = corpus_parquet(NUM_DOCS, seed=91)
+    idx_dir = str(tmp_path_factory.mktemp("termpart") / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=5)
+    return idx_dir, InvertedIndex(idx_dir)
+
+
+def _queries(mono):
+    rng = np.random.RandomState(3)
+    vocab = mono.all_terms()
+    qs = []
+    for qi in range(25):
+        nt = int(rng.randint(1, 5))
+        terms = [vocab[i] for i in rng.choice(len(vocab), size=nt)]
+        if qi % 7 == 2:
+            terms.append(terms[0])            # duplicate term
+        if qi % 7 == 5:
+            terms.append("zz_unknown_term")   # unknown term
+        qs.append(terms)
+    return qs
+
+
+@pytest.mark.parametrize("num_servers", [1, 3, 5])
+def test_topk_matches_monolithic(built, num_servers):
+    from rayfts import search as S
+    from rayfts.termpart import TermPartitionedSearcher
+
+    idx_dir, mono = built
+    tp = TermPartitionedSearcher(idx_dir, num_servers=num_servers)
+    try:
+        for terms in _queries(mono):
+            got = tp.topk(terms, k=10)
+            want = S.ranked_or(mono, terms, k=10)
+            assert [(float(s), d) for s, d in got] == \
+                [(float(s), d) for s, d in want], terms
+        assert tp.topk(["zz_only_unknown"], k=10) == []
+    finally:
+        tp.shutdown()
+
+
+def test_serve_filters_apply(built):
+    import copy
+
+    from rayfts import search as S
+    from rayfts.termpart import TermPartitionedSearcher
+
+    idx_dir, mono = built
+    tp = TermPartitionedSearcher(idx_dir, num_servers=2)
+    try:
+        allowed = np.arange(0, mono.num_docs, 3, dtype=np.int64)
+        tp.idx = copy.copy(tp.idx)
+        tp.idx.allowed = allowed
+        view = copy.copy(mono)
+        view.allowed = allowed
+        terms = _queries(mono)[0]
+        got = tp.topk(terms, k=10)
+        want = S.ranked_or(view, terms, k=10)
+        assert [(float(s), d) for s, d in got] == \
+            [(float(s), d) for s, d in want]
+    finally:
+        tp.shutdown()
