@@ -932,6 +932,55 @@ def _bm25_topk_deleted(sf_dir: str) -> pd.DataFrame:
 FACET_LANGS = ("de", "fr")
 
 
+RANGE_LO, RANGE_HI = 150, 350      # n_chars numeric facet bounds
+
+
+def _sorted_search(sf_dir: str) -> pd.DataFrame:
+    """Field-sorted results (rayfts/facets.py sort_by_field_topk):
+    per query, the boolean-OR match set's top-10 by n_chars DESC
+    (ties doc asc) from the mmapped numeric sidecar — Lucene
+    Sort-by-field, no relevance scoring."""
+    from rayfts.facets import sort_by_field_topk
+
+    idx = _index_for(sf_dir, "opt")
+    rows = []
+    for qid, terms in QUERIES:
+        for rank, (v, d) in enumerate(
+                sort_by_field_topk(idx, terms, "n_chars", k=K), 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(idx.src_doc_ids[d]),
+                         "n_chars": int(v)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "n_chars"])
+
+
+def _bm25_topk_range_faceted(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 restricted to a NUMERIC range facet
+    (n_chars BETWEEN lo AND hi — rayfts/facets.py
+    facet_range_allowlist, the PointRangeQuery analogue); global
+    stats, quantized-tie ranking like bm25_topk_faceted."""
+    import copy
+
+    from rayfts import search as S
+    from rayfts.facets import facet_range_allowlist
+
+    base = _index_for(sf_dir, "opt")
+    idx = copy.copy(base)
+    idx.allowed = facet_range_allowlist(base.index_dir, "n_chars",
+                                        RANGE_LO, RANGE_HI)
+    rows = []
+    for qid, terms in QUERIES:
+        res = S.ranked_or(idx, terms, k=4 * K, prec=S.P64)
+        cand = sorted(((int(np.floor(float(s) * 1e7 + 0.5)),
+                        int(idx.src_doc_ids[d])) for s, d in res),
+                      key=lambda t: (-t[0], t[1]))[:K]
+        for rank, (sq, doc) in enumerate(cand, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": doc, "score_q": sq})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _bm25_topk_faceted(sf_dir: str) -> pd.DataFrame:
     """BM25 top-10 restricted to a metadata facet (lang IN (de, fr)):
     the allowlist is resolved distributedly from the content-free
@@ -2464,6 +2513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_compacted": _postings_table_compacted,
         "bm25_topk_deleted": _bm25_topk_deleted,
         "bm25_topk_faceted": _bm25_topk_faceted,
+        "bm25_topk_range_faceted": _bm25_topk_range_faceted,
+        "sorted_search": _sorted_search,
         "facet_counts": _facet_counts,
         "facet_counts_sharded": _facet_counts_sharded,
         "collapsed_topk": _collapsed_topk,
@@ -2666,6 +2717,37 @@ topk AS (
                                      doc_id ASC) AS rank
   FROM ranked)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    sqls["bm25_topk_range_faceted"] = f"""
+{_bm25_scores_sql()},
+ranked AS (
+  SELECT scores.query_id, scores.doc_id, score
+  FROM scores
+  JOIN documents d ON d.doc_id = scores.doc_id
+  WHERE d.n_chars BETWEEN {RANGE_LO} AND {RANGE_HI}),
+topk AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score * 10000000 + 0.5) AS BIGINT) AS score_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CAST(floor(score * 10000000 + 0.5)
+                                          AS BIGINT) DESC,
+                                     doc_id ASC) AS rank
+  FROM ranked)
+SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+
+    sqls["sorted_search"] = f"""
+WITH {_TOK.strip()},
+q(query_id, term) AS (VALUES {_q_values()}),
+m AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term),
+ranked AS (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC,
+                                     m.doc_id ASC) AS rank
+  FROM m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT query_id, rank, doc_id, n_chars FROM ranked WHERE rank <= {K}"""
 
     # unified query language: BM25 over the rank-term multiset,
     # constrained per query (phrase EXISTS / NOT EXISTS / lang IN),

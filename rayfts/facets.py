@@ -186,6 +186,102 @@ def facet_counts(index, terms: list, column: str) -> dict:
     return {values[i]: int(cnt[i]) for i in np.flatnonzero(cnt)}
 
 
+def numeric_values(index, column: str) -> np.ndarray:
+    """doc-indexed numeric sidecar for a metadata column (int64 for
+    integer sources, float64 otherwise) — built once from docs-meta
+    and mmapped, same discipline as :func:`key_codes`."""
+    cache = getattr(index, "_num_values_cache", None)
+    if cache is None:
+        cache = index._num_values_cache = {}
+    hit = cache.get(column)
+    if hit is not None:
+        return hit
+    sdir = os.path.join(index.index_dir, "sidecar")
+    os.makedirs(sdir, exist_ok=True)
+    found = None
+    for suffix, dt in ((".i64", np.int64), (".f64", np.float64)):
+        p = os.path.join(sdir, f"num_{column}{suffix}")
+        if os.path.exists(p):
+            found = (p, dt)
+            break
+    if found is None:
+        t = pq.read_table(os.path.join(index.index_dir, "docs"),
+                          columns=["doc_id", column])
+        col = t.column(column)
+        is_int = pa.types.is_integer(col.type)
+        dt = np.int64 if is_int else np.float64
+        vals = np.zeros(index.num_docs, dtype=dt)
+        vals[t.column("doc_id").to_numpy()] = \
+            col.to_numpy(zero_copy_only=False).astype(dt)
+        p = os.path.join(sdir,
+                         f"num_{column}{'.i64' if is_int else '.f64'}")
+        with open(p + ".tmp", "wb") as f:
+            f.write(vals.tobytes())
+        os.replace(p + ".tmp", p)
+        found = (p, dt)
+    mm = np.memmap(found[0], dtype=found[1], mode="r")
+    cache[column] = mm
+    return mm
+
+
+def facet_range_allowlist(index_dir: str, column: str,
+                          lo=None, hi=None) -> np.ndarray:
+    """Resolve ``lo <= column <= hi`` (either bound optional) over the
+    docs-meta sidecar to sorted internal docIDs — the numeric-range
+    companion of :func:`facet_allowlist` (Lucene PointRangeQuery
+    analogue), same local predicate-pushdown scan."""
+    import pyarrow.dataset as pads
+
+    docs_dir = os.path.join(index_dir, "docs")
+    files = sorted(os.path.join(docs_dir, f) for f in os.listdir(docs_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    dset = pads.dataset(files, format="parquet")
+    if column not in dset.schema.names:
+        raise ValueError(f"unknown facet column {column!r}")
+    pred = None
+    if lo is not None:
+        pred = pads.field(column) >= lo
+    if hi is not None:
+        p2 = pads.field(column) <= hi
+        pred = p2 if pred is None else pred & p2
+    if pred is None:
+        raise ValueError("at least one of lo/hi is required")
+    t = dset.to_table(columns=["doc_id"], filter=pred)
+    ids = t.column("doc_id").to_numpy().astype(np.int64, copy=True)
+    ids.sort()
+    return ids
+
+
+def sort_by_field_topk(index, terms: list, column: str, k: int = 10,
+                       descending: bool = True, mode: str = "or"
+                       ) -> list[tuple]:
+    """Field-sorted results (Lucene Sort-by-field): the boolean match
+    set of ``terms`` (OR or AND), top-k by the metadata column's value
+    instead of relevance — ties by docid ascending.
+    -> [(value, docid)].
+
+    Values gather from the mmapped numeric sidecar for the match set
+    only; the selection is the same top-k kernel the ranked paths use
+    (O(matches) + O(k log k)), never a full sort of the corpus."""
+    from . import search as S
+
+    docs = (S.or_query(index, terms) if mode == "or"
+            else S.and_query(index, terms))
+    docs = np.asarray(docs, dtype=np.int64)
+    if docs.size == 0:
+        return []
+    vals = np.asarray(numeric_values(index, column)[docs],
+                      dtype=np.float64)
+    res = S._finalize_fast(vals if descending else -vals, docs, k)
+    out = []
+    for v, d in res:
+        v = float(v) if descending else -float(v)
+        out.append((int(v) if v == int(v) else v, d))
+    return out
+
+
 def merge_facet_counts(parts: list[dict]) -> dict:
     """Merge per-partition facet-count partials (answer-scale)."""
     out: dict = {}

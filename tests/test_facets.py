@@ -578,3 +578,66 @@ def test_collapsed_topk_one_dominant_key(ray_session, tmp_path_factory):
     assert got == want
     assert sum(1 for _, _, kv in got if kv == "hot") == 1
     assert len(got) == len(best)        # every key surfaced
+
+
+def test_numeric_range_facet_and_sort_by_field(ray_session,
+                                               tmp_path_factory):
+    """Numeric sidecar + range allowlist + field-sorted top-k equal
+    brute force over docs-meta (own corpus with a size_bytes column)."""
+    import pyarrow as pa
+
+    from rayfts import search as S
+    from rayfts.build import build_index
+    from rayfts.facets import (facet_range_allowlist, numeric_values,
+                               sort_by_field_topk)
+    from rayfts.index import InvertedIndex
+
+    root = tmp_path_factory.mktemp("facet_num")
+    n = 100
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(n)]
+    sizes = rng.randint(100, 10000, size=n).tolist()
+    src = str(root / "src.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * n, "path": [f"f{i:04d}.py" for i in range(n)],
+        "commit": ["c"] * n, "lang": ["py"] * n,
+        "size_bytes": pa.array(sizes, type=pa.int64()),
+        "content": texts}), src)
+    idx_dir = str(root / "idx")
+    build_index(src, idx_dir, index_type="opt", salt_threshold=64,
+                num_shards=2)
+    idx = InvertedIndex(idx_dir)
+
+    docs = pq.read_table(os.path.join(idx_dir, "docs"),
+                         columns=["doc_id", "size_bytes"])
+    size_of = dict(zip(docs.column("doc_id").to_pylist(),
+                       docs.column("size_bytes").to_pylist()))
+    mm = numeric_values(idx, "size_bytes")
+    assert isinstance(mm, np.memmap) and mm.dtype == np.int64
+    for d, v in size_of.items():
+        assert int(mm[d]) == v
+    vals = sorted(size_of.values())
+    lo, hi = vals[len(vals) // 4], vals[3 * len(vals) // 4]
+    got = facet_range_allowlist(idx_dir, "size_bytes", lo, hi)
+    want = sorted(d for d, v in size_of.items() if lo <= v <= hi)
+    assert got.tolist() == want
+
+    terms = ["tok0", "tok3", "tok29"]
+    res = sort_by_field_topk(idx, terms, "size_bytes", k=5)
+    match = S.or_query(idx, terms).tolist()
+    brute = sorted(((size_of[d], d) for d in match),
+                   key=lambda t: (-t[0], t[1]))[:5]
+    assert [(int(v), d) for v, d in res] == brute
+    # ascending
+    res_a = sort_by_field_topk(idx, terms, "size_bytes", k=5,
+                               descending=False)
+    brute_a = sorted(((size_of[d], d) for d in match),
+                     key=lambda t: (t[0], t[1]))[:5]
+    assert [(int(v), d) for v, d in res_a] == brute_a
+    # range facet composes with ranked serving
+    import copy
+    view = copy.copy(idx)
+    view.allowed = got
+    for s_, d in S.ranked_or(view, terms, k=10):
+        assert lo <= size_of[d] <= hi
