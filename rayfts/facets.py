@@ -50,9 +50,40 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
+def _as_range(values):
+    """(lo, hi) when ``values`` is a single ``lo..hi`` numeric range
+    literal (either bound may be empty: ``..500``, ``100..``), else
+    None — the query language's ``col:100..500`` syntax."""
+    vals = list(values)
+    if len(vals) != 1 or not isinstance(vals[0], str) \
+            or ".." not in vals[0]:
+        return None
+    lo_s, _, hi_s = vals[0].partition("..")
+
+    def num(s):
+        if not s:
+            return None
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                raise LookupError
+    try:
+        lo, hi = num(lo_s), num(hi_s)
+    except LookupError:
+        return None             # not numeric: a literal isin value
+    if lo is None and hi is None:
+        return None
+    return lo, hi
+
+
 def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
     """Resolve ``column IN values`` over the index's docs-meta sidecar
-    to a sorted array of internal docIDs.
+    to a sorted array of internal docIDs.  A single ``lo..hi`` numeric
+    value resolves as a range instead (``col:100..500`` in the query
+    language — :func:`facet_range_allowlist`).
 
     A LOCAL threaded pyarrow scan of ``<index_dir>/docs`` (the
     content-free stage-1 checkpoint, build.py:190-197) with column
@@ -64,6 +95,9 @@ def facet_allowlist(index_dir: str, column: str, values) -> np.ndarray:
     (column, values) predicate only."""
     import pyarrow.dataset as pads
 
+    rng = _as_range(values)
+    if rng is not None:
+        return facet_range_allowlist(index_dir, column, *rng)
     docs_dir = os.path.join(index_dir, "docs")
     files = sorted(os.path.join(docs_dir, f) for f in os.listdir(docs_dir)
                    if f.endswith(".parquet"))
@@ -248,7 +282,10 @@ def facet_range_allowlist(index_dir: str, column: str,
         pred = p2 if pred is None else pred & p2
     if pred is None:
         raise ValueError("at least one of lo/hi is required")
-    t = dset.to_table(columns=["doc_id"], filter=pred)
+    try:
+        t = dset.to_table(columns=["doc_id"], filter=pred)
+    except pa.ArrowInvalid as e:        # e.g. numeric range on a string
+        raise ValueError(str(e)) from e
     ids = t.column("doc_id").to_numpy().astype(np.int64, copy=True)
     ids.sort()
     return ids

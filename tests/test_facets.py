@@ -641,3 +641,16 @@ def test_numeric_range_facet_and_sort_by_field(ray_session,
     view.allowed = got
     for s_, d in S.ranked_or(view, terms, k=10):
         assert lo <= size_of[d] <= hi
+    # range syntax through the facet resolver and the query language
+    from rayfts.facets import facet_allowlist
+    from rayfts.query import search as qsearch
+    via_syntax = facet_allowlist(idx_dir, "size_bytes", [f"{lo}..{hi}"])
+    assert via_syntax.tolist() == want
+    res_lang = qsearch(idx, f"tok0 tok3 size_bytes:{lo}..{hi}", k=10,
+                       op="ranked_or")
+    assert res_lang == S.ranked_or(view, ["tok0", "tok3"], k=10)
+    # open bounds
+    assert facet_allowlist(idx_dir, "size_bytes", [f"..{hi}"]).tolist() \
+        == sorted(d for d, v in size_of.items() if v <= hi)
+    assert facet_allowlist(idx_dir, "size_bytes", [f"{lo}.."]).tolist() \
+        == sorted(d for d, v in size_of.items() if v >= lo)
