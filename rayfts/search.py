@@ -398,33 +398,6 @@ def _norms(index: InvertedIndex, prec: _Prec) -> np.ndarray:
     return nl
 
 
-def explain(index: InvertedIndex, terms: list, doc_id: int,
-            prec: _Prec = P32) -> dict:
-    """Score breakdown for one document (Lucene Explanation analogue):
-    per distinct query term present in the doc, its df / tf /
-    normalized length / query weight / BM25 contribution.  The
-    contributions accumulate in the same ascending-term order the
-    union kernels use, so ``score`` is bit-identical to what
-    ranked_or & co. would assign this doc."""
-    out = {"doc_id": int(doc_id), "terms": [], "score": prec.zero()}
-    norms = _norms(index, prec)
-    for pl, qw in _lists(index, terms, prec):
-        i = int(np.searchsorted(pl.docs, doc_id))
-        if i >= len(pl.docs) or pl.docs[i] != doc_id:
-            continue
-        f = pl.freqs[i]
-        nl = norms[doc_id]
-        c = prec.dtype(qw * prec.dtw(np.asarray([f]),
-                                     np.asarray([nl]))[0])
-        out["terms"].append({
-            "term": pl.term, "tf": int(f), "df": int(pl.n),
-            "query_weight": float(qw), "norm_len": float(nl),
-            "contribution": float(c)})
-        out["score"] = prec.dtype(out["score"] + c)
-    out["score"] = float(out["score"])
-    return out
-
-
 def ranked_or(index: InvertedIndex, terms: list, k: int = K_DEFAULT,
               prec: _Prec = P32, boosts: dict | None = None):
     pls = _lists(index, terms, prec, boosts)

@@ -178,25 +178,3 @@ def test_sql_predicate_mirrors_engine(built):
             f"WHERE {pred}").fetchall()}
         got = {key_of[int(d)] for d in bool_expr_docs(idx, n)}
         assert got == want, e
-
-
-def test_explain_matches_kernel_scores(built):
-    """explain(doc) reproduces the union kernels' score bit-for-bit
-    and lists exactly the query terms present in the doc."""
-    from rayfts import search as S
-
-    idx, _, _ = built
-    vocab = idx.all_terms()
-    rng = np.random.RandomState(9)
-    for _ in range(5):
-        terms = [vocab[i] for i in rng.choice(len(vocab), size=3)]
-        for prec in (S.P32, S.P64):
-            for s, d in S.ranked_or(idx, terms, k=5, prec=prec):
-                ex = S.explain(idx, terms, d, prec=prec)
-                assert ex["score"] == float(s)
-                for row in ex["terms"]:
-                    assert row["term"] in terms
-                    assert row["contribution"] > 0
-    # a doc matching nothing explains to zero
-    ex = S.explain(idx, ["zz_missing"], 0)
-    assert ex["score"] == 0.0 and ex["terms"] == []
