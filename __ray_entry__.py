@@ -2434,10 +2434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize": _tokenize,
         "postings": _postings_table,
         "bm25_topk": lambda sf: _topk_table(sf, "ranked_or"),
-        "block_max_wand_topk_native":
-            lambda sf: _topk_table_native(sf, "block_max_wand"),
-        "unified_search_sharded": _unified_search_sharded,
         # --- never-oracled window (44 entries, r5 rotation) -----------
+        # new-in-r5 serving families
+        "bool_expr_topk": _bool_expr_topk,
+        "bm25_topk_termpart": _bm25_topk_termpart,
         # rankers / impact / fielded
         "bm25f_topk_maxscore": lambda sf: _bm25f_topk(sf, "maxscore"),
         "bm25f_topk_sharded": _bm25f_topk_sharded,
@@ -2529,12 +2529,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sym_search": _sym_search,
         "boosted_search": _boosted_search,
         "slop_search": _slop_search,
+        "unified_search_sharded": _unified_search_sharded,
+        "block_max_wand_topk_native":
+            lambda sf: _topk_table_native(sf, "block_max_wand"),
         "doc_lengths": _doc_lengths,
         "term_dfs": _term_dfs,
         "lexicon": _lexicon,
         # query engine
         "bm25_topk_sharded": _topk_table_sharded,
-        "bm25_topk_termpart": _bm25_topk_termpart,
         "bm25_topk_pruned": _topk_table_pruned,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
         "wand_topk": lambda sf: _topk_table(sf, "wand"),
@@ -2545,7 +2547,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_native": lambda sf: _topk_table_native(sf, "ranked_or"),
         "bool_and": _bool_and,
         "bool_and_not": _bool_and_not,
-        "bool_expr_topk": _bool_expr_topk,
         "bool_expr_topk_sharded": _bool_expr_topk_sharded,
         "msm_topk": _msm_topk,
         "ql_topk": _ql_topk,
