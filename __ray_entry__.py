@@ -176,6 +176,30 @@ def _bm25_topk_termpart(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _bm25_topk_termpart_pipelined(sf_dir: str) -> pd.DataFrame:
+    """Pipelined term-partitioned evaluation (termpart.topk_pipelined):
+    the accumulator hops term-range owners in ascending order, no
+    posting list leaves its server — shares the bm25_topk oracle."""
+    from rayfts import search as S
+    from rayfts.termpart import TermPartitionedSearcher
+
+    idx = _index_for(sf_dir)
+    tp = TermPartitionedSearcher(idx.index_dir, num_servers=3)
+    try:
+        rows = []
+        for qid, terms in QUERIES:
+            res = tp.topk_pipelined(terms, k=K, prec=S.P64)
+            for rank, (score, d) in enumerate(res, 1):
+                rows.append({"query_id": qid, "rank": rank,
+                             "doc_id": int(idx.src_doc_ids[d]),
+                             "score_q": int(np.floor(float(score) * 1e7
+                                                     + 0.5))})
+    finally:
+        tp.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _topk_table_native(sf_dir: str, op: str) -> pd.DataFrame:
     """The f32 C encoded-domain serving path — the kernels bench.py
     times (`next_geq` over compressed EF/PEF payloads, float32 BM25) —
@@ -2537,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": _lexicon,
         # query engine
         "bm25_topk_sharded": _topk_table_sharded,
+        "bm25_topk_termpart_pipelined": _bm25_topk_termpart_pipelined,
         "bm25_topk_pruned": _topk_table_pruned,
         "ranked_and_topk": lambda sf: _topk_table(sf, "ranked_and"),
         "wand_topk": lambda sf: _topk_table(sf, "wand"),
@@ -3048,6 +3073,7 @@ SELECT query_id, rank, doc_id FROM topk WHERE rank <= {K}
     sqls["block_max_wand_topk_native"] = rank_sql
     sqls["bm25_topk"] = _topk_sql(False)
     sqls["bm25_topk_termpart"] = sqls["bm25_topk"]
+    sqls["bm25_topk_termpart_pipelined"] = sqls["bm25_topk"]
     sqls["bm25_topk_sharded"] = _topk_sql(False)
     sqls["bm25_topk_pruned"] = _topk_sql(False)
     sqls["wand_topk"] = _topk_sql(False)

@@ -72,6 +72,39 @@ class TermShardServer:
                         int(pl.n)))
         return out
 
+    def accumulate(self, terms_mults: list[tuple], state,
+                   prec_name: str = "P32"):
+        """Pipelined evaluation step: fold this server's terms into the
+        running (union docids, partial scores) accumulator and pass it
+        on.  ``state`` arrives as the previous hop's return (None on
+        the first hop).  Per-doc adds happen in ascending term order
+        across the whole chain, so the arithmetic is bit-identical to
+        the monolithic union kernel."""
+        from . import search as S
+
+        prec = {"P32": S.P32, "P64": S.P64}[prec_name]
+        union, acc = (None, None) if state is None else state
+        norms = S._norms(self.idx, prec)
+        for term, mult in terms_mults:            # ascending
+            pl = self.idx.get(term)
+            if pl is None:
+                continue
+            qw = prec.dtype(prec.qtw(mult, pl.n, self.idx.num_docs))
+            docs = np.asarray(pl.docs)
+            if union is None:
+                union = docs.copy()
+                acc = np.zeros(len(union), dtype=prec.dtype)
+            else:
+                new = np.union1d(union, docs)
+                if len(new) != len(union):
+                    na = np.zeros(len(new), dtype=prec.dtype)
+                    na[np.searchsorted(new, union)] = acc
+                    union, acc = new, na
+            ix = np.searchsorted(union, docs)
+            w = prec.dtw(pl.freqs, norms[docs])
+            acc[ix] += (qw * w).astype(prec.dtype)
+        return None if union is None else (union, acc)
+
 
 class TermPartitionedSearcher:
     """Coordinator: term-range routing table + stats/norms sidecars
@@ -141,6 +174,35 @@ class TermPartitionedSearcher:
             ix = np.searchsorted(union, pl.docs)
             w = prec.dtw(pl.freqs, norms[pl.docs])
             acc[ix] += (qw * w).astype(prec.dtype)
+        m = _serve_mask(self.idx, union)
+        if m is not None:
+            union, acc = union[m], acc[m]
+        return _finalize_fast(acc, union, k)
+
+    def topk_pipelined(self, terms: list, k: int = 10, prec=None):
+        """Pipelined term-partitioned evaluation (Moffat et al.): the
+        (union, partial-scores) accumulator hops server to server in
+        ascending term-range order — no posting list ever leaves its
+        owner; what moves is the match-set-scale accumulator, handed
+        between consecutive hops as an object-store ref the next actor
+        reads zero-copy.  Bit-identical to :meth:`topk` and to the
+        monolithic kernel (same per-doc add order)."""
+        from .search import P32
+
+        prec = prec or P32
+        prec_name = "P64" if prec.dtype == np.float64 else "P32"
+        qf = query_freqs(terms)
+        per_srv: dict[int, list[tuple]] = {}
+        for t, mult in qf:                 # ascending terms; contiguous
+            per_srv.setdefault(self._route(t), []).append((t, mult))
+        ref = None
+        for srv in sorted(per_srv):        # server order == range order
+            ref = self.servers[srv].accumulate.remote(
+                per_srv[srv], ref, prec_name)
+        state = ray.get(ref) if ref is not None else None
+        if state is None:
+            return []
+        union, acc = state
         m = _serve_mask(self.idx, union)
         if m is not None:
             union, acc = union[m], acc[m]

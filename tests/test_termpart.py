@@ -76,3 +76,28 @@ def test_serve_filters_apply(built):
             [(float(s), d) for s, d in want]
     finally:
         tp.shutdown()
+
+
+@pytest.mark.parametrize("num_servers", [1, 3, 5])
+def test_pipelined_matches_gather_and_monolithic(built, num_servers):
+    """The pipelined accumulator chain (no posting list leaves its
+    owner) equals both the gather-at-coordinator path and the
+    monolithic kernel bit-for-bit, at both precisions."""
+    from rayfts import search as S
+    from rayfts.termpart import TermPartitionedSearcher
+
+    idx_dir, mono = built
+    tp = TermPartitionedSearcher(idx_dir, num_servers=num_servers)
+    try:
+        for terms in _queries(mono)[:12]:
+            for prec in (S.P32, S.P64):
+                got = tp.topk_pipelined(terms, k=10, prec=prec)
+                want = S.ranked_or(mono, terms, k=10, prec=prec)
+                assert [(float(s), d) for s, d in got] == \
+                    [(float(s), d) for s, d in want], terms
+                gather = tp.topk(terms, k=10, prec=prec)
+                assert [(float(s), d) for s, d in got] == \
+                    [(float(s), d) for s, d in gather], terms
+        assert tp.topk_pipelined(["zz_only_unknown"], k=10) == []
+    finally:
+        tp.shutdown()
