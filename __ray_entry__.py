@@ -2374,6 +2374,34 @@ def _prox_bm25_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+#: n-term windowed co-occurrence workload (multi_proximity_doc_counts)
+MPROX_GROUPS: list[tuple[int, list[str]]] = [
+    (0, ["join", "hash", "data"]),
+    (1, ["filter", "scan", "batch"]),
+    (2, ["sort", "shuffle", "merge"]),
+    (3, ["key", "value", "table"]),
+]
+MPROX_W = 4
+
+
+def _multi_prox_counts(sf_dir: str) -> pd.DataFrame:
+    """n-term windowed co-occurrence (rayfts/positions.py
+    multi_proximity_doc_counts): per doc, anchor occurrences of the
+    first term with every other term within MPROX_W tokens; oracle
+    recomputes positions + the nested window predicate per group."""
+    from rayfts.positions import multi_proximity_doc_counts
+
+    pidx, idx = _positions_for(sf_dir)
+    sid = np.asarray(idx.src_doc_ids)
+    rows = []
+    for gid, terms in MPROX_GROUPS:
+        docs, counts = multi_proximity_doc_counts(pidx, terms, MPROX_W)
+        for d, n in zip(docs.tolist(), counts.tolist()):
+            rows.append({"group_id": gid, "doc_id": int(sid[d]),
+                         "n_near": int(n)})
+    return pd.DataFrame(rows, columns=["group_id", "doc_id", "n_near"])
+
+
 RERANK_N = 50          # first-phase candidate depth
 
 
@@ -2517,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prox_bm25_topk": _prox_bm25_topk,
         "rerank_prox_topk": _rerank_prox_topk,
         "proximity_counts": _proximity_counts,
+        "multi_prox_counts": _multi_prox_counts,
         # --- previously-oracled entries (green r1-r4) -----------------
         "postings_block": _postings_table_block,
         "postings_hybrid": _postings_table_hybrid,
@@ -4298,6 +4327,24 @@ FROM toks""")
 WITH {_w_toks_d},
 u AS ({' UNION ALL '.join(px_parts)})
 SELECT pair_id, doc_id, n_near FROM u WHERE n_near > 0"""
+
+    mp_parts = []
+    for _gid, _terms in MPROX_GROUPS:
+        _conds = " and ".join(
+            f"""(len([q{_i} for q{_i} in [j{_i} for j{_i} in range(1, len(ts) + 1)
+                                if ts[j{_i}] = '{_t}']
+                     if abs(p - q{_i}) <= {MPROX_W}]) > 0)"""
+            for _i, _t in enumerate(_terms[1:]))
+        mp_parts.append(f"""
+SELECT {_gid} AS group_id, doc_id,
+       len([p for p in [i for i in range(1, len(ts) + 1)
+                        if ts[i] = '{_terms[0]}']
+            if {_conds}])::BIGINT AS n_near
+FROM toks""")
+    sqls["multi_prox_counts"] = f"""
+WITH {_w_toks_d},
+u AS ({' UNION ALL '.join(mp_parts)})
+SELECT group_id, doc_id, n_near FROM u WHERE n_near > 0"""
 
     # proximity-scored BM25: the windowed pair as one pseudo-term,
     # same arithmetic as phrase_bm25_topk

@@ -421,6 +421,37 @@ def proximity_doc_counts(pidx: PositionalIndex, t1: str, t2: str,
     return _runlength_counts(k1[near] // _STRIDE)
 
 
+def multi_proximity_doc_counts(pidx: PositionalIndex,
+                               terms: list[str], window: int):
+    """n-term windowed co-occurrence (the >2-term generalization of
+    :func:`proximity_doc_counts`, Lucene SloppyPhraseQuery-adjacent
+    semantics anchored on the first term): per doc, the number of
+    ``terms[0]`` occurrences that have an occurrence of EVERY other
+    term within ``window`` tokens.  -> (doc_ids, counts).
+
+    One window probe per (anchor occurrence, other term) — all
+    vectorized searchsorted over the cached doc-keyed position arrays;
+    anchors in docs missing some term simply find no neighbor (no
+    document-intersection pass)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if not terms:
+        return empty
+    k1 = pidx.keyed(terms[0])
+    if len(k1) == 0:
+        return empty
+    ok = np.ones(len(k1), dtype=bool)
+    for t in terms[1:]:
+        k2 = pidx.keyed(t)
+        if len(k2) == 0:
+            return empty
+        lo = np.searchsorted(k2, k1 - window)
+        hi = np.searchsorted(k2, k1 + window, side="right")
+        ok &= hi > lo
+        if not ok.any():
+            return empty
+    return _runlength_counts(k1[ok] // _STRIDE)
+
+
 def doc_positions(pidx: PositionalIndex, term: str,
                   doc_id: int) -> np.ndarray:
     """The term's sorted 0-based token positions in one document

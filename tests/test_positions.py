@@ -354,3 +354,38 @@ def test_rerank_prox_topk_brute_force(pos_index):
         want = sorted(((s, d) for d, s in total.items()),
                       key=lambda t: (-t[0], t[1]))[:3]
         assert [(int(s), int(d)) for s, d in got] == want, terms
+
+
+def test_multi_proximity_vs_brute_force(pos_index):
+    """n-term windowed co-occurrence equals a brute-force scan, and
+    degenerates to proximity_doc_counts for two terms."""
+    import numpy as np
+
+    from rayfts.positions import (doc_positions, multi_proximity_doc_counts,
+                                  proximity_doc_counts)
+
+    pidx, index_dir = pos_index
+    from rayfts.index import InvertedIndex
+    idx = InvertedIndex(index_dir)
+    vocab = idx.all_terms()
+    groups = [[vocab[0], vocab[1]],
+              [vocab[0], vocab[2], vocab[3]],
+              [vocab[1], vocab[4], vocab[0], vocab[5]],
+              [vocab[0], "zz_missing", vocab[1]]]
+    W = 3
+    for terms in groups:
+        docs, counts = multi_proximity_doc_counts(pidx, terms, W)
+        want = {}
+        for d in range(idx.num_docs):
+            ps = doc_positions(pidx, terms[0], d)
+            others = [doc_positions(pidx, t, d) for t in terms[1:]]
+            n = sum(1 for p in ps.tolist()
+                    if all(len(o) and np.abs(o - p).min() <= W
+                           for o in others))
+            if n:
+                want[d] = n
+        assert dict(zip(docs.tolist(), counts.tolist())) == want, terms
+    # pair case == proximity_doc_counts
+    d2, c2 = proximity_doc_counts(pidx, vocab[0], vocab[1], W)
+    dm, cm = multi_proximity_doc_counts(pidx, [vocab[0], vocab[1]], W)
+    assert np.array_equal(d2, dm) and np.array_equal(c2, cm)
