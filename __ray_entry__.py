@@ -2191,6 +2191,22 @@ def _orders_by_nation(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
 
 
+def _orders_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Large-large distributed semi-join (TPC-H Q4 shape,
+    rayfts/ops/relational.py orders_semijoin_priority): orders with
+    >= 1 returned lineitem, counted per o_orderpriority — lineitem
+    reduces to distinct keys via per-batch pc.unique + key-scale
+    groupby, then one hash-partitioned Dataset.join; nothing is
+    broadcast."""
+    from rayfts.ops.relational import orders_semijoin_priority
+    return orders_semijoin_priority(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_orderpriority"]),
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_returnflag"]),
+    ).to_pandas()
+
+
 def _window_agg(sf_dir: str) -> pd.DataFrame:
     from rayfts.ops.events import tumbling_window
     return tumbling_window(_events_ds(sf_dir), WINDOW_US).to_pandas()
@@ -2546,6 +2562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_prox_topk": _rerank_prox_topk,
         "proximity_counts": _proximity_counts,
         "multi_prox_counts": _multi_prox_counts,
+        "orders_semijoin": _orders_semijoin,
         # --- previously-oracled entries (green r1-r4) -----------------
         "postings_block": _postings_table_block,
         "postings_hybrid": _postings_table_hybrid,
@@ -4198,6 +4215,14 @@ SELECT n_name, count(*)::BIGINT AS n_orders,
 FROM orders
 JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1"""
+
+    sqls["orders_semijoin"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
 GROUP BY 1"""
 
     w = 8

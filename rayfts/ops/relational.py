@@ -152,3 +152,46 @@ def orders_by_nation(orders_ds, customer_ds, nation_ds,
                 t.column("sum(price_q)").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_semijoin_priority(orders_ds, lineitem_ds,
+                             flag: str = "R",
+                             num_partitions: int = 8):
+    """Large-large distributed SEMI-JOIN (TPC-H Q4 shape): count
+    orders per o_orderpriority having at least one lineitem with
+    ``l_returnflag == flag``.  -> Dataset(o_orderpriority, n_orders).
+
+    Scale plan — neither fact table is broadcast or collected:
+      1. the lineitem side reduces to DISTINCT matching orderkeys with
+         a per-batch ``pc.unique`` partial then a key-scale groupby
+         (the combiner keeps the exchange at distinct-keys volume, not
+         lineitem volume);
+      2. one hash-partitioned ``Dataset.join`` against orders
+         (inner == semi, keys are distinct);
+      3. an aggregate-scale groupby over o_orderpriority."""
+    import pyarrow.compute as pc
+
+    def keys_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), flag)
+        k = pc.unique(t.column("l_orderkey").filter(m))
+        return pa.table({"o_orderkey": k.cast(pa.int64())})
+
+    keys = (lineitem_ds.map_batches(keys_partial, batch_format="pyarrow")
+            .groupby("o_orderkey").count())
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey":
+                         t.column("o_orderkey").cast(pa.int64())})
+
+    keys = keys.map_batches(strip, batch_format="pyarrow")
+    joined = orders_ds.select_columns(
+        ["o_orderkey", "o_orderpriority"]).join(
+        keys, "inner", num_partitions, on=("o_orderkey",))
+    agg = joined.groupby("o_orderpriority").count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "n_orders": t.column("count()").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -81,3 +81,33 @@ def test_orders_by_nation_vs_bruteforce(ray_session):
     for name, (n, s) in want.items():
         assert int(got.loc[name, "n_orders"]) == n
         assert int(got.loc[name, "sum_totalprice_q"]) == s
+
+
+def test_orders_semijoin_priority(ray_session):
+    """Distributed semi-join equals the brute-force EXISTS count."""
+    import ray.data as rd
+    from rayfts.ops.relational import orders_semijoin_priority
+
+    rng = np.random.RandomState(4)
+    n_orders, n_items = 60, 240
+    orders = pa.table({
+        "o_orderkey": pa.array(list(range(n_orders)), type=pa.int64()),
+        "o_orderpriority": pa.array(
+            [f"{1 + i % 4}-PRIO" for i in range(n_orders)])})
+    li_keys = rng.randint(0, n_orders, size=n_items)
+    flags = rng.choice(["R", "N", "A"], size=n_items, p=[0.3, 0.5, 0.2])
+    lineitem = pa.table({
+        "l_orderkey": pa.array(li_keys, type=pa.int64()),
+        "l_returnflag": pa.array(flags.tolist())})
+    got = (orders_semijoin_priority(rd.from_arrow(orders),
+                                    rd.from_arrow(lineitem),
+                                    num_partitions=3).to_pandas()
+           .set_index("o_orderpriority")["n_orders"].to_dict())
+    match = {int(k) for k, f in zip(li_keys.tolist(), flags.tolist())
+             if f == "R"}
+    want: dict = {}
+    for k in range(n_orders):
+        if k in match:
+            p = f"{1 + k % 4}-PRIO"
+            want[p] = want.get(p, 0) + 1
+    assert got == want
