@@ -2445,6 +2445,33 @@ def _rerank_prox_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_q"])
 
 
+def _rerank_prox_topk_sharded(sf_dir: str) -> pd.DataFrame:
+    """The two-stage retrieve+rescore pipeline over the doc-partitioned
+    layout (positions.rerank_prox_topk_sharded): per-partition
+    first-phase top-N merge, sidecar-union pair features with global
+    pair df, candidate norms from each candidate's own partition —
+    shares the monolithic rerank oracle."""
+    from rayfts import search as S
+    from rayfts.positions import rerank_prox_topk_sharded
+
+    from rayfts.positions import (ShardedPositionalIndex,
+                                  build_sharded_positions)
+    si = _sharded_for(sf_dir)
+    build_sharded_positions(si.parent_dir, num_shards=8)
+    spidx = ShardedPositionalIndex(si.parent_dir)
+    rows = []
+    for qid, terms in QUERIES:
+        res = rerank_prox_topk_sharded(spidx, si, terms, k=K,
+                                       n_first=RERANK_N, window=PROX_W,
+                                       prec=S.P64, quant=1e7)
+        for rank, (sq, d) in enumerate(res, 1):
+            rows.append({"query_id": qid, "rank": rank,
+                         "doc_id": int(si.src_doc_ids[d]),
+                         "score_q": int(sq)})
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id",
+                                       "score_q"])
+
+
 def _phrase_counts_sharded(sf_dir: str) -> pd.DataFrame:
     """Phrase counts over the DOC-PARTITIONED layout (one positional
     sidecar per partition, union broker) — must hash-match the same
@@ -2562,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_prox_topk": _rerank_prox_topk,
         "proximity_counts": _proximity_counts,
         "multi_prox_counts": _multi_prox_counts,
+        "rerank_prox_topk_sharded": _rerank_prox_topk_sharded,
         "orders_semijoin": _orders_semijoin,
         # --- previously-oracled entries (green r1-r4) -----------------
         "postings_block": _postings_table_block,
@@ -4463,6 +4491,7 @@ topk AS (
                             ORDER BY score_q DESC, doc_id ASC) AS rank
   FROM rer)
 SELECT query_id, rank, doc_id, score_q FROM topk WHERE rank <= {K}"""
+    sqls["rerank_prox_topk_sharded"] = sqls["rerank_prox_topk"]
 
     # ann_lsh_topk / ann_ivf_topk / embedding_dup_pairs_lsh:
     # deliberately no SQL oracle (recall < 1 by design) -> driver

@@ -765,3 +765,79 @@ def rerank_prox_topk(pidx: PositionalIndex, index, terms: list[str],
     if quant is not None:
         return [(int(s), d) for s, d in res]
     return res
+
+
+def rerank_prox_topk_sharded(spidx: ShardedPositionalIndex, sharded,
+                             terms: list[str], k: int = 10,
+                             n_first: int = 100, window: int = 8,
+                             prec=None, quant: float | None = None):
+    """Two-stage retrieval over the doc-partitioned layout, identical
+    to :func:`rerank_prox_topk` on the merged index:
+
+    * stage 1: each partition ranks its own union (global-stats
+      scoring), per-partition top-N lists merge to the global top-N
+      under the same (raw score desc, global docid asc) cut;
+    * stage 2: each adjacent pair's (docs, counts) come from the
+      per-partition positional sidecars' union (global docIDs); the
+      pair df is the GLOBAL near-co-occurrence count, and candidate
+      norms come from each candidate's own partition (global avg_len
+      is baked into every sub build) — so every component is
+      bit-identical to the monolithic value."""
+    from . import search as S
+    from .sharded import _merge_topk
+
+    prec = prec or S.P32
+    per_sub = []
+    for i, base in enumerate(sharded.bases):
+        sub = sharded.sub(i)
+        pls = S._lists(sub, terms, prec)
+        if not pls:
+            continue
+        union, acc = S._union_scores(sub, pls, prec)
+        m = S._serve_mask(sub, union)
+        if m is not None:
+            union, acc = union[m], acc[m]
+        res = S._finalize_fast(acc, union, n_first)
+        per_sub.append([(s, base + d) for s, d in res])
+    first = _merge_topk(per_sub, n_first)
+    if not first:
+        return []
+    cand = np.array([d for _, d in first], dtype=np.int64)
+    order = np.argsort(cand, kind="stable")
+    cand = cand[order]
+    base_sc = np.array([float(s) for s, _ in first],
+                       dtype=np.float64)[order]
+    # candidate norms, each from its own partition's sidecars
+    bounds = list(sharded.bases) + [sharded.num_docs]
+    cand_norms = np.empty(len(cand), dtype=np.float64)
+    for i, b in enumerate(sharded.bases):
+        sel = (cand >= b) & (cand < bounds[i + 1])
+        if sel.any():
+            sub = sharded.sub(i)
+            cand_norms[sel] = np.asarray(
+                S._norms(sub, prec), dtype=np.float64)[cand[sel] - b]
+    if quant is not None:
+        total = np.floor(base_sc * quant + 0.5).astype(np.int64)
+    else:
+        total = base_sc.copy()
+    for a, b in adjacent_pairs(terms):
+        docs, counts = spidx.proximity_counts(a, b, window)
+        if len(docs) == 0:
+            continue
+        qw = float(prec.qtw(1, len(docs), sharded.num_docs))
+        sel = np.searchsorted(docs, cand)
+        ok = (sel < len(docs)) & \
+            (docs[np.minimum(sel, len(docs) - 1)] == cand)
+        if not ok.any():
+            continue
+        ps = np.asarray(
+            qw * prec.dtw(np.asarray(counts)[sel[ok]].astype(np.float64),
+                          cand_norms[ok]), dtype=np.float64)
+        if quant is not None:
+            total[ok] += np.floor(ps * quant + 0.5).astype(np.int64)
+        else:
+            total[ok] += ps
+    res = S._finalize_fast(total.astype(np.float64), cand, k)
+    if quant is not None:
+        return [(int(s), d) for s, d in res]
+    return res

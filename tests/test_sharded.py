@@ -317,3 +317,33 @@ def test_facet_ops_sharded_match_mono(built):
         want = collapsed_topk(mono, terms, "lang", k=5)
         assert [(float(s), d, kv) for s, d, kv in got] == \
             [(float(s), d, kv) for s, d, kv in want]
+
+
+def test_rerank_sharded_matches_monolithic(built):
+    """Two-stage retrieve+rescore over the doc-partitioned layout
+    equals the monolithic rerank bit-for-bit (quantized combine):
+    per-partition first-phase top-N merge, pair features from the
+    sidecar union with GLOBAL pair df, candidate norms from each
+    candidate's own partition."""
+    from rayfts import search as S
+    from rayfts.positions import (PositionalIndex,
+                                  ShardedPositionalIndex,
+                                  rerank_prox_topk,
+                                  rerank_prox_topk_sharded)
+    src, mono_dir, parent_dir, _, _, mono, sharded = built
+    # sidecars exist from test_sharded_positions_match_monolithic; be
+    # robust to test-order anyway (builds are resumable no-ops)
+    from rayfts.positions import build_positions, build_sharded_positions
+    build_positions(mono_dir, mono_dir + "_pos", num_shards=4)
+    build_sharded_positions(parent_dir, num_shards=4)
+    mp = PositionalIndex(mono_dir + "_pos")
+    sp = ShardedPositionalIndex(parent_dir)
+    for terms in _queries(mono)[:10]:
+        for quant in (None, 1e7):
+            want = rerank_prox_topk(mp, mono, terms, k=5, n_first=20,
+                                    window=3, prec=S.P64, quant=quant)
+            got = rerank_prox_topk_sharded(sp, sharded, terms, k=5,
+                                           n_first=20, window=3,
+                                           prec=S.P64, quant=quant)
+            assert [(float(s), int(d)) for s, d in got] == \
+                [(float(s), int(d)) for s, d in want], (terms, quant)
