@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Per-query cost of the round-5 serving surfaces at sf0.1 (the table
+in BASELINE.md "Round-5 new serving surfaces").  Warm, best-of-3.
+
+    python tools/surface_bench.py [sf_dir] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as E
+    from rayfts import search as S
+
+    idx = E._index_for(sf, "opt")
+    out = {"sf_dir": sf, "num_cpus": cpus, "unit": "ms/query",
+           "protocol": "warm, best-of-3"}
+
+    def timeit(fn, reps=3):
+        best = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn()
+            best.append((time.perf_counter() - t0) / (n or 1))
+        return round(min(best) * 1e3, 3)
+
+    qs = [t for _, t in E.QUERIES]
+
+    from rayfts.boolquery import bool_expr_topk, parse
+    exprs = [parse(e) for _, e in E.BOOL_EXPRS]
+
+    def run_bool():
+        for n in exprs:
+            bool_expr_topk(idx, n, k=10)
+        return len(exprs)
+    run_bool()
+    out["bool_expr_topk"] = timeit(run_bool)
+
+    from rayfts.termpart import TermPartitionedSearcher
+    tp = TermPartitionedSearcher(idx.index_dir, num_servers=4)
+
+    def run_tp():
+        for t in qs:
+            tp.topk(t, k=10)
+        return len(qs)
+
+    def run_tpp():
+        for t in qs:
+            tp.topk_pipelined(t, k=10)
+        return len(qs)
+    run_tp()
+    run_tpp()
+    out["termpart_gather"] = timeit(run_tp)
+    out["termpart_pipelined"] = timeit(run_tpp)
+    tp.shutdown()
+
+    pidx, _ = E._positions_for(sf)
+    from rayfts.positions import rerank_prox_topk
+
+    def run_rr():
+        for t in qs:
+            rerank_prox_topk(pidx, idx, t, k=10, n_first=100, window=8)
+        return len(qs)
+    run_rr()
+    out["rerank_prox_topk"] = timeit(run_rr)
+
+    def run_ro():
+        for t in qs:
+            S.ranked_or_fast(idx, t, 10)
+        return len(qs)
+    run_ro()
+    out["ranked_or_fast"] = timeit(run_ro)
+
+    from rayfts.facets import (collapsed_topk, facet_counts,
+                               sort_by_field_topk)
+
+    def run_sort():
+        for t in qs:
+            sort_by_field_topk(idx, t, "n_chars", k=10)
+        return len(qs)
+
+    def run_fc():
+        for t in qs:
+            facet_counts(idx, t, "lang")
+        return len(qs)
+
+    def run_ct():
+        for t in qs:
+            collapsed_topk(idx, t, "lang", k=10)
+        return len(qs)
+    run_sort(); run_fc(); run_ct()
+    out["sort_by_field"] = timeit(run_sort)
+    out["facet_counts"] = timeit(run_fc)
+    out["collapsed_topk"] = timeit(run_ct)
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
