@@ -85,3 +85,26 @@ def test_posting_list_roundtrip_all_types(index_type, case, freqs300):
     d2, f2 = decode_posting_list(index_type, db, fb, universe)
     np.testing.assert_array_equal(d2, docs)
     np.testing.assert_array_equal(f2, freqs)
+
+
+# --- boolean expression parser totality -----------------------------------
+
+_BQ_ATOMS = ["a", "b", "cc", "AND", "OR", "NOT", "(", ")", "1x", ""]
+
+
+@given(st.lists(st.sampled_from(_BQ_ATOMS), min_size=0, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_boolquery_parse_is_total(parts):
+    """parse() on arbitrary token soup either returns a valid Node
+    (which positive_terms/to_sql_predicate can then walk without
+    crashing) or raises ValueError — never any other exception."""
+    from rayfts.boolquery import (Node, parse, positive_terms,
+                                  to_sql_predicate)
+    q = " ".join(parts)
+    try:
+        n = parse(q)
+    except ValueError:
+        return
+    assert isinstance(n, Node)
+    assert positive_terms(n)          # evaluable => >= 1 positive term
+    assert "EXISTS" in to_sql_predicate(n)
